@@ -1,0 +1,255 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational surface: the engine-layer operators minarrow explicitly
+  * delegates to the host engine (SURVEY.md §2.6, §2.9 — no group-by, join,
+  * sort or set-op kernels exist in the reference; building blocks only:
+  * `Array::compare_at` `src/enums/array.rs:2357`, `hash_element_at` :2419).
+  * Expressed as declarative DataFrame plans so Catalyst supplies pushdown,
+  * partial aggregation, join strategy selection and AQE at 100 TB scale.
+  *
+  * Scale notes (local[32] now, 1000-executor target):
+  *   - every aggregation here is partial+final (Spark default hash agg);
+  *   - dimension joins (part=20k rows/SF, nation=25, customer=1.5% of fact)
+  *     are explicitly `broadcast()` so no fact-table shuffle happens;
+  *   - only genuinely-large joins (lineitem⋈orders) shuffle, on their join
+  *     key, which AQE can further coalesce/skew-split.
+  */
+object Relational {
+
+  private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s + " 00:00:00"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1 shape: full-scan grouped aggregation with derived measures.
+    QueryDef.sql(
+      "q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= ts("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // TPC-H Q6 shape: selective scan + single scalar agg. Filters push to
+    // the parquet scan (verified via explain: PushedFilters on l_shipdate,
+    // l_discount, l_quantity).
+    QueryDef.sql(
+      "q02_forecast_revenue",
+      """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.08
+        |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01") &&
+          col("l_discount").between(0.02, 0.08) &&
+          col("l_quantity") < 24)
+        .agg(
+          round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q3 shape: fact⋈fact shuffle join + broadcast dim filter + top-k.
+    QueryDef.sql(
+      "q03_shipping_priority",
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d).filter(col("o_orderdate") < ts("1998-03-15"))
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1995-03-15"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // Sort + limit (minarrow delegates ordering; comparator semantics from
+    // Array::compare_at, src/enums/array.rs:2357).
+    QueryDef.sql(
+      "q04_top_orders",
+      """SELECT o_orderkey, ROUND(o_totalprice, 2) AS total, o_orderstatus
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"), col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+        .drop("o_totalprice")
+    },
+
+    // Broadcast dim join: part is small per-SF → no shuffle of lineitem.
+    QueryDef.sql(
+      "q05_brand_volume",
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  ROUND(SUM(l_quantity), 2) AS total_qty,
+        |  ROUND(AVG(l_extendedprice), 4) AS avg_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("total_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"))
+        .orderBy(col("p_brand"))
+    },
+
+    // TPC-H Q5 shape: snowflake join chain, dims broadcast, facts shuffle once.
+    QueryDef.sql(
+      "q06_nation_revenue",
+      """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  JOIN orders ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+      Tables.lineitem(s, d)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // Anti join (NOT EXISTS): customers that never ordered, per segment.
+    QueryDef.sql(
+      "q07_silent_customers",
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Semi join (EXISTS) + set-op INTERSECT.
+    QueryDef.sql(
+      "q08_building_buyers",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val a = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val b = Tables.orders(s, d).filter(col("o_totalprice") > 100000).select(col("o_custkey").as("c_custkey"))
+      a.intersect(b).orderBy(col("c_custkey"))
+    },
+
+    // Set-op EXCEPT.
+    QueryDef.sql(
+      "q09_no_big_orders",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val a = Tables.customer(s, d).filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey"))
+      val b = Tables.orders(s, d).filter(col("o_totalprice") > 300000).select(col("o_custkey").as("c_custkey"))
+      a.except(b).orderBy(col("c_custkey"))
+    },
+
+    // Window functions: per-partition ranking + running aggregate. Single
+    // shuffle on the partition key; window itself is sort-based per partition.
+    QueryDef.sql(
+      "q10_supplier_running",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+        |  ROUND(SUM(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        |FROM lineitem
+        |WHERE l_orderkey < 1000
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 1000)
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          row_number().over(w).cast("long").as("rn"),
+          round(sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_qty"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    },
+
+    // cross_tabulate (the reference's one relational aggregation —
+    // minarrow src/kernels/string.rs:2034): contingency counts of two
+    // low-cardinality text columns == groupBy().pivot().count().
+    QueryDef.sql(
+      "q11_crosstab",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot(col("l_linestatus"), Seq("F", "O"))
+        .count()
+        .na.fill(0L, Seq("F", "O"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Grouped distinct counting: exact (count_distinct_string analog,
+    // minarrow src/kernels/string.rs:1068).
+    QueryDef.sql(
+      "q12_distinct_parts",
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy(col("l_returnflag"))
+    }
+  )
+}
