@@ -17,8 +17,10 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    GraftConf.tune(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
@@ -30,11 +32,14 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS). Spark's µs timestamps truncate
-    * nanos on read exactly as DuckDB does (both floor to µs), so values stay
-    * oracle-comparable.
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
+    * With `nanosAsLong` it arrives as Long epoch-nanos; `ts DIV 1000`
+    * truncates to µs in exact integer math (epoch-ns ≈ 1.7e18 overflows
+    * double precision, so no float division) — the same truncation DuckDB
+    * applies reading NANOS, keeping values oracle-comparable.
     */
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
   /** Register all tables as temp views so `spark.sql` mirrors the oracle. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -1,0 +1,72 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static byte-level string kernels referenced from generated code (must be
+  * public + JVM-static for whole-stage codegen to call them).
+  */
+object StrKernels {
+
+  /** 0-based byte offset of first occurrence, -1 if absent; empty needle → 0. */
+  def indexOfBytes(hay: UTF8String, needle: UTF8String): Long = {
+    val h = hay.getBytes
+    val n = needle.getBytes
+    if (n.length == 0) return 0L
+    if (n.length > h.length) return -1L
+    var i = 0
+    val limit = h.length - n.length
+    while (i <= limit) {
+      var j = 0
+      while (j < n.length && h(i + j) == n(j)) j += 1
+      if (j == n.length) return i.toLong
+      i += 1
+    }
+    -1L
+  }
+
+  /** Non-overlapping occurrence count; empty needle → 0. */
+  def countMatch(hay: UTF8String, needle: UTF8String): Long = {
+    val h = hay.getBytes
+    val n = needle.getBytes
+    if (n.length == 0 || n.length > h.length) return 0L
+    var i = 0
+    var count = 0L
+    val limit = h.length - n.length
+    while (i <= limit) {
+      var j = 0
+      while (j < n.length && h(i + j) == n(j)) j += 1
+      if (j == n.length) { count += 1; i += n.length }
+      else i += 1
+    }
+    count
+  }
+
+  private final val Mod = (1L << 61) - 1
+  private final val Base = 257L
+
+  /** Polynomial rolling hash mod 2^61-1 over UTF-8 bytes. */
+  def rollingHash(s: UTF8String): Long = {
+    val b = s.getBytes
+    var acc = 0L
+    var i = 0
+    while (i < b.length) {
+      // (acc * 257 + byte) mod (2^61-1) via 128-bit intermediate
+      acc = Math.floorMod(multiplyMod(acc, Base) + (b(i) & 0xffL), Mod)
+      i += 1
+    }
+    acc
+  }
+
+  private def multiplyMod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // fold 128-bit product mod 2^61-1: (hi*2^64 + lo) mod (2^61-1)
+    val loMod = (lo & Mod) + (lo >>> 61)
+    val hiMod = multiplyPow64Mod(hi)
+    Math.floorMod(loMod + hiMod, Mod)
+  }
+
+  private def multiplyPow64Mod(hi: Long): Long =
+    // 2^64 mod (2^61-1) = 8, so hi*2^64 ≡ hi*8
+    Math.floorMod(hi << 3, Mod)
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Datetime kernel surface (minarrow trait `DatetimeOps`,
+  * src/traits/datetime_ops.rs:39-137; impl
+  * src/structs/variants/datetime/datetime_ops.rs — e.g. `year` :417,
+  * `add_months` :185, `diff` :252, `truncate` :635).
+  *
+  * Unit policy (SURVEY.md §7.4.5): minarrow carries Seconds/Millis/Micros/
+  * Nanos/Days per column (`TimeUnit`, src/enums/time_units.rs:42-57); Spark
+  * normalizes to µs timestamps + DateType at the boundary. All extraction /
+  * arithmetic below is expression-level — codegen'd, shuffle-free.
+  */
+object Datetime {
+  // ---- extraction (datetime_ops.rs trait lines :39-70)
+  def yearOf(c: Column): Column = year(c)
+  def monthOf(c: Column): Column = month(c)
+  def dayOf(c: Column): Column = dayofmonth(c)
+  def hourOf(c: Column): Column = hour(c)
+  def minuteOf(c: Column): Column = minute(c)
+  def secondOf(c: Column): Column = second(c)
+
+  /** Monday=0 … Sunday=6 (Rust chrono `weekday().num_days_from_monday()`
+    * convention used by the reference).
+    */
+  def weekday(c: Column): Column = ((dayofweek(c) + lit(5)) % 7)
+
+  def dayOfYearOf(c: Column): Column = dayofyear(c)
+  def isoWeek(c: Column): Column = weekofyear(c)
+  def quarterOf(c: Column): Column = quarter(c)
+
+  // ---- predicates (:73, :103-109)
+  def isLeapYear(c: Column): Column = {
+    val y = year(c)
+    (y % 4 === 0) && ((y % 100 =!= 0) || (y % 400 === 0))
+  }
+  def isBefore(a: Column, b: Column): Column = a < b
+  def isAfter(a: Column, b: Column): Column = a > b
+  def betweenTs(c: Column, lo: Column, hi: Column): Column = c.between(lo, hi)
+
+  // ---- arithmetic (:78-90)
+  def addDays(c: Column, n: Int): Column = date_add(c.cast("date"), n)
+  def addMonths(c: Column, n: Int): Column = add_months(c.cast("date"), n)
+  def addYears(c: Column, n: Int): Column = add_months(c.cast("date"), n * 12)
+  def addDuration(c: Column, interval: String): Column = c + expr(s"INTERVAL $interval")
+  def subDuration(c: Column, interval: String): Column = c - expr(s"INTERVAL $interval")
+
+  // ---- differencing in a chosen unit (:96-99)
+  def diffDays(a: Column, b: Column): Column =
+    datediff(a.cast("date"), b.cast("date")).cast("long")
+  def diffSeconds(a: Column, b: Column): Column =
+    (unix_micros(a.cast("timestamp")) - unix_micros(b.cast("timestamp"))) / lit(1000000L)
+  def diffMicros(a: Column, b: Column): Column =
+    unix_micros(a.cast("timestamp")) - unix_micros(b.cast("timestamp"))
+  def absDiffDays(a: Column, b: Column): Column = abs(diffDays(a, b))
+
+  // ---- truncation (:114) — unit ∈ year|quarter|month|week|day|hour|minute|second
+  def truncate(c: Column, unit: String): Column = date_trunc(unit, c)
+
+  // ---- unit casts (:117-137): normalize an epoch column in `unit` to µs timestamp
+  def fromEpoch(c: Column, unit: String): Column = unit match {
+    case "s"  => timestamp_seconds(c)
+    case "ms" => timestamp_millis(c)
+    case "us" => timestamp_micros(c)
+    case "ns" => timestamp_micros((c / lit(1000L)).cast("long"))
+    case "d"  => date_add(to_date(lit("1970-01-01")), c.cast("int"))
+    case u    => throw new IllegalArgumentException(s"unit $u")
+  }
+  def toEpochMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.expressions.{CountMatch, FindStr0, RollingHash}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+
+/** String kernel surface (minarrow src/kernels/string.rs, 3,042 LoC;
+  * SURVEY.md §2.3). The reference ships every op in `_str` and `_dict`
+  * (dictionary) variants; Spark has no logical dictionary type — parquet
+  * dictionary encoding + Catalyst handle the physical side — so one
+  * logical op covers both (SURVEY.md §7.4.3).
+  *
+  * All scalar ops are codegen'd expressions; `joinStr`/`minStr`/`maxStr`/
+  * `countDistinctStr`/`crossTabulate` are aggregations (partial+final).
+  */
+object Strings {
+  // concat_str_str / concat_dict_* family, string.rs:80-339
+  def concatStr(a: Column, b: Column): Column = concat(a, b)
+
+  // contains/starts_with/ends_with ×{str,dict}², string.rs:376-615
+  def containsStr(c: Column, sub: String): Column = c.contains(sub)
+  def startsWithStr(c: Column, p: String): Column = c.startsWith(p)
+  def endsWithStr(c: Column, p: String): Column = c.endsWith(p)
+
+  // regex_* (match → bool), string.rs:679-808
+  def regexMatch(c: Column, pattern: String): Column = c.rlike(pattern)
+
+  // len (char count) string.rs:840; byte_length string.rs:1256
+  def lenChars(c: Column): Column = length(c)
+  def byteLen(c: Column): Column = octet_length(c)
+
+  // case / trim / reverse, string.rs:1093-1251
+  def toUpper(c: Column): Column = upper(c)
+  def toLower(c: Column): Column = lower(c)
+  def trimStr(c: Column): Column = trim(c)
+  def ltrimStr(c: Column): Column = ltrim(c)
+  def rtrimStr(c: Column): Column = rtrim(c)
+  def reverseStr(c: Column): Column = reverse(c)
+
+  /** 0-based byte offset of first match, NULL if absent (find_str, string.rs:1322). */
+  def find0(c: Column, sub: Column): Column =
+    toCol(FindStr0(toExpr(c.cast("string")), toExpr(sub.cast("string"))))
+
+  /** Non-overlapping substring count (count_match_str, string.rs:1388). */
+  def countMatch(c: Column, sub: Column): Column =
+    toCol(CountMatch(toExpr(c.cast("string")), toExpr(sub.cast("string"))))
+
+  // substring / replace / repeat / pads, string.rs:1457-1815 (1-based pos like Spark)
+  def substr(c: Column, pos: Int, len: Int): Column = substring(c, pos, len)
+  def replaceStr(c: Column, find: String, repl: String): Column =
+    regexp_replace(c, java.util.regex.Pattern.quote(find),
+      java.util.regex.Matcher.quoteReplacement(repl))
+  def repeatStr(c: Column, n: Int): Column = repeat(c, n)
+  def padLeft(c: Column, len: Int, pad: String): Column = lpad(c, len, pad)
+  def padRight(c: Column, len: Int, pad: String): Column = rpad(c, len, pad)
+
+  // regex_replace, string.rs:1919 (replaces ALL matches, like Spark)
+  def regexReplace(c: Column, pattern: String, repl: String): Column =
+    regexp_replace(c, pattern, repl)
+
+  /** Collapse a whole column into one delimited string (join_str,
+    * string.rs:1889) — an aggregation in Spark. Sorted for a deterministic
+    * result under distributed execution (the reference is single-threaded
+    * and order-preserving; stable order is the distributed analog).
+    */
+  def joinStr(c: Column, delim: String): Column =
+    concat_ws(delim, sort_array(collect_list(c)))
+
+  // min/max/count_distinct over strings, string.rs:941-1068
+  def minStr(c: Column): Column = min(c)
+  def maxStr(c: Column): Column = max(c)
+  def countDistinctStr(c: Column): Column = countDistinct(c)
+
+  /** Deterministic 64-bit content fingerprint (rolling hash over bytes). */
+  def fingerprint(c: Column): Column = toCol(RollingHash(toExpr(c)))
+
+  /** cross_tabulate (string.rs:2034-2140): contingency counts of two
+    * text columns. `values` pins the pivot domain so the plan is a single
+    * shuffle (no extra distinct-scan to discover categories).
+    */
+  def crossTabulate(df: DataFrame, rowCol: String, colCol: String, values: Seq[String]): DataFrame =
+    df.groupBy(col(rowCol)).pivot(col(colCol), values).count().na.fill(0L, values)
+}

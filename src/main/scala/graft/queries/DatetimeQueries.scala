@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.Datetime
+import org.apache.spark.sql.functions._
+
+/** Datetime kernel queries (SURVEY.md §2.4 — minarrow trait DatetimeOps,
+  * src/traits/datetime_ops.rs:39-137). events.ts is parquet TIMESTAMP(NANOS);
+  * both Spark and DuckDB truncate to µs on read, keeping values comparable.
+  */
+object DatetimeQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Extraction surface. weekday() uses the reference convention Mon=0..Sun=6
+    // (chrono num_days_from_monday); DuckDB isodow is Mon=1..Sun=7.
+    QueryDef.sql(
+      "q22_dt_extract",
+      """SELECT event_id,
+        |  CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS mo,
+        |  CAST(day(ts) AS BIGINT) AS dd, CAST(hour(ts) AS BIGINT) AS hh,
+        |  CAST(minute(ts) AS BIGINT) AS mi, CAST(second(ts) AS BIGINT) AS ss,
+        |  CAST(isodow(ts) - 1 AS BIGINT) AS wd,
+        |  CAST(dayofyear(ts) AS BIGINT) AS doy,
+        |  CAST(weekofyear(ts) AS BIGINT) AS iw,
+        |  CAST(quarter(ts) AS BIGINT) AS q
+        |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).filter(col("event_id") < 300)
+        .select(
+          col("event_id"),
+          Datetime.yearOf(col("ts")).cast("long").as("y"),
+          Datetime.monthOf(col("ts")).cast("long").as("mo"),
+          Datetime.dayOf(col("ts")).cast("long").as("dd"),
+          Datetime.hourOf(col("ts")).cast("long").as("hh"),
+          Datetime.minuteOf(col("ts")).cast("long").as("mi"),
+          Datetime.secondOf(col("ts")).cast("long").as("ss"),
+          Datetime.weekday(col("ts")).cast("long").as("wd"),
+          Datetime.dayOfYearOf(col("ts")).cast("long").as("doy"),
+          Datetime.isoWeek(col("ts")).cast("long").as("iw"),
+          Datetime.quarterOf(col("ts")).cast("long").as("q"))
+        .orderBy(col("event_id"))
+    },
+
+    // Arithmetic + truncation + differencing (datetime_ops.rs :78-99, :114).
+    QueryDef.sql(
+      "q23_dt_arith",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_shipdate AS DATE) + 30 AS TIMESTAMP) AS ship_plus30,
+        |  CAST(CAST(l_shipdate AS DATE) + INTERVAL 2 MONTH AS TIMESTAMP) AS ship_plus2m,
+        |  CAST(CAST(l_shipdate AS DATE) + INTERVAL 36 MONTH AS TIMESTAMP) AS ship_plus3y,
+        |  CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS TIMESTAMP) AS ship_month,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS days_since,
+        |  (year(l_shipdate) % 4 = 0 AND (year(l_shipdate) % 100 <> 0 OR year(l_shipdate) % 400 = 0)) AS leap
+        |FROM lineitem WHERE l_orderkey < 1500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 1500)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          Datetime.addDays(col("l_shipdate"), 30).cast("timestamp").as("ship_plus30"),
+          Datetime.addMonths(col("l_shipdate"), 2).cast("timestamp").as("ship_plus2m"),
+          Datetime.addYears(col("l_shipdate"), 3).cast("timestamp").as("ship_plus3y"),
+          trunc(col("l_shipdate").cast("date"), "month").cast("timestamp").as("ship_month"),
+          Datetime.diffDays(col("l_shipdate"), to_date(lit("1995-01-01"))).as("days_since"),
+          Datetime.isLeapYear(col("l_shipdate")).as("leap"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // Tumbling-window aggregation over the event stream's time column —
+    // batch form of the streaming windowed agg (SURVEY.md §2.11); the same
+    // date_trunc bucketing runs under Structured Streaming in
+    // graft.streaming.
+    QueryDef.sql(
+      "q24_dt_bucketed_agg",
+      """SELECT date_trunc('hour', ts) AS bucket, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS total_value
+        |FROM events
+        |GROUP BY bucket, event_type
+        |ORDER BY bucket, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          Datetime.truncate(col("ts"), "hour").as("bucket"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("bucket"), col("event_type"))
+    }
+  )
+}

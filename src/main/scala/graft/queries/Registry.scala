@@ -8,7 +8,11 @@ import graft.QueryDef
 object Registry {
   def all: Seq[QueryDef] = {
     val groups: Seq[Seq[QueryDef]] = Seq(
-      Relational.defs
+      Relational.defs,
+      Kernels.defs,
+      StringQueries.defs,
+      DatetimeQueries.defs,
+      StructureQueries.defs
     )
     val flat = groups.flatten
     require(flat.map(_.name).distinct.size == flat.size, "duplicate query names")

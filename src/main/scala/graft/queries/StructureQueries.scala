@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.{GraftTable, Restructure}
+import org.apache.spark.sql.functions._
+
+/** Selection / restructuring / numeric-aggregation queries
+  * (SURVEY.md §2.6, §2.7, §2.8).
+  */
+object StructureQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // .c()/.r() selection DSL: column projection + contiguous row range
+    // under explicit order (selection.rs:87,119 — contiguity fast path).
+    QueryDef.sql(
+      "q25_selection_range",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_custkey LIMIT 15 OFFSET 10""".stripMargin) { (s, d) =>
+      GraftTable(Tables.customer(s, d))
+        .c("c_custkey", "c_name", "c_acctbal")
+        .r(10, 25, col("c_custkey"))
+        .toDF
+    },
+
+    // Arbitrary row-index list selection (selection.rs:324-408).
+    QueryDef.sql(
+      "q26_selection_indices",
+      """SELECT c_custkey, c_mktsegment FROM (
+        |  SELECT c_custkey, c_mktsegment,
+        |    row_number() OVER (ORDER BY c_custkey) - 1 AS rn
+        |  FROM customer) WHERE rn IN (0, 5, 10, 50, 100)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      GraftTable(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")))
+        .rIdx(Seq(0L, 5L, 10L, 50L, 100L), col("c_custkey"))
+        .toDF.orderBy(col("c_custkey"))
+    },
+
+    // split → concat round-trip + add/rename/map column ops
+    // (table.rs:212-519, traits/concatenate.rs:96).
+    QueryDef.sql(
+      "q27_restructure",
+      """SELECT c_custkey, c_name AS name, c_acctbal * CAST(0.9 AS DOUBLE) AS acctbal_eur,
+        |  c_mktsegment FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val even = cust.filter(col("c_custkey") % 2 === 0)
+      val odd = cust.filter(col("c_custkey") % 2 =!= 0)
+      val merged = Restructure.concatTables(Seq(even, odd))
+      val withEur = Restructure.addCol(merged, "acctbal_eur", col("c_acctbal") * lit(0.9))
+      val renamed = Restructure.renameColumns(withEur, Map("c_name" -> "name"))
+      Restructure.removeCol(renamed, "c_nationkey")
+        .select(col("c_custkey"), col("name"), col("acctbal_eur"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Numeric aggregation battery (SURVEY.md §2.6 — the engine-layer agg
+    // surface; sampling estimators → approx_count_distinct is rows-only
+    // checked in q29).
+    QueryDef.sql(
+      "q28_numeric_aggs",
+      """SELECT l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_q,
+        |  ROUND(AVG(l_extendedprice), 4) AS avg_p,
+        |  ROUND(MIN(l_extendedprice), 2) AS min_p,
+        |  ROUND(MAX(l_extendedprice), 2) AS max_p,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(stddev_samp(l_quantity), 4) AS sd_q,
+        |  ROUND(var_samp(l_quantity), 4) AS var_q,
+        |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  ROUND(median(l_quantity), 2) AS med_q
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_q"),
+          round(avg(col("l_extendedprice")), 4).as("avg_p"),
+          round(min(col("l_extendedprice")), 2).as("min_p"),
+          round(max(col("l_extendedprice")), 2).as("max_p"),
+          count(lit(1)).as("n"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_q"),
+          round(var_samp(col("l_quantity")), 4).as("var_q"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(median(col("l_quantity")), 2).as("med_q"))
+        .orderBy(col("l_linestatus"))
+    },
+
+    // Sampling cardinality estimation (utils.rs:327,348) → HLL sketch.
+    // No DuckDB oracle: approx algorithms differ by engine — rows-only check;
+    // the exact distinct counts in q12/q20 pin correctness.
+    QueryDef.noOracle("q29_approx_cardinality") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy(col("l_returnflag"))
+    }
+  )
+}
