@@ -69,4 +69,46 @@ object StrKernels {
   private def multiplyPow64Mod(hi: Long): Long =
     // 2^64 mod (2^61-1) = 8, so hi*2^64 ≡ hi*8
     Math.floorMod(hi << 3, Mod)
+
+  /** FNV-1a 64-bit over a byte range. */
+  private def fnv1a(b: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= (b(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Unweighted 64-bit Charikar SimHash over whitespace-delimited tokens. */
+  def simHash64(s: UTF8String): Long = {
+    val b = s.getBytes
+    val counters = new Array[Int](64)
+    var start = 0
+    var i = 0
+    while (i <= b.length) {
+      val isSep = i == b.length || b(i) == ' ' || b(i) == '\t' || b(i) == '\n' || b(i) == '\r'
+      if (isSep) {
+        if (i > start) {
+          val h = fnv1a(b, start, i)
+          var bit = 0
+          while (bit < 64) {
+            if (((h >>> bit) & 1L) == 1L) counters(bit) += 1 else counters(bit) -= 1
+            bit += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counters(bit) > 0) sig |= (1L << bit)
+      bit += 1
+    }
+    sig
+  }
 }

@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling for training-data pipelines: media payloads
+  * as opaque `binary` columns with a typed metadata struct, plus the
+  * decode / feature-extract plumbing shaped the way a real pipeline runs it
+  * (per-partition batch processing over binary columns).
+  *
+  * The actual media codecs are NOT available in this environment, so the
+  * decode step is a clearly-marked deterministic fake (`fakeDecode`) —
+  * the Spark-side plumbing (schema, partitioning, per-partition batching,
+  * output shape) is real and tested. Swap `fakeDecode` for a JNI/process
+  * call (or `mapInArrow` to a Python worker) in production.
+  */
+object Multimodal {
+
+  /** Metadata schema carried next to every media payload. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", mediaMetaSchema, nullable = false)))
+
+  /** Build a media table from any (id, binary) source: attaches metadata
+    * derived from the payload. Pure column ops.
+    */
+  def asMediaTable(df: DataFrame, idCol: String, payloadCol: String, format: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(payloadCol).cast("binary").as("payload"),
+      struct(
+        lit(format).as("format"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        length(col(payloadCol).cast("binary")).cast("long").as("n_bytes")).as("meta"))
+
+  /** STUB — deterministic fake "decode + feature-extract" of a media
+    * payload: 8 float features from byte statistics. A real deployment
+    * replaces this body with the codec call; signature and batch shape stay.
+    */
+  def fakeDecode(payload: Array[Byte]): Array[Float] = {
+    var sum = 0L; var min = 255; var max = 0
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      sum += b; if (b < min) min = b; if (b > max) max = b
+      i += 1
+    }
+    val n = math.max(payload.length, 1)
+    Array(
+      payload.length.toFloat, (sum.toDouble / n).toFloat,
+      min.toFloat, max.toFloat,
+      (sum % 251).toFloat, (payload.headOption.map(_ & 0xff).getOrElse(0)).toFloat,
+      (payload.lastOption.map(_ & 0xff).getOrElse(0)).toFloat,
+      ((sum * 2654435761L) % 1009).toFloat)
+  }
+
+  /** Feature extraction over the media table: per-partition batch loop (the
+    * shape a real decoder wants — amortized codec init per partition, rows
+    * streamed through). Output: (media_id, features array<float>, n_bytes).
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false),
+      StructField("n_bytes", LongType, nullable = false)))
+    val rdd = media.select(col("media_id"), col("payload")).rdd.mapPartitions { rows =>
+      // per-partition init happens here in a real codec (decoder handle etc.)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        Row(id, fakeDecode(payload).toSeq, payload.length.toLong)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Frame/patch sampling stub: emits `n` deterministic byte-slices per
+    * payload (what frame-sampling does to video), as its own rows —
+    * explode keeps it fully distributed.
+    */
+  def samplePatches(media: DataFrame, n: Int, patchBytes: Int): DataFrame =
+    media.select(col("media_id"), col("meta"),
+      posexplode(transform(sequence(lit(0), lit(n - 1)),
+        i => substring(col("payload"), (i * patchBytes + 1).cast("int"), lit(patchBytes)))))
+      .withColumnRenamed("pos", "patch_idx")
+      .withColumnRenamed("col", "patch")
+      .filter(length(col("patch")) > 0)
+}

@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`), north-star
+  * extension. Two paths:
+  *
+  *  - brute-force cosine top-k: broadcast the (small) query set against the
+  *    corpus — the corpus is never shuffled, each partition scores its rows
+  *    and a bounded top-k per query survives. This is the exact baseline
+  *    and the right plan whenever |queries| ≪ |corpus| (the 100 TB shape).
+  *  - LSH (signed random projection) buckets: 16-bit hyperplane signature,
+  *    candidates = signature-band collisions, verified by exact cosine.
+  *    Sub-linear candidate generation for corpus-vs-corpus joins.
+  *
+  * Vector math is `zip_with`/`aggregate`/`transform` — pure Catalyst, no
+  * UDF, operates on `array<double>` for engine-portable numerics.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries`/`corpus`: (id, vec: array<float|double>). The query side is
+    * broadcast; ranking is a window partitioned by query id. Ties broken by
+    * neighbor id for determinism.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Deterministic ±1 hyperplane component for (plane, dim) — seeded so
+    * signatures are stable across runs and executors.
+    */
+  private def rademacher(plane: Int, dim: Column): Column =
+    when(pmod(hash(lit(plane), dim), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** `nBits`-bit signed-random-projection signature of a vector column. */
+  def srpSignature(vec: Column, nBits: Int = 16): Column = {
+    val planes = (0 until nBits).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * rademacher(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    planes.reduce(_ + _)
+  }
+
+  /** ANN via SRP-LSH: bucket on signature bands (4×(nBits/4) chunks),
+    * candidates = same-band collisions, exact cosine re-rank, top-k.
+    * Recall < 1 by construction; exactness is the brute-force path's job.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "id", vecCol: String = "vec", nBits: Int = 16): DataFrame = {
+    val bandBits = nBits / 4
+    def banded(df: DataFrame, prefix: String): DataFrame = {
+      val sig = srpSignature(col(vecCol).cast("array<double>"), nBits)
+      df.select(col(idCol).as(s"${prefix}id"),
+          col(vecCol).cast("array<double>").as(s"${prefix}v"), sig.as("sig"))
+        .select(col(s"${prefix}id"), col(s"${prefix}v"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftrightunsigned(col("sig"), b * bandBits)
+                .bitwiseAND(lit((1L << bandBits) - 1)).as("chunk"))): _*)).as("bb"))
+        .select(col(s"${prefix}id"), col(s"${prefix}v"), col("bb.band"), col("bb.chunk"))
+    }
+    val qb = banded(queries, "q")
+    val cb = banded(corpus, "n")
+    val cand = qb.join(cb, Seq("band", "chunk"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("qv"), col("nv"))
+      .distinct()
+    val scored = cand.select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Embedding-space near-duplicate pairs: corpus×corpus via LSH buckets,
+    * kept when cosine >= threshold.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+      idCol: String = "id", vecCol: String = "vec", nBits: Int = 16): DataFrame = {
+    val bandBits = nBits / 4
+    val sig = srpSignature(col(vecCol).cast("array<double>"), nBits)
+    val b = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"), sig.as("sig"))
+      .select(col("id"), col("v"),
+        explode(array((0 until 4).map(bd =>
+          struct(lit(bd).as("band"),
+            shiftrightunsigned(col("sig"), bd * bandBits)
+              .bitwiseAND(lit((1L << bandBits) - 1)).as("chunk"))): _*)).as("bb"))
+      .select(col("id"), col("v"), col("bb.band"), col("bb.chunk"))
+    val l = b.select(col("band"), col("chunk"), col("id").as("id1"), col("v").as("v1"))
+    val r = b.select(col("band"), col("chunk"), col("id").as("id2"), col("v").as("v2"))
+    l.join(r, Seq("band", "chunk")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("v1"), col("v2")).distinct()
+      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

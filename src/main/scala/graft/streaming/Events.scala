@@ -1,0 +1,116 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming surface (SURVEY.md §2.11): the reference's chunked-container
+  * model (`SuperTable` push/append, src/structs/chunked/super_table.rs:138)
+  * maps to Structured Streaming micro-batches; watermarks + event-time
+  * windows + stateful sessionization are the engine-layer extensions the
+  * north star asks for over the `events` fixture.
+  */
+object Events {
+
+  /** Tumbling event-time window aggregation executed as a REAL streaming
+    * query: file-stream source over the events parquet, watermark, windowed
+    * groupBy, memory sink drained synchronously. Returns the final result
+    * table (batch-equivalent because replay order can't make data later
+    * than the watermark within one file batch).
+    */
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The file-stream source only accepts directories/globs; stage the
+    * single events.parquet file into a scratch directory once per sfDir.
+    */
+  private def stageDir(sfDir: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(sys.props("java.io.tmpdir"),
+      "graft_stream_" + Integer.toHexString(sfDir.hashCode))
+    Files.createDirectories(dir)
+    val dst = dir.resolve("events.parquet")
+    if (!Files.exists(dst)) {
+      Files.copy(Paths.get(sfDir, "events.parquet"), dst, StandardCopyOption.REPLACE_EXISTING)
+    }
+    dir.toString
+  }
+
+  def windowedCountsStreaming(spark: SparkSession, sfDir: String, windowLen: String): DataFrame = {
+    val batch = Tables.events(spark, sfDir)
+    val name = s"graft_events_win_${counter.incrementAndGet()}"
+    val stream = spark.readStream
+      .schema(batch.schema.fields.filter(_.name != "ts")
+        .foldLeft(new org.apache.spark.sql.types.StructType().add("ts", "long"))((s, f) => s.add(f)))
+      .parquet(stageDir(sfDir))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("total_value"))
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Gap-based sessionization (30-min inactivity): batch form via window
+    * functions — lag/cumulative-sum session ids, the canonical distributed
+    * sessionize (one shuffle on user_id). The streaming twin is
+    * `sessionizeStreaming` below.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Streaming sessionization with explicit state: flatMapGroupsWithState
+    * over user_id, emitting closed sessions. Exercised in the test suite
+    * (rate-limited local streams); the batch twin above is the oracle.
+    */
+  def sessionizeStreaming(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    val name = s"graft_events_sess_${counter.incrementAndGet()}"
+    val batch = Tables.events(spark, sfDir)
+    val stream = spark.readStream
+      .schema(batch.schema.fields.filter(_.name != "ts")
+        .foldLeft(new org.apache.spark.sql.types.StructType().add("ts", "long"))((s, f) => s.add(f)))
+      .parquet(stageDir(sfDir))
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"))
+      .as[(Long, Long)]
+
+    case class Sess(var start: Long, var end: Long, var n: Long)
+    val sessions = stream.groupByKey(_._1).flatMapGroupsWithState[List[(Long, Long, Long)], (Long, Long, Long, Long)](
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (user: Long, rows: Iterator[(Long, Long)], state: GroupState[List[(Long, Long, Long)]]) =>
+        // accumulate sorted event times; emit closed sessions per batch
+        val times = rows.map(_._2).toArray.sorted
+        val prior = state.getOption.getOrElse(Nil)
+        var sessions = prior
+        var out = List.empty[(Long, Long, Long, Long)]
+        times.foreach { t =>
+          sessions match {
+            case (s0, e0, n0) :: rest if t - e0 <= gapUs =>
+              sessions = (s0, math.max(e0, t), n0 + 1) :: rest
+            case other =>
+              other.headOption.foreach { case (s0, e0, n0) => out ::= (user, s0, e0, n0) }
+              sessions = (t, t, 1L) :: Nil
+          }
+        }
+        state.update(sessions)
+        out.iterator
+    }.toDF("user_id", "sess_start_us", "sess_end_us", "n_events")
+    val q = sessions.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

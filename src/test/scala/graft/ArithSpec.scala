@@ -1,0 +1,89 @@
+package graft
+
+import graft.ops.Arith
+import org.apache.spark.sql.functions._
+
+/** Arithmetic kernel semantics (minarrow §2.1): dense vs masked paths,
+  * null-on-div-zero, floor division toward −∞, per-width wrapping, FMA
+  * single rounding.
+  */
+class ArithSpec extends SparkSpec {
+
+  test("dense path: element-wise ops on non-null longs") {
+    val df = twoLongs("a", "b", Seq(
+      (Some(1L), Some(10L)), (Some(2L), Some(20L)), (Some(3L), Some(30L))))
+    assert(col1[Long](df.select(Arith.add(col("a"), col("b")))) ===
+      Seq(Some(11L), Some(22L), Some(33L)))
+    assert(col1[Long](df.select(Arith.mul(col("a"), col("b")))) ===
+      Seq(Some(10L), Some(40L), Some(90L)))
+  }
+
+  test("masked path: null propagation merges validity masks") {
+    val df = twoLongs("a", "b", Seq(
+      (Some(1L), Some(10L)), (None, Some(20L)), (Some(3L), None), (None, None)))
+    assert(col1[Long](df.select(Arith.add(col("a"), col("b")))) ===
+      Seq(Some(11L), None, None, None))
+  }
+
+  test("division by zero nullifies (masked semantics, operators.rs:27-29)") {
+    val df = twoLongs("a", "b", Seq(
+      (Some(10L), Some(2L)), (Some(10L), Some(0L)), (Some(-10L), Some(0L))))
+    assert(col1[Double](df.select(Arith.div(col("a"), col("b")))) ===
+      Seq(Some(5.0), None, None))
+    assert(col1[Long](df.select(Arith.rem(col("a"), col("b")))) ===
+      Seq(Some(0L), None, None))
+  }
+
+  test("remainder sign follows dividend (Rust %)") {
+    val df = twoLongs("a", "b", Seq(
+      (Some(7L), Some(3L)), (Some(-7L), Some(3L)), (Some(7L), Some(-3L))))
+    assert(col1[Long](df.select(Arith.rem(col("a"), col("b")))) ===
+      Seq(Some(1L), Some(-1L), Some(1L)))
+  }
+
+  test("integer floor division rounds toward -inf, null on zero (operators.rs:41-47)") {
+    val df = twoLongs("a", "b", Seq(
+      (Some(7L), Some(2L)), (Some(-7L), Some(2L)), (Some(7L), Some(-2L)),
+      (Some(-7L), Some(-2L)), (Some(7L), Some(0L)), (None, Some(2L))))
+    assert(col1[Long](df.select(Arith.floorDivI(col("a"), col("b")))) ===
+      Seq(Some(3L), Some(-4L), Some(-4L), Some(3L), None, None))
+  }
+
+  test("per-width wrapping reproduces Rust wrapping_add/mul (std.rs:41)") {
+    val df = twoLongs("a", "b", Seq(
+      (Some(127L), Some(1L)),      // i8 overflow: 127+1 -> -128
+      (Some(-128L), Some(-1L)),    // i8 underflow: -128-1 -> 127 via add
+      (Some(100L), Some(100L)),    // i8: 200 wraps to -56
+      (Some(32767L), Some(1L))))   // i16 overflow
+    assert(col1[Long](df.select(Arith.wrappingAdd(col("a"), col("b"), 8))) ===
+      Seq(Some(-128L), Some(127L), Some(-56L), Some(0L)))
+    assert(col1[Long](df.select(Arith.wrappingAdd(col("a"), col("b"), 16))) ===
+      Seq(Some(128L), Some(-129L), Some(200L), Some(-32768L)))
+    assert(col1[Long](df.select(Arith.wrappingMul(col("a"), col("b"), 8))) ===
+      Seq(Some(127L), Some(-128L), Some(16L), Some(-1L)))
+  }
+
+  test("fma single-rounds (differs from a*b+c double rounding)") {
+    val df = doubles("x", Seq(Some(1.0)))
+    val a = 0.1; val b = 10.0; val c = -1.0
+    val got = col1[Double](df.select(Arith.fma(lit(a), lit(b), lit(c)))).head.get
+    assert(got === Math.fma(a, b, c))
+    // the fixture exists precisely because the two differ:
+    assert(Math.fma(a, b, c) !== a * b + c)
+  }
+
+  test("float floor div + power") {
+    val df = doubles("x", Seq(Some(7.5), Some(-7.5)))
+    assert(col1[Long](df.select(Arith.floorDivF(col("x"), lit(2.0)))) ===
+      Seq(Some(3L), Some(-4L)))
+    assert(col1[Double](df.select(Arith.power(col("x"), lit(2.0)))) ===
+      Seq(Some(56.25), Some(56.25)))
+  }
+
+  test("int+float promotes to float (routing/arithmetic.rs:225)") {
+    val df = twoLongs("a", "b", Seq((Some(3L), Some(0L))))
+    val out = df.select(Arith.add(col("a"), lit(0.5)))
+    assert(out.schema.head.dataType.typeName === "double")
+    assert(col1[Double](out) === Seq(Some(3.5)))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.Datetime
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Datetime kernel semantics (minarrow §2.4): extraction conventions,
+  * leap years, month-end clamping, truncation, unit diffs.
+  */
+class DatetimeSpec extends SparkSpec {
+
+  private def tsDf(vs: Seq[Option[String]]) = {
+    val schema = StructType(Seq(StructField("t", TimestampType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        vs.map(v => Row(v.map(java.sql.Timestamp.valueOf).orNull))), schema)
+  }
+
+  test("weekday convention Mon=0..Sun=6 (chrono num_days_from_monday)") {
+    val df = tsDf(Seq(
+      Some("2024-01-01 10:00:00"), // Monday
+      Some("2024-01-06 10:00:00"), // Saturday
+      Some("2024-01-07 10:00:00"), // Sunday
+      None))
+    assert(col1[Int](df.select(Datetime.weekday(col("t")))) ===
+      Seq(Some(0), Some(5), Some(6), None))
+  }
+
+  test("leap year predicate incl. century rules (datetime_ops.rs:73)") {
+    val df = tsDf(Seq(
+      Some("2024-06-01 00:00:00"), Some("2023-06-01 00:00:00"),
+      Some("2000-06-01 00:00:00"), Some("1900-06-01 00:00:00")))
+    assert(col1[Boolean](df.select(Datetime.isLeapYear(col("t")))) ===
+      Seq(Some(true), Some(false), Some(true), Some(false)))
+  }
+
+  test("add_months clamps to month end (datetime_ops.rs:185)") {
+    val df = tsDf(Seq(Some("2024-01-31 00:00:00")))
+    assert(col1[java.sql.Date](df.select(Datetime.addMonths(col("t"), 1))) ===
+      Seq(Some(java.sql.Date.valueOf("2024-02-29"))))
+    assert(col1[java.sql.Date](df.select(Datetime.addMonths(col("t"), 13))) ===
+      Seq(Some(java.sql.Date.valueOf("2025-02-28"))))
+  }
+
+  test("truncate to units (datetime_ops.rs:635)") {
+    val df = tsDf(Seq(Some("2024-02-15 13:45:27")))
+    assert(col1[java.sql.Timestamp](df.select(Datetime.truncate(col("t"), "month"))) ===
+      Seq(Some(java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))))
+    assert(col1[java.sql.Timestamp](df.select(Datetime.truncate(col("t"), "hour"))) ===
+      Seq(Some(java.sql.Timestamp.valueOf("2024-02-15 13:00:00"))))
+  }
+
+  test("diff in chosen units (datetime_ops.rs:252)") {
+    val df = tsDf(Seq(Some("2024-03-01 12:00:00")))
+    val origin = lit("2024-02-28 00:00:00").cast("timestamp")
+    assert(col1[Long](df.select(Datetime.diffDays(col("t"), origin))) === Seq(Some(2L)))
+    assert(col1[Double](df.select(Datetime.diffSeconds(col("t"), origin))) ===
+      Seq(Some(2.0 * 86400 + 12 * 3600)))
+    assert(col1[Long](df.select(Datetime.absDiffDays(origin, col("t")))) === Seq(Some(2L)))
+  }
+
+  test("epoch unit normalization round-trips (time_units.rs:42)") {
+    val df = longs("e", Seq(Some(1704067200L))) // 2024-01-01 00:00:00 UTC
+    assert(col1[java.sql.Timestamp](df.select(Datetime.fromEpoch(col("e"), "s"))) ===
+      Seq(Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))))
+    val us = col1[Long](df.select(Datetime.toEpochMicros(Datetime.fromEpoch(col("e"), "s"))))
+    assert(us === Seq(Some(1704067200000000L)))
+  }
+}

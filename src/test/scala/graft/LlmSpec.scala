@@ -1,0 +1,107 @@
+package graft
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** North-star operator behavior: dedup families, similarity search,
+  * text analysis, multimodal plumbing.
+  */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different content about spark engines"),
+    (3L, "the quick brown fox jumps over the lazy dog")  // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per content group") {
+    val out = Dedup.exact(docs, TextAnalysis.md5Fingerprint(col("text")), col("doc_id"))
+      .orderBy(col("keep_id")).collect()
+    assert(out.length === 3)
+    val dupGroup = out.find(_.getLong(2) == 2L).get
+    assert(dupGroup.getLong(1) === 0L) // kept id 0 of {0,3}
+  }
+
+  test("minhash signatures: identical texts identical, near-dups close") {
+    val sigs = docs.select(col("doc_id"),
+        Dedup.minHashSignature(Dedup.shingles(col("text")), k = 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) === sigs(3L))
+    val close = sigs(0L).zip(sigs(1L)).count { case (a, b) => a == b }
+    val far = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(close > far)
+  }
+
+  test("minhash LSH pairs find the exact and near dup, verified by jaccard") {
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // exact dup always survives
+  }
+
+  test("simhash: identical -> hamming 0; near-dup < far pair") {
+    val sigs = docs.select(Dedup.simHash(col("text"))).collect().map(_.getLong(0))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0), sigs(3)) === 0)
+    assert(ham(sigs(0), sigs(1)) < ham(sigs(0), sigs(2)))
+  }
+
+  test("ngram jaccard: exact dup = 1.0, disjoint absent") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(out((0L, 3L)) === 1.0)
+    assert(out.contains((0L, 1L)))       // 8/10 tokens shared
+    assert(!out.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("cosine: identity 1, orthogonal 0; brute-force topk ranks correctly") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.0f, 0.0f))).toDF("id", "vec")
+    val self = vecs.select(Similarity.cosine(
+      col("vec").cast("array<double>"), col("vec").cast("array<double>")))
+    col1[Double](self).foreach(v => assert(math.abs(v.get - 1.0) < 1e-12))
+    val top = Similarity.bruteForceTopK(
+        vecs.filter(col("id") === 0), vecs, k = 3)
+      .orderBy(col("cos").desc).collect()
+    assert(top.head.getLong(1) === 1L)    // most similar neighbor
+    assert(top.last.getLong(1) === 3L)    // opposite vector last
+  }
+
+  test("text stats: token counts, ratios bounded, quality in [0,1]") {
+    val df = strings("t", Seq(Some("The quick, brown fox!"), Some(""), Some("   ")))
+    assert(col1[Long](df.select(TextAnalysis.tokenCountWs(col("t")))) ===
+      Seq(Some(4L), Some(0L), Some(0L)))
+    val q = col1[Double](df.na.drop().select(TextAnalysis.qualityScore(col("t"))))
+    q.flatten.foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
+
+  test("langId picks the stopword-dominant language") {
+    val df = strings("t", Seq(
+      Some("the cat and the dog is fast"),
+      Some("el gato y la casa de los perros"),
+      Some("der hund und die katze ist ein tier"),
+      Some("zzz qqq www")))
+    assert(col1[String](df.select(TextAnalysis.langId(col("t")))) ===
+      Seq(Some("en"), Some("es"), Some("de"), Some("und")))
+  }
+
+  test("multimodal: media table schema + deterministic feature extraction") {
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text", "text/plain")
+    assert(media.schema.fieldNames.toSeq === Seq("media_id", "payload", "meta"))
+    val feats = Multimodal.extractFeatures(spark, media).orderBy(col("media_id")).collect()
+    assert(feats.length === 4)
+    assert(feats.map(_.getSeq[Float](1).length).forall(_ === 8))
+    // identical payloads -> identical features
+    assert(feats(0).getSeq[Float](1) === feats(3).getSeq[Float](1))
+  }
+
+  test("multimodal: patch sampling emits bounded slices") {
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text", "text/plain")
+    val patches = Multimodal.samplePatches(media, n = 3, patchBytes = 8)
+    assert(patches.groupBy(col("media_id")).count().collect().forall(_.getLong(1) <= 3))
+  }
+}

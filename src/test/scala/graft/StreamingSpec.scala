@@ -1,0 +1,49 @@
+package graft
+
+import graft.streaming.Events
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics: the streaming windowed agg must equal its batch
+  * twin; stateful sessionization sanity.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming windowed agg equals batch equivalent") {
+    val streamed = Events.windowedCountsStreaming(spark, sf, "6 hours")
+      .orderBy(col("wstart"), col("event_type")).collect()
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("wstart"), col("event_type")).collect()
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
+  test("batch sessionization: session ids monotone, gaps split sessions") {
+    val sess = Events.sessionizeBatch(Tables.events(spark, sf), gapMinutes = 30)
+    val agg = sess.groupBy(col("user_id"))
+      .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .collect()
+    agg.foreach { r =>
+      assert(r.getLong(1) >= 1L)
+      assert(r.getLong(1) <= r.getLong(2)) // sessions <= events
+    }
+  }
+
+  test("stateful streaming sessionization emits closed sessions consistent with batch") {
+    val streamed = Events.sessionizeStreaming(spark, sf, gapMinutes = 30)
+    // single-batch replay: only sessions closed by a later intra-batch gap
+    // are emitted; each emitted session must exist in the batch result.
+    val batchSess = Events.sessionizeBatch(Tables.events(spark, sf), 30)
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(unix_micros(col("ts"))).as("s"), max(unix_micros(col("ts"))).as("e"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), col("s"), col("e"), col("n"))
+      .collect().map(_.toSeq).toSet
+    val emitted = streamed.collect().map(_.toSeq).toSet
+    assert(emitted.subsetOf(batchSess))
+    assert(emitted.nonEmpty)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.Strings
+import org.apache.spark.sql.functions._
+
+/** String kernel semantics (minarrow §2.3): byte-offset find, non-overlap
+  * count, null masks, join aggregation.
+  */
+class StringsSpec extends SparkSpec {
+
+  test("find0 returns 0-based BYTE offset, null when absent (string.rs:1322)") {
+    val df = strings("s", Seq(Some("hello"), Some("xyz"), None, Some("héllo")))
+    assert(col1[Long](df.select(Strings.find0(col("s"), lit("llo")))) ===
+      Seq(Some(2L), None, None, Some(3L))) // é is 2 bytes -> byte offset 3
+  }
+
+  test("find0 empty needle is 0") {
+    val df = strings("s", Seq(Some("abc")))
+    assert(col1[Long](df.select(Strings.find0(col("s"), lit("")))) === Seq(Some(0L)))
+  }
+
+  test("countMatch counts non-overlapping occurrences (string.rs:1388)") {
+    val df = strings("s", Seq(Some("ololol"), Some("aaaa"), Some(""), None))
+    assert(col1[Long](df.select(Strings.countMatch(col("s"), lit("ol")))) ===
+      Seq(Some(3L), Some(0L), Some(0L), None))
+    assert(col1[Long](df.select(Strings.countMatch(col("s"), lit("aa")))) ===
+      Seq(Some(0L), Some(2L), Some(0L), None))
+  }
+
+  test("transform kernels preserve null masks") {
+    val df = strings("s", Seq(Some("Alpha"), None, Some("  pad  ")))
+    assert(col1[String](df.select(Strings.toUpper(col("s")))) ===
+      Seq(Some("ALPHA"), None, Some("  PAD  ")))
+    assert(col1[String](df.select(Strings.trimStr(col("s")))) ===
+      Seq(Some("Alpha"), None, Some("pad")))
+    assert(col1[String](df.select(Strings.reverseStr(col("s")))) ===
+      Seq(Some("ahplA"), None, Some("  dap  ")))
+  }
+
+  test("byte length vs char length on multibyte") {
+    val df = strings("s", Seq(Some("héllo")))
+    assert(col1[Int](df.select(Strings.lenChars(col("s")))) === Seq(Some(5)))
+    assert(col1[Int](df.select(Strings.byteLen(col("s")))) === Seq(Some(6)))
+  }
+
+  test("replaceStr is literal (regex metachars inert)") {
+    val df = strings("s", Seq(Some("a.b.c")))
+    assert(col1[String](df.select(Strings.replaceStr(col("s"), ".", "-"))) ===
+      Seq(Some("a-b-c")))
+  }
+
+  test("joinStr collapses a column deterministically (string.rs:1889)") {
+    val df = strings("s", Seq(Some("b"), Some("a"), Some("c")))
+    assert(col1[String](df.agg(Strings.joinStr(col("s"), ","))) === Seq(Some("a,b,c")))
+  }
+
+  test("fingerprint is deterministic and distinct across content") {
+    val df = strings("s", Seq(Some("doc one"), Some("doc one"), Some("doc two")))
+    val fps = col1[Long](df.select(Strings.fingerprint(col("s"))))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("crossTabulate equals groupBy-pivot-count (string.rs:2034)") {
+    import spark.implicits._
+    val df = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("a", "x")).toDF("r", "c")
+    val ct = Strings.crossTabulate(df, "r", "c", Seq("x", "y")).orderBy(col("r")).collect()
+    assert(ct.map(_.toSeq).toSeq === Seq(Seq("a", 2L, 1L), Seq("b", 1L, 0L)))
+  }
+}
