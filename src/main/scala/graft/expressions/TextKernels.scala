@@ -1,0 +1,228 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text/signature kernels. The declarative higher-order-function
+  * formulations (transform/aggregate lambdas) re-evaluate captured
+  * subexpressions per array element — measured 30µs/row on the shingle
+  * pipeline. These expressions do the whole computation in one pass per
+  * row, whole-stage-codegen'd, which is the shape minarrow's fused string
+  * kernels take (src/kernels/string.rs macros).
+  */
+
+/** Distinct n-word shingles of the lowercased `[a-z]+` token stream —
+  * equivalent to regexp `[a-z]+` tokenization of `lower(text)` followed by
+  * windowed joins and array_distinct, in one byte-level pass.
+  */
+case class ShingleTokens(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+  require(n >= 1, "shingle width >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = s"shingle_tokens$n"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.shingles(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expressions.TextKernels.shingles($v, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleTokens = copy(child = c)
+}
+
+/** k-permutation MinHash signature of the document's n-shingle set, in one
+  * pass: tokenize → shingle → FNV-1a hash → k universal-hash minima over
+  * the 31-bit prime field. Permutation constants derive deterministically
+  * from `seed`.
+  */
+case class MinHashSig(child: Expression, n: Int, k: Int, seed: Long)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.minHashSig(v.asInstanceOf[UTF8String], n, k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.expressions.TextKernels.minHashSig($v, $n, $k, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** Signed-random-projection LSH signature of an array<double> vector:
+  * bit p = sign of the projection onto a deterministic ±1 hyperplane
+  * (splitmix64(seed, p, dim) parity).
+  */
+case class SrpSig(child: Expression, nBits: Int, seed: Long)
+    extends UnaryExpression with Serializable {
+  require(nBits >= 1 && nBits <= 64)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "srp_sig"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.srpSig(v.asInstanceOf[ArrayData], nBits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.expressions.TextKernels.srpSig($v, $nBits, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): SrpSig = copy(child = c)
+}
+
+object TextKernels {
+
+  /** ASCII-letter tokens of the lowercased byte stream (multibyte and
+    * non-letter bytes are separators — same outcome as regexp `[a-z]+`
+    * over `lower(text)`).
+    */
+  private def tokenSpans(b: Array[Byte]): java.util.ArrayList[(Int, Int)] = {
+    val spans = new java.util.ArrayList[(Int, Int)]()
+    var i = 0
+    var start = -1
+    while (i <= b.length) {
+      val isLetter = i < b.length && {
+        val c = b(i)
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+      }
+      if (isLetter) { if (start < 0) start = i }
+      else if (start >= 0) { spans.add((start, i)); start = -1 }
+      i += 1
+    }
+    spans
+  }
+
+  private def lowerToken(b: Array[Byte], s: Int, e: Int): String = {
+    val out = new Array[Char](e - s)
+    var i = s
+    while (i < e) {
+      val c = b(i)
+      out(i - s) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c.toChar
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Distinct n-shingles, order of first occurrence. For < n tokens, one
+    * shingle of all tokens (matching the declarative fallback).
+    */
+  def shingles(s: UTF8String, n: Int): ArrayData = {
+    val b = s.getBytes
+    val spans = tokenSpans(b)
+    val toks = new Array[String](spans.size())
+    var i = 0
+    while (i < spans.size()) {
+      val (st, en) = spans.get(i)
+      toks(i) = lowerToken(b, st, en)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[String]()
+    if (toks.length < n) {
+      seen.add(toks.mkString(" "))
+    } else {
+      var j = 0
+      while (j + n <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(j))
+        var m = 1
+        while (m < n) { sb.append(' ').append(toks(j + m)); m += 1 }
+        seen.add(sb.toString)
+        j += 1
+      }
+    }
+    val out = new Array[AnyRef](seen.size())
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = UTF8String.fromString(it.next()); idx += 1 }
+    new GenericArrayData(out)
+  }
+
+  private def fnv1aStr(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= (s.charAt(i) & 0xffffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  private final val P = 2147483647L // 2^31-1
+
+  private val permCache = new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
+
+  private def perms(k: Int, seed: Long): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent((k, seed), { key =>
+      val rnd = new scala.util.Random(key._2)
+      val a = Array.fill(key._1)(1L + rnd.nextInt((P - 1).toInt).toLong)
+      val b = Array.fill(key._1)(rnd.nextInt(P.toInt).toLong)
+      (a, b)
+    })
+
+  def minHashSig(s: UTF8String, n: Int, k: Int, seed: Long): ArrayData = {
+    val sh = shingles(s, n)
+    val (as, bs) = perms(k, seed)
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < sh.numElements()) {
+      val x = Math.floorMod(fnv1aStr(sh.getUTF8String(i).toString), P)
+      var j = 0
+      while (j < k) {
+        val h = (as(j) * x + bs(j)) % P
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Same fold order as aggregate(zip_with(a,b,*), 0, +): sequential. */
+  def cosineSim(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def srpSig(vec: ArrayData, nBits: Int, seed: Long): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < nBits) {
+      var proj = 0.0
+      var j = 0
+      val n = vec.numElements()
+      while (j < n) {
+        val sign = if ((splitmix64(seed ^ (p.toLong << 32) ^ j) & 1L) == 0L) 1.0 else -1.0
+        proj += vec.getDouble(j) * sign
+        j += 1
+      }
+      if (proj >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}
+
+/** Cosine similarity of two array<double> vectors — identical operation
+  * order to the sequential-fold HOF formulation (dot/(|a||b|)), one
+  * codegen'd pass instead of three interpreted lambda traversals.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.TextKernels.cosineSim($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(l, r)
+}

@@ -1,6 +1,6 @@
 package graft.llm
 
-import graft.expressions.SimHash64
+import graft.expressions.{MinHashSig, ShingleTokens, SimHash64}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
@@ -18,8 +18,9 @@ import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => t
   *  - n-gram Jaccard: exact similarity via inverted index self-join on
   *    shingles (pairs sharing ≥1 shingle), linear in index size.
   *
-  * All signature math is Spark higher-order functions over arrays —
-  * codegen'd, no UDFs, no driver-side loops.
+  * Signatures are single-pass custom codegen expressions (ShingleTokens /
+  * MinHashSig / SimHash64) — no UDFs, no driver-side loops, no per-element
+  * lambda re-evaluation.
   */
 object Dedup {
 
@@ -31,34 +32,22 @@ object Dedup {
     df.groupBy(keyCol.as("dup_key"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct lowercase word-token array. */
-  def tokens(text: Column): Column = array_distinct(TextAnalysis.wordTokens(text))
+  /** Distinct lowercase word-token array (single-pass kernel). */
+  def tokens(text: Column): Column = shingles(text, 1)
 
-  /** Distinct n-word shingles (default 3) from the token stream. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.wordTokens(text)
-    array_distinct(
-      when(size(toks) < n, array(concat_ws(" ", toks)))
-        .otherwise(transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  /** Distinct n-word shingles (default 3) — one-pass ShingleTokens kernel;
+    * the equivalent transform/slice lambda formulation re-evaluates the
+    * tokenizer per element (measured 30µs/row vs ~1µs here).
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    toCol(ShingleTokens(toExpr(text.cast("string")), n))
 
-  // MinHash over a 31-bit prime field: x = base hash of shingle in [0,p);
-  // signature_i = min over shingles of (a_i*x + b_i) mod p. a_i,b_i are
-  // deterministic (seeded) so signatures are reproducible across runs.
-  private val P = 2147483647L // 2^31-1: a*x stays < 2^62, no Long overflow
-  private def perms(k: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(k)((1L + rnd.nextInt((P - 1).toInt).toLong, rnd.nextInt(P.toInt).toLong))
-  }
-
-  /** k-permutation MinHash signature (array<long>) of a shingle array. */
-  def minHashSignature(shingleCol: Column, k: Int = 32, seed: Long = 42L): Column = {
-    val hashes = transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
-    array(perms(k, seed).map { case (a, b) =>
-      array_min(transform(hashes, x => pmod(x * a + b, lit(P))))
-    }: _*)
-  }
+  /** k-permutation MinHash signature (array<long>) over the n-shingle set
+    * of `text` — single-pass MinHashSig kernel (31-bit prime field,
+    * seed-derived permutations).
+    */
+  def minHashSignature(text: Column, n: Int = 3, k: Int = 32, seed: Long = 42L): Column =
+    toCol(MinHashSig(toExpr(text.cast("string")), n, k, seed))
 
   /** LSH candidate pairs: band the signature (bands × rowsPerBand = k),
     * bucket-join docs sharing any band, verify with exact Jaccard over
@@ -73,8 +62,8 @@ object Dedup {
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val withSig = df.select(
       col(idCol).as("id"),
-      shingles(col(textCol)).as("sh"))
-      .withColumn("sig", minHashSignature(col("sh"), bands * rowsPerBand))
+      shingles(col(textCol)).as("sh"),
+      minHashSignature(col(textCol), 3, bands * rowsPerBand).as("sig"))
     val banded = withSig.select(
       col("id"), col("sh"),
       explode(array((0 until bands).map(b =>
@@ -84,11 +73,16 @@ object Dedup {
     val counted = banded.withColumn("bsz",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bkey"))))
       .filter(col("bsz") <= maxBucket)
-    val l = counted.select(col("band"), col("bkey"), col("id").as("id1"), col("sh").as("sh1"))
-    val r = counted.select(col("band"), col("bkey"), col("id").as("id2"), col("sh").as("sh2"))
+    // candidate id pairs first (distinct over 16-byte keys, not over the
+    // shingle arrays), then re-attach shingle sets for exact verification
+    val l = counted.select(col("band"), col("bkey"), col("id").as("id1"))
+    val r = counted.select(col("band"), col("bkey"), col("id").as("id2"))
     val cand = l.join(r, Seq("band", "bkey")).filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("sh1"), col("sh2")).distinct()
+      .select(col("id1"), col("id2")).distinct()
+    val sh = withSig.select(col("id"), col("sh"))
     cand
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
@@ -119,13 +113,28 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram (word) Jaccard pairs via inverted-index self-join: only
-    * pairs sharing at least one token are ever materialized.
+  /** Exact n-gram Jaccard pairs via inverted-index self-join on SHINGLES
+    * (default 3-word): only pairs sharing a shingle are materialized.
+    *
+    * Discriminativeness is what makes the index sub-quadratic: unigrams
+    * over a small vocabulary degenerate to all-pairs (measured: 224M join
+    * rows on the 5k-doc fixture), while n-word shingles collide only for
+    * genuinely similar documents. `maxDocFreq` additionally drops shingles
+    * present in more than that fraction of documents (boilerplate guard —
+    * at 100 TB a header shingle shared by 10% of the corpus would otherwise
+    * quadratically dominate the join).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val tok = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-    val inv = tok.select(col("id"), explode(col("toks")).as("w"))
+      threshold: Double, n: Int = 3, maxDocFreq: Double = 1.0): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("toks"))
+    val inv0 = tok.select(col("id"), explode(col("toks")).as("w"))
+    val inv = if (maxDocFreq >= 1.0) inv0 else {
+      val total = df.count()
+      val keep = inv0.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDocFreq * total)
+        .select(col("w"))
+      inv0.join(keep, "w")
+    }
     val sizes = tok.select(col("id"), size(col("toks")).as("n"))
     val pairs = inv.as("a").join(inv.as("b"),
         col("a.w") === col("b.w") && col("a.id") < col("b.id"))

@@ -1,8 +1,10 @@
 package graft.llm
 
+import graft.expressions.{CosineSim, SrpSig}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
 
 /** Similarity search over embedding columns (`array<float>`), north-star
   * extension. Two paths:
@@ -27,7 +29,9 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Single-pass codegen cosine (same IEEE op order as the HOF fold). */
+  def cosine(a: Column, b: Column): Column =
+    toCol(CosineSim(toExpr(a.cast("array<double>")), toExpr(b.cast("array<double>"))))
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`/`corpus`: (id, vec: array<float|double>). The query side is
@@ -45,30 +49,18 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 
-  /** Deterministic ±1 hyperplane component for (plane, dim) — seeded so
-    * signatures are stable across runs and executors.
+  /** `nBits`-bit signed-random-projection signature of a vector column —
+    * single-pass SrpSig kernel (deterministic splitmix64 ±1 hyperplanes).
     */
-  private def rademacher(plane: Int, dim: Column): Column =
-    when(pmod(hash(lit(plane), dim), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
-
-  /** `nBits`-bit signed-random-projection signature of a vector column. */
-  def srpSignature(vec: Column, nBits: Int = 16): Column = {
-    val planes = (0 until nBits).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * rademacher(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    planes.reduce(_ + _)
-  }
+  def srpSignature(vec: Column, nBits: Int = 16, seed: Long = 7L): Column =
+    toCol(SrpSig(toExpr(vec.cast("array<double>")), nBits, seed))
 
   /** ANN via SRP-LSH: bucket on signature bands (4×(nBits/4) chunks),
     * candidates = same-band collisions, exact cosine re-rank, top-k.
     * Recall < 1 by construction; exactness is the brute-force path's job.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      idCol: String = "id", vecCol: String = "vec", nBits: Int = 16): DataFrame = {
+      idCol: String = "id", vecCol: String = "vec", nBits: Int = 32): DataFrame = {
     val bandBits = nBits / 4
     def banded(df: DataFrame, prefix: String): DataFrame = {
       val sig = srpSignature(col(vecCol).cast("array<double>"), nBits)
@@ -83,11 +75,16 @@ object Similarity {
     }
     val qb = banded(queries, "q")
     val cb = banded(corpus, "n")
-    val cand = qb.join(cb, Seq("band", "chunk"))
+    // distinct on the id pair only; vectors re-attached afterwards so the
+    // shuffle moves 16-byte keys instead of embedding arrays
+    val cand = qb.select(col("qid"), col("band"), col("chunk"))
+      .join(cb.select(col("nid"), col("band"), col("chunk")), Seq("band", "chunk"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("qv"), col("nv"))
-      .distinct()
-    val scored = cand.select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+      .select(col("qid"), col("nid")).distinct()
+    val qv = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    val nv = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nv"))
+    val scored = cand.join(broadcast(qv), "qid").join(nv, "nid")
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
@@ -96,7 +93,7 @@ object Similarity {
     * kept when cosine >= threshold.
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
-      idCol: String = "id", vecCol: String = "vec", nBits: Int = 16): DataFrame = {
+      idCol: String = "id", vecCol: String = "vec", nBits: Int = 32): DataFrame = {
     val bandBits = nBits / 4
     val sig = srpSignature(col(vecCol).cast("array<double>"), nBits)
     val b = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"), sig.as("sig"))
@@ -106,10 +103,13 @@ object Similarity {
             shiftrightunsigned(col("sig"), bd * bandBits)
               .bitwiseAND(lit((1L << bandBits) - 1)).as("chunk"))): _*)).as("bb"))
       .select(col("id"), col("v"), col("bb.band"), col("bb.chunk"))
-    val l = b.select(col("band"), col("chunk"), col("id").as("id1"), col("v").as("v1"))
-    val r = b.select(col("band"), col("chunk"), col("id").as("id2"), col("v").as("v2"))
+    val l = b.select(col("band"), col("chunk"), col("id").as("id1"))
+    val r = b.select(col("band"), col("chunk"), col("id").as("id2"))
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     l.join(r, Seq("band", "chunk")).filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("v1"), col("v2")).distinct()
+      .select(col("id1"), col("id2")).distinct()
+      .join(vecs.select(col("id").as("id1"), col("v").as("v1")), "id1")
+      .join(vecs.select(col("id").as("id2"), col("v").as("v2")), "id2")
       .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cos"))
       .filter(col("cos") >= threshold)
   }

@@ -22,13 +22,20 @@ object LlmQueries {
         .orderBy(col("dup_key"))
     },
 
-    // Exact word-set Jaccard near-dup pairs via inverted-index self-join —
-    // only pairs sharing a token are materialized (no all-pairs stage).
+    // Exact 3-shingle Jaccard near-dup pairs via inverted-index self-join —
+    // only pairs sharing a shingle are materialized (no all-pairs stage;
+    // shingles, unlike unigrams, are discriminative enough to keep the
+    // index sub-quadratic).
     QueryDef.sql(
       "q31_ngram_jaccard",
-      """WITH tok AS (
-        |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS toks
-        |  FROM documents),
+      """WITH words AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) < 3 THEN [list_aggregate(ws, 'string_agg', ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+        |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS toks
+        |  FROM words),
         |inv AS (SELECT doc_id, unnest(toks) AS w FROM tok),
         |sizes AS (SELECT doc_id, len(toks) AS n FROM tok),
         |pairs AS (
@@ -38,9 +45,9 @@ object LlmQueries {
         |SELECT id1, id2, inter, CAST(sa.n AS BIGINT) AS n1, CAST(sb.n AS BIGINT) AS n2,
         |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
         |FROM pairs JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
-        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.6
         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 0.8)
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 0.6)
         .select(col("id1"), col("id2"), col("inter"),
           col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"), col("jaccard"))
         .orderBy(col("id1"), col("id2"))

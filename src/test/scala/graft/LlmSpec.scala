@@ -26,7 +26,7 @@ class LlmSpec extends SparkSpec {
 
   test("minhash signatures: identical texts identical, near-dups close") {
     val sigs = docs.select(col("doc_id"),
-        Dedup.minHashSignature(Dedup.shingles(col("text")), k = 32).as("sig"))
+        Dedup.minHashSignature(col("text"), k = 32).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(0L) === sigs(3L))
     val close = sigs(0L).zip(sigs(1L)).count { case (a, b) => a == b }
