@@ -64,4 +64,46 @@ object Restructure {
 
   /** Consolidate::consolidate (src/traits/consolidate.rs:68) — chunks→one. */
   def consolidate(df: DataFrame): DataFrame = df.coalesce(1)
+
+  /** Table⊕Table positional column-wise zip (minarrow broadcast
+    * `broadcast_table_with_operator`, src/kernels/broadcast/table.rs:31-63):
+    * equal column counts required; rows paired positionally. A distributed
+    * table has no inherent position, so both sides take explicit order keys
+    * and pair via row_number (SURVEY.md §2.5 — opt-in, costs a sort).
+    * Output keeps the left table's column names.
+    */
+  def zipTables(a: DataFrame, b: DataFrame,
+      orderA: Seq[Column], orderB: Seq[Column],
+      op: (Column, Column) => Column): DataFrame = {
+    require(a.columns.length == b.columns.length,
+      s"positional zip needs equal column counts (${a.columns.length} vs ${b.columns.length})")
+    import org.apache.spark.sql.expressions.Window
+    val ra = a.withColumn("__rn", row_number().over(Window.orderBy(orderA: _*)))
+    val rb = b.withColumn("__rn", row_number().over(Window.orderBy(orderB: _*)))
+      .toDF(b.columns.map(c => s"__b_$c") :+ "__rn": _*)
+    val joined = ra.join(rb, "__rn")
+    joined.select(a.columns.zip(b.columns).map { case (ca, cb) =>
+      op(col(ca), col(s"__b_$cb")).as(ca)
+    }: _*)
+  }
+
+  /** Cube analog (minarrow `Cube`, src/structs/cube.rs:77 — 3-D stack of
+    * same-schema tables along a snapshot/category axis): a partition-labeled
+    * union. The axis becomes a first-class column, so slicing along it is
+    * partition pruning, and per-snapshot ops are groupBy(axis).
+    */
+  def stack(tables: Seq[(String, DataFrame)], axisCol: String = "snapshot"): DataFrame =
+    tables.map { case (label, df) => df.withColumn(axisCol, lit(label)) }
+      .reduce(_ unionByName _)
+
+  /** Matrix interop (minarrow `Matrix`, src/structs/matrix.rs:74,
+    * `TryFrom<Table>` :15-18): collect numeric columns into a row-major
+    * local matrix. EXPLICITLY driver-side — the reference's Matrix is a
+    * single-node BLAS container; at scale use Spark MLlib distributed
+    * matrices instead. Caller opts in by bounding `maxRows`.
+    */
+  def toLocalMatrix(df: DataFrame, cols: Seq[String], maxRows: Int = 1 << 20): Array[Array[Double]] = {
+    val rows = df.select(cols.map(c => col(c).cast("double")): _*).limit(maxRows).collect()
+    rows.map(r => Array.tabulate(cols.length)(i => r.getDouble(i)))
+  }
 }

@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.{Casts, Restructure, Strings}
+import org.apache.spark.sql.functions._
+
+/** Remaining SURVEY.md §2 surface: casting matrix (§1.2), string
+  * arithmetic (§2.1 `str_arithmetic`), scalar⊕table broadcasting (§2.5),
+  * positional table zip (§2.5), semi-structured props (events fixture).
+  */
+object ExtrasQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Casting matrix: widen, checked narrow (NULL on overflow), strict
+    // float→int (NULL on fractional), bool↔int, num↔string, u64→decimal.
+    QueryDef.sql(
+      "q45_cast_matrix",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_linenumber AS DOUBLE) AS widened,
+        |  CASE WHEN l_orderkey BETWEEN -128 AND 127 THEN CAST(l_orderkey AS BIGINT) END AS narrow8,
+        |  CASE WHEN l_quantity = floor(l_quantity) AND NOT isnan(l_quantity)
+        |       THEN CAST(floor(l_quantity) AS BIGINT) END AS qty_exact_int,
+        |  CASE WHEN l_extendedprice = floor(l_extendedprice) AND NOT isnan(l_extendedprice)
+        |       THEN CAST(floor(l_extendedprice) AS BIGINT) END AS price_exact_int,
+        |  CAST(l_quantity > 25 AS BIGINT) AS big_flag,
+        |  (l_linenumber <> 0) AS nonzero,
+        |  CAST(l_linenumber AS VARCHAR) AS ln_str,
+        |  CAST(CAST(l_linenumber AS VARCHAR) AS BIGINT) AS ln_roundtrip,
+        |  CAST(CAST(l_orderkey AS DECIMAL(20,0)) AS VARCHAR) AS okey_u64
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 1000)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          Casts.widen(col("l_linenumber"), "double").as("widened"),
+          Casts.narrowChecked(col("l_orderkey"), "tinyint").cast("long").as("narrow8"),
+          Casts.floatToIntStrict(col("l_quantity")).as("qty_exact_int"),
+          Casts.floatToIntStrict(col("l_extendedprice")).as("price_exact_int"),
+          Casts.boolToInt(col("l_quantity") > 25).as("big_flag"),
+          Casts.intToBool(col("l_linenumber")).as("nonzero"),
+          Casts.numToString(col("l_linenumber")).as("ln_str"),
+          Casts.stringToLong(Casts.numToString(col("l_linenumber"))).as("ln_roundtrip"),
+          Casts.toU64(col("l_orderkey")).cast("string").as("okey_u64"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // String arithmetic (feature str_arithmetic, minarrow
+    // src/kernels/arithmetic/string.rs): `+` concatenates (incl. str+num
+    // with the numeric formatted), `*` repeats.
+    QueryDef.sql(
+      "q46_string_arith",
+      """SELECT p_partkey,
+        |  p_name || '-' || p_brand AS add_str_str,
+        |  p_name || CAST(p_size AS VARCHAR) AS add_str_int,
+        |  p_name || CAST(p_retailprice AS VARCHAR) AS add_str_float,
+        |  repeat(p_brand, 3) AS mul_str
+        |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d).filter(col("p_partkey") < 300)
+        .select(
+          col("p_partkey"),
+          Strings.concatStr(Strings.concatStr(col("p_name"), lit("-")), col("p_brand")).as("add_str_str"),
+          Strings.concatStr(col("p_name"), col("p_size").cast("string")).as("add_str_int"),
+          Strings.concatStr(col("p_name"), col("p_retailprice").cast("string")).as("add_str_float"),
+          Strings.repeatStr(col("p_brand"), 3).as("mul_str"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // Scalar ⊕ Table broadcast (minarrow broadcast/scalar.rs:36-880):
+    // one scalar against every numeric column, other columns untouched.
+    QueryDef.sql(
+      "q47_scalar_broadcast",
+      """SELECT c_custkey * 10 AS c_custkey, c_nationkey * 10 AS c_nationkey,
+        |  c_acctbal * 10 AS c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val df = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      Restructure.mapAllCols(df, _ * lit(10)).orderBy(col("c_custkey"))
+    },
+
+    // Table ⊕ Table positional zip (broadcast/table.rs:31-63): pair row i
+    // of two equal-shape tables under explicit orders, apply ⊕ columnwise.
+    QueryDef.sql(
+      "q48_zip_tables",
+      """WITH a AS (SELECT c_custkey, c_acctbal, row_number() OVER (ORDER BY c_custkey) AS rn FROM customer),
+        |b AS (SELECT c_custkey, c_acctbal, row_number() OVER (ORDER BY c_custkey DESC) AS rn FROM customer)
+        |SELECT a.c_custkey + b.c_custkey AS c_custkey, a.c_acctbal + b.c_acctbal AS c_acctbal
+        |FROM a JOIN b ON a.rn = b.rn ORDER BY c_acctbal, c_custkey""".stripMargin) { (s, d) =>
+      val t = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      // zip ascending-keyed rows against descending-keyed rows, columnwise +
+      Restructure.zipTables(
+        t, t,
+        Seq(col("c_custkey")), Seq(col("c_custkey").desc),
+        (x, y) => x + y
+      ).orderBy(col("c_acctbal"), col("c_custkey"))
+    },
+
+    // Semi-structured props column (events fixture): JSON extraction +
+    // grouped aggregation over an extracted field.
+    QueryDef.sql(
+      "q49_json_props",
+      """SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(k).as("sum_k"), max(k).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+
+    // Cube-analog stack (src/structs/cube.rs:77): label-axis union of
+    // same-schema snapshots, then a per-axis aggregation.
+    QueryDef.sql(
+      "q50_cube_stack",
+      """SELECT snapshot, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        |FROM (
+        |  SELECT 'early' AS snapshot, o_totalprice FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT 'late' AS snapshot, o_totalprice FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY snapshot ORDER BY snapshot""".stripMargin) { (s, d) =>
+      val cut = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+      val orders = Tables.orders(s, d)
+      Restructure.stack(Seq(
+          "early" -> orders.filter(col("o_orderdate") < cut).select(col("o_totalprice")),
+          "late" -> orders.filter(col("o_orderdate") >= cut).select(col("o_totalprice"))))
+        .groupBy(col("snapshot"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("snapshot"))
+    }
+  )
+}

