@@ -64,9 +64,23 @@ object Datetime {
     case "s"  => timestamp_seconds(c)
     case "ms" => timestamp_millis(c)
     case "us" => timestamp_micros(c)
-    case "ns" => timestamp_micros((c / lit(1000L)).cast("long"))
+    // integer division: epoch-ns exceeds double's 53-bit mantissa, so the
+    // `/`-then-cast route would corrupt microseconds
+    case "ns" => timestamp_micros(Arith.floorDivI(c, lit(1000L)))
     case "d"  => date_add(to_date(lit("1970-01-01")), c.cast("int"))
     case u    => throw new IllegalArgumentException(s"unit $u")
   }
   def toEpochMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  // ---- timezone surface (minarrow lookup_timezone, datetime/tz.rs:502:
+  // IANA names + offsets; Spark carries the IANA db in the JVM)
+  /** Reinterpret a UTC timestamp as wall-clock time in `tz`. */
+  def toTimezone(c: Column, tz: String): Column = from_utc_timestamp(c, tz)
+
+  /** Reinterpret a wall-clock time in `tz` back to UTC. */
+  def fromTimezone(c: Column, tz: String): Column = to_utc_timestamp(c, tz)
+
+  /** Wall-clock shift between two zones (convert_timezone analog). */
+  def convertTz(c: Column, fromTz: String, toTz: String): Column =
+    from_utc_timestamp(to_utc_timestamp(c, fromTz), toTz)
 }

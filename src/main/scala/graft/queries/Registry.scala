@@ -15,7 +15,8 @@ object Registry {
       StructureQueries.defs,
       LlmQueries.defs,
       StreamingQueries.defs,
-      ExtrasQueries.defs
+      ExtrasQueries.defs,
+      SemanticsQueries.defs
     )
     val flat = groups.flatten
     require(flat.map(_.name).distinct.size == flat.size, "duplicate query names")

@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Ordering/equality semantics pinning (SURVEY.md §2.9 — minarrow
+  * `Array::compare_at` total order incl. null ordering, src/enums/array.rs:2357,
+  * and NaN==NaN hash semantics, :2419) plus OLAP grouping-set completion.
+  */
+object SemanticsQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Null ordering pinned explicitly (Spark ASC default = NULLS FIRST,
+    // DuckDB's = NULLS LAST — the oracle states it, the plan states it).
+    QueryDef.sql(
+      "q51_null_ordering",
+      """SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_or_null
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY status_or_null NULLS FIRST, o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          when(col("o_orderstatus") === "P", lit(null)).otherwise(col("o_orderstatus")).as("status_or_null"))
+        .orderBy(col("status_or_null").asc_nulls_first, col("o_orderkey"))
+    },
+
+    // NaN semantics: NaN groups as equal to itself and sorts greatest in
+    // both engines (minarrow hashes NaN via to_bits → NaN==NaN).
+    QueryDef.sql(
+      "q52_nan_semantics",
+      """SELECT CASE WHEN l_linenumber = 1 THEN CAST('nan' AS DOUBLE) ELSE l_discount END AS d,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem WHERE l_orderkey < 2000
+        |GROUP BY 1 ORDER BY isnan(d), d""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 2000)
+        .groupBy(when(col("l_linenumber") === 1, lit(Double.NaN)).otherwise(col("l_discount")).as("d"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(isnan(col("d")), col("d"))
+    },
+
+    // ROLLUP grouping sets with explicit grouping() markers — engine-layer
+    // OLAP completion over the crosstab surface.
+    QueryDef.sql(
+      "q53_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("g_flag"), col("g_status"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }
+  )
+}

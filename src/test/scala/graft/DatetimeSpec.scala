@@ -60,6 +60,25 @@ class DatetimeSpec extends SparkSpec {
     assert(col1[Long](df.select(Datetime.absDiffDays(origin, col("t")))) === Seq(Some(2L)))
   }
 
+  test("timezone conversion (lookup_timezone, datetime/tz.rs:502)") {
+    val df = tsDf(Seq(Some("2024-06-15 12:00:00"))) // UTC session
+    assert(col1[java.sql.Timestamp](df.select(Datetime.toTimezone(col("t"), "America/New_York"))) ===
+      Seq(Some(java.sql.Timestamp.valueOf("2024-06-15 08:00:00")))) // EDT = UTC-4
+    assert(col1[java.sql.Timestamp](df.select(Datetime.toTimezone(col("t"), "+05:30"))) ===
+      Seq(Some(java.sql.Timestamp.valueOf("2024-06-15 17:30:00")))) // raw offset
+    // round-trip law
+    assert(col1[java.sql.Timestamp](df.select(
+      Datetime.fromTimezone(Datetime.toTimezone(col("t"), "Europe/Berlin"), "Europe/Berlin"))) ===
+      Seq(Some(java.sql.Timestamp.valueOf("2024-06-15 12:00:00"))))
+  }
+
+  test("ns epoch normalization is exact beyond double precision") {
+    val ns = 1704067200123456789L // .123456789 s — µs must survive
+    val df = longs("e", Seq(Some(ns)))
+    val us = col1[Long](df.select(Datetime.toEpochMicros(Datetime.fromEpoch(col("e"), "ns"))))
+    assert(us === Seq(Some(1704067200123456L)))
+  }
+
   test("epoch unit normalization round-trips (time_units.rs:42)") {
     val df = longs("e", Seq(Some(1704067200L))) // 2024-01-01 00:00:00 UTC
     assert(col1[java.sql.Timestamp](df.select(Datetime.fromEpoch(col("e"), "s"))) ===

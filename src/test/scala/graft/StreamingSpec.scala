@@ -32,6 +32,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch append (SuperTable push/consolidate parity, super_table.rs:138)") {
+    // the reference's chunked-append model: each micro-batch appends a
+    // chunk; consolidate == union of chunks. Verify the streamed append
+    // reconstructs the batch table.
+    val schema = Tables.events(spark, sf).schema
+    val raw = spark.readStream
+      .schema(schema.fields.filter(_.name != "ts")
+        .foldLeft(new org.apache.spark.sql.types.StructType().add("ts", "long"))((s, f) => s.add(f)))
+      .parquet("/tmp/graft_stream_" + Integer.toHexString(sf.hashCode))
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val q = raw.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        chunks += batch.persist()  // SuperTable::push
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val consolidated = chunks.reduce(_ unionByName _)   // Consolidate
+    assert(consolidated.count() === Tables.events(spark, sf).count())
+    chunks.foreach(_.unpersist())
+  }
+
   test("stateful streaming sessionization emits closed sessions consistent with batch") {
     val streamed = Events.sessionizeStreaming(spark, sf, gapMinutes = 30)
     // single-batch replay: only sessions closed by a later intra-batch gap
