@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the most recent right row with
+  * rightTime <= leftTime within the same key — the canonical time-series
+  * enrichment operator (an engine-layer op the reference's host is
+  * expected to supply; composed from existing Spark ops per the
+  * custom-operator preference order, SURVEY.md §7.3 (a)).
+  *
+  * Implementation is the distributed merge-asof: tag both sides, union,
+  * sort within key by (time, side) — right rows first at equal times so
+  * the match is inclusive — then carry the last right payload forward
+  * with a running `last(ignoreNulls)` window and keep left rows.
+  *
+  * Scale shape: ONE shuffle on the key, one per-partition sort; no
+  * range-explosion join, no broadcast requirement on either side.
+  */
+object AsOfJoin {
+
+  /** `left` and `right` must share no column names except `keys`.
+    * Right payload columns arrive nullable (no match ⇒ NULL).
+    */
+  def asOf(left: DataFrame, right: DataFrame,
+      leftTime: String, rightTime: String, keys: Seq[String]): DataFrame = {
+    val leftCols = left.columns.filterNot(keys.contains)
+    val rightCols = right.columns.filterNot(keys.contains)
+    require(leftCols.intersect(rightCols).isEmpty,
+      s"overlapping non-key columns: ${leftCols.intersect(rightCols).mkString(",")}")
+
+    val taggedRight = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"),
+        lit(0).as("__side"), // right sorts before left at equal times (inclusive match)
+        struct(rightCols.map(col): _*).as("__rpay")) ++
+        leftCols.map(c => lit(null).as(c)): _*)
+    val taggedLeft = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("__t"),
+        lit(1).as("__side"),
+        lit(null).cast(taggedRight.schema("__rpay").dataType).as("__rpay")) ++
+        leftCols.map(col): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = taggedRight.unionByName(taggedLeft)
+      .withColumn("__carried", last(col("__rpay"), ignoreNulls = true).over(w))
+
+    val unpacked = rightCols.foldLeft(merged.filter(col("__side") === 1)) {
+      (df, c) => df.withColumn(c, col(s"__carried.$c"))
+    }
+    unpacked
+      .withColumn(leftTime, col("__t"))
+      .drop("__t", "__side", "__rpay", "__carried")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** As-of join + SQL-entry queries. The SQL-entry pair run the SAME ANSI
+  * text through `spark.sql` and the DuckDB oracle — demonstrating the
+  * engine's SQL surface with dialect-portable queries.
+  */
+object AdvancedQueries {
+
+  /** Same SQL text runs on Spark (via temp views) and DuckDB. */
+  private def sqlBoth(name: String, sql: String): QueryDef =
+    QueryDef(name, (s, d) => { Tables.registerAll(s, d); s.sql(sql) }, Some(sql))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // As-of join: each event enriched with the most recent order of the
+    // same user (inclusive on equal timestamps). Right side deduped to
+    // one row per (key, time) so the match is deterministic.
+    QueryDef.sql(
+      "q54_asof_join",
+      """WITH o1 AS (
+        |  SELECT o_custkey AS user_id, o_orderdate,
+        |    MAX(o_orderkey) AS o_orderkey,
+        |    MAX_BY(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o1.o_orderkey, o1.o_totalprice
+        |FROM events e ASOF LEFT JOIN o1
+        |  ON e.user_id = o1.user_id AND e.ts >= o1.o_orderdate
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val right = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      val left = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      AsOfJoin.asOf(left, right, leftTime = "ts", rightTime = "o_orderdate",
+          keys = Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    },
+
+    // TPC-H Q10 shape through the SQL surface — identical text both engines.
+    sqlBoth(
+      "q55_sql_returned_revenue",
+      """SELECT c_custkey, c_name, n_name,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin),
+
+    // TPC-H Q4 shape: correlated EXISTS through the SQL surface.
+    sqlBoth(
+      "q56_sql_order_priority",
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  )
+}

@@ -16,7 +16,8 @@ object Registry {
       LlmQueries.defs,
       StreamingQueries.defs,
       ExtrasQueries.defs,
-      SemanticsQueries.defs
+      SemanticsQueries.defs,
+      AdvancedQueries.defs
     )
     val flat = groups.flatten
     require(flat.map(_.name).distinct.size == flat.size, "duplicate query names")
