@@ -34,8 +34,14 @@ object Scratch {
       .agg(count(lit(1)).as("inter"))
     time("pair agg")(pairs.count())
     val full = graft.llm.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.6)
-    time("full q31 (count)")(full.count())
-    time("full q31 again")(full.count())
+    time("inv-index variant")(full.count())
+    val pf = graft.llm.Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 0.6)
+    time("prefix-filter variant")(pf.count())
+    time("prefix again")(pf.count())
+    // equality of results
+    val a = full.select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = pf.select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"results equal: ${a == b} (${a.size} pairs)")
     spark.stop()
   }
 }

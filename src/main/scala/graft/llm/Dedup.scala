@@ -148,4 +148,40 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"), col("jaccard"))
   }
+
+  /** Prefix-filtered exact Jaccard pairs (AllPairs/PPJoin): for Jaccard >=
+    * t, two sets MUST share a token among each one's first
+    * |s| - ceil(t*|s|) + 1 tokens in a global rarest-first order — so only
+    * those prefixes are indexed. Lossless: same output as
+    * `ngramJaccardPairs`, with candidate generation shrunk superlinearly
+    * (frequent "boilerplate" shingles land outside prefixes, so they never
+    * fan out). One extra aggregation computes global shingle frequencies.
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("toks"))
+    val inv = tok.select(col("id"), explode(col("toks")).as("w"))
+    val freq = inv.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // rank tokens per doc by global rarity; keep the prefix
+    val ranked = inv.join(freq, "w")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("df"), col("w"))))
+    val withLen = ranked.join(tok.select(col("id"), size(col("toks")).as("len")), "id")
+      .filter(col("rk") <= col("len") - ceil(lit(threshold) * col("len")) + 1)
+      .select(col("id"), col("w"))
+    val cand = withLen.as("a").join(withLen.as("b"),
+        col("a.w") === col("b.w") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+    val t1 = tok.select(col("id").as("id1"), col("toks").as("toks1"))
+    val t2 = tok.select(col("id").as("id2"), col("toks").as("toks2"))
+    cand.join(t1, "id1").join(t2, "id2")
+      .withColumn("inter", size(array_intersect(col("toks1"), col("toks2"))).cast("long"))
+      .withColumn("n1", size(col("toks1")).cast("long"))
+      .withColumn("n2", size(col("toks2")).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"), col("jaccard"))
+  }
 }

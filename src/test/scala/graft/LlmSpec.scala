@@ -55,6 +55,15 @@ class LlmSpec extends SparkSpec {
     assert(!out.keySet.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("prefix-filtered Jaccard equals the inverted-index variant (lossless)") {
+    val base = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prefix = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", threshold = 0.5)
+      .select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base === prefix)
+    assert(base.nonEmpty)
+  }
+
   test("cosine: identity 1, orthogonal 0; brute-force topk ranks correctly") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),

@@ -37,6 +37,61 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("salted join equals plain join (skew mitigation preserves semantics)") {
+    import graft.ops.Skew
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+      .select(col("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(ord, Seq("l_orderkey"))
+      .agg(sum(col("o_totalprice")), count(lit(1))).collect()
+    val salted = Skew.saltedJoin(li, ord, Seq("l_orderkey"), factor = 4)
+      .agg(sum(col("o_totalprice")), count(lit(1))).collect()
+    assert(plain.map(_.toSeq).toSeq === salted.map(_.toSeq).toSeq)
+  }
+
+  test("salted distinct count equals plain countDistinct") {
+    import graft.ops.Skew
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val plain = li.groupBy(col("l_returnflag").as("k"))
+      .agg(countDistinct(col("l_partkey")).as("n_distinct"))
+      .orderBy(col("k")).collect()
+    val salted = Skew.saltedDistinctCount(li, col("l_returnflag"), col("l_partkey"), 8)
+      .orderBy(col("k")).collect()
+    assert(plain.map(_.toSeq).toSeq === salted.map(_.toSeq).toSeq)
+  }
+
+  test("filters and projection reach the parquet scan (plan regression guard)") {
+    val q2 = SparkEntry.queries("q02_forecast_revenue")(spark, "/root/testdata/sf0.001")
+    val scan = q2.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate)"), "predicates not pushed")
+    assert(scan.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"),
+      "columns not pruned")
+    val q5 = SparkEntry.queries("q05_brand_volume")(spark, "/root/testdata/sf0.001")
+    assert(q5.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "dimension join not broadcast")
+  }
+
+  test("ordered concat Aggregator reduces with explicit order (join_str, string.rs:1889)") {
+    import graft.functions.OrderedConcat
+    val agg = udaf(new OrderedConcat(","))
+    val df = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("ord", "s")
+    val out = df.agg(agg(col("ord"), col("s")).as("joined")).collect()
+    assert(out.head.getString(0) === "a,b,c")
+  }
+
+  test("session_window native op agrees with composed gap sessionization") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val native = ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1))).groupBy(col("user_id")).count()
+      .withColumnRenamed("count", "n_sessions")
+    val composed = graft.streaming.Events.sessionizeBatch(ev, 30)
+      .groupBy(col("user_id")).agg(max(col("sess_id")).as("n_sessions"))
+    val joined = native.as("n").join(composed.as("c"), "user_id")
+      .filter(col("n.n_sessions") =!= col("c.n_sessions"))
+    assert(joined.count() === 0L)
+  }
+
   test("asOf join matches a hand-computed model") {
     val quotes = Seq( // key, time, price
       ("a", 1L, 10.0), ("a", 5L, 11.0), ("a", 9L, 12.0),
