@@ -184,4 +184,65 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"), col("jaccard"))
   }
+
+  /** Connected components over a near-dup pair list via iterative min-label
+    * propagation: each node repeatedly adopts the smallest id reachable in
+    * one hop, converging in O(cluster diameter) joins. This is the
+    * scalable union-find substitute (no driver-side state); diameters of
+    * near-dup clusters are tiny in practice, so few iterations suffice.
+    *
+    * Input: (id1, id2) pairs. Output: (id, component) where component is
+    * the smallest id in the cluster. Singleton ids absent from `pairs`
+    * are their own component and are not emitted.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // iterative algorithm: persist the edge set ONCE (it may sit on an
+    // expensive lineage like the LSH pipeline — recomputing it per
+    // iteration turns O(diameter) into O(diameter × pipeline)) and swap
+    // cached label generations.
+    val edges = pairs.select(col("id1"), col("id2"))
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("id1").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist()
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "id2").withColumnRenamed("component", "ncomp"), "id2")
+        .select(col("id1").as("id"), col("ncomp"))
+      val updated = labels.join(viaNeighbor, Seq("id"), "left")
+        .groupBy(col("id"))
+        .agg(least(min(col("component")), coalesce(min(col("ncomp")), min(col("component")))).as("component"))
+        .persist()
+      val changed = updated.as("u").join(labels.as("l"), "id")
+        .filter(col("u.component") =!= col("l.component")).limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** End-to-end corpus dedup: exact (fingerprint) + near-dup (MinHash-LSH
+    * verified by Jaccard) collapsed into clusters; keep the smallest id
+    * per cluster. Returns the keep-list (ids that survive).
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+      jaccardThreshold: Double = 0.8): DataFrame = {
+    val ids = df.select(col(idCol).as("id"))
+    val exactPairs = df.groupBy(TextAnalysis.md5Fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("id1"), collect_set(col(idCol)).as("all"))
+      .select(col("id1"), explode(col("all")).as("id2"))
+      .filter(col("id1") < col("id2"))
+    val nearPairs = minHashLshPairs(df, idCol, textCol, threshold = jaccardThreshold)
+      .select(col("id1"), col("id2"))
+    val comp = connectedComponents(exactPairs.union(nearPairs))
+    val drop = comp.filter(col("id") =!= col("component")).select(col("id"))
+    ids.join(drop, Seq("id"), "left_anti")
+  }
 }

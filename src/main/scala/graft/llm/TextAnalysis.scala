@@ -92,4 +92,27 @@ object TextAnalysis {
 
   /** 64-bit rolling-hash fingerprint (custom RollingHash expression). */
   def hashFingerprint(c: Column): Column = toCol(RollingHash(toExpr(c.cast("string"))))
+
+  /** TF-IDF top-k terms per document. tf = termCount/docLen, idf =
+    * ln(N/df). Two aggregations (per-(doc,term) counts, per-term doc
+    * frequency) + a bounded per-doc top-k window — the standard
+    * distributed shape: shuffles move (doc,term) counts, never documents.
+    * Ranking uses round(tfidf,6) with a term tie-break for cross-engine
+    * determinism.
+    */
+  def tfIdfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val terms = df.select(col(idCol).as("id"), explode(wordTokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("id"), col("term")).agg(count(lit(1)).as("c"))
+    val docLen = terms.groupBy(col("id")).agg(count(lit(1)).as("len"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(docLen, "id").join(docFreq, "term")
+      .withColumn("tfidf",
+        round((col("c").cast("double") / col("len")) * log(lit(n.toDouble) / col("df")), 6))
+    val w = Window.partitionBy(col("id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("id"), col("term"), col("tfidf"), col("rk").cast("long").as("rk"))
+  }
 }

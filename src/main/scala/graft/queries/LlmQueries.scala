@@ -212,5 +212,37 @@ object LlmQueries {
           sum(length(col("patch"))).as("patch_bytes"))
         .orderBy(col("media_id"))
     }
+,
+
+    // Near-dup clusters: connected components over exact+MinHash pairs via
+    // iterative min-label propagation (distributed union-find substitute),
+    // then the surviving keep-list. Engine-specific hashes -> rows-only.
+    QueryDef.noOracle("q57_dedup_clusters") { (s, d) =>
+      Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text", jaccardThreshold = 0.8)
+        .orderBy(col("id"))
+    },
+
+    // TF-IDF top terms per document (tf = c/len, idf = ln(N/df)).
+    QueryDef.sql(
+      "q58_tfidf",
+      """WITH terms AS (
+        |  SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS c FROM terms GROUP BY 1, 2),
+        |dl AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS len FROM terms GROUP BY 1),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        |  SELECT id, term,
+        |    ROUND((CAST(c AS DOUBLE) / len) * ln(n.n / df.df), 6) AS tfidf
+        |  FROM tf JOIN dl USING (id) JOIN df USING (term) CROSS JOIN n)
+        |SELECT id, term, tfidf, rk FROM (
+        |  SELECT id, term, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+        |  FROM scored) WHERE rk <= 3
+        |ORDER BY id, rk""".stripMargin) { (s, d) =>
+      TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy(col("id"), col("rk"))
+    }
   )
 }

@@ -64,6 +64,22 @@ class LlmSpec extends SparkSpec {
     assert(base.nonEmpty)
   }
 
+  test("connected components merge transitive near-dup chains") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) === 1L && comp(2L) === 1L && comp(3L) === 1L) // chain collapses
+    assert(comp(10L) === 10L && comp(11L) === 10L)
+  }
+
+  test("dedupCorpus keeps one representative per duplicate cluster") {
+    val keep = Dedup.dedupCorpus(docs, "doc_id", "text", jaccardThreshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(keep.contains(0L))       // smallest id of the {0,1,3} cluster
+    assert(keep.contains(2L))       // unrelated doc survives
+    assert(!keep.contains(3L))      // exact dup removed
+  }
+
   test("cosine: identity 1, orthogonal 0; brute-force topk ranks correctly") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),
