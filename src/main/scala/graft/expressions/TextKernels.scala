@@ -172,6 +172,20 @@ object TextKernels {
     new GenericArrayData(mins)
   }
 
+  /** Tokens with multiplicity that appear in `set` (lowercased [a-z]+). */
+  def stopwordCount(s: UTF8String, set: java.util.HashSet[String]): Long = {
+    val b = s.getBytes
+    val spans = tokenSpans(b)
+    var n = 0L
+    var i = 0
+    while (i < spans.size()) {
+      val (st, en) = spans.get(i)
+      if (set.contains(lowerToken(b, st, en))) n += 1
+      i += 1
+    }
+    n
+  }
+
   private def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
     x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -225,4 +239,26 @@ case class CosineSim(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.TextKernels.cosineSim($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(l, r)
+}
+
+/** Multiplicity-preserving stopword hit count over the `[a-z]+` token
+  * stream — one byte pass, replacing the regexp + array-filter HOF chain
+  * (values identical, so DuckDB oracles keep matching).
+  */
+case class StopwordCount(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "stopword_count"
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.stopwordCount(v.asInstanceOf[UTF8String], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopSet", set, "java.util.HashSet<String>")
+    defineCodeGen(ctx, ev, v => s"graft.expressions.TextKernels.stopwordCount($v, $setRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): StopwordCount = copy(child = c)
 }

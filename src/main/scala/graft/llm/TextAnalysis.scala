@@ -1,6 +1,6 @@
 package graft.llm
 
-import graft.expressions.RollingHash
+import graft.expressions.{RollingHash, StopwordCount}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
@@ -35,9 +35,12 @@ object TextAnalysis {
 
   private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
-  /** Count of tokens appearing in a stopword list. */
+  /** Count of tokens appearing in a stopword list (with multiplicity) —
+    * single-pass StopwordCount kernel, value-identical to filtering the
+    * regexp token stream.
+    */
   def stopwordCount(c: Column, stopwords: Seq[String] = StopEn): Column =
-    size(filter(wordTokens(c), t => t.isInCollection(stopwords))).cast("long")
+    toCol(StopwordCount(toExpr(c.cast("string")), stopwords))
 
   /** Stopword ratio ∈ [0,1]; 0 for token-less text. */
   def stopwordRatio(c: Column, stopwords: Seq[String] = StopEn): Column = {
@@ -72,11 +75,10 @@ object TextAnalysis {
     * with the highest hit count, "und" when nothing matches.
     */
   def langId(c: Column): Column = {
-    val toks = wordTokens(c)
     val scored = LangStops.filter(_._2.nonEmpty).map { case (lang, stops) =>
-      lang -> size(filter(toks, t => t.isInCollection(stops)))
+      lang -> stopwordCount(c, stops)
     }
-    val best = scored.foldLeft[(Column, Column)]((lit("und"), lit(0))) {
+    val best = scored.foldLeft[(Column, Column)]((lit("und"), lit(0L))) {
       case ((bLang, bScore), (lang, score)) =>
         (when(score > bScore, lit(lang)).otherwise(bLang),
           when(score > bScore, score).otherwise(bScore))

@@ -46,5 +46,48 @@ object StreamingQueries {
         .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
     }
+,
+
+    // Sliding event-time windows (6h length, 2h slide): each event lands
+    // in len/slide = 3 overlapping windows. Spark's native window();
+    // oracle replays the window arithmetic via range-unnest.
+    QueryDef.sql(
+      "q59_sliding_window",
+      """WITH w AS (
+        |  SELECT event_type, value,
+        |    unnest(range(
+        |      CAST(ceil((epoch_us(ts) - 21600000000 + 1) / 7200000000.0) AS BIGINT),
+        |      (epoch_us(ts) // 7200000000) + 1)) AS k
+        |  FROM events)
+        |SELECT make_timestamp(k * 7200000000) AS wstart, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total_value
+        |FROM w GROUP BY wstart, event_type
+        |ORDER BY wstart, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "6 hours", "2 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("wstart"), col("event_type"))
+    },
+
+    // Dictionary/categorical parity (SURVEY §7.4.3): explicit (code, label)
+    // pairs via dense_rank over the label order — the logical equivalent of
+    // minarrow's CategoricalArray codes + unique_values.
+    QueryDef.sql(
+      "q60_dictionary_codes",
+      """SELECT o_orderpriority AS label,
+        |  CAST(dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS BIGINT) AS code,
+        |  CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+        |FROM orders QUALIFY row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) = 1
+        |ORDER BY code""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.orders(s, d)
+        .withColumn("code", (dense_rank().over(Window.orderBy(col("o_orderpriority"))) - 1).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))))
+        .filter(col("rn") === 1)
+        .select(col("o_orderpriority").as("label"), col("code"), col("n"))
+        .orderBy(col("code"))
+    }
   )
 }
