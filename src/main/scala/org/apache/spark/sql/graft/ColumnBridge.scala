@@ -15,3 +15,26 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Arrow interop bridge (minarrow's core I/O boundary is the Arrow C data
+  * interface — SURVEY.md §2.10; Spark's equivalent serialized-batch APIs
+  * are `private[sql]`, reached from this package like ColumnBridge).
+  */
+object ArrowBridge {
+  import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
+  import org.apache.spark.sql.execution.arrow.ArrowConverters
+  import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+  /** Export: one Arrow IPC record-batch payload per partition
+    * (export_record_batch_stream analog, arrow_c_ffi.rs:2104).
+    */
+  def toArrowBatches(df: DataFrame): org.apache.spark.rdd.RDD[Array[Byte]] =
+    df.asInstanceOf[CDataset[Row]].toArrowBatchRdd
+
+  /** Import: rebuild a DataFrame from Arrow batch payloads + schema json
+    * (import_from_c analog, arrow_c_ffi.rs:640).
+    */
+  def fromArrowBatches(spark: SparkSession, batches: Iterator[Array[Byte]],
+      schemaJson: String): DataFrame =
+    ArrowConverters.toDataFrame(batches, schemaJson, spark.asInstanceOf[CSparkSession])
+}

@@ -1,0 +1,34 @@
+package graft
+
+import graft.sources.ArrowInterop
+import org.apache.spark.sql.functions._
+
+/** Arrow interchange round-trip (§2.10 FFI-boundary analog). */
+class ArrowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DataFrame -> Arrow batches -> DataFrame round-trips values and schema") {
+    val df = Seq(
+      (1L, "alpha", 1.5, true),
+      (2L, "beta", -0.25, false),
+      (3L, null.asInstanceOf[String], Double.NaN, true)
+    ).toDF("id", "s", "d", "b")
+    val back = ArrowInterop.roundTrip(spark, df)
+    assert(back.schema === df.schema)
+    val a = df.orderBy(col("id")).collect().map(_.toSeq.map(v => if (v != null && v.equals(Double.NaN)) "NaN" else v))
+    val b = back.orderBy(col("id")).collect().map(_.toSeq.map(v => if (v != null && v.equals(Double.NaN)) "NaN" else v))
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("round-trip preserves a real table incl. timestamps") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001").limit(100)
+    val back = ArrowInterop.roundTrip(spark, orders)
+    assert(back.count() === 100)
+    assert(back.schema === orders.schema)
+    // row-level equality (an aggregate would see a different partition
+    // count after import and sum doubles in a different order)
+    val a = orders.orderBy(col("o_orderkey")).collect().map(_.toSeq)
+    val b = back.orderBy(col("o_orderkey")).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+}
