@@ -129,5 +129,22 @@ object ExtrasQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
         .orderBy(col("snapshot"))
     }
+,
+
+    // Arrow interchange in the gate: nation exported to serialized Arrow
+    // record batches and re-imported (the reference's FFI loop, EP3 in
+    // SURVEY §3), then aggregated — the oracle aggregates the table
+    // directly, so the round trip must be the identity.
+    QueryDef.sql(
+      "q61_arrow_roundtrip",
+      """SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, d) =>
+      val back = graft.sources.ArrowInterop.roundTrip(s, Tables.nation(s, d))
+      back.groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"),
+          concat_ws(",", sort_array(collect_list(col("n_name")))).as("names"))
+        .orderBy(col("n_regionkey"))
+    }
   )
 }
