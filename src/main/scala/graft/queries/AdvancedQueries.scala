@@ -69,5 +69,53 @@ object AdvancedQueries {
         |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin)
+,
+
+    // Point-in-interval range join via binning: each signup opens a 2h
+    // window; count same-user events inside it. Spark would nested-loop
+    // the raw range predicate — the binned form is one equi-join shuffle.
+    QueryDef.sql(
+      "q62_range_join",
+      """SELECT s.event_id, CAST(COUNT(*) AS BIGINT) AS n_in_window
+        |FROM events s JOIN events e
+        |  ON e.user_id = s.user_id
+        |  AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 2 HOUR
+        |WHERE s.event_type = 'signup'
+        |GROUP BY s.event_id ORDER BY s.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val intervals = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOUR")).as("w_end"))
+      val points = ev.select(col("user_id"), col("ts"))
+      graft.ops.RangeJoin.pointInInterval(
+          points, intervals, "ts", "w_start", "w_end",
+          keys = Seq("user_id"), binWidthUs = 2L * 3600 * 1000000)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_in_window"))
+        .orderBy(col("event_id"))
+    },
+
+    // Custom kernels through the SQL surface: registered functions callable
+    // from spark.sql; oracle replays the semantics in portable SQL.
+    QueryDef.sql(
+      "q63_sql_kernels",
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(l_quantity * l_discount + l_tax, 6) AS fma_v,
+        |  CAST(floor((l_orderkey - 2 * l_partkey) / CAST(l_linenumber AS DOUBLE)) AS BIGINT) AS fdiv_v,
+        |  (NULLIF(instr(l_returnflag, 'R'), 0) - 1) AS find_v,
+        |  CAST((length(l_linestatus) - length(replace(l_linestatus, 'O', ''))) AS BIGINT) AS cnt_v
+        |FROM lineitem WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      graft.GraftFunctions.registerAll(s)
+      Tables.registerAll(s, d)
+      s.sql("""SELECT l_orderkey, l_linenumber,
+        ROUND(fma(l_quantity, l_discount, l_tax), 6) AS fma_v,
+        int_floor_div(l_orderkey - 2 * l_partkey, l_linenumber) AS fdiv_v,
+        find_str0(l_returnflag, 'R') AS find_v,
+        count_match(l_linestatus, 'O') AS cnt_v
+        FROM lineitem WHERE l_orderkey < 500
+        ORDER BY l_orderkey, l_linenumber""")
+    }
   )
 }

@@ -38,3 +38,17 @@ object ArrowBridge {
       schemaJson: String): DataFrame =
     ArrowConverters.toDataFrame(batches, schemaJson, spark.asInstanceOf[CSparkSession])
 }
+
+/** Function-registry bridge: registers Catalyst expression builders as
+  * SQL-callable functions on an existing session (the registry is
+  * `private[sql]`).
+  */
+object FunctionBridge {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.classic.{SparkSession => CSparkSession}
+
+  def register(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[CSparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+}

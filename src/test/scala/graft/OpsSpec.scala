@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.{Introspect, RangeJoin}
+import org.apache.spark.sql.functions._
+
+/** Range join, SQL-registered kernels, introspection. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binned range join matches the naive range predicate join") {
+    val points = Seq((1L, "2024-01-01 00:30:00"), (1L, "2024-01-01 03:30:00"),
+      (2L, "2024-01-01 00:30:00")).map { case (k, t) => (k, java.sql.Timestamp.valueOf(t)) }
+      .toDF("user_id", "ts")
+    val intervals = Seq((10L, 1L, "2024-01-01 00:00:00", "2024-01-01 02:00:00"),
+      (11L, 2L, "2024-01-01 01:00:00", "2024-01-01 02:00:00")).map {
+        case (id, k, s, e) => (id, k, java.sql.Timestamp.valueOf(s), java.sql.Timestamp.valueOf(e))
+      }.toDF("iid", "user_id", "w_start", "w_end")
+    val got = RangeJoin.pointInInterval(points, intervals, "ts", "w_start", "w_end",
+        Seq("user_id"), binWidthUs = 3600L * 1000000)
+      .select(col("iid"), col("ts")).collect().map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
+    // naive reference
+    val naive = points.as("p").join(intervals.as("i"),
+        col("p.user_id") === col("i.user_id") &&
+        col("p.ts") >= col("i.w_start") && col("p.ts") < col("i.w_end"))
+      .select(col("iid"), col("p.ts")).collect().map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
+    assert(got === naive)
+    assert(got === Set((10L, "2024-01-01 00:30:00.0")))  // point 2 outside, user-2 point before window
+  }
+
+  test("registered SQL kernels evaluate") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT fma(2.0D, 3.0D, 1.0D), int_floor_div(-7L, 2L), find_str0('hello', 'll'), " +
+      "count_match('ololol', 'ol'), wrap_int8(200L), rolling_hash('abc') = rolling_hash('abc')").head()
+    assert(r.getDouble(0) === 7.0)
+    assert(r.getLong(1) === -4L)
+    assert(r.getLong(2) === 2L)
+    assert(r.getLong(3) === 3L)
+    assert(r.getLong(4) === -56L)
+    assert(r.getBoolean(5))
+  }
+
+  test("introspection: shape, size estimate, schema, render") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    assert(Introspect.shape(df) === (2L, 2))
+    assert(Introspect.estimatedBytes(df) > 0)
+    assert(Introspect.schemaTree(df).contains("id"))
+    val rendered = Introspect.render(df, 5)
+    assert(rendered.contains("id | s") && rendered.contains("1 | a"))
+  }
+}
