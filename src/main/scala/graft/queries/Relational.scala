@@ -251,5 +251,40 @@ object Relational {
           countDistinct(col("l_suppkey")).as("n_supps"))
         .orderBy(col("l_returnflag"))
     }
+,
+
+    // Correlated scalar subquery (TPC-H Q17 shape): lineitems below 20%%
+    // of their part's average quantity.
+    QueryDef.sql(
+      "q64_below_avg_qty",
+      """SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l1
+        |WHERE l_quantity < (
+        |  SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        |  WHERE l2.l_partkey = l1.l_partkey)""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val avgQty = li.groupBy(col("l_partkey").as("pk"))
+        .agg((avg(col("l_quantity")) * 0.2).as("threshold"))
+      li.join(avgQty, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < col("threshold"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    },
+
+    // Grouped HAVING (post-aggregation filter).
+    QueryDef.sql(
+      "q65_big_suppliers",
+      """SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(l_quantity), 2) AS total_qty
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING SUM(l_quantity) > 15000
+        |ORDER BY l_suppkey""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("total_qty"),
+          sum(col("l_quantity")).as("__raw"))
+        .filter(col("__raw") > 15000)
+        .drop("__raw")
+        .orderBy(col("l_suppkey"))
+    }
   )
 }
