@@ -8,19 +8,31 @@ import org.apache.spark.sql.graft.FunctionBridge
   * get the same operator surface as the Column API (SURVEY.md §7.3).
   */
 object GraftFunctions {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+  import org.apache.spark.sql.types._
+
+  // the kernel expressions declare no ExpectsInputTypes (AbstractDataType
+  // is private[sql] in Spark 4), so coerce explicitly at the SQL boundary —
+  // otherwise an interpreted eval over e.g. an INT literal (constant
+  // folding!) ClassCastExceptions at planning time
+  private def asD(e: Expression) = Cast(e, DoubleType)
+  private def asL(e: Expression) = Cast(e, LongType)
+  private def asS(e: Expression) = Cast(e, StringType)
+  private def asAD(e: Expression) = Cast(e, ArrayType(DoubleType))
+
   def registerAll(spark: SparkSession): Unit = {
-    FunctionBridge.register(spark, "fma", es => Fma(es(0), es(1), es(2)))
-    FunctionBridge.register(spark, "int_floor_div", es => IntFloorDiv(es(0), es(1)))
-    FunctionBridge.register(spark, "find_str0", es => FindStr0(es(0), es(1)))
-    FunctionBridge.register(spark, "count_match", es => CountMatch(es(0), es(1)))
-    FunctionBridge.register(spark, "wrap_int8", es => WrapInt(es(0), 8))
-    FunctionBridge.register(spark, "wrap_int16", es => WrapInt(es(0), 16))
-    FunctionBridge.register(spark, "wrap_int32", es => WrapInt(es(0), 32))
-    FunctionBridge.register(spark, "rolling_hash", es => RollingHash(es(0)))
-    FunctionBridge.register(spark, "simhash64", es => SimHash64(es(0)))
-    FunctionBridge.register(spark, "shingle_tokens", es => ShingleTokens(es(0), 3))
-    FunctionBridge.register(spark, "minhash_sig", es => MinHashSig(es(0), 3, 32, 42L))
-    FunctionBridge.register(spark, "cosine_sim", es => CosineSim(es(0), es(1)))
-    FunctionBridge.register(spark, "srp_sig", es => SrpSig(es(0), 16, 7L))
+    FunctionBridge.register(spark, "fma", es => Fma(asD(es(0)), asD(es(1)), asD(es(2))))
+    FunctionBridge.register(spark, "int_floor_div", es => IntFloorDiv(asL(es(0)), asL(es(1))))
+    FunctionBridge.register(spark, "find_str0", es => FindStr0(asS(es(0)), asS(es(1))))
+    FunctionBridge.register(spark, "count_match", es => CountMatch(asS(es(0)), asS(es(1))))
+    FunctionBridge.register(spark, "wrap_int8", es => WrapInt(asL(es(0)), 8))
+    FunctionBridge.register(spark, "wrap_int16", es => WrapInt(asL(es(0)), 16))
+    FunctionBridge.register(spark, "wrap_int32", es => WrapInt(asL(es(0)), 32))
+    FunctionBridge.register(spark, "rolling_hash", es => RollingHash(asS(es(0))))
+    FunctionBridge.register(spark, "simhash64", es => SimHash64(asS(es(0))))
+    FunctionBridge.register(spark, "shingle_tokens", es => ShingleTokens(asS(es(0)), 3))
+    FunctionBridge.register(spark, "minhash_sig", es => MinHashSig(asS(es(0)), 3, 32, 42L))
+    FunctionBridge.register(spark, "cosine_sim", es => CosineSim(asAD(es(0)), asAD(es(1))))
+    FunctionBridge.register(spark, "srp_sig", es => SrpSig(asAD(es(0)), 16, 7L))
   }
 }

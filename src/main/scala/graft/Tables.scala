@@ -41,7 +41,14 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame =
     load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
-  /** Register all tables as temp views so `spark.sql` mirrors the oracle. */
+  /** Register all tables as temp views so `spark.sql` mirrors the oracle.
+    * `events` registers the NORMALIZED view (µs timestamps) — the raw
+    * parquet carries Long epoch-nanos under the nanosAsLong conf, which
+    * would silently diverge from the oracle's TIMESTAMP column.
+    */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -77,16 +77,18 @@ case class FindStr0(left: Expression, right: Expression)
     val idx = StrKernels.indexOfBytes(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
     if (idx < 0) null else idx
   }
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idx = ctx.freshName("graftIdx")
     nullSafeCodeGen(ctx, ev, (l, r) =>
       s"""
-         |long graftIdx = graft.expressions.StrKernels.indexOfBytes($l, $r);
-         |if (graftIdx < 0L) {
+         |long $idx = graft.expressions.StrKernels.indexOfBytes($l, $r);
+         |if ($idx < 0L) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graftIdx;
+         |  ${ev.value} = $idx;
          |}
        """.stripMargin)
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): FindStr0 =
     copy(l, r)
 }

@@ -112,7 +112,10 @@ object TextKernels {
       i += 1
     }
     val seen = new java.util.LinkedHashSet[String]()
-    if (toks.length < n) {
+    if (toks.length == 0) {
+      // no tokens -> EMPTY shingle set. Emitting [""] would make every
+      // letterless document an exact Jaccard-1 duplicate of every other.
+    } else if (toks.length < n) {
       seen.add(toks.mkString(" "))
     } else {
       var j = 0
@@ -203,7 +206,7 @@ object TextKernels {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   def srpSig(vec: ArrayData, nBits: Int, seed: Long): Long = {

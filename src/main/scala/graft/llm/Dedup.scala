@@ -195,7 +195,7 @@ object Dedup {
     * the smallest id in the cluster. Singleton ids absent from `pairs`
     * are their own component and are not emitted.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // iterative algorithm: persist the edge set ONCE (it may sit on an
     // expensive lineage like the LSH pipeline — recomputing it per
     // iteration turns O(diameter) into O(diameter × pipeline)) and swap
@@ -225,6 +225,9 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations — " +
+        "a near-dup cluster has diameter > maxIter; raise maxIter")
     labels
   }
 

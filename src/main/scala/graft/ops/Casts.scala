@@ -31,8 +31,9 @@ object Casts {
     * fractional or non-finite → NULL under masked semantics).
     */
   def floatToIntStrict(c: Column): Column =
-    when(c === floor(c) && !c.isNaN && c =!= Double.PositiveInfinity &&
-      c =!= Double.NegativeInfinity, c.cast("long"))
+    when(c === floor(c) && !c.isNaN &&
+      c >= -9.223372036854776e18 && c < 9.223372036854776e18, // Long range: beyond it, cast saturates instead of nullifying
+      c.cast("long"))
 
   /** bool→numeric: true→1, false→0. */
   def boolToInt(c: Column): Column = c.cast("long")

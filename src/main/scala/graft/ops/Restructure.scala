@@ -104,6 +104,8 @@ object Restructure {
     */
   def toLocalMatrix(df: DataFrame, cols: Seq[String], maxRows: Int = 1 << 20): Array[Array[Double]] = {
     val rows = df.select(cols.map(c => col(c).cast("double")): _*).limit(maxRows).collect()
-    rows.map(r => Array.tabulate(cols.length)(i => r.getDouble(i)))
+    // NULL cells surface as NaN (the BLAS-friendly missing marker) rather
+    // than a driver-side NPE after the collect already ran
+    rows.map(r => Array.tabulate(cols.length)(i => if (r.isNullAt(i)) Double.NaN else r.getDouble(i)))
   }
 }

@@ -26,12 +26,15 @@ object Events {
     */
   private def stageDir(sfDir: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    // key by the full sanitized path (a hashCode key could collide across
+    // datasets); re-copy when the source size changed (regenerated data)
     val dir = Paths.get(sys.props("java.io.tmpdir"),
-      "graft_stream_" + Integer.toHexString(sfDir.hashCode))
+      "graft_stream_" + sfDir.replaceAll("[^A-Za-z0-9]", "_"))
     Files.createDirectories(dir)
+    val src = Paths.get(sfDir, "events.parquet")
     val dst = dir.resolve("events.parquet")
-    if (!Files.exists(dst)) {
-      Files.copy(Paths.get(sfDir, "events.parquet"), dst, StandardCopyOption.REPLACE_EXISTING)
+    if (!Files.exists(dst) || Files.size(dst) != Files.size(src)) {
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
     }
     dir.toString
   }
@@ -72,8 +75,11 @@ object Events {
   }
 
   /** Streaming sessionization with explicit state: flatMapGroupsWithState
-    * over user_id, emitting closed sessions. Exercised in the test suite
-    * (rate-limited local streams); the batch twin above is the oracle.
+    * over user_id, emitting CLOSED sessions only — a session still open at
+    * the end of the processed data stays in state until a later batch
+    * closes it (by design for an unbounded stream; there is no end-of-
+    * stream flush under NoTimeout). The batch twin above is the oracle for
+    * closed sessions; its trailing open sessions are the expected delta.
     */
   def sessionizeStreaming(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
     import spark.implicits._

@@ -55,8 +55,8 @@ object KernelLaws extends Properties("graft.kernels") {
         (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
       }
       val ref = "[a-z]+".r.findAllIn(s.toLowerCase).toSeq.distinct
-      // kernel emits one "" shingle for token-less text (the <n fallback)
-      if (ref.isEmpty) got == Seq("") else got == ref
+      // token-less text yields an EMPTY shingle set (no phantom "" shingle)
+      if (ref.isEmpty) got.isEmpty else got == ref
     }
 
   property("minHash signature: permutation-invariant to duplicate shingles, length k") =

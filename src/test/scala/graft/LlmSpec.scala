@@ -55,6 +55,15 @@ class LlmSpec extends SparkSpec {
     assert(!out.keySet.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("letterless documents never become Jaccard-1 phantom duplicates") {
+    val weird = Seq((0L, "123 456"), (1L, "!!! ???"), (2L, "9 8 7"),
+      (3L, "the quick brown fox")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(weird, "doc_id", "text", threshold = 0.1)
+    assert(pairs.count() === 0) // empty shingle sets share nothing
+    val lsh = Dedup.minHashLshPairs(weird, "doc_id", "text", threshold = 0.1)
+    assert(!lsh.collect().exists(r => r.getLong(0) <= 2L && r.getLong(1) <= 2L))
+  }
+
   test("prefix-filtered Jaccard equals the inverted-index variant (lossless)") {
     val base = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
       .select(col("id1"), col("id2")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet

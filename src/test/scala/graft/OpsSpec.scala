@@ -29,9 +29,11 @@ class OpsSpec extends SparkSpec {
 
   test("registered SQL kernels evaluate") {
     GraftFunctions.registerAll(spark)
+    // integer literals on purpose: constant folding runs interpreted eval,
+    // which exercises the SQL-boundary type coercion
     val r = spark.sql(
-      "SELECT fma(2.0D, 3.0D, 1.0D), int_floor_div(-7L, 2L), find_str0('hello', 'll'), " +
-      "count_match('ololol', 'ol'), wrap_int8(200L), rolling_hash('abc') = rolling_hash('abc')").head()
+      "SELECT fma(2, 3, 1), int_floor_div(-7, 2), find_str0('hello', 'll'), " +
+      "count_match('ololol', 'ol'), wrap_int8(200), rolling_hash('abc') = rolling_hash('abc')").head()
     assert(r.getDouble(0) === 7.0)
     assert(r.getLong(1) === -4L)
     assert(r.getLong(2) === 2L)
