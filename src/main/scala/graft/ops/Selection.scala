@@ -48,4 +48,14 @@ final case class GraftTable(df: DataFrame) {
   }
 
   def toDF: DataFrame = df
+
+  /** TableV::to_table analog (table_view.rs:376): materialize the lazy
+    * view. In Spark that is cache + force — subsequent ops read the
+    * materialized columnar form instead of recomputing the plan.
+    */
+  def materialize(): GraftTable = {
+    df.persist()
+    df.count()
+    this
+  }
 }

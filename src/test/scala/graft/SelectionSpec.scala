@@ -37,6 +37,13 @@ class SelectionSpec extends SparkSpec {
     assert(out.head.length === 2)
   }
 
+  test("materialize caches the view (table_view.rs:376 to_table analog)") {
+    val g = GraftTable(t.filter(col("id") > 2)).materialize()
+    assert(g.toDF.storageLevel.useMemory)
+    assert(g.toDF.count() === 4)
+    g.toDF.unpersist()
+  }
+
   test("concat + split round-trip preserves rows (concatenate.rs:96, table.rs:603)") {
     val parts = Restructure.splitByIndex(t, "id", Seq(3L))
     assert(parts.length === 2)
