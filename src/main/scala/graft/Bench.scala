@@ -40,7 +40,22 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Micro-benchmarks matching the reference's own published workload
+    // (BASELINE.md: sum of 1e9 i64/f64, SIMD+Rayon on 22 cores = ~114 ms).
+    // Here: Tungsten whole-stage-codegen sum over spark.range / a cast.
+    import org.apache.spark.sql.functions._
+    def timeMin2(f: => Unit): Double = {
+      def once: Double = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+      once; math.min(once, once)
+    }
+    val n = 1000000000L
+    val sumI64 = timeMin2(spark.range(n).agg(sum(col("id"))).collect())
+    val sumF64 = timeMin2(spark.range(n).agg(sum(col("id").cast("double"))).collect())
+    val micro = s"""{"sum_1e9_i64_sec":$sumI64,"sum_1e9_f64_sec":$sumF64,""" +
+      s""""i64_gelems_per_sec":${n / sumI64 / 1e9},"f64_gelems_per_sec":${n / sumF64 / 1e9}}"""
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"micro":$micro,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -75,6 +75,22 @@ object Strings {
   /** Deterministic 64-bit content fingerprint (rolling hash over bytes). */
   def fingerprint(c: Column): Column = toCol(RollingHash(toExpr(c)))
 
+  /** Dictionary-aware string transform (minarrow's dict kernels operate on
+    * `unique_values` only — e.g. regex_replace_dict rewrites the dictionary
+    * not the rows, string.rs:1965-2021). For a low-cardinality column:
+    * compute the transform over DISTINCT values and broadcast-join the
+    * result back — the expensive function runs |dictionary| times instead
+    * of |rows| times. Worth it when cardinality ≪ rows (the flag/status
+    * columns at 100 TB); for high-cardinality columns use the direct
+    * expression.
+    */
+  def dictAwareTransform(df: DataFrame, colName: String, f: Column => Column,
+      outName: String): DataFrame = {
+    val dict = df.select(col(colName)).distinct()
+      .withColumn(outName, f(col(colName)))
+    df.join(broadcast(dict), Seq(colName))
+  }
+
   /** cross_tabulate (string.rs:2034-2140): contingency counts of two
     * text columns. `values` pins the pivot domain so the plan is a single
     * shuffle (no extra distinct-scan to discover categories).

@@ -61,6 +61,16 @@ class StringsSpec extends SparkSpec {
     assert(fps(0) !== fps(2))
   }
 
+  test("dictAwareTransform equals the direct expression (regex_replace_dict, string.rs:1965)") {
+    import spark.implicits._
+    val df = Seq("A-F", "B-O", "A-F", "C-P", "B-O").toDF("s")
+    val direct = df.withColumn("out", regexp_replace(col("s"), "-", "_"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val dictAware = Strings.dictAwareTransform(df, "s", c => regexp_replace(c, "-", "_"), "out")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(direct === dictAware)
+  }
+
   test("crossTabulate equals groupBy-pivot-count (string.rs:2034)") {
     import spark.implicits._
     val df = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("a", "x")).toDF("r", "c")
