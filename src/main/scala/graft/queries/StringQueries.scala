@@ -123,5 +123,22 @@ object StringQueries {
       Strings.crossTabulate(Tables.orders(s, d), "o_orderpriority", "o_orderstatus", Seq("F", "O", "P"))
         .orderBy(col("o_orderpriority"))
     }
+,
+
+    // Dictionary-aware execution (minarrow dict kernels rewrite
+    // unique_values, not rows — string.rs:1965): the transform runs over
+    // the distinct dictionary and broadcast-joins back; the oracle applies
+    // the direct expression, so equality proves the rewrite is exact.
+    QueryDef.sql(
+      "q66_dict_aware_transform",
+      """SELECT o_orderkey, regexp_replace(o_orderpriority, '[0-9]-', '', 'g') AS prio_clean
+        |FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Strings.dictAwareTransform(
+          Tables.orders(s, d).filter(col("o_orderkey") < 3000)
+            .select(col("o_orderkey"), col("o_orderpriority")),
+          "o_orderpriority", c => regexp_replace(c, "[0-9]-", ""), "prio_clean")
+        .select(col("o_orderkey"), col("prio_clean"))
+        .orderBy(col("o_orderkey"))
+    }
   )
 }
