@@ -146,5 +146,25 @@ object ExtrasQueries {
           concat_ws(",", sort_array(collect_list(col("n_name")))).as("names"))
         .orderBy(col("n_regionkey"))
     }
+,
+
+    // CSV source/sink in the gate: supplier written to CSV (explicit
+    // schema, no inference) and read back, then aggregated — the oracle
+    // aggregates the original parquet, so the text round trip must be
+    // the identity.
+    QueryDef.sql(
+      "q67_csv_roundtrip",
+      """SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(s_acctbal), 2) AS total_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+      val src = Tables.supplier(s, d)
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_csv_gate_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      graft.sources.TextSources.writeCsv(src, dir)
+      graft.sources.TextSources.readCsv(s, dir, src.schema)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("total_bal"))
+        .orderBy(col("s_nationkey"))
+    }
   )
 }

@@ -72,6 +72,14 @@ class DatetimeSpec extends SparkSpec {
       Seq(Some(java.sql.Timestamp.valueOf("2024-06-15 12:00:00"))))
   }
 
+  test("timezone conversion respects DST transitions") {
+    // America/New_York: EST (UTC-5) in winter, EDT (UTC-4) in summer
+    val df = tsDf(Seq(Some("2024-01-15 12:00:00"), Some("2024-07-15 12:00:00")))
+    assert(col1[java.sql.Timestamp](df.select(Datetime.toTimezone(col("t"), "America/New_York"))) ===
+      Seq(Some(java.sql.Timestamp.valueOf("2024-01-15 07:00:00")),
+          Some(java.sql.Timestamp.valueOf("2024-07-15 08:00:00"))))
+  }
+
   test("ns epoch normalization is exact beyond double precision") {
     val ns = 1704067200123456789L // .123456789 s — µs must survive
     val df = longs("e", Seq(Some(ns)))

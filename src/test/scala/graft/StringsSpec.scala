@@ -43,6 +43,16 @@ class StringsSpec extends SparkSpec {
     assert(col1[Int](df.select(Strings.byteLen(col("s")))) === Seq(Some(6)))
   }
 
+  test("kernels handle multibyte content without corruption") {
+    val df = strings("s", Seq(Some("héllo wörld"), Some("日本語 text")))
+    // find0 counts BYTES; char ops stay char-based
+    assert(col1[Long](df.select(Strings.find0(col("s"), lit("wörld")))) ===
+      Seq(Some(7L), None)) // h-é(2B)-l-l-o-space = 7 bytes
+    assert(col1[Int](df.select(Strings.lenChars(col("s")))) === Seq(Some(11), Some(8)))
+    assert(col1[String](df.select(Strings.toUpper(col("s")))) ===
+      Seq(Some("HÉLLO WÖRLD"), Some("日本語 TEXT")))
+  }
+
   test("replaceStr is literal (regex metachars inert)") {
     val df = strings("s", Seq(Some("a.b.c")))
     assert(col1[String](df.select(Strings.replaceStr(col("s"), ".", "-"))) ===
