@@ -61,5 +61,46 @@ object SemanticsQueries {
         .orderBy(col("g_flag"), col("g_status"),
           col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }
+,
+
+    // CUBE grouping sets (all 4 combinations of the two keys).
+    QueryDef.sql(
+      "q68_cube_grouping",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("g_flag"), col("g_status"), col("n"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // Percentile battery: exact interpolated quantiles (Spark percentile ==
+    // DuckDB quantile_cont).
+    QueryDef.sql(
+      "q69_percentiles",
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90,
+        |  ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.50)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.90)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .orderBy(col("l_returnflag"))
+    }
   )
 }
