@@ -69,7 +69,9 @@ object Restructure {
     * `broadcast_table_with_operator`, src/kernels/broadcast/table.rs:31-63):
     * equal column counts required; rows paired positionally. A distributed
     * table has no inherent position, so both sides take explicit order keys
-    * and pair via row_number (SURVEY.md §2.5 — opt-in, costs a sort).
+    * and pair via RowIndex.withRowIndex — a range shuffle + partitioned
+    * row_number per side (SURVEY.md §2.5 — opt-in, costs a sort, but never
+    * a single-task global window), then a hash join on the index.
     * Output keeps the left table's column names.
     */
   def zipTables(a: DataFrame, b: DataFrame,
@@ -77,9 +79,8 @@ object Restructure {
       op: (Column, Column) => Column): DataFrame = {
     require(a.columns.length == b.columns.length,
       s"positional zip needs equal column counts (${a.columns.length} vs ${b.columns.length})")
-    import org.apache.spark.sql.expressions.Window
-    val ra = a.withColumn("__rn", row_number().over(Window.orderBy(orderA: _*)))
-    val rb = b.withColumn("__rn", row_number().over(Window.orderBy(orderB: _*)))
+    val ra = RowIndex.withRowIndex(a, "__rn", orderA)
+    val rb = RowIndex.withRowIndex(b, "__rn", orderB)
       .toDF(b.columns.map(c => s"__b_$c") :+ "__rn": _*)
     val joined = ra.join(rb, "__rn")
     joined.select(a.columns.zip(b.columns).map { case (ca, cb) =>

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed row-index primitive — the scale-safe positional building block
+  * behind every op that needs the reference's "row i" semantics
+  * (`RowSelection::r` /root/reference/src/traits/selection.rs:119,
+  * `Table::insert_rows` table.rs:520, positional table zip
+  * broadcast/table.rs:31).
+  *
+  * A naive `row_number().over(Window.orderBy(...))` funnels the whole table
+  * through ONE task (Spark logs "No Partition Defined for Window operation").
+  * This primitive is the distributed two-pass zipWithIndex instead:
+  *
+  *  1. `repartitionByRange(order)` — range shuffle; partition k holds keys
+  *     strictly below partition k+1, so partition ids are globally ordered.
+  *  2. per-partition row counts — a `groupBy(partition_id).count()` whose
+  *     result is bounded by the PARTITION COUNT (32 here, a few thousand on
+  *     a real cluster), never by data size; collected and turned into
+  *     cumulative offsets.
+  *  3. per-partition `row_number` (a PARTITIONED window — parallel) plus the
+  *     broadcast offset of its partition.
+  *
+  * The ranged input is persisted (MEMORY_AND_DISK) so the count pass and the
+  * caller's action share one shuffle instead of recomputing lineage; Spark
+  * evicts it LRU. Equal order-keys land in one range partition, so counts are
+  * deterministic even with ties.
+  */
+object RowIndex {
+
+  /** Append a 0-based contiguous row index under `order` as column `idxName`.
+    * Scale shape: one range shuffle + one bounded (numPartitions-row) driver
+    * collect; no single-partition stage anywhere.
+    */
+  def withRowIndex(
+      df: DataFrame,
+      idxName: String,
+      order: Seq[Column],
+      numPartitions: Int = 0): DataFrame = {
+    require(order.nonEmpty, "row index needs explicit order keys (distributed tables have no inherent order)")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions else spark.sessionState.conf.numShufflePartitions
+    val pidCol = "__graft_pid"
+    val ranged = df
+      .repartitionByRange(n, order: _*)
+      .withColumn(pidCol, spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val counts = ranged.groupBy(col(pidCol)).count()
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val entry = (pid, acc); acc += c; entry }
+
+    val offsetExpr =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(
+        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+        col(pidCol))
+
+    val w = Window.partitionBy(col(pidCol)).orderBy(order: _*)
+    ranged
+      .withColumn(idxName, offsetExpr + row_number().over(w).cast("long") - lit(1L))
+      .drop(pidCol)
+  }
+}

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Selection / projection / slicing surface (minarrow feature `select`,
@@ -37,15 +36,15 @@ final case class GraftTable(df: DataFrame) {
     GraftTable(df.orderBy(order: _*).offset(start).limit(end - start))
 
   /** Arbitrary row-index list under `order` (DataSelector index-list path,
-    * selection.rs:324-408): row_number join against the index set.
+    * selection.rs:324-408): distributed row index (RowIndex.withRowIndex —
+    * range shuffle + partitioned row_number, no single-task window) filtered
+    * against the index set.
     */
-  def rIdx(indices: Seq[Long], order: Column*): GraftTable = {
-    val w = Window.orderBy(order: _*)
+  def rIdx(indices: Seq[Long], order: Column*): GraftTable =
     GraftTable(
-      df.withColumn("__graft_rn", row_number().over(w).cast("long") - lit(1L))
+      RowIndex.withRowIndex(df, "__graft_rn", order)
         .filter(col("__graft_rn").isin(indices: _*))
         .drop("__graft_rn"))
-  }
 
   def toDF: DataFrame = df
 

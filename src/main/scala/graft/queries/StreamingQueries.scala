@@ -71,8 +71,11 @@ object StreamingQueries {
     },
 
     // Dictionary/categorical parity (SURVEY §7.4.3): explicit (code, label)
-    // pairs via dense_rank over the label order — the logical equivalent of
-    // minarrow's CategoricalArray codes + unique_values.
+    // pairs — the logical equivalent of minarrow's CategoricalArray codes +
+    // unique_values. Scale shape: codes are assigned on the (tiny) DISTINCT
+    // label set via the distributed row-index primitive, then broadcast-joined
+    // back onto per-label counts — the fact table is touched once, by a
+    // map-side-combining groupBy; no global window anywhere.
     QueryDef.sql(
       "q60_dictionary_codes",
       """SELECT o_orderpriority AS label,
@@ -80,12 +83,12 @@ object StreamingQueries {
         |  CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
         |FROM orders QUALIFY row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) = 1
         |ORDER BY code""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      Tables.orders(s, d)
-        .withColumn("code", (dense_rank().over(Window.orderBy(col("o_orderpriority"))) - 1).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))))
-        .filter(col("rn") === 1)
+      import graft.ops.RowIndex
+      val orders = Tables.orders(s, d)
+      val labels = RowIndex.withRowIndex(
+        orders.select(col("o_orderpriority")).distinct(), "code", Seq(col("o_orderpriority")))
+      orders.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .join(broadcast(labels), Seq("o_orderpriority"))
         .select(col("o_orderpriority").as("label"), col("code"), col("n"))
         .orderBy(col("code"))
     }

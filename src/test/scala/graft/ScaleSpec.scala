@@ -92,6 +92,29 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() === 0L)
   }
 
+  test("withRowIndex assigns the global sorted index (distributed two-pass)") {
+    import graft.ops.RowIndex
+    val cust = Tables.customer(spark, "/root/testdata/sf0.001").select(col("c_custkey"))
+    val idxed = RowIndex.withRowIndex(cust, "idx", Seq(col("c_custkey")), numPartitions = 8)
+    val got = idxed.select(col("c_custkey").cast("long"), col("idx"))
+      .as[(Long, Long)].collect().sortBy(_._2)
+    assert(got.map(_._2).toSeq === got.indices.map(_.toLong), "index not contiguous 0-based")
+    assert(got.map(_._1).toSeq === got.map(_._1).sorted.toSeq, "index order disagrees with key order")
+  }
+
+  test("positional ops contain no unpartitioned Window (100TB scale guard)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("q26_selection_indices", "q48_zip_tables", "q60_dictionary_codes",
+        "q10_supplier_running", "q44_sessionize")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w.simpleString(80)
+      }
+      assert(bad.isEmpty, s"$name funnels data through a single-task Window: ${bad.mkString("; ")}")
+    }
+  }
+
   test("asOf join matches a hand-computed model") {
     val quotes = Seq( // key, time, price
       ("a", 1L, 10.0), ("a", 5L, 11.0), ("a", 9L, 12.0),
