@@ -14,7 +14,8 @@ import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => t
   *    only within buckets (no all-pairs O(n²) stage anywhere), then exact
   *    Jaccard verification of candidates;
   *  - SimHash: 64-bit signature, near-dup = small Hamming distance; bucket
-  *    by 16-bit chunks (pigeonhole: ≤3 differing bits ⇒ one chunk equal);
+  *    by maxHamming+1 chunks (pigeonhole: ≤maxHamming differing bits ⇒ at
+  *    least one chunk equal, so recall is exactly 1);
   *  - n-gram Jaccard: exact similarity via inverted index self-join on
   *    shingles (pairs sharing ≥1 shingle), linear in index size.
   *
@@ -60,10 +61,14 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    // persisted: consumed twice (banding below + shingle re-attach for
+    // verification) — without the cache the shingle/minhash kernels would
+    // re-scan the full corpus a second time
     val withSig = df.select(
       col(idCol).as("id"),
       shingles(col(textCol)).as("sh"),
       minHashSignature(col(textCol), 3, bands * rowsPerBand).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSig.select(
       col("id"), col("sh"),
       explode(array((0 until bands).map(b =>
@@ -93,16 +98,28 @@ object Dedup {
   /** 64-bit SimHash signature (custom codegen expression). */
   def simHash(text: Column): Column = toCol(SimHash64(toExpr(text.cast("string"))))
 
-  /** SimHash near-dup pairs with Hamming distance <= maxHamming, bucketing
-    * by 16-bit signature chunks (pigeonhole guarantee for maxHamming <= 3).
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming.
+    *
+    * Bucketing splits the 64-bit signature into `maxHamming + 1` chunks:
+    * by pigeonhole, two signatures differing in <= maxHamming bits MUST
+    * agree on at least one chunk, so candidate recall is exactly 1 (proved
+    * against brute force in LlmSpec). More chunks = wider buckets = more
+    * candidates, so callers pay for exactly the radius they ask for.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in [0, 64): $maxHamming")
+    val nChunks = maxHamming + 1
+    // 64 bits split as evenly as possible: first (64 % n) chunks get an extra bit
+    val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _).init
     val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until nChunks).map { b =>
+        val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)).as("bb"))
+          shiftrightunsigned(col("sig"), starts(b)).bitwiseAND(lit(mask)).as("chunk"))
+      }: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.chunk"))
     val l = banded.select(col("band"), col("chunk"), col("id").as("id1"), col("sig").as("sig1"))
     val r = banded.select(col("band"), col("chunk"), col("id").as("id2"), col("sig").as("sig2"))

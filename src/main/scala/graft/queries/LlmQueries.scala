@@ -36,7 +36,10 @@ object LlmQueries {
         |         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
         |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS toks
         |  FROM words),
-        |inv AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+        |inv_raw AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+        |keep AS (SELECT w FROM (SELECT w, COUNT(*) AS dfq FROM inv_raw GROUP BY w)
+        |  WHERE dfq <= 0.01 * (SELECT COUNT(*) FROM documents)),
+        |inv AS (SELECT inv_raw.doc_id, inv_raw.w FROM inv_raw JOIN keep USING (w)),
         |sizes AS (SELECT doc_id, len(toks) AS n FROM tok),
         |pairs AS (
         |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS inter
@@ -47,7 +50,10 @@ object LlmQueries {
         |FROM pairs JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.6
         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 0.6)
+      // maxDocFreq = 0.01 keeps the boilerplate guard LIVE in the gate
+      // (fixture max shingle doc-frequency is 1.4%, so the 1% cutoff
+      // actually drops shingles); the oracle applies the same cutoff
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 0.6, maxDocFreq = 0.01)
         .select(col("id1"), col("id2"), col("inter"),
           col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"), col("jaccard"))
         .orderBy(col("id1"), col("id2"))

@@ -47,6 +47,27 @@ class LlmSpec extends SparkSpec {
     assert(ham(sigs(0), sigs(1)) < ham(sigs(0), sigs(2)))
   }
 
+  test("simhash pairs recall = 1 vs brute force at the gate radius (pigeonhole)") {
+    // real corpus slice, gate parameters (q34 uses maxHamming = 6): the
+    // chunk-bucketed candidate generation must find EVERY pair a full
+    // O(n^2) Hamming scan finds — pigeonhole needs maxHamming+1 chunks
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).limit(400).persist()
+    for (maxHamming <- Seq(3, 6)) {
+      val bucketed = Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming)
+        .select(col("id1"), col("id2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sigs = corpus.select(col("doc_id"), Dedup.simHash(col("text")))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val brute = (for {
+        (i1, s1) <- sigs; (i2, s2) <- sigs
+        if i1 < i2 && java.lang.Long.bitCount(s1 ^ s2) <= maxHamming
+      } yield (i1, i2)).toSet
+      assert(bucketed === brute, s"maxHamming=$maxHamming: bucketing missed ${brute -- bucketed}")
+    }
+    corpus.unpersist()
+  }
+
   test("ngram jaccard: exact dup = 1.0, disjoint absent") {
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
