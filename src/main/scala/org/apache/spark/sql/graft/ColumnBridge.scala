@@ -32,11 +32,35 @@ object ArrowBridge {
     df.asInstanceOf[CDataset[Row]].toArrowBatchRdd
 
   /** Import: rebuild a DataFrame from Arrow batch payloads + schema json
-    * (import_from_c analog, arrow_c_ffi.rs:640).
+    * (import_from_c analog, arrow_c_ffi.rs:640). Driver-side iterator —
+    * bounded handoffs only.
     */
   def fromArrowBatches(spark: SparkSession, batches: Iterator[Array[Byte]],
       schemaJson: String): DataFrame =
     ArrowConverters.toDataFrame(batches, schemaJson, spark.asInstanceOf[CSparkSession])
+
+  /** Distributed import: batch payloads living on executors (one or more
+    * IPC blobs per partition) are deserialized per-partition into
+    * InternalRows — the unbounded record-batch-stream analog
+    * (export_record_batch_stream, arrow_c_ffi.rs:2104). Nothing ever
+    * touches the driver.
+    */
+  def fromArrowBatchRdd(spark: SparkSession,
+      batches: org.apache.spark.rdd.RDD[Array[Byte]],
+      schemaJson: String): DataFrame = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val cs = spark.asInstanceOf[CSparkSession]
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val tz = cs.sessionState.conf.sessionLocalTimeZone
+    val rows = batches.mapPartitions { it =>
+      ArrowConverters.fromBatchIterator(
+        it, schema, tz,
+        /* errorOnDuplicatedFieldNames = */ true,
+        /* largeVarTypes = */ false,
+        org.apache.spark.TaskContext.get())
+    }
+    cs.internalCreateDataFrame(rows, schema, isStreaming = false)
+  }
 }
 
 /** Function-registry bridge: registers Catalyst expression builders as

@@ -20,6 +20,23 @@ class ArrowSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("distributed round-trip keeps batches on executors across many partitions") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001").repartition(16)
+    val back = ArrowInterop.roundTrip(spark, li)
+    assert(back.rdd.getNumPartitions === 16, "import must preserve the export partitioning")
+    assert(back.count() === li.count())
+    val a = li.agg(sum(col("l_quantity")).cast("decimal(30,2)")).collect().head.get(0)
+    val b = back.agg(sum(col("l_quantity")).cast("decimal(30,2)")).collect().head.get(0)
+    assert(a === b)
+  }
+
+  test("driver-side round-trip (bounded handoff variant) still works") {
+    val nation = Tables.nation(spark, "/root/testdata/sf0.001")
+    val back = ArrowInterop.roundTripLocal(spark, nation)
+    assert(back.orderBy(col("n_nationkey")).collect().map(_.toSeq).toSeq ===
+      nation.orderBy(col("n_nationkey")).collect().map(_.toSeq).toSeq)
+  }
+
   test("round-trip preserves a real table incl. timestamps") {
     val orders = Tables.orders(spark, "/root/testdata/sf0.001").limit(100)
     val back = ArrowInterop.roundTrip(spark, orders)
