@@ -48,10 +48,16 @@ object Datetime {
   def subDuration(c: Column, interval: String): Column = c - expr(s"INTERVAL $interval")
 
   // ---- differencing in a chosen unit (:96-99)
-  def diffDays(a: Column, b: Column): Column =
-    datediff(a.cast("date"), b.cast("date")).cast("long")
-  def diffSeconds(a: Column, b: Column): Column =
-    (unix_micros(a.cast("timestamp")) - unix_micros(b.cast("timestamp"))) / lit(1000000L)
+  // Reference semantics are chrono's whole_days()/whole_seconds(): the µs
+  // delta divided with truncation toward zero (23:00→01:00 next day is 0
+  // whole days, not 1 calendar day; a 1.5 s delta is 1, not 1.5). `div` is
+  // Catalyst IntegralDivide — exact long arithmetic, no double rounding.
+  private def truncDiv(a: Column, divisor: Long): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    toCol(org.apache.spark.sql.catalyst.expressions.IntegralDivide(toExpr(a), toExpr(lit(divisor))))
+  }
+  def diffDays(a: Column, b: Column): Column = truncDiv(diffMicros(a, b), 86400000000L)
+  def diffSeconds(a: Column, b: Column): Column = truncDiv(diffMicros(a, b), 1000000L)
   def diffMicros(a: Column, b: Column): Column =
     unix_micros(a.cast("timestamp")) - unix_micros(b.cast("timestamp"))
   def absDiffDays(a: Column, b: Column): Column = abs(diffDays(a, b))

@@ -86,9 +86,14 @@ object Strings {
     */
   def dictAwareTransform(df: DataFrame, colName: String, f: Column => Column,
       outName: String): DataFrame = {
+    // null-safe equality (<=>): distinct() puts the NULL key in the
+    // dictionary, and a plain equi-join would silently drop those rows —
+    // a transform must be row-preserving
     val dict = df.select(col(colName)).distinct()
       .withColumn(outName, f(col(colName)))
-    df.join(broadcast(dict), Seq(colName))
+      .withColumnRenamed(colName, "__graft_dict_key")
+    df.join(broadcast(dict), col(colName) <=> col("__graft_dict_key"))
+      .drop("__graft_dict_key")
   }
 
   /** cross_tabulate (string.rs:2034-2140): contingency counts of two

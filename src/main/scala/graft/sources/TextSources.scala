@@ -15,23 +15,27 @@ object TextSources {
     df.write.mode("overwrite")
       .option("header", "true")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .csv(path)
 
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read
       .option("header", "true")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .schema(schema)
       .csv(path)
 
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .json(path)
 
   def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .schema(schema)
       .json(path)
 }

@@ -27,15 +27,15 @@ object Events {
   private def stageDir(sfDir: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     // key by the full sanitized path (a hashCode key could collide across
-    // datasets); re-copy when the source size changed (regenerated data)
+    // datasets); always re-copy — regenerated data of identical SIZE would
+    // otherwise be served stale from the tmp cache, and the copy is cheap
+    // relative to the streaming query it feeds
     val dir = Paths.get(sys.props("java.io.tmpdir"),
       "graft_stream_" + sfDir.replaceAll("[^A-Za-z0-9]", "_"))
     Files.createDirectories(dir)
     val src = Paths.get(sfDir, "events.parquet")
     val dst = dir.resolve("events.parquet")
-    if (!Files.exists(dst) || Files.size(dst) != Files.size(src)) {
-      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
-    }
+    Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
     dir.toString
   }
 

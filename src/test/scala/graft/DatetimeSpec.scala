@@ -51,13 +51,23 @@ class DatetimeSpec extends SparkSpec {
       Seq(Some(java.sql.Timestamp.valueOf("2024-02-15 13:00:00"))))
   }
 
-  test("diff in chosen units (datetime_ops.rs:252)") {
+  test("diff in chosen units truncates like whole_days/whole_seconds (datetime_ops.rs:252)") {
     val df = tsDf(Seq(Some("2024-03-01 12:00:00")))
     val origin = lit("2024-02-28 00:00:00").cast("timestamp")
     assert(col1[Long](df.select(Datetime.diffDays(col("t"), origin))) === Seq(Some(2L)))
-    assert(col1[Double](df.select(Datetime.diffSeconds(col("t"), origin))) ===
-      Seq(Some(2.0 * 86400 + 12 * 3600)))
+    assert(col1[Long](df.select(Datetime.diffSeconds(col("t"), origin))) ===
+      Seq(Some(2L * 86400 + 12 * 3600)))
     assert(col1[Long](df.select(Datetime.absDiffDays(origin, col("t")))) === Seq(Some(2L)))
+    // 23:00 -> 01:00 next day: 2h elapsed = 0 whole days (calendar datediff
+    // would say 1 — the reference counts elapsed duration, not boundaries)
+    val lateNight = tsDf(Seq(Some("2024-03-02 01:00:00")))
+    val prevEvening = lit("2024-03-01 23:00:00").cast("timestamp")
+    assert(col1[Long](lateNight.select(Datetime.diffDays(col("t"), prevEvening))) === Seq(Some(0L)))
+    // fractional seconds truncate toward zero in both directions
+    val t1 = tsDf(Seq(Some("2024-03-01 00:00:01.500")))
+    val base = lit("2024-03-01 00:00:00").cast("timestamp")
+    assert(col1[Long](t1.select(Datetime.diffSeconds(col("t"), base))) === Seq(Some(1L)))
+    assert(col1[Long](t1.select(Datetime.diffSeconds(base, col("t")))) === Seq(Some(-1L)))
   }
 
   test("timezone conversion (lookup_timezone, datetime/tz.rs:502)") {

@@ -81,6 +81,15 @@ class StringsSpec extends SparkSpec {
     assert(direct === dictAware)
   }
 
+  test("dictAwareTransform preserves NULL rows (row-preserving transform)") {
+    import spark.implicits._
+    val df = Seq(Some("A-F"), None, Some("B-O"), None).toDF("s")
+    val out = Strings.dictAwareTransform(df, "s", c => regexp_replace(c, "-", "_"), "out")
+    assert(out.count() === 4L, "transform dropped NULL-key rows")
+    val nulls = out.filter(col("s").isNull).collect()
+    assert(nulls.length === 2 && nulls.forall(_.isNullAt(1)))
+  }
+
   test("crossTabulate equals groupBy-pivot-count (string.rs:2034)") {
     import spark.implicits._
     val df = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("a", "x")).toDF("r", "c")

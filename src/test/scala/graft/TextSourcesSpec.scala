@@ -18,6 +18,30 @@ class TextSourcesSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("NTZ timestamps with non-zero microseconds survive CSV and JSON round-trips") {
+    // timestampFormat does NOT apply to TIMESTAMP_NTZ columns (separate
+    // timestampNTZFormat option) — without it, sub-second precision is
+    // silently truncated to the default millis pattern
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("t", TimestampNTZType)))
+    val src = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, java.time.LocalDateTime.parse("2024-03-01T12:34:56.123456")),
+        org.apache.spark.sql.Row(2L, java.time.LocalDateTime.parse("2024-03-01T00:00:00.000001"))),
+      schema)
+    for ((write, read) <- Seq[((org.apache.spark.sql.DataFrame, String) => Unit,
+        (org.apache.spark.sql.SparkSession, String, StructType) => org.apache.spark.sql.DataFrame)](
+      (TextSources.writeCsv _, TextSources.readCsv _),
+      (TextSources.writeJsonLines _, TextSources.readJsonLines _))) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ntz").toString
+      write(src, dir)
+      val back = read(spark, dir, schema)
+      assert(back.orderBy(col("id")).collect().map(_.toSeq).toSeq ===
+        src.orderBy(col("id")).collect().map(_.toSeq).toSeq)
+    }
+  }
+
   test("JSON-lines round-trip preserves values incl. timestamps") {
     val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
     val src = ordersSample
