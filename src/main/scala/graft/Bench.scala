@@ -28,18 +28,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Two full passes, report the per-query minimum: pass 1 warms codegen
-    // caches and absorbs one-off machine noise (this box shows up to 4x
-    // run-to-run variance on sub-second queries), pass 2 usually wins.
-    val pass1 = SparkEntry.allDefs.map(q => q.name -> runOnce(q.name, q.fn)).toMap
-    val results = SparkEntry.allDefs.map { q =>
-      val t2 = runOnce(q.name, q.fn)
-      val t1 = pass1(q.name)
-      val best = if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2)
-      q.name -> best
+    // Three full passes, per-query MIN. Pass 1 doubles as warmup: measured
+    // decay on this box is 9.2 s -> 1.4 -> 0.9 -> 0.6 for the same query
+    // (JVM JIT + codegen + first-parquet-footer costs), and the VM also
+    // shows multi-second CPU-steal spikes (same query 3.6 s vs 31 s across
+    // runs) — min() discards both cold starts and steal outliers.
+    val passes = (1 to 3).map { _ =>
+      SparkEntry.allDefs.map(q => q.name -> runOnce(q.name, q.fn)).toMap
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val results = SparkEntry.allDefs.map { q =>
+      val ts = passes.map(_(q.name)).filter(_ >= 0)
+      q.name -> (if (ts.isEmpty) -1.0 else ts.min)
+    }
+    // 4-decimal (0.1 ms) resolution keeps the JSON line short — round-1's
+    // full-precision doubles made the line long enough to be truncated by
+    // the driver's output capture
+    def r4(v: Double): Double = math.rint(v * 10000) / 10000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
+    val total = r4(results.map(_._2).filter(_ >= 0).sum)
 
     // Micro-benchmarks matching the reference's own published workload
     // (BASELINE.md: sum of 1e9 i64/f64, SIMD+Rayon on 22 cores = ~114 ms).
@@ -52,10 +58,16 @@ object Bench {
     val n = 1000000000L
     val sumI64 = timeMin2(spark.range(n).agg(sum(col("id"))).collect())
     val sumF64 = timeMin2(spark.range(n).agg(sum(col("id").cast("double"))).collect())
-    val micro = s"""{"sum_1e9_i64_sec":$sumI64,"sum_1e9_f64_sec":$sumF64,""" +
-      s""""i64_gelems_per_sec":${n / sumI64 / 1e9},"f64_gelems_per_sec":${n / sumF64 / 1e9}}"""
+    val micro = s"""{"sum_1e9_i64_sec":${r4(sumI64)},"sum_1e9_f64_sec":${r4(sumF64)},""" +
+      s""""i64_gelems_per_sec":${r4(n / sumI64 / 1e9)},"f64_gelems_per_sec":${r4(n / sumF64 / 1e9)}}"""
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"micro":$micro,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"micro":$micro,"sf":"$sfDir"}"""
+    println(line)
+    // also persist to a file: stdout capture can truncate long lines, which
+    // cost round 1 a third of its per-query timings
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -17,9 +17,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Plan cache: `spark.read.parquet` eagerly lists files and reads footers
+  // on the driver (~50-150 ms per call) — measurable fixed overhead when a
+  // bench/verify run builds hundreds of plans over the same ten tables.
+  // DataFrames are immutable plans, so reuse within a session is safe; the
+  // cached file listing assumes the dataset does not change under a running
+  // JVM (true for the driver contract).
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     GraftConf.tune(spark)
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.computeIfAbsent((spark, sfDir, name),
+      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")

@@ -101,6 +101,23 @@ object SemanticsQueries {
           round(expr("percentile(l_extendedprice, 0.90)"), 4).as("p90"),
           round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Approximate-percentile twin of q69 — THE 100 TB default. Exact
+    // `percentile` buffers every value per group (unbounded state, and the
+    // slowest bench query); approx_percentile keeps a bounded sketch
+    // (~accuracy*O(1) memory) and partial-aggregates map-side. Sketch
+    // results are engine-specific -> rows-only gate; SemanticsSpec pins
+    // accuracy against the exact battery at 1e-3 relative error.
+    QueryDef.noOracle("q70_percentiles_approx") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("p25"),
+          expr("approx_percentile(l_extendedprice, 0.50, 10000)").as("p50"),
+          expr("approx_percentile(l_extendedprice, 0.90, 10000)").as("p90"),
+          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

@@ -24,7 +24,7 @@ object Events {
   /** The file-stream source only accepts directories/globs; stage the
     * single events.parquet file into a scratch directory once per sfDir.
     */
-  private def stageDir(sfDir: String): String = {
+  private[graft] def stageDir(sfDir: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     // key by the full sanitized path (a hashCode key could collide across
     // datasets); always re-copy — regenerated data of identical SIZE would
@@ -72,6 +72,34 @@ object Events {
           .otherwise(0L))
       .withColumn("sess_id", sum(col("new_sess")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Streaming sessionization via Spark's NATIVE session_window operator:
+    * merging event-time windows with watermark-driven state eviction — the
+    * declarative twin of `sessionizeStreaming` below (same gap semantics,
+    * no hand-rolled state). Append mode emits a session once the watermark
+    * passes its close; with a bounded replay the trailing still-open
+    * sessions stay in state, exactly like the explicit-state variant.
+    */
+  def sessionizeStreamingNative(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
+    val name = s"graft_events_sessnat_${counter.incrementAndGet()}"
+    val batch = Tables.events(spark, sfDir)
+    val stream = spark.readStream
+      .schema(batch.schema.fields.filter(_.name != "ts")
+        .foldLeft(new org.apache.spark.sql.types.StructType().add("ts", "long"))((s, f) => s.add(f)))
+      .parquet(stageDir(sfDir))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start_us"),
+        unix_micros(col("session_window.end")).as("sess_end_us"),
+        col("n_events"))
+    val q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
   }
 
   /** Streaming sessionization with explicit state: flatMapGroupsWithState

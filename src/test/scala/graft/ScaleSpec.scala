@@ -115,6 +115,20 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile (100TB path) tracks the exact battery within 1e-3 relative") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((k, e) <- exact) {
+      assert(math.abs(approx(k) - e) / math.abs(e) < 1e-3,
+        s"group $k: approx ${approx(k)} vs exact $e")
+    }
+  }
+
   test("asOf join matches a hand-computed model") {
     val quotes = Seq( // key, time, price
       ("a", 1L, 10.0), ("a", 5L, 11.0), ("a", 9L, 12.0),

@@ -40,7 +40,7 @@ class StreamingSpec extends SparkSpec {
     val raw = spark.readStream
       .schema(schema.fields.filter(_.name != "ts")
         .foldLeft(new org.apache.spark.sql.types.StructType().add("ts", "long"))((s, f) => s.add(f)))
-      .parquet("/tmp/graft_stream_" + Integer.toHexString(sf.hashCode))
+      .parquet(Events.stageDir(sf))
     val chunks = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     val q = raw.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -51,6 +51,25 @@ class StreamingSpec extends SparkSpec {
     val consolidated = chunks.reduce(_ unionByName _)   // Consolidate
     assert(consolidated.count() === Tables.events(spark, sf).count())
     chunks.foreach(_.unpersist())
+  }
+
+  test("native session_window streaming mode matches the batch oracle on closed sessions") {
+    val gapUs = 30L * 60 * 1000000
+    val streamed = Events.sessionizeStreamingNative(spark, sf, gapMinutes = 30)
+    // session_window end = last event + gap; normalize to last-event time
+    // to compare against the batch session table
+    val emitted = streamed.select(col("user_id"), col("sess_start_us"),
+        (col("sess_end_us") - lit(gapUs)).as("e"), col("n_events"))
+      .collect().map(_.toSeq).toSet
+    val batchSess = Events.sessionizeBatch(Tables.events(spark, sf), 30)
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(unix_micros(col("ts"))).as("s"), max(unix_micros(col("ts"))).as("e"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), col("s"), col("e"), col("n"))
+      .collect().map(_.toSeq).toSet
+    assert(emitted.nonEmpty, "no sessions emitted — watermark never closed any window")
+    assert(emitted.subsetOf(batchSess),
+      s"streamed sessions disagree with batch: ${(emitted -- batchSess).take(3)}")
   }
 
   test("stateful streaming sessionization emits closed sessions consistent with batch") {
