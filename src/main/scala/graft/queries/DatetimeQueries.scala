@@ -23,7 +23,8 @@ object DatetimeQueries {
         |  CAST(isodow(ts) - 1 AS BIGINT) AS wd,
         |  CAST(dayofyear(ts) AS BIGINT) AS doy,
         |  CAST(weekofyear(ts) AS BIGINT) AS iw,
-        |  CAST(quarter(ts) AS BIGINT) AS q
+        |  CAST(quarter(ts) AS BIGINT) AS q,
+        |  CAST(epoch_us(ts) - epoch_us(date_trunc('day', ts)) AS BIGINT) AS tod_us
         |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin) { (s, d) =>
       Tables.events(s, d).filter(col("event_id") < 300)
         .select(
@@ -37,7 +38,8 @@ object DatetimeQueries {
           Datetime.weekday(col("ts")).cast("long").as("wd"),
           Datetime.dayOfYearOf(col("ts")).cast("long").as("doy"),
           Datetime.isoWeek(col("ts")).cast("long").as("iw"),
-          Datetime.quarterOf(col("ts")).cast("long").as("q"))
+          Datetime.quarterOf(col("ts")).cast("long").as("q"),
+          graft.ops.Intervals.timeOfDayMicros(col("ts")).as("tod_us"))
         .orderBy(col("event_id"))
     },
 
@@ -62,6 +64,45 @@ object DatetimeQueries {
           trunc(col("l_shipdate").cast("date"), "month").cast("timestamp").as("ship_month"),
           Datetime.diffDays(col("l_shipdate"), to_date(lit("1995-01-01"))).as("days_since"),
           Datetime.isLeapYear(col("l_shipdate")).as("leap"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // Duration/Interval column surface (Duration64 + Interval(YearMonth/
+    // DayTime), arrow_dtype.rs:84-121): interval-typed columns flow through
+    // the plan (subtraction -> scaling -> extraction -> timestamp shift);
+    // only the final projection lands on scalar types for the oracle.
+    // DuckDB INTERVAL is the oracle. Broadcast join: the filtered orders
+    // side is tiny; lineitem is never shuffled.
+    QueryDef.sql(
+      "q71_interval_ops",
+      """WITH j AS (
+        |  SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate,
+        |    l_shipdate - o_orderdate AS itv
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_orderkey < 1500)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(date_part('day', itv) AS BIGINT) AS lag_days,
+        |  CAST(epoch(itv) AS BIGINT) AS lag_secs,
+        |  CAST(epoch(itv * 2) AS BIGINT) AS lag_secs_x2,
+        |  l_shipdate + INTERVAL 90 MINUTE AS ship_plus_90m,
+        |  o_orderdate + INTERVAL 3 MONTH AS ord_plus_q,
+        |  l_shipdate + to_seconds(3600) AS ship_plus_dur
+        |FROM j ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      import graft.ops.Intervals
+      val li = Tables.lineitem(s, d).filter(col("l_orderkey") < 1500)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      val ord = Tables.orders(s, d).filter(col("o_orderkey") < 1500)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val itv = Intervals.durationBetween(col("l_shipdate"), col("o_orderdate"))
+      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          Intervals.dayField(itv).as("lag_days"),
+          Intervals.wholeSeconds(itv).as("lag_secs"),
+          Intervals.wholeSeconds(Intervals.scale(itv, lit(2))).as("lag_secs_x2"),
+          Intervals.shift(col("l_shipdate"), Intervals.dayTime(0, 1, 30, 0)).as("ship_plus_90m"),
+          Intervals.shift(col("o_orderdate"), Intervals.yearMonth(0, 3)).as("ord_plus_q"),
+          Intervals.shift(col("l_shipdate"), Intervals.durationFromSeconds(lit(3600L))).as("ship_plus_dur"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 

@@ -70,6 +70,30 @@ class DatetimeSpec extends SparkSpec {
     assert(col1[Long](t1.select(Datetime.diffSeconds(base, col("t")))) === Seq(Some(-1L)))
   }
 
+  test("interval/duration column ops (Duration64 + Interval, arrow_dtype.rs:84-121)") {
+    import graft.ops.Intervals
+    val df = tsDf(Seq(Some("1995-01-03 10:30:00")))
+    val base = lit("1995-01-01 08:00:00").cast("timestamp")
+    val itv = Intervals.durationBetween(col("t"), base) // 2d 2:30:00
+    assert(col1[Long](df.select(Intervals.wholeSeconds(itv))) === Seq(Some(181800L)))
+    assert(col1[Long](df.select(Intervals.dayField(itv))) === Seq(Some(2L)))
+    assert(col1[Long](df.select(Intervals.wholeSeconds(Intervals.scale(itv, lit(2))))) ===
+      Seq(Some(363600L)))
+    assert(col1[java.sql.Timestamp](df.select(Intervals.shift(base, Intervals.dayTime(0, 1, 30, 0)))) ===
+      Seq(Some(java.sql.Timestamp.valueOf("1995-01-01 09:30:00"))))
+    assert(col1[java.sql.Timestamp](df.select(Intervals.shift(base, Intervals.yearMonth(0, 3)))) ===
+      Seq(Some(java.sql.Timestamp.valueOf("1995-04-01 08:00:00"))))
+    assert(col1[java.sql.Timestamp](df.select(Intervals.shift(base, Intervals.durationFromSeconds(lit(3600L))))) ===
+      Seq(Some(java.sql.Timestamp.valueOf("1995-01-01 09:00:00"))))
+    // Time64 analog: µs since midnight
+    assert(col1[Long](df.select(Intervals.timeOfDayMicros(col("t")))) ===
+      Seq(Some((10L * 3600 + 30 * 60) * 1000000L)))
+    // duration ordering is native: min/max aggregate over intervals
+    val two = tsDf(Seq(Some("1995-01-03 10:30:00"), Some("1995-01-02 00:00:00")))
+    val mx = two.agg(max(Intervals.durationBetween(col("t"), base)).cast("long")).collect()
+    assert(mx.head.getLong(0) === 181800L)
+  }
+
   test("timezone conversion (lookup_timezone, datetime/tz.rs:502)") {
     val df = tsDf(Seq(Some("2024-06-15 12:00:00"))) // UTC session
     assert(col1[java.sql.Timestamp](df.select(Datetime.toTimezone(col("t"), "America/New_York"))) ===
