@@ -28,6 +28,23 @@ case class Fma(first: Expression, second: Expression, third: Expression)
       f: Expression, s: Expression, t: Expression): Fma = copy(f, s, t)
 }
 
+/** Float32 twin of Fma — single-rounded fma at BINARY32 precision
+  * (minarrow apply_fma_f32, src/kernels/arithmetic/dispatch.rs:389-419).
+  * Math.fma(float,float,float) is the hardware single-precision FMA; the
+  * double-path Fma then a float cast would round twice.
+  */
+case class FmaF32(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with Serializable {
+  override def dataType: DataType = FloatType
+  override def prettyName: String = "fma_f32"
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    Math.fma(a.asInstanceOf[Float], b.asInstanceOf[Float], c.asInstanceOf[Float])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"java.lang.Math.fma($a, $b, $c)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): FmaF32 = copy(f, s, t)
+}
+
 /** Integer floor division: rounds toward negative infinity, NULL on zero
   * divisor (minarrow's masked-path semantics: FloorDiv
   * src/enums/operators.rs:41-47; div-by-zero nullify src/enums/operators.rs:27-29).

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.expressions.{Fma, IntFloorDiv, WrapInt}
+import graft.expressions.{Fma, FmaF32, IntFloorDiv, WrapInt}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
@@ -49,6 +49,19 @@ object Arith {
   /** Fused multiply-add a*b + c with single rounding. */
   def fma(a: Column, b: Column, c: Column): Column =
     toCol(Fma(toExpr(a.cast("double")), toExpr(b.cast("double")), toExpr(c.cast("double"))))
+
+  /** f32 twin: single-rounded fma at BINARY32 precision (dispatch.rs:389).
+    * Spark float arithmetic is true IEEE single precision (like the
+    * reference's f32 kernels), so the whole f32 lane — +,-,*,/ on
+    * `.cast("float")` columns plus this fma — matches bit-for-bit.
+    */
+  def fmaF32(a: Column, b: Column, c: Column): Column =
+    toCol(FmaF32(toExpr(a.cast("float")), toExpr(b.cast("float")), toExpr(c.cast("float"))))
+
+  /** f32 lane entry: cast to IEEE binary32 (strict narrowing to the
+    * reference's Float32 kernels' input type).
+    */
+  def toF32(c: Column): Column = c.cast("float")
 
   /** Wrap a 64-bit intermediate to a `bits`-wide signed integer — reproduces
     * Rust per-width wrapping arithmetic for any +,-,* chain computed in Long.

@@ -14,6 +14,11 @@ object Casts {
   /** Widening int→int/float (`From` impls — infallible). */
   def widen(c: Column, to: String): Column = c.cast(to)
 
+  /** f64→f32 narrowing (IEEE round-to-nearest — the reference's
+    * Float64→Float32 cast); f32→f64 widening is exact via widen(_, "double").
+    */
+  def narrowToF32(c: Column): Column = c.cast("float")
+
   /** Checked narrowing (`TryFrom` → Overflow error; masked semantics → NULL
     * when out of range). Spark non-ANSI cast wraps, so range-check first.
     */

@@ -27,7 +27,9 @@ object ExtrasQueries {
         |  (l_linenumber <> 0) AS nonzero,
         |  CAST(l_linenumber AS VARCHAR) AS ln_str,
         |  CAST(CAST(l_linenumber AS VARCHAR) AS BIGINT) AS ln_roundtrip,
-        |  CAST(CAST(l_orderkey AS DECIMAL(20,0)) AS VARCHAR) AS okey_u64
+        |  CAST(CAST(l_orderkey AS DECIMAL(20,0)) AS VARCHAR) AS okey_u64,
+        |  CAST(l_extendedprice AS REAL) AS price_f32,
+        |  CAST(CAST(l_extendedprice AS REAL) AS DOUBLE) AS f32_widened
         |FROM lineitem WHERE l_orderkey < 1000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d).filter(col("l_orderkey") < 1000)
@@ -41,7 +43,9 @@ object ExtrasQueries {
           Casts.intToBool(col("l_linenumber")).as("nonzero"),
           Casts.numToString(col("l_linenumber")).as("ln_str"),
           Casts.stringToLong(Casts.numToString(col("l_linenumber"))).as("ln_roundtrip"),
-          Casts.toU64(col("l_orderkey")).cast("string").as("okey_u64"))
+          Casts.toU64(col("l_orderkey")).cast("string").as("okey_u64"),
+          Casts.narrowToF32(col("l_extendedprice")).as("price_f32"),
+          Casts.widen(Casts.narrowToF32(col("l_extendedprice")), "double").as("f32_widened"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 

@@ -42,14 +42,24 @@ object Kernels {
     },
 
     // Sign-correct integer floor division (custom IntFloorDiv expression),
-    // per-width wrapping (WrapInt), single-rounding FMA (Fma expression).
+    // per-width wrapping (WrapInt), single-rounding FMA (Fma + FmaF32).
+    // The f32 lane (add32/mul32/div32/promo32/fma32) runs at true IEEE
+    // binary32 on both engines (Spark FloatType == DuckDB REAL arithmetic);
+    // the oracle emulates the f32 fma in double — exact by the 2p+2
+    // double-rounding theorem (24-bit products are exact in 53 bits).
     QueryDef.sql(
       "q14_floordiv_wrap_fma",
       """SELECT l_orderkey, l_linenumber,
         |  CAST(floor((l_orderkey - 2 * l_partkey) / CAST(l_linenumber AS DOUBLE)) AS BIGINT) AS fdiv_i,
         |  CAST((((l_orderkey * l_suppkey + l_partkey) % 256) + 256 + 128) % 256 - 128 AS BIGINT) AS wrap8,
         |  CAST((((l_orderkey * l_suppkey + l_partkey) % 65536) + 65536 + 32768) % 65536 - 32768 AS BIGINT) AS wrap16,
-        |  ROUND(l_quantity * l_discount + l_tax, 6) AS fma_qdt
+        |  ROUND(l_quantity * l_discount + l_tax, 6) AS fma_qdt,
+        |  CAST(l_quantity AS REAL) + CAST(l_tax AS REAL) AS add32,
+        |  CAST(l_extendedprice AS REAL) * CAST(l_discount AS REAL) AS mul32,
+        |  CAST(l_extendedprice AS REAL) / CAST(l_quantity AS REAL) AS div32,
+        |  l_linenumber + CAST(l_discount AS REAL) AS promo32,
+        |  CAST(CAST(CAST(l_quantity AS REAL) AS DOUBLE) * CAST(CAST(l_discount AS REAL) AS DOUBLE)
+        |       + CAST(CAST(l_tax AS REAL) AS DOUBLE) AS REAL) AS fma32
         |FROM lineitem WHERE l_orderkey < 2000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
       val li = Tables.lineitem(s, d).filter(col("l_orderkey") < 2000)
@@ -59,7 +69,14 @@ object Kernels {
         Arith.floorDivI(col("l_orderkey") - lit(2) * col("l_partkey"), col("l_linenumber")).as("fdiv_i"),
         Arith.wrapInt(wrapSrc, 8).as("wrap8"),
         Arith.wrapInt(wrapSrc, 16).as("wrap16"),
-        round(Arith.fma(col("l_quantity"), col("l_discount"), col("l_tax")), 6).as("fma_qdt"))
+        round(Arith.fma(col("l_quantity"), col("l_discount"), col("l_tax")), 6).as("fma_qdt"),
+        (Arith.toF32(col("l_quantity")) + Arith.toF32(col("l_tax"))).as("add32"),
+        (Arith.toF32(col("l_extendedprice")) * Arith.toF32(col("l_discount"))).as("mul32"),
+        // Spark Divide always computes in double; one f32 rounding of the
+        // f64 quotient equals direct f32 division (2p+2 theorem)
+        (Arith.toF32(col("l_extendedprice")) / Arith.toF32(col("l_quantity"))).cast("float").as("div32"),
+        (col("l_linenumber") + Arith.toF32(col("l_discount"))).as("promo32"),
+        Arith.fmaF32(col("l_quantity"), col("l_discount"), col("l_tax")).as("fma32"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 

@@ -72,6 +72,20 @@ class ArithSpec extends SparkSpec {
     assert(Math.fma(a, b, c) !== a * b + c)
   }
 
+  test("f32 fma single-rounds at binary32 (dispatch.rs:389 f32 twin)") {
+    val df = doubles("x", Seq(Some(1.0)))
+    // a = b = 1 + 2^-12: the exact square 1 + 2^-11 + 2^-24 needs 25 bits,
+    // so f32 mul-then-add loses the 2^-24 tail that fma keeps
+    val a = 1.0f + math.pow(2, -12).toFloat
+    val c = -1.0f
+    val got = col1[Float](df.select(Arith.fmaF32(lit(a), lit(a), lit(c)))).head.get
+    assert(got === Math.fma(a, a, c))
+    assert(Math.fma(a, a, c) !== a * a + c, "fixture must distinguish single from double rounding")
+    // the oracle's double-emulation identity (2p+2 theorem): f64 compute +
+    // one f32 rounding == hardware f32 fma
+    assert(Math.fma(a, a, c) === (a.toDouble * a.toDouble + c.toDouble).toFloat)
+  }
+
   test("float floor div + power") {
     val df = doubles("x", Seq(Some(7.5), Some(-7.5)))
     assert(col1[Long](df.select(Arith.floorDivF(col("x"), lit(2.0)))) ===
