@@ -22,13 +22,18 @@ object Tables {
   // bench/verify run builds hundreds of plans over the same ten tables.
   // DataFrames are immutable plans, so reuse within a session is safe; the
   // cached file listing assumes the dataset does not change under a running
-  // JVM (true for the driver contract).
+  // JVM (true for the driver contract). Weak keys on the session so a
+  // stopped session's plans (and file-index state) don't outlive it.
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     GraftConf.tune(spark)
-    cache.computeIfAbsent((spark, sfDir, name),
+    val perSession = cache.synchronized {
+      cache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+    }
+    perSession.computeIfAbsent((sfDir, name),
       _ => spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 

@@ -63,12 +63,12 @@ object Dedup {
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     // persisted: consumed twice (banding below + shingle re-attach for
     // verification) — without the cache the shingle/minhash kernels would
-    // re-scan the full corpus a second time
-    val withSig = df.select(
+    // re-scan the full corpus a second time. CacheRegistry bounds the pin.
+    val withSig = graft.ops.CacheRegistry.register(df.select(
       col(idCol).as("id"),
       shingles(col(textCol)).as("sh"),
       minHashSignature(col(textCol), 3, bands * rowsPerBand).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val banded = withSig.select(
       col("id"), col("sh"),
       explode(array((0 until bands).map(b =>

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -15,25 +14,32 @@ import org.apache.spark.storage.StorageLevel
   * through ONE task (Spark logs "No Partition Defined for Window operation").
   * This primitive is the distributed two-pass zipWithIndex instead:
   *
-  *  1. `repartitionByRange(order)` — range shuffle; partition k holds keys
-  *     strictly below partition k+1, so partition ids are globally ordered.
-  *  2. per-partition row counts — a `groupBy(partition_id).count()` whose
+  *  1. `repartitionByRange(order)` + `sortWithinPartitions(order)` — ONE
+  *     range shuffle and a local sort; partition k holds keys strictly
+  *     below partition k+1, so partition ids are globally ordered.
+  *  2. `monotonically_increasing_id()` — codegen'd: partition id in the
+  *     upper bits, a per-partition row counter in the lower 33; in sorted
+  *     partitions the lower bits ARE the local rank. (A pid-partitioned
+  *     window here would insert a second full-data hash Exchange —
+  *     measured in the physical plan — because range partitioning doesn't
+  *     satisfy a ClusteredDistribution on pid.)
+  *  3. per-partition row counts — a `groupBy(partition_id).count()` whose
   *     result is bounded by the PARTITION COUNT (32 here, a few thousand on
-  *     a real cluster), never by data size; collected and turned into
-  *     cumulative offsets.
-  *  3. per-partition `row_number` (a PARTITIONED window — parallel) plus the
-  *     broadcast offset of its partition.
+  *     a real cluster), never by data size; collected, turned into
+  *     cumulative offsets, and added back as a broadcast literal map.
   *
   * The ranged input is persisted (MEMORY_AND_DISK) so the count pass and the
-  * caller's action share one shuffle instead of recomputing lineage; Spark
-  * evicts it LRU. Equal order-keys land in one range partition, so counts are
-  * deterministic even with ties.
+  * caller's action share one shuffle instead of recomputing lineage;
+  * CacheRegistry bounds how many such caches stay pinned. Equal order-keys
+  * land in one range partition, so counts are deterministic even with ties.
+  * Limit: 2^33 rows per partition (the id's counter width) — size
+  * numPartitions so partitions stay far below ~8.6e9 rows.
   */
 object RowIndex {
 
   /** Append a 0-based contiguous row index under `order` as column `idxName`.
     * Scale shape: one range shuffle + one bounded (numPartitions-row) driver
-    * collect; no single-partition stage anywhere.
+    * collect; no single-partition stage, no second data shuffle.
     */
   def withRowIndex(
       df: DataFrame,
@@ -44,10 +50,14 @@ object RowIndex {
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions else spark.sessionState.conf.numShufflePartitions
     val pidCol = "__graft_pid"
+    val midCol = "__graft_mid"
     val ranged = df
       .repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
       .withColumn(pidCol, spark_partition_id())
+      .withColumn(midCol, monotonically_increasing_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
+    CacheRegistry.register(ranged)
 
     val counts = ranged.groupBy(col(pidCol)).count()
       .collect()
@@ -62,9 +72,10 @@ object RowIndex {
         map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
         col(pidCol))
 
-    val w = Window.partitionBy(col(pidCol)).orderBy(order: _*)
+    // local rank = the id's lower 33 bits (counter starts at 0 per partition)
+    val localRank = col(midCol).bitwiseAND(lit((1L << 33) - 1))
     ranged
-      .withColumn(idxName, offsetExpr + row_number().over(w).cast("long") - lit(1L))
-      .drop(pidCol)
+      .withColumn(idxName, offsetExpr + localRank)
+      .drop(pidCol, midCol)
   }
 }

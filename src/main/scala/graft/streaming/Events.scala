@@ -39,14 +39,23 @@ object Events {
     dir.toString
   }
 
-  def windowedCountsStreaming(spark: SparkSession, sfDir: String, windowLen: String): DataFrame = {
+  /** File-stream source over the staged events parquet with the ts column
+    * normalized from epoch-nanos Long to a µs timestamp — the one subtle
+    * idiom every streaming entry point must share (a missed `DIV 1000` or
+    * wrong field order silently corrupts timestamps).
+    */
+  private def streamEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val batch = Tables.events(spark, sfDir)
-    val name = s"graft_events_win_${counter.incrementAndGet()}"
-    val stream = spark.readStream
+    spark.readStream
       .schema(batch.schema.fields.filter(_.name != "ts")
         .foldLeft(new org.apache.spark.sql.types.StructType().add("ts", "long"))((s, f) => s.add(f)))
       .parquet(stageDir(sfDir))
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  def windowedCountsStreaming(spark: SparkSession, sfDir: String, windowLen: String): DataFrame = {
+    val name = s"graft_events_win_${counter.incrementAndGet()}"
+    val stream = streamEvents(spark, sfDir)
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), windowLen), col("event_type"))
@@ -83,13 +92,7 @@ object Events {
     */
   def sessionizeStreamingNative(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
     val name = s"graft_events_sessnat_${counter.incrementAndGet()}"
-    val batch = Tables.events(spark, sfDir)
-    val stream = spark.readStream
-      .schema(batch.schema.fields.filter(_.name != "ts")
-        .foldLeft(new org.apache.spark.sql.types.StructType().add("ts", "long"))((s, f) => s.add(f)))
-      .parquet(stageDir(sfDir))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    val agg = stream
+    val agg = streamEvents(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
       .agg(count(lit(1)).as("n_events"))
@@ -114,12 +117,8 @@ object Events {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = gapMinutes * 60L * 1000000L
     val name = s"graft_events_sess_${counter.incrementAndGet()}"
-    val batch = Tables.events(spark, sfDir)
-    val stream = spark.readStream
-      .schema(batch.schema.fields.filter(_.name != "ts")
-        .foldLeft(new org.apache.spark.sql.types.StructType().add("ts", "long"))((s, f) => s.add(f)))
-      .parquet(stageDir(sfDir))
-      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"))
+    val stream = streamEvents(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .as[(Long, Long)]
 
     case class Sess(var start: Long, var end: Long, var n: Long)

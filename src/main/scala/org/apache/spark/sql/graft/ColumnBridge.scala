@@ -52,11 +52,14 @@ object ArrowBridge {
     val cs = spark.asInstanceOf[CSparkSession]
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val tz = cs.sessionState.conf.sessionLocalTimeZone
+    // must mirror the export side's conf — toArrowBatchRdd serializes
+    // string/binary as large_utf8/large_binary under this flag
+    val largeVarTypes = cs.sessionState.conf.arrowUseLargeVarTypes
     val rows = batches.mapPartitions { it =>
       ArrowConverters.fromBatchIterator(
         it, schema, tz,
         /* errorOnDuplicatedFieldNames = */ true,
-        /* largeVarTypes = */ false,
+        largeVarTypes,
         org.apache.spark.TaskContext.get())
     }
     cs.internalCreateDataFrame(rows, schema, isStreaming = false)

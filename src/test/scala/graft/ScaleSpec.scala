@@ -100,6 +100,12 @@ class ScaleSpec extends SparkSpec {
       .as[(Long, Long)].collect().sortBy(_._2)
     assert(got.map(_._2).toSeq === got.indices.map(_.toLong), "index not contiguous 0-based")
     assert(got.map(_._1).toSeq === got.map(_._1).sorted.toSeq, "index order disagrees with key order")
+    // scale shape: exactly ONE data shuffle (the range exchange) — a
+    // pid-partitioned window would add a second, hash-partitioned one
+    val plan = idxed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"withRowIndex added a second data shuffle:\n$plan")
+    assert(plan.contains("rangepartitioning"), s"range exchange missing:\n$plan")
   }
 
   test("positional ops contain no unpartitioned Window (100TB scale guard)") {
