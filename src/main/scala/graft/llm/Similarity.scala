@@ -89,6 +89,101 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 
+  // ---------------------------------------------------------------- IVF
+
+  /** Train an IVF coarse quantizer: Lloyd's k-means (cosine geometry, i.e.
+    * spherical k-means on normalized vectors) over a BOUNDED sample of the
+    * corpus, driver-side — exactly the index-build contract of IVF systems
+    * (quantizers train on an in-memory sample; only assign/search touch the
+    * full corpus). Deterministic: sample = first `sampleSize` ids, init =
+    * first k distinct sampled vectors.
+    *
+    * Returns k centroid vectors.
+    */
+  def ivfTrain(corpus: DataFrame, k: Int, iters: Int = 8,
+      sampleSize: Int = 4096, idCol: String = "id", vecCol: String = "vec"): Array[Array[Double]] = {
+    val sample = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(sampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.length >= k, s"need >= $k sample vectors, got ${sample.length}")
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val pts = sample.map(normalize)
+    var centroids = pts.distinct.take(k)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](pts.head.length))
+      val cnts = new Array[Long](centroids.length)
+      pts.foreach { p =>
+        var best = 0; var bestDot = Double.MinValue
+        var i = 0
+        while (i < centroids.length) {
+          var d = 0.0; var j = 0
+          while (j < p.length) { d += p(j) * centroids(i)(j); j += 1 }
+          if (d > bestDot) { bestDot = d; best = i }
+          i += 1
+        }
+        var j = 0
+        while (j < p.length) { sums(best)(j) += p(j); j += 1 }
+        cnts(best) += 1
+      }
+      centroids = centroids.indices.map { i =>
+        if (cnts(i) == 0) centroids(i) else normalize(sums(i))
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Nearest-centroid cell id for a vector column: an argmax over k codegen
+    * cosine expressions folded through `aggregate` — no UDF, no shuffle.
+    * The centroid array is a broadcast literal (a few KB), so assignment is
+    * one map-side pass however large the corpus is.
+    */
+  def ivfCell(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = array(centroids.indices.map { i =>
+      struct(lit(i).as("cid"),
+        cosine(vec.cast("array<double>"), typedLit(centroids(i).toSeq)).as("d"))
+    }: _*)
+    aggregate(scored,
+      struct(lit(-1).cast("int").as("cid"), lit(Double.MinValue).as("d")),
+      (acc, x) => when(x.getField("d") > acc.getField("d"), x).otherwise(acc)
+    ).getField("cid")
+  }
+
+  /** IVF top-k search: each query probes its `nProbe` nearest cells and
+    * scores ONLY vectors assigned there. The (qid, cell) probe list is tiny
+    * and broadcast, so the corpus is never shuffled; at rest, a corpus
+    * written partitioned by cell turns the probe into partition pruning.
+    * With nProbe = k (probe every cell) the result equals bruteForceTopK
+    * exactly — the spec pins that identity.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: Array[Array[Double]],
+      k: Int, nProbe: Int, idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    // assign corpus vectors to cells (map-side, codegen)
+    val assigned = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("nv"),
+      ivfCell(col(vecCol), centroids).as("cell"))
+    // probe list: nProbe nearest centroids per query
+    val cellScores = array(centroids.indices.map { i =>
+      struct(lit(i).as("cell"),
+        cosine(col("qv"), typedLit(centroids(i).toSeq)).as("d"))
+    }: _*)
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("cs", explode(cellScores))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cs.d").desc, col("cs.cell"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qv"), col("cs.cell").as("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
   /** Embedding-space near-duplicate pairs: corpus×corpus via LSH buckets,
     * kept when cosine >= threshold.
     */

@@ -125,6 +125,20 @@ object LlmQueries {
         .orderBy(col("qid"), col("nid"))
     },
 
+    // IVF ANN: driver-trained coarse quantizer (bounded sample, spherical
+    // k-means), distributed codegen cell assignment, probe-pruned search.
+    // Recall engine-specific -> rows-only; LlmSpec pins the full-probe ==
+    // brute-force identity and a recall floor at gate parameters.
+    QueryDef.noOracle("q72_ivf_topk") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val centroids = Similarity.ivfTrain(corpus, k = 16)
+      Similarity.ivfTopK(queries, corpus, centroids, k = 5, nProbe = 4)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("qid"), col("nid"))
+    },
+
     // Embedding-space near-duplicate pairs via SRP buckets.
     QueryDef.noOracle("q37_embedding_neardup") { (s, d) =>
       Similarity.cosineNearDupPairs(

@@ -126,6 +126,26 @@ class LlmSpec extends SparkSpec {
     assert(top.last.getLong(1) === 3L)    // opposite vector last
   }
 
+  test("IVF: full-probe search equals brute force exactly; partial probe keeps recall") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 5).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val nCells = 8
+    val centroids = Similarity.ivfTrain(corpus, k = nCells, sampleSize = 512)
+    assert(centroids.length === nCells)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val brute = Similarity.bruteForceTopK(queries, corpus, k = 5).collect().map(key).toSet
+    // probing EVERY cell scores every vector -> identical to brute force
+    val full = Similarity.ivfTopK(queries, corpus, centroids, k = 5, nProbe = nCells)
+      .collect().map(key).toSet
+    assert(full === brute, "full-probe IVF must be exact")
+    // partial probe: recall floor at the gate's shape (nProbe = nCells/4)
+    val part = Similarity.ivfTopK(queries, corpus, centroids, k = 5, nProbe = 2)
+      .collect().map(key).toSet
+    val recall = (part & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"partial-probe recall collapsed: $recall")
+  }
+
   test("text stats: token counts, ratios bounded, quality in [0,1]") {
     val df = strings("t", Seq(Some("The quick, brown fox!"), Some(""), Some("   ")))
     assert(col1[Long](df.select(TextAnalysis.tokenCountWs(col("t")))) ===
