@@ -70,6 +70,16 @@ object StreamingQueries {
         .orderBy(col("wstart"), col("event_type"))
     },
 
+    // Streaming exact dedup (watermark-bounded state): a REAL streaming
+    // query emitting first-arrival keys; on a bounded replay the emitted
+    // key set equals batch DISTINCT, which is the oracle.
+    QueryDef.sql(
+      "q73_stream_dedup",
+      """SELECT DISTINCT user_id, date_trunc('hour', ts) AS hr
+        |FROM events ORDER BY user_id, hr""".stripMargin) { (s, d) =>
+      Events.dedupStreaming(s, d).orderBy(col("user_id"), col("hr"))
+    },
+
     // Dictionary/categorical parity (SURVEY §7.4.3): explicit (code, label)
     // pairs — the logical equivalent of minarrow's CategoricalArray codes +
     // unique_values. Scale shape: codes are assigned on the (tiny) DISTINCT

@@ -52,4 +52,40 @@ object ArrowInterop {
     val batches = exportBatches(df).collect().iterator
     importBatches(spark, batches, schemaJson)
   }
+
+  /** At-rest Arrow batch directory sink: every partition writes its IPC
+    * record-batch payload as `part-NNNNN.arrowbatch` EXECUTOR-SIDE (no
+    * driver funnel), plus one driver-written `schema.json` sidecar. The
+    * graft-native spill/handoff format when parquet's encode cost isn't
+    * wanted — payloads are raw Arrow record-batch messages keyed by the
+    * sidecar schema.
+    */
+  def writeBatchDir(df: DataFrame, path: String): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("schema.json"), df.schema.json)
+    // one FILE per batch payload: a partition can emit several IPC batch
+    // messages (maxRecordsPerBatch), and the deserializer takes one
+    // message per byte array
+    exportBatches(df).mapPartitionsWithIndex { (pid, it) =>
+      it.zipWithIndex.foreach { case (bytes, i) =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, f"part-$pid%05d-$i%03d.arrowbatch"), bytes)
+      }
+      Iterator.single(pid)
+    }.count(): Unit
+  }
+
+  /** Distributed read of a batch directory: `binaryFiles` splits the files
+    * across executors, payloads deserialize per-partition via the
+    * distributed import — the driver only reads the schema sidecar.
+    */
+  def readBatchDir(spark: SparkSession, path: String): DataFrame = {
+    val schemaJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "schema.json"))
+    val payloads = spark.sparkContext
+      .binaryFiles(s"$path/part-*.arrowbatch")
+      .map(_._2.toArray())
+    importBatchesDistributed(spark, payloads, schemaJson)
+  }
 }

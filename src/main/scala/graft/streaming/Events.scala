@@ -105,6 +105,26 @@ object Events {
     spark.table(name)
   }
 
+  /** Streaming exact deduplication — the training-pipeline ingest shape:
+    * emit the first event per key as it arrives, with WATERMARK-BOUNDED
+    * state (dropDuplicatesWithinWatermark evicts keys older than the
+    * watermark, so state stays O(keys-per-window) instead of O(all keys
+    * ever) — the only viable dedup shape on an unbounded 100 TB stream).
+    * Key = (user_id, hour bucket); output is the distinct key set, which
+    * is deterministic (which event survives per key is not).
+    */
+  def dedupStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_events_dedup_${counter.incrementAndGet()}"
+    val distinctKeys = streamEvents(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "hr")
+      .select(col("user_id"), col("hr"))
+    val q = distinctKeys.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Streaming sessionization with explicit state: flatMapGroupsWithState
     * over user_id, emitting CLOSED sessions only — a session still open at
     * the end of the processed data stays in state until a later batch

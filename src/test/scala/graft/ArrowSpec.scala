@@ -37,6 +37,21 @@ class ArrowSpec extends SparkSpec {
       nation.orderBy(col("n_nationkey")).collect().map(_.toSeq).toSeq)
   }
 
+  test("arrow batch directory sink/source round-trips a multi-partition table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_arrowdir").toString
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_returnflag"))
+      .repartition(4)
+    ArrowInterop.writeBatchDir(li, dir)
+    assert(new java.io.File(dir, "schema.json").exists())
+    assert(new java.io.File(dir).list().count(_.endsWith(".arrowbatch")) >= 4)
+    val back = ArrowInterop.readBatchDir(spark, dir)
+    assert(back.schema === li.schema)
+    val a = li.orderBy(col("l_orderkey"), col("l_linenumber")).collect().map(_.toSeq)
+    val b = back.orderBy(col("l_orderkey"), col("l_linenumber")).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("round-trip preserves a real table incl. timestamps") {
     val orders = Tables.orders(spark, "/root/testdata/sf0.001").limit(100)
     val back = ArrowInterop.roundTrip(spark, orders)
