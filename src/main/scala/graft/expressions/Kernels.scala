@@ -45,6 +45,24 @@ case class FmaF32(first: Expression, second: Expression, third: Expression)
       f: Expression, s: Expression, t: Expression): FmaF32 = copy(f, s, t)
 }
 
+/** Wrapping integer power — the reference's integer Power path
+  * (`lhs.pow(rhs.to_u32().unwrap_or(0))`, src/kernels/arithmetic/std.rs:67):
+  * multiplication mod 2^64 (Rust release wrapping), out-of-u32-range
+  * exponent → 0 → result 1. Completes operator parity with the float-pow
+  * lane (`Arith.power`).
+  */
+case class IntPow(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int_pow"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    StrKernels.intPow(l.asInstanceOf[Long], r.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.expressions.StrKernels.intPow($l, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntPow =
+    copy(l, r)
+}
+
 /** Integer floor division: rounds toward negative infinity, NULL on zero
   * divisor (minarrow's masked-path semantics: FloorDiv
   * src/enums/operators.rs:41-47; div-by-zero nullify src/enums/operators.rs:27-29).

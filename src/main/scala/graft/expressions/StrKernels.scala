@@ -7,6 +7,25 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object StrKernels {
 
+  /** Wrapping integer power — Rust `i64::pow(u32)` release semantics
+    * (minarrow's integer Power path, src/kernels/arithmetic/std.rs:67):
+    * multiplication mod 2^64, exponent coerced via `to_u32().unwrap_or(0)`
+    * (negative or > u32::MAX → 0 → result 1). Square-and-multiply gives the
+    * same residue as naive repeated multiplication (mod-2^64 is a ring).
+    */
+  def intPow(base: Long, exp: Long): Long = {
+    val e = if (exp < 0L || exp > 0xffffffffL) 0L else exp
+    var result = 1L
+    var b = base
+    var n = e
+    while (n > 0) {
+      if ((n & 1L) == 1L) result *= b
+      b *= b
+      n >>= 1
+    }
+    result
+  }
+
   /** 0-based byte offset of first occurrence, -1 if absent; empty needle → 0. */
   def indexOfBytes(hay: UTF8String, needle: UTF8String): Long = {
     val h = hay.getBytes

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.expressions.{Fma, FmaF32, IntFloorDiv, WrapInt}
+import graft.expressions.{Fma, FmaF32, IntFloorDiv, IntPow, WrapInt}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
@@ -34,10 +34,15 @@ object Arith {
   /** Remainder, sign follows the dividend (Rust `%`), NULL on zero divisor. */
   def rem(a: Column, b: Column): Column = a % b
 
-  /** Power via double `pow` (minarrow integer pow is repeated multiplication;
-    * we standardize on the float path — src/enums/operators.rs:36-39).
-    */
+  /** Power via double `pow` (the float path — src/enums/operators.rs:36-39). */
   def power(a: Column, b: Column): Column = pow(a, b)
+
+  /** Integer power with the reference's exact semantics: wrapping repeated
+    * multiplication mod 2^64, exponent `to_u32().unwrap_or(0)`
+    * (std.rs:67) — the int-pow twin of the float `power` lane.
+    */
+  def powerInt(a: Column, b: Column): Column =
+    toCol(IntPow(toExpr(a.cast("long")), toExpr(b.cast("long"))))
 
   /** Floor division for floating point: floor(a/b), NULL on zero divisor. */
   def floorDivF(a: Column, b: Column): Column = floor(a / b)

@@ -24,7 +24,8 @@ object Kernels {
         |  CAST(l_orderkey % 7 AS BIGINT) AS rem_o7,
         |  ROUND(power(1 + l_discount, 2), 4) AS pow_d2,
         |  CAST(floor(l_extendedprice / (l_quantity + 1)) AS BIGINT) AS fdiv_f,
-        |  l_extendedprice / (l_quantity - l_quantity) AS div_zero
+        |  l_extendedprice / (l_quantity - l_quantity) AS div_zero,
+        |  CAST(power(l_linenumber, 3) AS BIGINT) AS ipow_l3
         |FROM lineitem WHERE l_orderkey < 2000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
       val li = Tables.lineitem(s, d).filter(col("l_orderkey") < 2000)
@@ -37,7 +38,10 @@ object Kernels {
         Arith.rem(col("l_orderkey"), lit(7)).cast("long").as("rem_o7"),
         round(Arith.power(lit(1) + col("l_discount"), lit(2)), 4).as("pow_d2"),
         Arith.floorDivF(col("l_extendedprice"), col("l_quantity") + 1).cast("long").as("fdiv_f"),
-        Arith.div(col("l_extendedprice"), col("l_quantity") - col("l_quantity")).as("div_zero"))
+        Arith.div(col("l_extendedprice"), col("l_quantity") - col("l_quantity")).as("div_zero"),
+        // int-pow lane: wrapping repeated multiplication (std.rs:67);
+        // in-range here so the double-pow oracle is exact
+        Arith.powerInt(col("l_linenumber"), lit(3)).as("ipow_l3"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 

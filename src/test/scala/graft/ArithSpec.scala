@@ -86,6 +86,22 @@ class ArithSpec extends SparkSpec {
     assert(Math.fma(a, a, c) === (a.toDouble * a.toDouble + c.toDouble).toFloat)
   }
 
+  test("int pow wraps mod 2^64 like Rust release i64::pow (std.rs:67)") {
+    import graft.expressions.StrKernels.intPow
+    assert(intPow(7L, 3L) === 343L)
+    assert(intPow(5L, 0L) === 1L)
+    // out-of-u32-range exponent coerces to 0 -> result 1 (to_u32().unwrap_or(0))
+    assert(intPow(9L, -2L) === 1L)
+    assert(intPow(9L, 0x100000000L) === 1L)
+    // overflow wraps mod 2^64 — compare against BigInt residue
+    val expect = (BigInt(3).pow(41) mod (BigInt(1) << 64)).toLong
+    assert(intPow(3L, 41L) === expect)
+    // expression end-to-end through codegen
+    val df = twoLongs("a", "b", Seq((Some(3L), Some(41L)), (Some(2L), Some(200L)), (None, Some(2L))))
+    assert(col1[Long](df.select(Arith.powerInt(col("a"), col("b")))) ===
+      Seq(Some(expect), Some((BigInt(2).pow(200) mod (BigInt(1) << 64)).toLong), None))
+  }
+
   test("float floor div + power") {
     val df = doubles("x", Seq(Some(7.5), Some(-7.5)))
     assert(col1[Long](df.select(Arith.floorDivF(col("x"), lit(2.0)))) ===
