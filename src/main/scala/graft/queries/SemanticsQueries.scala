@@ -83,8 +83,11 @@ object SemanticsQueries {
           col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
-    // Percentile battery: exact interpolated quantiles (Spark percentile ==
-    // DuckDB quantile_cont).
+    // Percentile battery: exact interpolated quantiles (== DuckDB
+    // quantile_cont), computed by the SCALE-SAFE two-pass shape
+    // (ops/Percentiles): per-(group, distinct-value) counts + cumulative
+    // bracketing — bounded state, unlike the built-in `percentile` which
+    // buffers every row of a group (kept proven-equal in ScaleSpec).
     QueryDef.sql(
       "q69_percentiles",
       """SELECT l_returnflag,
@@ -93,13 +96,12 @@ object SemanticsQueries {
         |  ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90,
         |  ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.50)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.90)"), 4).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      graft.ops.Percentiles.exactPercentiles(
+          Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+          Seq(0.25, 0.50, 0.90, 0.99), Seq("p25", "p50", "p90", "p99"))
+        .select(col("l_returnflag"),
+          round(col("p25"), 4).as("p25"), round(col("p50"), 4).as("p50"),
+          round(col("p90"), 4).as("p90"), round(col("p99"), 4).as("p99"))
         .orderBy(col("l_returnflag"))
     },
 

@@ -121,6 +121,25 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("two-pass exact percentiles equal the buffering builtin") {
+    import graft.ops.Percentiles
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val builtin = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val twoPass = Percentiles.exactPercentiles(li, "l_returnflag", "l_extendedprice",
+        Seq(0.25, 0.5, 0.99), Seq("p25", "p50", "p99"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(twoPass.keySet === builtin.keySet)
+    for (k <- builtin.keySet) {
+      val (a, b) = (builtin(k), twoPass(k))
+      for ((x, y) <- Seq((a._1, b._1), (a._2, b._2), (a._3, b._3)))
+        assert(math.abs(x - y) <= math.ulp(x) * 4, s"group $k: builtin $x vs two-pass $y")
+    }
+  }
+
   test("approx_percentile (100TB path) tracks the exact battery within 1e-3 relative") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
     val exact = li.groupBy(col("l_returnflag"))
