@@ -80,6 +80,21 @@ object StreamingQueries {
       Events.dedupStreaming(s, d).orderBy(col("user_id"), col("hr"))
     },
 
+    // Stream-stream join (watermarked both sides, event-time range
+    // condition): a REAL streaming query; the oracle is the batch join.
+    QueryDef.sql(
+      "q74_stream_stream_join",
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.ts AS click_ts, p.ts AS purchase_ts, p.value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        | AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin) { (s, d) =>
+      Events.clickPurchaseJoinStreaming(s, d)
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    },
+
     // Dictionary/categorical parity (SURVEY §7.4.3): explicit (code, label)
     // pairs — the logical equivalent of minarrow's CategoricalArray codes +
     // unique_values. Scale shape: codes are assigned on the (tiny) DISTINCT

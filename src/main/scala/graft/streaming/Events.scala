@@ -105,6 +105,35 @@ object Events {
     spark.table(name)
   }
 
+  /** Stream-stream inner join with event-time range condition — clicks
+    * joined to the same user's purchases within the following hour. Both
+    * sides carry watermarks so Spark bounds the join STATE on each side
+    * (without them, every past row must be retained forever — the
+    * stream-join scale cliff). On a bounded replay the emitted matches
+    * equal the batch join, which is the oracle.
+    */
+  def clickPurchaseJoinStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_events_ssj_${counter.incrementAndGet()}"
+    val clicks = streamEvents(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = streamEvents(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      clicks("user_id") === purchases("user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(clicks("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+    val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Streaming exact deduplication — the training-pipeline ingest shape:
     * emit the first event per key as it arrives, with WATERMARK-BOUNDED
     * state (dropDuplicatesWithinWatermark evicts keys older than the
