@@ -83,6 +83,36 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** STUB — deterministic fake "resize": stride-decimate the payload bytes
+    * to a target size budget (a real deployment decodes, resamples pixels,
+    * re-encodes). Signature, per-partition batch shape and the metadata
+    * contract (width/height stamped on the output) are the real pipeline's.
+    */
+  def fakeResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, math.min(payload.length, w * h))
+    val stride = math.max(1, payload.length / target)
+    val out = new Array[Byte](math.min(target, (payload.length + stride - 1) / stride))
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * stride); i += 1 }
+    out
+  }
+
+  /** Resize over the media table: per-partition batch loop like
+    * `extractFeatures`; output rows keep media_id and carry the resized
+    * payload with width/height stamped in meta.
+    */
+  def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
+    val rdd = media.select(col("media_id"), col("payload"), col("meta.format")).rdd
+      .mapPartitions { rows =>
+        // per-partition init point for a real codec
+        rows.map { r =>
+          val resized = fakeResize(r.getAs[Array[Byte]](1), w, h)
+          Row(r.getLong(0), resized, Row(r.getString(2), w, h, resized.length.toLong))
+        }
+      }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   /** Frame/patch sampling stub: emits `n` deterministic byte-slices per
     * payload (what frame-sampling does to video), as its own rows —
     * explode keeps it fully distributed.

@@ -226,10 +226,14 @@ object LlmQueries {
     QueryDef.noOracle("q42_multimodal_patches") { (s, d) =>
       val media = Multimodal.asMediaTable(
         Tables.documents(s, d), "doc_id", "text", "text/plain")
-      Multimodal.samplePatches(media, n = 4, patchBytes = 16)
+      // resize first (per-partition batch stub; stamps w×h into meta),
+      // then frame/patch-sample the resized payloads
+      val resized = Multimodal.resize(s, media, w = 16, h = 4)
+      Multimodal.samplePatches(resized, n = 4, patchBytes = 16)
         .groupBy(col("media_id"))
         .agg(count(lit(1)).as("n_patches"),
-          sum(length(col("patch"))).as("patch_bytes"))
+          sum(length(col("patch"))).as("patch_bytes"),
+          max(col("meta.width")).as("w"), max(col("meta.height")).as("h"))
         .orderBy(col("media_id"))
     }
 ,

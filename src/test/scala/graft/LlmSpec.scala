@@ -179,4 +179,21 @@ class LlmSpec extends SparkSpec {
     val patches = Multimodal.samplePatches(media, n = 3, patchBytes = 8)
     assert(patches.groupBy(col("media_id")).count().collect().forall(_.getLong(1) <= 3))
   }
+
+  test("multimodal: resize keeps the media schema and stamps target dims in meta") {
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text", "text/plain")
+    val resized = Multimodal.resize(spark, media, w = 4, h = 2)
+    assert(resized.schema === Multimodal.mediaSchema)
+    val rows = resized.orderBy(col("media_id")).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      val meta = r.getStruct(2)
+      assert(meta.getInt(1) === 4 && meta.getInt(2) === 2)
+      val payload = r.getAs[Array[Byte]](1)
+      assert(payload.length <= 8 && payload.length >= 1)
+      assert(meta.getLong(3) === payload.length.toLong)
+    }
+    // deterministic: identical payloads resize identically
+    assert(rows(0).getAs[Array[Byte]](1).toSeq === rows(3).getAs[Array[Byte]](1).toSeq)
+  }
 }
