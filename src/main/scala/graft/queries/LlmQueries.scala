@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Similarity, Splits, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -237,6 +237,23 @@ object LlmQueries {
         .orderBy(col("media_id"))
     }
 ,
+
+    // Deterministic train/val/test split: md5-prefix bucketing — stable
+    // under data growth, no RNG, shuffle-free; oracle replays the same
+    // hex arithmetic in DuckDB.
+    QueryDef.sql(
+      "q75_dataset_split",
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS bkt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN bkt < 90 THEN 'train' WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Splits.assignSplit(col("doc_id")).as("split"))
+        .orderBy(col("doc_id"))
+    },
 
     // Near-dup clusters: connected components over exact+MinHash pairs via
     // iterative min-label propagation (distributed union-find substitute),

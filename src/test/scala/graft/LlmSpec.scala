@@ -180,6 +180,26 @@ class LlmSpec extends SparkSpec {
     assert(patches.groupBy(col("media_id")).count().collect().forall(_.getLong(1) <= 3))
   }
 
+  test("dataset split: deterministic, stable under growth, ~right proportions") {
+    import graft.llm.Splits
+    val docs500 = Tables.documents(spark, "/root/testdata/sf0.001")
+    val assigned = docs500.select(col("doc_id"), Splits.assignSplit(col("doc_id")).as("split"))
+    val again = docs500.select(col("doc_id"), Splits.assignSplit(col("doc_id")).as("split"))
+    assert(assigned.collect().map(_.toSeq).toSet === again.collect().map(_.toSeq).toSet)
+    // stability under growth: a subset's assignments are unchanged
+    val subset = docs500.filter(col("doc_id") < 20)
+      .select(col("doc_id"), Splits.assignSplit(col("doc_id")).as("split"))
+      .collect().map(_.toSeq).toSet
+    val fromFull = assigned.filter(col("doc_id") < 20).collect().map(_.toSeq).toSet
+    assert(subset === fromFull)
+    // proportions roughly 90/5/5
+    val counts = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    assert(counts("train") / n > 0.8 && counts("train") / n < 0.97)
+    assert(counts.getOrElse("val", 0L) + counts.getOrElse("test", 0L) > 0)
+  }
+
   test("multimodal: resize keeps the media schema and stamps target dims in meta") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text", "text/plain")
     val resized = Multimodal.resize(spark, media, w = 4, h = 2)
