@@ -20,8 +20,12 @@ object GraftFunctions {
   private def asS(e: Expression) = Cast(e, StringType)
   private def asAD(e: Expression) = Cast(e, ArrayType(DoubleType))
 
+  private def asF(e: Expression) = Cast(e, FloatType)
+
   def registerAll(spark: SparkSession): Unit = {
     FunctionBridge.register(spark, "fma", es => Fma(asD(es(0)), asD(es(1)), asD(es(2))))
+    FunctionBridge.register(spark, "fma_f32", es => FmaF32(asF(es(0)), asF(es(1)), asF(es(2))))
+    FunctionBridge.register(spark, "int_pow", es => IntPow(asL(es(0)), asL(es(1))))
     FunctionBridge.register(spark, "int_floor_div", es => IntFloorDiv(asL(es(0)), asL(es(1))))
     FunctionBridge.register(spark, "find_str0", es => FindStr0(asS(es(0)), asS(es(1))))
     FunctionBridge.register(spark, "count_match", es => CountMatch(asS(es(0)), asS(es(1))))

@@ -104,7 +104,10 @@ object AdvancedQueries {
         |  ROUND(l_quantity * l_discount + l_tax, 6) AS fma_v,
         |  CAST(floor((l_orderkey - 2 * l_partkey) / CAST(l_linenumber AS DOUBLE)) AS BIGINT) AS fdiv_v,
         |  (NULLIF(instr(l_returnflag, 'R'), 0) - 1) AS find_v,
-        |  CAST((length(l_linestatus) - length(replace(l_linestatus, 'O', ''))) AS BIGINT) AS cnt_v
+        |  CAST((length(l_linestatus) - length(replace(l_linestatus, 'O', ''))) AS BIGINT) AS cnt_v,
+        |  CAST(power(l_linenumber, 2) AS BIGINT) AS ipow_v,
+        |  CAST(CAST(CAST(l_quantity AS REAL) AS DOUBLE) * CAST(CAST(l_discount AS REAL) AS DOUBLE)
+        |       + CAST(CAST(l_tax AS REAL) AS DOUBLE) AS REAL) AS fma32_v
         |FROM lineitem WHERE l_orderkey < 500
         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
       graft.GraftFunctions.registerAll(s)
@@ -113,7 +116,9 @@ object AdvancedQueries {
         ROUND(fma(l_quantity, l_discount, l_tax), 6) AS fma_v,
         int_floor_div(l_orderkey - 2 * l_partkey, l_linenumber) AS fdiv_v,
         find_str0(l_returnflag, 'R') AS find_v,
-        count_match(l_linestatus, 'O') AS cnt_v
+        count_match(l_linestatus, 'O') AS cnt_v,
+        int_pow(l_linenumber, 2) AS ipow_v,
+        fma_f32(l_quantity, l_discount, l_tax) AS fma32_v
         FROM lineitem WHERE l_orderkey < 500
         ORDER BY l_orderkey, l_linenumber""")
     }
