@@ -255,6 +255,53 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // End-to-end training-data pipeline: quality filter -> exact dedup
+    // (md5 fingerprint, keep min id) -> deterministic split -> per-split
+    // doc/token counts. Every stage is oracle-expressible, so the WHOLE
+    // composition is checked cell-exact — the flagship "a user could run
+    // their curation pipeline on this" query. Scale shape: one shuffle on
+    // 16-byte fingerprints (dedup), map-side-combined final agg; documents
+    // are never shuffled whole.
+    QueryDef.sql(
+      "q76_pipeline_e2e",
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    GREATEST(0.0, LEAST(1.0,
+        |      LEAST(length(text) / 200.0, 1.0) * 0.4 +
+        |      LEAST(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        |            x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+        |        / len(regexp_extract_all(lower(text), '[a-z]+')) * 4.0, 1.0) * 0.4 +
+        |      (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text)) * 0.2
+        |    )) AS quality
+        |  FROM documents),
+        |filt AS (SELECT doc_id, text FROM scored WHERE quality >= 0.5),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY md5(text)),
+        |kept AS (SELECT f.doc_id, f.text FROM filt f JOIN keep USING (doc_id)),
+        |sp AS (
+        |  SELECT text,
+        |    CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'train'
+        |         WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 95 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM kept)
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val filt = docs
+        .select(col("doc_id"), col("text"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .filter(col("quality") >= 0.5)
+      val keep = filt.groupBy(TextAnalysis.md5Fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      filt.join(keep, "doc_id")
+        .select(Splits.assignSplit(col("doc_id")).as("split"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tok"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy(col("split"))
+    },
+
     // Near-dup clusters: connected components over exact+MinHash pairs via
     // iterative min-label propagation (distributed union-find substitute),
     // then the surviving keep-list. Engine-specific hashes -> rows-only.
