@@ -53,7 +53,8 @@ object Events {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
-  def windowedCountsStreaming(spark: SparkSession, sfDir: String, windowLen: String): DataFrame = {
+  def windowedCountsStreaming(spark: SparkSession, sfDir: String, windowLen: String,
+      stateParts: Int = 8): DataFrame = withStateParts(spark, stateParts) {
     val name = s"graft_events_win_${counter.incrementAndGet()}"
     val stream = streamEvents(spark, sfDir)
     val agg = stream
@@ -90,7 +91,8 @@ object Events {
     * passes its close; with a bounded replay the trailing still-open
     * sessions stay in state, exactly like the explicit-state variant.
     */
-  def sessionizeStreamingNative(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
+  def sessionizeStreamingNative(spark: SparkSession, sfDir: String, gapMinutes: Int,
+      stateParts: Int = 8): DataFrame = withStateParts(spark, stateParts) {
     val name = s"graft_events_sessnat_${counter.incrementAndGet()}"
     val agg = streamEvents(spark, sfDir)
       .withWatermark("ts", "1 hour")
@@ -105,6 +107,19 @@ object Events {
     spark.table(name)
   }
 
+  /** Run `build` with `spark.sql.shuffle.partitions` temporarily set for a
+    * stateful streaming query: state-store count == shuffle partitions is
+    * fixed at query start, and every store pays per-batch open/commit cost.
+    * Size it to stream volume (at 100 TB you size UP; the local fixture is
+    * oversized at 32 — measured q74 6.2 s, mostly store overhead).
+    */
+  private def withStateParts[T](spark: SparkSession, n: Int)(build: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try build finally spark.conf.set(key, prev)
+  }
+
   /** Stream-stream inner join with event-time range condition — clicks
     * joined to the same user's purchases within the following hour. Both
     * sides carry watermarks so Spark bounds the join STATE on each side
@@ -112,7 +127,8 @@ object Events {
     * stream-join scale cliff). On a bounded replay the emitted matches
     * equal the batch join, which is the oracle.
     */
-  def clickPurchaseJoinStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+  def clickPurchaseJoinStreaming(spark: SparkSession, sfDir: String,
+      stateParts: Int = 8): DataFrame = withStateParts(spark, stateParts) {
     val name = s"graft_events_ssj_${counter.incrementAndGet()}"
     val clicks = streamEvents(spark, sfDir)
       .filter(col("event_type") === "click")
@@ -142,7 +158,8 @@ object Events {
     * Key = (user_id, hour bucket); output is the distinct key set, which
     * is deterministic (which event survives per key is not).
     */
-  def dedupStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupStreaming(spark: SparkSession, sfDir: String,
+      stateParts: Int = 8): DataFrame = withStateParts(spark, stateParts) {
     val name = s"graft_events_dedup_${counter.incrementAndGet()}"
     val distinctKeys = streamEvents(spark, sfDir)
       .withWatermark("ts", "1 hour")
@@ -161,7 +178,8 @@ object Events {
     * stream flush under NoTimeout). The batch twin above is the oracle for
     * closed sessions; its trailing open sessions are the expected delta.
     */
-  def sessionizeStreaming(spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
+  def sessionizeStreaming(spark: SparkSession, sfDir: String, gapMinutes: Int,
+      stateParts: Int = 8): DataFrame = withStateParts(spark, stateParts) {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = gapMinutes * 60L * 1000000L
