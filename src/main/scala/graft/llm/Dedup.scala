@@ -224,20 +224,27 @@ object Dedup {
     var labels = edges.select(col("id1").as("id")).distinct()
       .withColumn("component", col("id"))
       .persist()
+    // the frame actually holding the cache for the current generation
+    // (labels may be a projection of it)
+    var generation: DataFrame = labels
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "id2").withColumnRenamed("component", "ncomp"), "id2")
         .select(col("id1").as("id"), col("ncomp"))
-      val updated = labels.join(viaNeighbor, Seq("id"), "left")
+      // carry the previous label through the aggregation so convergence is
+      // a filter on the SAME frame — not an extra join per iteration
+      val withOld = labels.join(viaNeighbor, Seq("id"), "left")
         .groupBy(col("id"))
-        .agg(least(min(col("component")), coalesce(min(col("ncomp")), min(col("component")))).as("component"))
+        .agg(
+          min(col("component")).as("__old"),
+          least(min(col("component")), coalesce(min(col("ncomp")), min(col("component")))).as("component"))
         .persist()
-      val changed = updated.as("u").join(labels.as("l"), "id")
-        .filter(col("u.component") =!= col("l.component")).limit(1).count()
-      labels.unpersist()
-      labels = updated
+      val changed = withOld.filter(col("component") =!= col("__old")).limit(1).count()
+      generation.unpersist()
+      generation = withOld
+      labels = withOld.select(col("id"), col("component"))
       converged = changed == 0
       i += 1
     }
