@@ -252,6 +252,9 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter iterations — " +
         "a near-dup cluster has diameter > maxIter; raise maxIter")
+    // the returned frame is a projection of the final cached generation —
+    // callers can't unpersist it themselves, so bound its lifetime here
+    graft.ops.CacheRegistry.register(generation)
     labels
   }
 

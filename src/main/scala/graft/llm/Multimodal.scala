@@ -76,7 +76,9 @@ object Multimodal {
       // per-partition init happens here in a real codec (decoder handle etc.)
       rows.map { r =>
         val id = r.getLong(0)
-        val payload = r.getAs[Array[Byte]](1)
+        // guard: the schema declares payload non-null but an upstream cast
+        // can still produce one — treat as empty media, don't NPE the task
+        val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
         Row(id, fakeDecode(payload).toSeq, payload.length.toLong)
       }
     }
@@ -106,7 +108,8 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition init point for a real codec
         rows.map { r =>
-          val resized = fakeResize(r.getAs[Array[Byte]](1), w, h)
+          val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+          val resized = fakeResize(payload, w, h)
           Row(r.getLong(0), resized, Row(r.getString(2), w, h, resized.length.toLong))
         }
       }

@@ -112,7 +112,11 @@ object Similarity {
       if (n == 0) v else v.map(_ / n)
     }
     val pts = sample.map(normalize)
-    var centroids = pts.distinct.take(k)
+    // Array equality is reference equality — dedupe via Seq views or the
+    // init silently admits duplicate centroids (frozen empty cells)
+    var centroids = pts.map(_.toSeq).distinct.take(k).map(_.toArray)
+    require(centroids.length == k,
+      s"sample has only ${centroids.length} distinct vectors, need k=$k")
     for (_ <- 1 to iters) {
       val sums = Array.fill(centroids.length)(new Array[Double](pts.head.length))
       val cnts = new Array[Long](centroids.length)
@@ -142,9 +146,12 @@ object Similarity {
     * one map-side pass however large the corpus is.
     */
   def ivfCell(vec: Column, centroids: Array[Array[Double]]): Column = {
+    // coalesce: NULL/zero-norm vectors (cosine -> NULL) must still land in
+    // SOME cell (the first), or they'd silently vanish from the index and
+    // break the full-probe == brute-force identity
     val scored = array(centroids.indices.map { i =>
       struct(lit(i).as("cid"),
-        cosine(vec.cast("array<double>"), typedLit(centroids(i).toSeq)).as("d"))
+        coalesce(cosine(vec.cast("array<double>"), typedLit(centroids(i).toSeq)), lit(-2.0)).as("d"))
     }: _*)
     aggregate(scored,
       struct(lit(-1).cast("int").as("cid"), lit(Double.MinValue).as("d")),

@@ -51,7 +51,12 @@ object Percentiles {
         max(when(col("__cumStart") <= hi && hi < col("__cumEnd"), col("__v"))).as(s"__hi_$i"),
         max(col("__n")).as(s"__n_$i"))
     }
-    val agged = cum.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    // groups whose values are ALL NULL must still appear (with NULL
+    // percentiles) — the builtin and quantile_cont both emit them, and the
+    // isNotNull pre-filter above would otherwise drop the key entirely
+    val allKeys = df.select(col(keyCol)).distinct()
+    val agged = allKeys.join(cum.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*),
+      Seq(keyCol), "left")
     val outCols = col(keyCol) +: ps.zipWithIndex.map { case (p, i) =>
       val t = (col(s"__n_$i") - 1) * lit(p)
       val frac = t - floor(t)

@@ -159,13 +159,16 @@ object LlmQueries {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok_bpe,
         |  CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
         |       x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS BIGINT) AS stop_cnt,
-        |  (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text) AS punct_ratio,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text) END AS punct_ratio,
         |  GREATEST(0.0, LEAST(1.0,
         |    LEAST(length(text) / 200.0, 1.0) * 0.4 +
-        |    LEAST(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        |    CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) = 0 THEN 0.0
+        |         ELSE LEAST(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
         |          x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
-        |      / len(regexp_extract_all(lower(text), '[a-z]+')) * 4.0, 1.0) * 0.4 +
-        |    (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text)) * 0.2
+        |      / len(regexp_extract_all(lower(text), '[a-z]+')) * 4.0, 1.0) END * 0.4 +
+        |    (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text) END) * 0.2
         |  )) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
@@ -268,10 +271,12 @@ object LlmQueries {
         |  SELECT doc_id, text,
         |    GREATEST(0.0, LEAST(1.0,
         |      LEAST(length(text) / 200.0, 1.0) * 0.4 +
-        |      LEAST(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        |      CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) = 0 THEN 0.0
+        |           ELSE LEAST(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
         |            x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
-        |        / len(regexp_extract_all(lower(text), '[a-z]+')) * 4.0, 1.0) * 0.4 +
-        |      (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text)) * 0.2
+        |        / len(regexp_extract_all(lower(text), '[a-z]+')) * 4.0, 1.0) END * 0.4 +
+        |      (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text) END) * 0.2
         |    )) AS quality
         |  FROM documents),
         |filt AS (SELECT doc_id, text FROM scored WHERE quality >= 0.5),

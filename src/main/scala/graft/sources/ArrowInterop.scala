@@ -54,15 +54,23 @@ object ArrowInterop {
   }
 
   /** At-rest Arrow batch directory sink: every partition writes its IPC
-    * record-batch payload as `part-NNNNN.arrowbatch` EXECUTOR-SIDE (no
+    * record-batch payloads as `part-*.arrowbatch` files EXECUTOR-SIDE (no
     * driver funnel), plus one driver-written `schema.json` sidecar. The
     * graft-native spill/handoff format when parquet's encode cost isn't
     * wanted — payloads are raw Arrow record-batch messages keyed by the
-    * sidecar schema.
+    * sidecar schema. `path` must be storage every executor can reach
+    * (shared/distributed FS on a real cluster — with executor-local disks
+    * the files would land scattered and the reader would see a subset).
     */
   def writeBatchDir(df: DataFrame, path: String): Unit = {
     val dir = java.nio.file.Paths.get(path)
     java.nio.file.Files.createDirectories(dir)
+    // overwrite semantics: clear previous part files first, or a rewrite
+    // that produces fewer batches leaves stale payloads the reader globs
+    // back in as duplicated/mixed data
+    java.nio.file.Files.list(dir).forEach { p =>
+      if (p.getFileName.toString.endsWith(".arrowbatch")) java.nio.file.Files.delete(p)
+    }
     java.nio.file.Files.writeString(dir.resolve("schema.json"), df.schema.json)
     // one FILE per batch payload: a partition can emit several IPC batch
     // messages (maxRecordsPerBatch), and the deserializer takes one

@@ -54,9 +54,9 @@ object Events {
   }
 
   def windowedCountsStreaming(spark: SparkSession, sfDir: String, windowLen: String,
-      stateParts: Int = 8): DataFrame = withStateParts(spark, stateParts) {
+      stateParts: Int = 8): DataFrame = withStateParts(spark, stateParts) { s2 =>
     val name = s"graft_events_win_${counter.incrementAndGet()}"
-    val stream = streamEvents(spark, sfDir)
+    val stream = streamEvents(s2, sfDir)
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), windowLen), col("event_type"))
@@ -64,7 +64,7 @@ object Events {
       .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("total_value"))
     val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    s2.table(name)
   }
 
   /** Gap-based sessionization (30-min inactivity): batch form via window
@@ -92,9 +92,9 @@ object Events {
     * sessions stay in state, exactly like the explicit-state variant.
     */
   def sessionizeStreamingNative(spark: SparkSession, sfDir: String, gapMinutes: Int,
-      stateParts: Int = 8): DataFrame = withStateParts(spark, stateParts) {
+      stateParts: Int = 8): DataFrame = withStateParts(spark, stateParts) { s2 =>
     val name = s"graft_events_sessnat_${counter.incrementAndGet()}"
-    val agg = streamEvents(spark, sfDir)
+    val agg = streamEvents(s2, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
       .agg(count(lit(1)).as("n_events"))
@@ -104,20 +104,22 @@ object Events {
         col("n_events"))
     val q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    s2.table(name)
   }
 
-  /** Run `build` with `spark.sql.shuffle.partitions` temporarily set for a
-    * stateful streaming query: state-store count == shuffle partitions is
-    * fixed at query start, and every store pays per-batch open/commit cost.
-    * Size it to stream volume (at 100 TB you size UP; the local fixture is
-    * oversized at 32 — measured q74 6.2 s, mostly store overhead).
+  /** Run `build` against a CLONED session with `spark.sql.shuffle.partitions`
+    * set for a stateful streaming query: state-store count == shuffle
+    * partitions is fixed at query start, and every store pays per-batch
+    * open/commit cost. Size it to stream volume (at 100 TB you size UP; the
+    * local fixture is oversized at 32 — measured q74 6.2 s, mostly store
+    * overhead). A clone (shared SparkContext, own conf + catalog) keeps the
+    * setting out of the caller's session — no global mutation, no race with
+    * concurrent queries.
     */
-  private def withStateParts[T](spark: SparkSession, n: Int)(build: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try build finally spark.conf.set(key, prev)
+  private def withStateParts[T](spark: SparkSession, n: Int)(build: SparkSession => T): T = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", n.toString)
+    build(s2)
   }
 
   /** Stream-stream inner join with event-time range condition — clicks
@@ -128,13 +130,13 @@ object Events {
     * equal the batch join, which is the oracle.
     */
   def clickPurchaseJoinStreaming(spark: SparkSession, sfDir: String,
-      stateParts: Int = 8): DataFrame = withStateParts(spark, stateParts) {
+      stateParts: Int = 8): DataFrame = withStateParts(spark, stateParts) { s2 =>
     val name = s"graft_events_ssj_${counter.incrementAndGet()}"
-    val clicks = streamEvents(spark, sfDir)
+    val clicks = streamEvents(s2, sfDir)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
-    val purchases = streamEvents(spark, sfDir)
+    val purchases = streamEvents(s2, sfDir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("purchase_ts"), col("value"))
@@ -147,7 +149,7 @@ object Events {
         col("click_ts"), col("purchase_ts"), col("value"))
     val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    s2.table(name)
   }
 
   /** Streaming exact deduplication — the training-pipeline ingest shape:
@@ -159,16 +161,16 @@ object Events {
     * is deterministic (which event survives per key is not).
     */
   def dedupStreaming(spark: SparkSession, sfDir: String,
-      stateParts: Int = 8): DataFrame = withStateParts(spark, stateParts) {
+      stateParts: Int = 8): DataFrame = withStateParts(spark, stateParts) { s2 =>
     val name = s"graft_events_dedup_${counter.incrementAndGet()}"
-    val distinctKeys = streamEvents(spark, sfDir)
+    val distinctKeys = streamEvents(s2, sfDir)
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"), col("ts"))
       .dropDuplicatesWithinWatermark("user_id", "hr")
       .select(col("user_id"), col("hr"))
     val q = distinctKeys.writeStream.outputMode("append").format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    s2.table(name)
   }
 
   /** Streaming sessionization with explicit state: flatMapGroupsWithState
@@ -179,12 +181,12 @@ object Events {
     * closed sessions; its trailing open sessions are the expected delta.
     */
   def sessionizeStreaming(spark: SparkSession, sfDir: String, gapMinutes: Int,
-      stateParts: Int = 8): DataFrame = withStateParts(spark, stateParts) {
-    import spark.implicits._
+      stateParts: Int = 8): DataFrame = withStateParts(spark, stateParts) { s2 =>
+    import s2.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = gapMinutes * 60L * 1000000L
     val name = s"graft_events_sess_${counter.incrementAndGet()}"
-    val stream = streamEvents(spark, sfDir)
+    val stream = streamEvents(s2, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .as[(Long, Long)]
 
@@ -211,6 +213,6 @@ object Events {
     }.toDF("user_id", "sess_start_us", "sess_end_us", "n_events")
     val q = sessions.writeStream.outputMode("append").format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    s2.table(name)
   }
 }
