@@ -285,6 +285,92 @@ object Relational {
         .filter(col("__raw") > 15000)
         .drop("__raw")
         .orderBy(col("l_suppkey"))
+    },
+
+    // Full window-function battery: lead/lag/ntile/percent_rank/cume_dist/
+    // first/last value over one partitioned-and-ordered frame (single
+    // shuffle on the partition key).
+    QueryDef.sql(
+      "q77_window_battery",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(lead(o_orderkey, 1) OVER w AS BIGINT) AS next_ok,
+        |  CAST(lag(o_orderkey, 1) OVER w AS BIGINT) AS prev_ok,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  ROUND(percent_rank() OVER w, 6) AS prank,
+        |  ROUND(cume_dist() OVER w, 6) AS cdist,
+        |  ROUND(first_value(o_totalprice) OVER w, 2) AS first_price,
+        |  ROUND(last_value(o_totalprice) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_price
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d).filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lead(col("o_orderkey"), 1).over(w).cast("long").as("next_ok"),
+          lag(col("o_orderkey"), 1).over(w).cast("long").as("prev_ok"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("prank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          round(first(col("o_totalprice")).over(w), 2).as("first_price"),
+          round(last(col("o_totalprice")).over(wAll), 2).as("last_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL keep multiplicity
+    // (the DISTINCT variants are q08/q09).
+    QueryDef.sql(
+      "q78_setops_all",
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000),
+        |b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT 'intersect' AS op, o_custkey, CAST(COUNT(*) AS BIGINT) AS n FROM
+        |  (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b) GROUP BY o_custkey
+        |UNION ALL
+        |SELECT 'except' AS op, o_custkey, CAST(COUNT(*) AS BIGINT) AS n FROM
+        |  (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b) GROUP BY o_custkey
+        |ORDER BY op, o_custkey""".stripMargin) { (s, d) =>
+      val a = Tables.orders(s, d).filter(col("o_totalprice") > 100000).select(col("o_custkey"))
+      val b = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      val ia = a.intersectAll(b).groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect"))
+      val ea = a.exceptAll(b).groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except"))
+      ia.unionByName(ea).select(col("op"), col("o_custkey"), col("n"))
+        .orderBy(col("op"), col("o_custkey"))
+    },
+
+    // Outer joins with NULL sides (left + full), broadcast-eligible right.
+    QueryDef.sql(
+      "q79_outer_joins",
+      """SELECT c.c_custkey, CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+        |  COALESCE(ROUND(o.o_totalprice, 2), -1.0) AS price_or_sentinel
+        |FROM customer c LEFT JOIN orders o
+        |  ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000
+        |WHERE c.c_custkey < 300
+        |ORDER BY c.c_custkey, o_orderkey NULLS FIRST""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_custkey") < 300).select(col("c_custkey"))
+      val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      c.join(o, col("c_custkey") === col("o_custkey") && col("o_totalprice") > 400000, "left")
+        .select(col("c_custkey"), col("o_orderkey").cast("long").as("o_orderkey"),
+          coalesce(round(col("o_totalprice"), 2), lit(-1.0)).as("price_or_sentinel"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    },
+
+    // Unpivot/melt (wide -> long) — the inverse of crosstab/pivot (§2.3).
+    QueryDef.sql(
+      "q80_unpivot",
+      """SELECT c_custkey, metric, ROUND(val, 2) AS val FROM (
+        |  UNPIVOT (SELECT c_custkey, c_acctbal, CAST(c_nationkey AS DOUBLE) AS c_nationkey
+        |           FROM customer WHERE c_custkey < 200)
+        |  ON c_acctbal, c_nationkey INTO NAME metric VALUE val)
+        |ORDER BY c_custkey, metric""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).filter(col("c_custkey") < 200)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey").cast("double").as("c_nationkey"))
+        .unpivot(Array(col("c_custkey")), Array(col("c_acctbal"), col("c_nationkey")), "metric", "val")
+        .select(col("c_custkey"), col("metric"), round(col("val"), 2).as("val"))
+        .orderBy(col("c_custkey"), col("metric"))
     }
   )
 }
