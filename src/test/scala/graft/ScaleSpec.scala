@@ -121,6 +121,36 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("withRowIndex under duplicate order keys still yields a permutation of 0..n-1") {
+    import graft.ops.RowIndex
+    val df = spark.range(0, 1000).selectExpr("id % 7 AS k") // heavy ties
+    val idxed = RowIndex.withRowIndex(df, "idx", Seq(col("k")), numPartitions = 8)
+    val got = idxed.select(col("k"), col("idx")).as[(Long, Long)].collect().sortBy(_._2)
+    assert(got.map(_._2).toSeq === (0L until 1000L), "not a contiguous permutation")
+    assert(got.map(_._1).toSeq === got.map(_._1).sorted.toSeq, "ties split across index ranges")
+  }
+
+  test("two-pass percentiles equal the builtin on randomized grouped data") {
+    import graft.ops.Percentiles
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.tabulate(2000)(i => (s"g${rnd.nextInt(5)}",
+      if (rnd.nextInt(50) == 0) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(math.floor(rnd.nextDouble() * 100) / 4)))
+    val df = spark.createDataFrame(rows).toDF("k", "v")
+    val builtin = df.groupBy(col("k"))
+      .agg(expr("percentile(v, 0.37)").as("p")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val twoPass = Percentiles.exactPercentiles(df, "k", "v", Seq(0.37), Seq("p"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(twoPass.keySet === builtin.keySet)
+    for (k <- builtin.keySet) (builtin(k), twoPass(k)) match {
+      case (null, null) => ()
+      case (a: java.lang.Double, b: java.lang.Double) =>
+        assert(math.abs(a - b) <= math.ulp(a) * 4, s"group $k: $a vs $b")
+      case (a, b) => fail(s"group $k: $a vs $b")
+    }
+  }
+
   test("two-pass exact percentiles equal the buffering builtin") {
     import graft.ops.Percentiles
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
