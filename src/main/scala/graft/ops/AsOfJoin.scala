@@ -22,9 +22,18 @@ object AsOfJoin {
 
   /** `left` and `right` must share no column names except `keys`.
     * Right payload columns arrive nullable (no match ⇒ NULL).
+    *
+    * `direction`: "backward" (most recent right with rightTime <= leftTime,
+    * the default and the reference shape) or "forward" (earliest right with
+    * rightTime >= leftTime) — both inclusive, pandas merge_asof parity.
+    * `tolerance`: optional predicate (leftT, matchedRightT) => keep; a match
+    * farther than the tolerance reverts to NULL. Same one-shuffle plan.
     */
   def asOf(left: DataFrame, right: DataFrame,
-      leftTime: String, rightTime: String, keys: Seq[String]): DataFrame = {
+      leftTime: String, rightTime: String, keys: Seq[String],
+      direction: String = "backward",
+      tolerance: Option[(Column, Column) => Column] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward", s"direction: $direction")
     val leftCols = left.columns.filterNot(keys.contains)
     val rightCols = right.columns.filterNot(keys.contains)
     require(leftCols.intersect(rightCols).isEmpty,
@@ -43,17 +52,25 @@ object AsOfJoin {
         lit(null).cast(taggedRight.schema("__rpay").dataType).as("__rpay")) ++
         leftCols.map(col): _*)
 
+    val timeOrder = if (direction == "backward") col("__t").asc else col("__t").desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(timeOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val merged = taggedRight.unionByName(taggedLeft)
       .withColumn("__carried", last(col("__rpay"), ignoreNulls = true).over(w))
+      // the matched right row's own time, for tolerance — same running-last
+      // window, non-null exactly where __rpay is, so it tracks the same row
+      .withColumn("__carried_t", last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
 
+    val withinTol = tolerance match {
+      case None => lit(true)
+      case Some(p) => p(col("__t"), col("__carried_t"))
+    }
     val unpacked = rightCols.foldLeft(merged.filter(col("__side") === 1)) {
-      (df, c) => df.withColumn(c, col(s"__carried.$c"))
+      (df, c) => df.withColumn(c, when(withinTol, col(s"__carried.$c")))
     }
     unpacked
       .withColumn(leftTime, col("__t"))
-      .drop("__t", "__side", "__rpay", "__carried")
+      .drop("__t", "__side", "__rpay", "__carried", "__carried_t")
   }
 }

@@ -41,6 +41,31 @@ object AdvancedQueries {
         .orderBy(col("event_id"))
     },
 
+    // Forward as-of: the EARLIEST order at-or-after each event (pandas
+    // merge_asof direction='forward'); same one-shuffle merge plan with the
+    // traversal reversed. Oracle: DuckDB ASOF with the <= inequality.
+    QueryDef.sql(
+      "q81_asof_forward",
+      """WITH o1 AS (
+        |  SELECT o_custkey AS user_id, o_orderdate,
+        |    MAX(o_orderkey) AS o_orderkey,
+        |    MAX_BY(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o1.o_orderkey, o1.o_totalprice
+        |FROM events e ASOF LEFT JOIN o1
+        |  ON e.user_id = o1.user_id AND e.ts <= o1.o_orderdate
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val right = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      val left = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      AsOfJoin.asOf(left, right, leftTime = "ts", rightTime = "o_orderdate",
+          keys = Seq("user_id"), direction = "forward")
+        .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    },
+
     // TPC-H Q10 shape through the SQL surface — identical text both engines.
     sqlBoth(
       "q55_sql_returned_revenue",

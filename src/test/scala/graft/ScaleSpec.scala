@@ -203,4 +203,23 @@ class ScaleSpec extends SparkSpec {
       ("b", 1L, None),
       ("b", 3L, Some(20.0))))
   }
+
+  test("asOf forward direction and tolerance (merge_asof parity)") {
+    val quotes = Seq(
+      ("a", 1L, 10.0), ("a", 5L, 11.0), ("a", 9L, 12.0)).toDF("k", "qt", "price")
+    val trades = Seq(
+      ("a", 0L), ("a", 1L), ("a", 6L), ("a", 100L)).toDF("k", "tt")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("k"), col("tt")).collect().map(r =>
+        (r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    // forward: earliest quote at-or-after the trade
+    val fwd = AsOfJoin.asOf(trades, quotes, "tt", "qt", Seq("k"), direction = "forward")
+    assert(collect(fwd) === Seq(
+      (0L, Some(10.0)), (1L, Some(10.0)), (6L, Some(12.0)), (100L, None)))
+    // backward with tolerance 2: matches farther than 2 ticks become NULL
+    val tol = AsOfJoin.asOf(trades, quotes, "tt", "qt", Seq("k"),
+      tolerance = Some((l, r) => l - r <= lit(2L)))
+    assert(collect(tol) === Seq(
+      (0L, None), (1L, Some(10.0)), (6L, Some(11.0)), (100L, None)))
+  }
 }
