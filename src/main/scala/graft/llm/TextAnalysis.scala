@@ -17,6 +17,25 @@ object TextAnalysis {
   def wordTokens(c: Column): Column =
     regexp_extract_all(lower(c), lit("[a-z]+"), lit(0))
 
+  /** Repetition filters (the public Gopher/MassiveText quality-rule family):
+    * fraction of distinct unigrams and the duplicate-bigram fraction. High
+    * repetition marks boilerplate/generated text. `toks` must be a
+    * MATERIALIZED column reference (HOF lambdas re-evaluate captured
+    * expressions per element — compute wordTokens in a projection first).
+    */
+  def distinctUnigramRatio(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+
+  /** 1 − distinct/total over word bigrams; 0 for docs under two tokens. */
+  def dupBigramFraction(toks: Column): Column = {
+    val bigrams = transform(sequence(lit(0), size(toks) - 2),
+      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+    when(size(toks) < 2, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(bigrams)).cast("double") / (size(toks) - 1).cast("double"))
+  }
+
   /** Whitespace token count (0 for blank strings). */
   def tokenCountWs(c: Column): Column =
     when(length(trim(c)) === 0, lit(0L))

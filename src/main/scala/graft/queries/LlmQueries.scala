@@ -241,6 +241,48 @@ object LlmQueries {
     }
 ,
 
+    // Repetition quality filters (public Gopher/MassiveText rule family):
+    // distinct-unigram ratio, duplicate-bigram fraction, and the dominant
+    // token's frequency share. The top-token stat is the only shuffle
+    // ((doc, token) counts — short keys, map-side combined).
+    QueryDef.sql(
+      "q82_repetition_stats",
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_tok,
+        |    CASE WHEN len(ws) = 0 THEN 0.0
+        |         ELSE CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) END AS uniq_ratio,
+        |    CASE WHEN len(ws) < 2 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(list_transform(range(1, len(ws)),
+        |              i -> ws[i] || ' ' || ws[i+1]))) AS DOUBLE) / (len(ws) - 1) END AS dup_bigram_frac
+        |  FROM t),
+        |top AS (
+        |  SELECT doc_id, MAX(c) AS top_c FROM (
+        |    SELECT doc_id, COUNT(*) AS c FROM (SELECT doc_id, unnest(ws) AS w FROM t)
+        |    GROUP BY doc_id, w) GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tok, b.uniq_ratio, b.dup_bigram_frac,
+        |  CASE WHEN b.n_tok = 0 THEN 0.0 ELSE CAST(COALESCE(top.top_c, 0) AS DOUBLE) / b.n_tok END AS top_tok_frac
+        |FROM base b LEFT JOIN top USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.wordTokens(col("text")).as("ws"))
+      val base = t.select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tok"),
+        TextAnalysis.distinctUnigramRatio(col("ws")).as("uniq_ratio"),
+        TextAnalysis.dupBigramFraction(col("ws")).as("dup_bigram_frac"))
+      val top = t.select(col("doc_id"), explode(col("ws")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+      base.join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"), col("uniq_ratio"), col("dup_bigram_frac"),
+          when(col("n_tok") === 0, lit(0.0))
+            .otherwise(coalesce(col("top_c"), lit(0L)).cast("double") / col("n_tok").cast("double"))
+            .as("top_tok_frac"))
+        .orderBy(col("doc_id"))
+    },
+
     // Deterministic train/val/test split: md5-prefix bucketing — stable
     // under data growth, no RNG, shuffle-free; oracle replays the same
     // hex arithmetic in DuckDB.

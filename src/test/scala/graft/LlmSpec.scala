@@ -180,6 +180,21 @@ class LlmSpec extends SparkSpec {
     assert(patches.groupBy(col("media_id")).count().collect().forall(_.getLong(1) <= 3))
   }
 
+  test("repetition stats: repeated text scores high, varied text low") {
+    import graft.llm.TextAnalysis
+    val df = Seq((1L, "spam spam spam spam"), (2L, "one two three four"), (3L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.wordTokens(col("text")).as("ws"))
+    val out = df.select(col("doc_id"),
+        TextAnalysis.distinctUnigramRatio(col("ws")).as("u"),
+        TextAnalysis.dupBigramFraction(col("ws")).as("d"))
+      .orderBy(col("doc_id")).collect()
+    assert(out(0).getDouble(1) === 0.25)               // 1 distinct of 4
+    assert(out(0).getDouble(2) === 1.0 - 1.0 / 3.0)    // one distinct bigram of 3
+    assert(out(1).getDouble(1) === 1.0 && out(1).getDouble(2) === 0.0)
+    assert(out(2).getDouble(1) === 0.0 && out(2).getDouble(2) === 0.0)
+  }
+
   test("dataset split: deterministic, stable under growth, ~right proportions") {
     import graft.llm.Splits
     val docs500 = Tables.documents(spark, "/root/testdata/sf0.001")
