@@ -26,4 +26,26 @@ object Splits {
       .when(b < trainPct + valPct, "val")
       .otherwise("test")
   }
+
+  /** Deterministic hash sample: keep ~`fraction` of rows, decided purely by
+    * the id (no RNG, stable across runs/engines, filterable at scan time).
+    * Resolution: 1/65536 (the 4-hex-digit bucket).
+    */
+  def hashSample(id: Column, fraction: Double): Column = {
+    require(fraction >= 0 && fraction <= 1)
+    splitBucket(id, 65536) < (fraction * 65536).toLong
+  }
+
+  /** Stratified deterministic sample: per-class keep fractions — the
+    * balanced-downsampling op (shrink over-represented classes) with the
+    * same hash determinism. Classes absent from `fractions` keep
+    * `defaultFraction`.
+    */
+  def stratifiedHashSample(id: Column, label: Column,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0): Column = {
+    val b = splitBucket(id, 65536)
+    fractions.foldLeft(when(lit(false), lit(false))) { case (acc, (cls, f)) =>
+      acc.when(label === cls, b < (f * 65536).toLong)
+    }.otherwise(b < (defaultFraction * 65536).toLong)
+  }
 }

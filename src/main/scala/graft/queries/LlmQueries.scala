@@ -349,6 +349,24 @@ object LlmQueries {
         .orderBy(col("split"))
     },
 
+    // Stratified deterministic sampling: per-class hash-keep fractions
+    // (balanced downsampling of over-represented classes) — no RNG, scan-
+    // filterable, oracle replays the same md5 arithmetic.
+    QueryDef.sql(
+      "q83_stratified_sample",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT lang, CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 65536 AS b
+        |  FROM documents)
+        |WHERE (lang = 'en' AND b < 16384) OR (lang = 'es' AND b < 32768)
+        |   OR (lang NOT IN ('en','es') AND b < 65536)
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(Splits.stratifiedHashSample(col("doc_id"), col("lang"),
+          Map("en" -> 0.25, "es" -> 0.5)))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    },
+
     // Near-dup clusters: connected components over exact+MinHash pairs via
     // iterative min-label propagation (distributed union-find substitute),
     // then the surviving keep-list. Engine-specific hashes -> rows-only.
