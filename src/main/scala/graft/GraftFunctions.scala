@@ -22,21 +22,26 @@ object GraftFunctions {
 
   private def asF(e: Expression) = Cast(e, FloatType)
 
-  def registerAll(spark: SparkSession): Unit = {
-    FunctionBridge.register(spark, "fma", es => Fma(asD(es(0)), asD(es(1)), asD(es(2))))
-    FunctionBridge.register(spark, "fma_f32", es => FmaF32(asF(es(0)), asF(es(1)), asF(es(2))))
-    FunctionBridge.register(spark, "int_pow", es => IntPow(asL(es(0)), asL(es(1))))
-    FunctionBridge.register(spark, "int_floor_div", es => IntFloorDiv(asL(es(0)), asL(es(1))))
-    FunctionBridge.register(spark, "find_str0", es => FindStr0(asS(es(0)), asS(es(1))))
-    FunctionBridge.register(spark, "count_match", es => CountMatch(asS(es(0)), asS(es(1))))
-    FunctionBridge.register(spark, "wrap_int8", es => WrapInt(asL(es(0)), 8))
-    FunctionBridge.register(spark, "wrap_int16", es => WrapInt(asL(es(0)), 16))
-    FunctionBridge.register(spark, "wrap_int32", es => WrapInt(asL(es(0)), 32))
-    FunctionBridge.register(spark, "rolling_hash", es => RollingHash(asS(es(0))))
-    FunctionBridge.register(spark, "simhash64", es => SimHash64(asS(es(0))))
-    FunctionBridge.register(spark, "shingle_tokens", es => ShingleTokens(asS(es(0)), 3))
-    FunctionBridge.register(spark, "minhash_sig", es => MinHashSig(asS(es(0)), 3, 32, 42L))
-    FunctionBridge.register(spark, "cosine_sim", es => CosineSim(asAD(es(0)), asAD(es(1))))
-    FunctionBridge.register(spark, "srp_sig", es => SrpSig(asAD(es(0)), 16, 7L))
-  }
+  /** The full kernel-function table — consumed by both the per-session
+    * `registerAll` and the `GraftExtensions` injection path.
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "fma" -> (es => Fma(asD(es(0)), asD(es(1)), asD(es(2)))),
+    "fma_f32" -> (es => FmaF32(asF(es(0)), asF(es(1)), asF(es(2)))),
+    "int_pow" -> (es => IntPow(asL(es(0)), asL(es(1)))),
+    "int_floor_div" -> (es => IntFloorDiv(asL(es(0)), asL(es(1)))),
+    "find_str0" -> (es => FindStr0(asS(es(0)), asS(es(1)))),
+    "count_match" -> (es => CountMatch(asS(es(0)), asS(es(1)))),
+    "wrap_int8" -> (es => WrapInt(asL(es(0)), 8)),
+    "wrap_int16" -> (es => WrapInt(asL(es(0)), 16)),
+    "wrap_int32" -> (es => WrapInt(asL(es(0)), 32)),
+    "rolling_hash" -> (es => RollingHash(asS(es(0)))),
+    "simhash64" -> (es => SimHash64(asS(es(0)))),
+    "shingle_tokens" -> (es => ShingleTokens(asS(es(0)), 3)),
+    "minhash_sig" -> (es => MinHashSig(asS(es(0)), 3, 32, 42L)),
+    "cosine_sim" -> (es => CosineSim(asAD(es(0)), asAD(es(1)))),
+    "srp_sig" -> (es => SrpSig(asAD(es(0)), 16, 7L)))
+
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) => FunctionBridge.register(spark, name, b) }
 }

@@ -66,6 +66,32 @@ object ArrowBridge {
   }
 }
 
+/** Session bridge: build a sibling SparkSession (shared SparkContext,
+  * fresh state) with a SparkSessionExtensions applied — what
+  * `spark.sql.extensions` does at startup, reachable mid-JVM for tests
+  * and embedded use.
+  */
+object SessionBridge {
+  import org.apache.spark.sql.SparkSessionExtensions
+  import org.apache.spark.sql.classic.SparkSession
+
+  def newSessionWithExtensions(spark: org.apache.spark.sql.SparkSession,
+      f: SparkSessionExtensions => Unit): org.apache.spark.sql.SparkSession = {
+    // getOrCreate returns the existing default session (ignoring
+    // withExtensions), so clear the default/active pointers, build a fresh
+    // session over the SAME SparkContext, and restore them
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try SparkSession.builder().withExtensions(f).getOrCreate()
+    finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
+
 /** Function-registry bridge: registers Catalyst expression builders as
   * SQL-callable functions on an existing session (the registry is
   * `private[sql]`).

@@ -184,6 +184,17 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions injects the kernel functions at session build") {
+    import org.apache.spark.sql.graft.SessionBridge
+    val s2 = SessionBridge.newSessionWithExtensions(spark, new GraftExtensions)
+    // no registerAll call anywhere on s2 — the extension did the injection
+    val r = s2.sql("SELECT int_pow(3L, 41L) AS p, fma(0.1, 10.0, -1.0) AS f, count_match('aaaa', 'aa') AS c")
+      .collect().head
+    assert(r.getLong(0) === (BigInt(3).pow(41) mod (BigInt(1) << 64)).toLong)
+    assert(r.getDouble(1) === Math.fma(0.1, 10.0, -1.0))
+    assert(r.getLong(2) === 2L)
+  }
+
   test("asOf join matches a hand-computed model") {
     val quotes = Seq( // key, time, price
       ("a", 1L, 10.0), ("a", 5L, 11.0), ("a", 9L, 12.0),
