@@ -43,6 +43,8 @@ object Splits {
     */
   def stratifiedHashSample(id: Column, label: Column,
       fractions: Map[String, Double], defaultFraction: Double = 1.0): Column = {
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0 && f <= 1, s"fraction out of [0,1]: $f"))
     val b = splitBucket(id, 65536)
     fractions.foldLeft(when(lit(false), lit(false))) { case (acc, (cls, f)) =>
       acc.when(label === cls, b < (f * 65536).toLong)

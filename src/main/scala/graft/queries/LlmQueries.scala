@@ -358,8 +358,8 @@ object LlmQueries {
         |  SELECT lang, CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 65536 AS b
         |  FROM documents)
         |WHERE (lang = 'en' AND b < 16384) OR (lang = 'es' AND b < 32768)
-        |   OR (lang NOT IN ('en','es') AND b < 65536)
-        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+        |   OR ((lang IS NULL OR lang NOT IN ('en','es')) AND b < 65536)
+        |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .filter(Splits.stratifiedHashSample(col("doc_id"), col("lang"),
           Map("en" -> 0.25, "es" -> 0.5)))

@@ -84,10 +84,22 @@ object SessionBridge {
     val prevActive = SparkSession.getActiveSession
     SparkSession.clearDefaultSession()
     SparkSession.clearActiveSession()
-    try SparkSession.builder().withExtensions(f).getOrCreate()
-    finally {
-      prevDefault.foreach(SparkSession.setDefaultSession)
-      prevActive.foreach(SparkSession.setActiveSession)
+    try {
+      val s2 = SparkSession.builder().withExtensions(f).getOrCreate()
+      require(s2.sparkContext eq spark.sparkContext,
+        "extension session must share the caller's SparkContext")
+      s2
+    } finally {
+      // restore OR clear — with no prior session, foreach(None) would leak
+      // the extension session as the JVM-wide default
+      prevDefault match {
+        case Some(s) => SparkSession.setDefaultSession(s)
+        case None => SparkSession.clearDefaultSession()
+      }
+      prevActive match {
+        case Some(s) => SparkSession.setActiveSession(s)
+        case None => SparkSession.clearActiveSession()
+      }
     }
   }
 }

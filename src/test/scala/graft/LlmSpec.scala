@@ -195,6 +195,27 @@ class LlmSpec extends SparkSpec {
     assert(out(2).getDouble(1) === 0.0 && out(2).getDouble(2) === 0.0)
   }
 
+  test("hashSample: boundary fractions, determinism, null labels keep default") {
+    import graft.llm.Splits
+    val ids = Tables.documents(spark, "/root/testdata/sf0.001").select(col("doc_id"))
+    val n = ids.count()
+    assert(ids.filter(Splits.hashSample(col("doc_id"), 1.0)).count() === n, "fraction 1.0 must keep all")
+    assert(ids.filter(Splits.hashSample(col("doc_id"), 0.0)).count() === 0L, "fraction 0.0 must keep none")
+    val half1 = ids.filter(Splits.hashSample(col("doc_id"), 0.5)).collect().map(_.getLong(0)).toSet
+    val half2 = ids.filter(Splits.hashSample(col("doc_id"), 0.5)).collect().map(_.getLong(0)).toSet
+    assert(half1 === half2, "hash sample must be deterministic")
+    assert(half1.size > n * 0.3 && half1.size < n * 0.7)
+    // stratified: null labels fall through to defaultFraction (kept at 1.0)
+    import spark.implicits._
+    val labeled = Seq((1L, "en"), (2L, null.asInstanceOf[String]), (3L, "es")).toDF("id", "lab")
+    val kept = labeled.filter(graft.llm.Splits.stratifiedHashSample(col("id"), col("lab"),
+      Map("en" -> 0.0, "es" -> 0.0))).collect()
+    assert(kept.map(_.getLong(0)).toSeq === Seq(2L), "null label must use defaultFraction")
+    intercept[IllegalArgumentException] {
+      graft.llm.Splits.stratifiedHashSample(col("id"), col("lab"), Map("en" -> 1.5))
+    }
+  }
+
   test("dataset split: deterministic, stable under growth, ~right proportions") {
     import graft.llm.Splits
     val docs500 = Tables.documents(spark, "/root/testdata/sf0.001")
