@@ -96,6 +96,21 @@ object KernelLaws extends Properties("graft.kernels") {
         d * q + r == a && (if (d > 0) r >= 0 && r < d else r <= 0 && r > d)
     }
 
+  property("f32 fma == double-emulation with one float rounding (2p+2 law)") =
+    forAll(Gen.choose(-1e6f, 1e6f), Gen.choose(-1e6f, 1e6f), Gen.choose(-1e6f, 1e6f)) {
+      (a: Float, b: Float, c: Float) =>
+        // the identity the q14/q63 oracles rely on: binary32 products are
+        // exact in binary64, so one f64 rounding + one f32 rounding equals
+        // the hardware single-rounded fma
+        Math.fma(a, b, c) == (a.toDouble * b.toDouble + c.toDouble).toFloat
+    }
+
+  property("intPow equals the BigInt residue mod 2^64") =
+    forAll(Gen.choose(-1000L, 1000L), Gen.choose(0L, 64L)) { (base: Long, exp: Long) =>
+      StrKernels.intPow(base, exp) ==
+        (BigInt(base).pow(exp.toInt) mod (BigInt(1) << 64)).toLong
+    }
+
   property("cosineSim is symmetric and 1 on self for nonzero vectors") =
     forAll(Gen.nonEmptyListOf(Gen.choose(-100.0, 100.0))) { xs =>
       import org.apache.spark.sql.catalyst.util.GenericArrayData

@@ -121,6 +121,15 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("withRowIndex on an empty input yields an empty indexed frame") {
+    import graft.ops.RowIndex
+    val empty = Tables.customer(spark, "/root/testdata/sf0.001")
+      .filter(col("c_custkey") < 0).select(col("c_custkey"))
+    val idxed = RowIndex.withRowIndex(empty, "idx", Seq(col("c_custkey")))
+    assert(idxed.count() === 0L)
+    assert(idxed.columns.toSeq === Seq("c_custkey", "idx"))
+  }
+
   test("withRowIndex under duplicate order keys still yields a permutation of 0..n-1") {
     import graft.ops.RowIndex
     val df = spark.range(0, 1000).selectExpr("id % 7 AS k") // heavy ties
