@@ -21,11 +21,12 @@ class ScaleSpec extends SparkSpec {
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
       }
     }
-    Tables.lineitem(spark, "/root/testdata/sf0.001")
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
-    Tables.orders(spark, "/root/testdata/sf0.001")
-      .withColumnRenamed("o_orderkey", "l_orderkey")
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("ord_b")
+    import graft.sources.Sinks
+    Sinks.writeBucketed(Tables.lineitem(spark, "/root/testdata/sf0.001"),
+      "li_b", 8, Seq("l_orderkey"))
+    Sinks.writeBucketed(Tables.orders(spark, "/root/testdata/sf0.001")
+      .withColumnRenamed("o_orderkey", "l_orderkey"),
+      "ord_b", 8, Seq("l_orderkey"))
     // disable auto-broadcast so the join would otherwise shuffle
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -9,12 +9,12 @@ class SinkSpec extends SparkSpec {
   import spark.implicits._
 
   test("partitionBy sink + partition-pruned scan") {
+    import graft.sources.Sinks
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
-    Tables.events(spark, "/root/testdata/sf0.001")
-      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    Sinks.writePartitioned(Tables.events(spark, "/root/testdata/sf0.001"), out, Seq("event_type"))
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
     assert(dirs.count(_.startsWith("event_type=")) === 5)
-    val pruned = spark.read.parquet(out).filter(col("event_type") === "signup")
+    val pruned = Sinks.readPartitioned(spark, out).filter(col("event_type") === "signup")
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(event_type"), s"no partition pruning:\n$plan")
     assert(pruned.count() === Tables.events(spark, "/root/testdata/sf0.001")
