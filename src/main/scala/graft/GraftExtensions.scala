@@ -17,11 +17,15 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * the imperative path — one source of truth.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder))
     }
+    // hint-driven range-join rewrite (inert unless
+    // spark.graft.rangeJoin.binSizeUs is set on the session)
+    ext.injectOptimizerRule(session => graft.plans.RangeJoinRule(session))
+  }
 }

@@ -104,6 +104,21 @@ object SessionBridge {
   }
 }
 
+/** Logical-plan bridge: wrap a LogicalPlan as a DataFrame (and back) so
+  * optimizer rules can express rewrites with the Column API instead of
+  * hand-building Catalyst trees. `Dataset.ofRows` is `private[sql]`.
+  */
+object PlanBridge {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+
+  def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+}
+
 /** Function-registry bridge: registers Catalyst expression builders as
   * SQL-callable functions on an existing session (the registry is
   * `private[sql]`).

@@ -194,6 +194,34 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("RangeJoinRule rewrites point-in-interval joins away from nested loop") {
+    import org.apache.spark.sql.graft.SessionBridge
+    val s2 = SessionBridge.newSessionWithExtensions(spark, new GraftExtensions)
+    s2.conf.set("spark.sql.session.timeZone", "UTC")
+    import s2.implicits._
+    val points = Seq((1L, "2024-01-01 10:15:00"), (2L, "2024-01-01 11:30:00"),
+      (3L, "2024-01-02 00:00:00"), (4L, "2024-01-05 09:00:00"))
+      .toDF("pid", "pt_s").select(col("pid"), col("pt_s").cast("timestamp").as("pt"))
+    val intervals = Seq((10L, "2024-01-01 10:00:00", "2024-01-01 12:00:00"),
+      (11L, "2024-01-01 23:00:00", "2024-01-02 01:00:00"),
+      (12L, "2024-01-03 00:00:00", "2024-01-04 00:00:00"))
+      .toDF("iid", "lo_s", "hi_s")
+      .select(col("iid"), col("lo_s").cast("timestamp").as("lo"), col("hi_s").cast("timestamp").as("hi"))
+    val cond = col("pt") >= col("lo") && col("pt") < col("hi")
+    // without the hint conf: naive plan (nested loop), reference results
+    val naive = points.join(intervals, cond)
+    assert(naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val expect = naive.collect().map(_.toSeq).toSet
+    // with the hint conf: rewritten to the binned equi-join, same results
+    s2.conf.set("spark.graft.rangeJoin.binSizeUs", (3600L * 1000000L).toString)
+    try {
+      val rewritten = points.join(intervals, cond)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"not rewritten:\n$plan")
+      assert(rewritten.collect().map(_.toSeq).toSet === expect)
+    } finally s2.conf.unset("spark.graft.rangeJoin.binSizeUs")
+  }
+
   test("GraftExtensions injects the kernel functions at session build") {
     import org.apache.spark.sql.graft.SessionBridge
     val s2 = SessionBridge.newSessionWithExtensions(spark, new GraftExtensions)
