@@ -55,13 +55,27 @@ object Arith {
   def fma(a: Column, b: Column, c: Column): Column =
     toCol(Fma(toExpr(a.cast("double")), toExpr(b.cast("double")), toExpr(c.cast("double"))))
 
-  /** f32 twin: single-rounded fma at BINARY32 precision (dispatch.rs:389).
-    * Spark float arithmetic is true IEEE single precision (like the
-    * reference's f32 kernels), so the whole f32 lane — +,-,*,/ on
-    * `.cast("float")` columns plus this fma — matches bit-for-bit.
+  /** f32 twin: single-rounded fma at BINARY32 precision (dispatch.rs:389)
+    * — true hardware fused multiply-add, reference-parity semantics.
+    *
+    * NOT cross-engine oracle-safe: emulating it in binary64 double-rounds,
+    * and the 2p+2 double-rounding theorem does NOT cover fma (the product
+    * is 2p bits; counterexample 24929f*673f + 2^-30f → fused 16777218f vs
+    * emulated 16777216f). Engines without a real fma therefore can't
+    * reproduce it bit-exactly — use `fmaF32Emulated` where cross-engine
+    * reproducibility matters more than the fused semantics.
     */
   def fmaF32(a: Column, b: Column, c: Column): Column =
     toCol(FmaF32(toExpr(a.cast("float")), toExpr(b.cast("float")), toExpr(c.cast("float"))))
+
+  /** Deterministic-everywhere f32 mul-add: compute in binary64, round once
+    * to binary32. Differs from the fused form by at most one f32 ulp, and
+    * every IEEE engine produces the identical bit pattern — the form the
+    * oracle-checked gate columns use.
+    */
+  def fmaF32Emulated(a: Column, b: Column, c: Column): Column =
+    (a.cast("float").cast("double") * b.cast("float").cast("double") +
+      c.cast("float").cast("double")).cast("float")
 
   /** f32 lane entry: cast to IEEE binary32 (strict narrowing to the
     * reference's Float32 kernels' input type).

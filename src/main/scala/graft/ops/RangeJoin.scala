@@ -16,6 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Bin id of a point timestamp — ONE definition of the bin-boundary
+    * arithmetic, shared by the explicit operator and the optimizer rule
+    * (plans.RangeJoinRule); a divergence between the two would silently
+    * change which candidate pairs the residual filter sees.
+    */
+  def pointBin(ts: Column, binWidthUs: Long): Column =
+    (unix_micros(ts) / binWidthUs).cast("long")
+
+  /** All bins an interval [lo, hi) or [lo, hi] covers (exploded). */
+  def intervalBins(lo: Column, hi: Column, binWidthUs: Long, inclusiveHi: Boolean): Column = {
+    val hiBin =
+      if (inclusiveHi) (unix_micros(hi) / binWidthUs).cast("long")
+      else ((unix_micros(hi) - 1) / binWidthUs).cast("long")
+    explode(sequence((unix_micros(lo) / binWidthUs).cast("long"), hiBin))
+  }
+
   /** `left` point rows (ptCol: timestamp) joined to `right` interval rows
     * ([startCol, endCol) timestamps) sharing `keys`. Output: left columns
     * + right columns (names must not overlap except keys).
@@ -23,11 +39,9 @@ object RangeJoin {
   def pointInInterval(left: DataFrame, right: DataFrame,
       ptCol: String, startCol: String, endCol: String,
       keys: Seq[String], binWidthUs: Long): DataFrame = {
-    val l = left.withColumn("__bin", (unix_micros(col(ptCol)) / binWidthUs).cast("long"))
+    val l = left.withColumn("__bin", pointBin(col(ptCol), binWidthUs))
     val r = right
-      .withColumn("__bin", explode(sequence(
-        (unix_micros(col(startCol)) / binWidthUs).cast("long"),
-        ((unix_micros(col(endCol)) - 1) / binWidthUs).cast("long"))))
+      .withColumn("__bin", intervalBins(col(startCol), col(endCol), binWidthUs, inclusiveHi = false))
     l.join(r, keys :+ "__bin")
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("__bin")

@@ -34,18 +34,29 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val bin = binUs
     if (bin <= 0) return plan
     plan.transform {
-      case j @ Join(left, right, Inner, Some(cond), _) =>
+      // user-hinted joins are left alone (the rewrite would discard the
+      // hint and silently override an explicit broadcast request)
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if hint == org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE =>
         tryRewrite(j, left, right, cond, bin).getOrElse(j)
     }
   }
 
   private def attrsOf(p: LogicalPlan): AttributeSet = p.outputSet
 
+  private val BinCol = "__graft_rjbin"
+
   private def tryRewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
       cond: Expression, bin: Long): Option[LogicalPlan] = {
-    // column names must be unambiguous for the Dataset-level reconstruction
-    val names = left.output.map(_.name) ++ right.output.map(_.name)
+    // column names must be unambiguous for the Dataset-level
+    // reconstruction — compared case-insensitively (Spark's default
+    // resolution), and the bin column name is reserved. The BinCol check
+    // is also the explicit no-rematch marker: predicate pushdown can fold
+    // the residual filter back into the rewritten join's condition, and
+    // without this bail the fixed-point optimizer would re-bin forever.
+    val names = (left.output.map(_.name) ++ right.output.map(_.name)).map(_.toLowerCase)
     if (names.distinct.length != names.length) return None
+    if (names.contains(BinCol)) return None
 
     val conjuncts = splitConjuncts(cond)
     val lAttrs = attrsOf(left)
@@ -108,28 +119,26 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val rdf = PlanBridge.ofRows(spark, right)
     val (ptDf, ivDf) = if (ptOnLeft) (ldf, rdf) else (rdf, ldf)
 
-    val ptBinned = ptDf.withColumn("__graft_rjbin",
-      (unix_micros(col(pt.name)) / bin).cast("long"))
-    val hiBinExpr =
-      if (inclusive) (unix_micros(col(hi.name)) / bin).cast("long")
-      else ((unix_micros(col(hi.name)) - 1) / bin).cast("long")
+    // bin arithmetic shared with the explicit operator — one definition
+    val ptBinned = ptDf.withColumn(BinCol,
+      graft.ops.RangeJoin.pointBin(col(pt.name), bin))
     val ivBinned = ivDf
       .filter(col(lo.name) <= col(hi.name)) // inverted intervals match nothing
-      .withColumn("__graft_rjbin",
-        explode(sequence((unix_micros(col(lo.name)) / bin).cast("long"), hiBinExpr)))
+      .withColumn(BinCol,
+        graft.ops.RangeJoin.intervalBins(col(lo.name), col(hi.name), bin, inclusive))
 
     val equiCond = equis.map { case (la, ra) =>
       if (ptOnLeft) ptBinned(la.name) === ivBinned(ra.name)
       else ivBinned(la.name) === ptBinned(ra.name)
     }
     val joinCond = (equiCond :+
-      (ptBinned("__graft_rjbin") === ivBinned("__graft_rjbin"))).reduce(_ && _)
+      (ptBinned(BinCol) === ivBinned(BinCol))).reduce(_ && _)
     val residual = col(pt.name) >= col(lo.name) &&
       (if (inclusive) col(pt.name) <= col(hi.name) else col(pt.name) < col(hi.name))
 
     val joined = ptBinned.join(ivBinned, joinCond)
       .filter(residual)
-      .drop("__graft_rjbin")
+      .drop(BinCol)
     // restore the original output order/attributes — child attr ids pass
     // through the reconstruction untouched, so this Project resolves
     Project(j.output, PlanBridge.analyzed(joined))

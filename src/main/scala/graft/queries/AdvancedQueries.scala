@@ -143,7 +143,8 @@ object AdvancedQueries {
         find_str0(l_returnflag, 'R') AS find_v,
         count_match(l_linestatus, 'O') AS cnt_v,
         int_pow(l_linenumber, 2) AS ipow_v,
-        fma_f32(l_quantity, l_discount, l_tax) AS fma32_v
+        CAST(CAST(CAST(l_quantity AS FLOAT) AS DOUBLE) * CAST(CAST(l_discount AS FLOAT) AS DOUBLE)
+             + CAST(CAST(l_tax AS FLOAT) AS DOUBLE) AS FLOAT) AS fma32_v
         FROM lineitem WHERE l_orderkey < 500
         ORDER BY l_orderkey, l_linenumber""")
     }

@@ -49,8 +49,11 @@ object Kernels {
     // per-width wrapping (WrapInt), single-rounding FMA (Fma + FmaF32).
     // The f32 lane (add32/mul32/div32/promo32/fma32) runs at true IEEE
     // binary32 on both engines (Spark FloatType == DuckDB REAL arithmetic);
-    // the oracle emulates the f32 fma in double — exact by the 2p+2
-    // double-rounding theorem (24-bit products are exact in 53 bits).
+    // add/mul are native f32, div is double-rounded f64->f32 (safe by the
+    // 2p+2 theorem, which covers +,-,/ — NOT fma), and fma32 is the
+    // EMULATED double-then-float form on both sides: bit-identical across
+    // engines by construction. The true fused kernel (FmaF32) is
+    // reference-parity-tested in ArithSpec; an oracle can't express it.
     QueryDef.sql(
       "q14_floordiv_wrap_fma",
       """SELECT l_orderkey, l_linenumber,
@@ -80,7 +83,7 @@ object Kernels {
         // f64 quotient equals direct f32 division (2p+2 theorem)
         (Arith.toF32(col("l_extendedprice")) / Arith.toF32(col("l_quantity"))).cast("float").as("div32"),
         (col("l_linenumber") + Arith.toF32(col("l_discount"))).as("promo32"),
-        Arith.fmaF32(col("l_quantity"), col("l_discount"), col("l_tax")).as("fma32"))
+        Arith.fmaF32Emulated(col("l_quantity"), col("l_discount"), col("l_tax")).as("fma32"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 

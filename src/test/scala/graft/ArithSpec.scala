@@ -81,9 +81,12 @@ class ArithSpec extends SparkSpec {
     val got = col1[Float](df.select(Arith.fmaF32(lit(a), lit(a), lit(c)))).head.get
     assert(got === Math.fma(a, a, c))
     assert(Math.fma(a, a, c) !== a * a + c, "fixture must distinguish single from double rounding")
-    // the oracle's double-emulation identity (2p+2 theorem): f64 compute +
-    // one f32 rounding == hardware f32 fma
-    assert(Math.fma(a, a, c) === (a.toDouble * a.toDouble + c.toDouble).toFloat)
+    // the emulated twin (what the oracle-checked gate columns use) matches
+    // the kernel here, but NOT universally — fused fma and f64 emulation
+    // can differ by one ulp on product-midpoint inputs (KernelLaws pins a
+    // counterexample), which is why the gate never compares the fused form
+    val emul = col1[Float](df.select(Arith.fmaF32Emulated(lit(a), lit(a), lit(c)))).head.get
+    assert(emul === (a.toDouble * a.toDouble + c.toDouble).toFloat)
   }
 
   test("int pow wraps mod 2^64 like Rust release i64::pow (std.rs:67)") {

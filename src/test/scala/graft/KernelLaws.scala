@@ -96,13 +96,25 @@ object KernelLaws extends Properties("graft.kernels") {
         d * q + r == a && (if (d > 0) r >= 0 && r < d else r <= 0 && r > d)
     }
 
-  property("f32 fma == double-emulation with one float rounding (2p+2 law)") =
+  property("f32 fused fma and double-emulation differ by at most one f32 ulp") =
     forAll(Gen.choose(-1e6f, 1e6f), Gen.choose(-1e6f, 1e6f), Gen.choose(-1e6f, 1e6f)) {
       (a: Float, b: Float, c: Float) =>
-        // the identity the q14/q63 oracles rely on: binary32 products are
-        // exact in binary64, so one f64 rounding + one f32 rounding equals
-        // the hardware single-rounded fma
-        Math.fma(a, b, c) == (a.toDouble * b.toDouble + c.toDouble).toFloat
+        // they are NOT identical in general (double rounding; see the
+        // counterexample property below) — which is why the oracle-checked
+        // gate columns use the emulated form on BOTH engines and the fused
+        // kernel is spec-tested instead. The bound: one extra rounding
+        // costs at most one ulp.
+        val fused = Math.fma(a, b, c)
+        val emul = (a.toDouble * b.toDouble + c.toDouble).toFloat
+        fused == emul || math.abs(fused - emul) <= math.ulp(fused)
+    }
+
+  property("f32 fma double-rounding counterexample stays divergent (regression pin)") =
+    Prop {
+      // product 24929*673 = 16777217 = 2^24+1, an exact f32 midpoint; the
+      // 2^-30 addend is lost to f64 ties-to-even but decides the f32 round
+      val a = 24929f; val b = 673f; val c = math.pow(2, -30).toFloat
+      Math.fma(a, b, c) != (a.toDouble * b.toDouble + c.toDouble).toFloat
     }
 
   property("intPow equals the BigInt residue mod 2^64") =

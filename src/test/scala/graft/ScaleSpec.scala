@@ -226,11 +226,15 @@ class ScaleSpec extends SparkSpec {
     import org.apache.spark.sql.graft.SessionBridge
     val s2 = SessionBridge.newSessionWithExtensions(spark, new GraftExtensions)
     // no registerAll call anywhere on s2 — the extension did the injection
-    val r = s2.sql("SELECT int_pow(3L, 41L) AS p, fma(0.1, 10.0, -1.0) AS f, count_match('aaaa', 'aa') AS c")
+    val r = s2.sql(
+      "SELECT int_pow(3L, 41L) AS p, fma(0.1, 10.0, -1.0) AS f, " +
+        "count_match('aaaa', 'aa') AS c, fma_f32(24929.0, 673.0, 0.0000000009313226) AS f32")
       .collect().head
     assert(r.getLong(0) === (BigInt(3).pow(41) mod (BigInt(1) << 64)).toLong)
     assert(r.getDouble(1) === Math.fma(0.1, 10.0, -1.0))
     assert(r.getLong(2) === 2L)
+    // true fused semantics through SQL: the double-rounding counterexample
+    assert(r.getFloat(3) === Math.fma(24929f, 673f, math.pow(2, -30).toFloat))
   }
 
   test("asOf join matches a hand-computed model") {
