@@ -46,4 +46,23 @@ object RangeJoin {
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("__bin")
   }
+
+  /** Interval-overlap join: pairs whose half-open windows [loL, hiL) and
+    * [loR, hiR) intersect, sharing `keys` — the other classic range-join
+    * shape (concurrency detection, conflict windows). Both sides explode
+    * to covered bins and equi-join on (keys..., bin); a pair sharing
+    * several bins is emitted ONCE by keeping only the bin of the overlap
+    * START, max(loL, loR) — a filter, not a distinct, so no extra shuffle
+    * over wide rows. Still one shuffle total, no nested loop.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      loL: String, hiL: String, loR: String, hiR: String,
+      keys: Seq[String], binWidthUs: Long): DataFrame = {
+    val l = left.withColumn("__bin", intervalBins(col(loL), col(hiL), binWidthUs, inclusiveHi = false))
+    val r = right.withColumn("__bin", intervalBins(col(loR), col(hiR), binWidthUs, inclusiveHi = false))
+    l.join(r, keys :+ "__bin")
+      .filter(col(loL) < col(hiR) && col(loR) < col(hiL))
+      .filter(col("__bin") === pointBin(greatest(col(loL), col(loR)), binWidthUs))
+      .drop("__bin")
+  }
 }

@@ -49,6 +49,32 @@ object ExtrasQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // Interval-overlap join (binned, one shuffle, distinct-free dedupe via
+    // the overlap-start bin): customers' 30-day order windows that overlap
+    // — the second classic range-join shape beside q62's point-in-interval.
+    QueryDef.sql(
+      "q84_interval_overlap",
+      """WITH b AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate AS lo,
+        |    o_orderdate + INTERVAL 30 DAY AS hi
+        |  FROM orders WHERE o_custkey < 300)
+        |SELECT a.o_custkey, a.o_orderkey AS ok1, b2.o_orderkey AS ok2
+        |FROM b a JOIN b b2 ON a.o_custkey = b2.o_custkey
+        |  AND a.lo < b2.hi AND b2.lo < a.hi AND a.o_orderkey < b2.o_orderkey
+        |ORDER BY a.o_custkey, ok1, ok2""".stripMargin) { (s, d) =>
+      import graft.ops.RangeJoin
+      val base = Tables.orders(s, d).filter(col("o_custkey") < 300)
+      def side(n: Int) = base.select(
+        col("o_custkey"), col("o_orderkey").as(s"ok$n"),
+        col("o_orderdate").cast("timestamp").as(s"lo$n"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).cast("timestamp").as(s"hi$n"))
+      RangeJoin.intervalOverlap(side(1), side(2), "lo1", "hi1", "lo2", "hi2",
+          Seq("o_custkey"), binWidthUs = 30L * 86400 * 1000000)
+        .filter(col("ok1") < col("ok2"))
+        .select(col("o_custkey"), col("ok1"), col("ok2"))
+        .orderBy(col("o_custkey"), col("ok1"), col("ok2"))
+    },
+
     // String arithmetic (feature str_arithmetic, minarrow
     // src/kernels/arithmetic/string.rs): `+` concatenates (incl. str+num
     // with the numeric formatted), `*` repeats.

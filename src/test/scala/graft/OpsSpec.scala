@@ -27,6 +27,29 @@ class OpsSpec extends SparkSpec {
     assert(got === Set((10L, "2024-01-01 00:30:00.0")))  // point 2 outside, user-2 point before window
   }
 
+  test("interval-overlap join equals the naive overlap predicate, emitted once per pair") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // windows spanning multiple bins (1h bin width) to exercise the
+    // first-shared-bin dedupe: pair (20,30) overlaps across 3 bins
+    val a = Seq((20L, 1L, "2024-01-01 00:00:00", "2024-01-01 05:00:00"),
+      (21L, 1L, "2024-01-01 08:00:00", "2024-01-01 09:00:00"),
+      (22L, 2L, "2024-01-01 00:00:00", "2024-01-01 01:00:00"))
+      .map { case (id, k, s, e) => (id, k, ts(s), ts(e)) }.toDF("aid", "k", "lo1", "hi1")
+    val b = Seq((30L, 1L, "2024-01-01 01:30:00", "2024-01-01 04:30:00"),
+      (31L, 1L, "2024-01-01 04:59:00", "2024-01-01 06:00:00"),
+      (32L, 2L, "2024-01-01 01:00:00", "2024-01-01 02:00:00"))
+      .map { case (id, k, s, e) => (id, k, ts(s), ts(e)) }.toDF("bid", "k", "lo2", "hi2")
+    val got = RangeJoin.intervalOverlap(a, b, "lo1", "hi1", "lo2", "hi2",
+        Seq("k"), binWidthUs = 3600L * 1000000)
+      .select(col("aid"), col("bid")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.distinct.length, "pairs must be emitted exactly once")
+    val expect = a.as("x").join(b.as("y"),
+        col("x.k") === col("y.k") && col("x.lo1") < col("y.hi2") && col("y.lo2") < col("x.hi1"))
+      .select(col("aid"), col("bid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet === expect)
+    assert(got.toSet === Set((20L, 30L), (20L, 31L))) // half-open: 22/32 touch, don't overlap
+  }
+
   test("registered SQL kernels evaluate") {
     GraftFunctions.registerAll(spark)
     // integer literals on purpose: constant folding runs interpreted eval,
