@@ -13,6 +13,24 @@ object StructureQueries {
 
     // .c()/.r() selection DSL: column projection + contiguous row range
     // under explicit order (selection.rs:87,119 — contiguity fast path).
+    // Fixed-width histogram (agg-battery §2.6 adjacent): one map-side-
+    // combined groupBy on the bin id — the portable floor-arithmetic form
+    // (no engine-specific width_bucket variance).
+    QueryDef.sql(
+      "q85_histogram",
+      """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(MIN(l_extendedprice), 2) AS lo,
+        |  ROUND(MAX(l_extendedprice), 2) AS hi
+        |FROM lineitem GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(floor(col("l_extendedprice") / 5000).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 2).as("lo"),
+          round(max(col("l_extendedprice")), 2).as("hi"))
+        .orderBy(col("bin"))
+    },
+
     QueryDef.sql(
       "q25_selection_range",
       """SELECT c_custkey, c_name, c_acctbal FROM customer
