@@ -40,11 +40,17 @@ object Bench {
       val ts = passes.map(_(q.name)).filter(_ >= 0)
       q.name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
-    // 4-decimal (0.1 ms) resolution keeps the JSON line short — round-1's
-    // full-precision doubles made the line long enough to be truncated by
-    // the driver's output capture
+    // The driver captures only the TAIL of stdout (~3 KB): rounds 1 and 2
+    // both lost the head of the JSON line to that cap ("parsed": null in
+    // BENCH_r0{1,2}.json). Two defenses: (a) the stdout line uses SHORT
+    // query keys — the "qNN" prefix before the first underscore — cutting
+    // the line to ~1.3 KB so it fits whole; (b) the full-name line still
+    // goes to BENCH_LOCAL.json for humans.
     def r4(v: Double): Double = math.rint(v * 10000) / 10000
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
+    def queriesJson(short: Boolean): String = results.map { case (k, v) =>
+      val key = if (short) k.takeWhile(_ != '_') else k
+      "\"" + key + "\":" + r4(v)
+    }.mkString("{", ",", "}")
     val total = r4(results.map(_._2).filter(_ >= 0).sum)
 
     // Micro-benchmarks matching the reference's own published workload
@@ -61,12 +67,13 @@ object Bench {
     val micro = s"""{"sum_1e9_i64_sec":${r4(sumI64)},"sum_1e9_f64_sec":${r4(sumF64)},""" +
       s""""i64_gelems_per_sec":${r4(n / sumI64 / 1e9)},"f64_gelems_per_sec":${r4(n / sumF64 / 1e9)}}"""
 
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"micro":$micro,"sf":"$sfDir"}"""
-    println(line)
-    // also persist to a file: stdout capture can truncate long lines, which
-    // cost round 1 a third of its per-query timings
+    def line(short: Boolean): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${queriesJson(short)},"micro":$micro,"sf":"$sfDir"}"""
+    println(line(short = true))
+    // full names go to the file (stdout capture truncates long lines, which
+    // cost rounds 1-2 their per-query timings)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line(short = false) + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }
