@@ -27,5 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // hint-driven range-join rewrite (inert unless
     // spark.graft.rangeJoin.binSizeUs is set on the session)
     ext.injectOptimizerRule(session => graft.plans.RangeJoinRule(session))
+    // physical as-of join (inert unless an AsOfJoinPlan node is present)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -72,5 +72,52 @@ object AsOfJoin {
     unpacked
       .withColumn(leftTime, col("__t"))
       .drop("__t", "__side", "__rpay", "__carried", "__carried_t")
+  }
+
+  /** The same join through the physical operator
+    * (`plans.AsOfJoinPlan/AsOfJoinExec` — SURVEY §7.3 (c) taken to the
+    * SparkPlan layer): Catalyst plans one keys-only hash exchange and one
+    * sort per side, then a single-pass per-partition merge with O(1) state
+    * per key — no union materialization, no window carry state. Same output
+    * contract as [[asOf]] (left columns + nullable right payload).
+    *
+    * `toleranceUs`: keep a match only if |leftTime − matchedRightTime| is
+    * within this many microseconds (pandas merge_asof `tolerance`).
+    */
+  def asOfPhysical(left: DataFrame, right: DataFrame,
+      leftTime: String, rightTime: String, keys: Seq[String],
+      direction: String = "backward",
+      toleranceUs: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward", s"direction: $direction")
+    val leftCols = left.columns.filterNot(keys.contains)
+    val rightCols = right.columns.filterNot(keys.contains)
+    require(leftCols.intersect(rightCols).isEmpty,
+      s"overlapping non-key columns: ${leftCols.intersect(rightCols).mkString(",")}")
+
+    import org.apache.spark.sql.graft.{ColumnBridge, PlanBridge}
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val lPlan = PlanBridge.analyzed(left)
+    val rPlan = PlanBridge.analyzed(right)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(sys.error(s"no column $n"))
+    val node = graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, leftTime), attr(rPlan, rightTime),
+      forward = direction == "forward", toleranceUs = toleranceUs)
+    // keep left columns + non-key right payload (keys are on both sides;
+    // select by attribute, not name, to disambiguate)
+    val keep = lPlan.output ++ rPlan.output.filterNot(a => keys.contains(a.name))
+    PlanBridge.ofRows(spark, node).select(keep.map(ColumnBridge.column(_)): _*)
+  }
+
+  /** Register the planner strategy on this session (idempotent). Sessions
+    * built with `spark.sql.extensions=graft.GraftExtensions` already have it.
+    */
+  def ensureStrategy(spark: SparkSession): Unit = {
+    val es = spark.experimental
+    if (!es.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      es.extraStrategies = es.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }

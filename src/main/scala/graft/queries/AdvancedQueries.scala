@@ -66,6 +66,43 @@ object AdvancedQueries {
         .orderBy(col("event_id"))
     },
 
+    // The SAME as-of semantics through the PHYSICAL operator
+    // (plans.AsOfJoinExec — custom SparkPlan with distribution/ordering
+    // requirements and a single-pass per-partition merge) instead of the
+    // window composition. Oracle identical to q54's DuckDB ASOF; a
+    // tolerance band (<= 30 days) exercises the merge_asof tolerance path,
+    // expressed in SQL as a post-hoc NULL-out of too-old matches.
+    QueryDef.sql(
+      "q86_asof_physical",
+      """WITH o1 AS (
+        |  SELECT o_custkey AS user_id, o_orderdate,
+        |    MAX(o_orderkey) AS o_orderkey,
+        |    MAX_BY(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2),
+        |a AS (
+        |  SELECT e.event_id, e.user_id, e.ts, o1.o_orderdate,
+        |    o1.o_orderkey, o1.o_totalprice
+        |  FROM events e ASOF LEFT JOIN o1
+        |    ON e.user_id = o1.user_id AND e.ts >= o1.o_orderdate)
+        |SELECT event_id, user_id,
+        |  CASE WHEN ts - o_orderdate <= INTERVAL 30 DAY THEN o_orderkey END AS o_orderkey,
+        |  CASE WHEN ts - o_orderdate <= INTERVAL 30 DAY THEN o_totalprice END AS o_totalprice
+        |FROM a ORDER BY event_id""".stripMargin) { (s, d) =>
+      val right = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      // the physical operator is strict about time types; events.ts is
+      // session-TZ TIMESTAMP while o_orderdate is NTZ — identical wall
+      // clock under the UTC session, so align at the query site
+      val left = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"))
+      AsOfJoin.asOfPhysical(left, right, leftTime = "ts", rightTime = "o_orderdate",
+          keys = Seq("user_id"), toleranceUs = Some(30L * 86400L * 1000000L))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    },
+
     // TPC-H Q10 shape through the SQL surface — identical text both engines.
     sqlBoth(
       "q55_sql_returned_revenue",
