@@ -6,32 +6,47 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.DataType
 
-/** Opt-in Catalyst optimizer rule (SURVEY §7.3 preference (c)): rewrites a
-  * point-in-interval inner join — which Spark would execute as
-  * BroadcastNestedLoop, quadratic work — into the binned equi-join shape of
-  * `ops.RangeJoin.pointInInterval` (explode intervals to covered bins, join
-  * on (equi-keys..., bin), exact residual filter).
+/** Opt-in Catalyst optimizer rule (SURVEY §7.3 preference (c)): rewrites the
+  * two classic range-join shapes — which Spark would execute as
+  * BroadcastNestedLoop, quadratic work — into the binned equi-join shapes of
+  * `ops.RangeJoin` (explode intervals to covered bins, join on
+  * (equi-keys..., bin), exact residual filter):
+  *
+  *  - point-in-interval: `pt >= lo AND pt <(=) hi`
+  *  - interval-overlap:  `loL < hiR AND loR < hiL` (half-open windows;
+  *    deduplicated by keeping only the overlap-START bin — a filter, not a
+  *    distinct)
+  *
+  * The range axis may be TIMESTAMP/TIMESTAMP_NTZ (bin width in µs), DATE
+  * (width in days), or INT/BIGINT (width in value units) — the same type on
+  * all range columns of a join (`ops.RangeJoin.axisTypes`).
   *
   * HINT-DRIVEN like production range-join optimizations: inert unless the
-  * session sets `spark.graft.rangeJoin.binSizeUs` (> 0) — bin width is a
-  * data-dependent choice the user makes (near the typical interval length).
-  * Matched shape: Inner join whose condition is a conjunction of
-  * equi-conjuncts plus exactly one `pt >= lo AND pt <(=) hi` pair over
-  * TIMESTAMP columns, point side and interval side on opposite inputs.
-  * Anything else is left untouched. The rewrite never rematches (the new
-  * join's condition is pure equality; the residual lives in a Filter).
+  * session sets `spark.graft.rangeJoin.binSize` (axis units; alias
+  * `binSizeUs` for the timestamp axis) — bin width is a data-dependent
+  * choice the user makes (near the typical interval length). Matched shape:
+  * Inner join whose condition is a conjunction of equi-conjuncts plus
+  * exactly one of the two range patterns over supported axis columns, point
+  * and interval sides on opposite inputs. Anything else is left untouched.
+  * The rewrite never rematches (the new join's condition is pure equality;
+  * the residual lives in a Filter).
   */
 case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private val ConfKey = "spark.graft.rangeJoin.binSizeUs"
+  private val ConfKey = "spark.graft.rangeJoin.binSize"
+  private val ConfKeyUs = "spark.graft.rangeJoin.binSizeUs"
 
-  private def binUs: Long =
-    try spark.conf.get(ConfKey, "0").toLong catch { case _: NumberFormatException => 0L }
+  private def binSize: Long = {
+    def get(k: String): Long =
+      try spark.conf.get(k, "0").toLong catch { case _: NumberFormatException => 0L }
+    val v = get(ConfKey)
+    if (v > 0) v else get(ConfKeyUs)
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val bin = binUs
+    val bin = binSize
     if (bin <= 0) return plan
     plan.transform {
       // user-hinted joins are left alone (the rewrite would discard the
@@ -42,9 +57,12 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  private def attrsOf(p: LogicalPlan): AttributeSet = p.outputSet
-
   private val BinCol = "__graft_rjbin"
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
 
   private def tryRewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
       cond: Expression, bin: Long): Option[LogicalPlan] = {
@@ -59,73 +77,89 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (names.contains(BinCol)) return None
 
     val conjuncts = splitConjuncts(cond)
-    val lAttrs = attrsOf(left)
-    val rAttrs = attrsOf(right)
+    val lAttrs = left.outputSet
+    val rAttrs = right.outputSet
 
     def side(e: Expression): Option[Boolean] = e match {
       case a: Attribute if lAttrs.contains(a) => Some(true)
       case a: Attribute if rAttrs.contains(a) => Some(false)
       case _ => None
     }
-    def isTs(e: Expression): Boolean = e.dataType == TimestampType
+    def isAxis(e: Expression): Boolean = graft.ops.RangeJoin.axisTypes.contains(e.dataType)
+    def crossSide(a: Expression, b: Expression): Boolean =
+      side(a).isDefined && side(b).isDefined && side(a) != side(b)
 
-    // classify conjuncts: lower bound, upper bound, equi pairs; bail on rest
-    var lower: Option[(Attribute, Attribute)] = None            // (pt, lo)
-    var upper: Option[(Attribute, Attribute, Boolean)] = None   // (pt, hi, inclusive)
+    // classify conjuncts: >= bounds, strict/inclusive < bounds, equi pairs;
+    // bail on anything else
+    var lowers = Vector.empty[(Attribute, Attribute)]           // (pt, lo): pt >= lo
+    var uppers = Vector.empty[(Attribute, Attribute, Boolean)]  // (a, b, inclusive): a <(=) b
     var equis = Vector.empty[(Attribute, Attribute)]            // (left, right)
     for (c <- conjuncts) c match {
       case GreaterThanOrEqual(a: Attribute, b: Attribute)
-          if isTs(a) && isTs(b) && lower.isEmpty && side(a).isDefined &&
-            side(b).isDefined && side(a) != side(b) =>
-        lower = Some((a, b))
+          if isAxis(a) && a.dataType == b.dataType && crossSide(a, b) =>
+        lowers :+= ((a, b))
+      // a cross-side `x <= y` is ambiguous (lo <= pt vs pt <= hi): first
+      // one seen becomes the lower — the final shape match re-validates
+      // via pt1/pt2 identity, so a misread just means no rewrite
       case LessThanOrEqual(b: Attribute, a: Attribute)
-          if isTs(a) && isTs(b) && lower.isEmpty && side(a).isDefined &&
-            side(b).isDefined && side(a) != side(b) =>
-        lower = Some((a, b))
+          if isAxis(a) && a.dataType == b.dataType && crossSide(a, b) && lowers.isEmpty =>
+        lowers :+= ((a, b))
       case LessThan(a: Attribute, b: Attribute)
-          if isTs(a) && isTs(b) && upper.isEmpty && side(a).isDefined &&
-            side(b).isDefined && side(a) != side(b) =>
-        upper = Some((a, b, false))
+          if isAxis(a) && a.dataType == b.dataType && crossSide(a, b) =>
+        uppers :+= ((a, b, false))
       case LessThanOrEqual(a: Attribute, b: Attribute)
-          if isTs(a) && isTs(b) && upper.isEmpty && side(a).isDefined &&
-            side(b).isDefined && side(a) != side(b) =>
-        upper = Some((a, b, true))
-      case EqualTo(a: Attribute, b: Attribute)
-          if side(a).isDefined && side(b).isDefined && side(a) != side(b) =>
+          if isAxis(a) && a.dataType == b.dataType && crossSide(a, b) =>
+        uppers :+= ((a, b, true))
+      case EqualTo(a: Attribute, b: Attribute) if crossSide(a, b) =>
         equis :+= (if (side(a).contains(true)) (a, b) else (b, a))
       case _ => return None
     }
-    (lower, upper) match {
-      case (Some((pt1, lo)), Some((pt2, hi, inclusive))) if pt1.semanticEquals(pt2) =>
-        // point attr on one side, both bounds on the other
+
+    (lowers, uppers) match {
+      // point-in-interval: pt >= lo AND pt <(=) hi, bounds on one side
+      case (Vector((pt1, lo)), Vector((pt2, hi, inclusive))) if pt1.semanticEquals(pt2) =>
         val ptOnLeft = side(pt1).get
         if (side(lo) == side(pt1) || side(hi) == side(pt1)) return None
         if (side(lo) != side(hi)) return None
-        Some(build(j, left, right, pt1, lo, hi, inclusive, ptOnLeft, equis, bin))
+        Some(buildPoint(j, left, right, pt1, lo, hi, inclusive, ptOnLeft, equis, bin))
+      // interval-overlap: loL < hiR AND loR < hiL (both strict), one
+      // lower-attr on each side, four distinct columns (a degenerate
+      // pt > lo AND pt < hi also reaches here — shared attrs — and is
+      // deliberately not matched)
+      case (Vector(), Vector((x1, y1, false), (x2, y2, false)))
+          if side(x1) != side(x2) &&
+            Seq(x1, y1, x2, y2).map(_.exprId).distinct.length == 4 &&
+            Seq(y1, x2, y2).forall(_.dataType == x1.dataType) =>
+        // orient so (loL, hiL) is on the left input
+        val (loL, hiR, loR, hiL) =
+          if (side(x1).contains(true)) (x1, y1, x2, y2) else (x2, y2, x1, y1)
+        if (side(hiL) != Some(true) || side(hiR) != Some(false)) return None
+        Some(buildOverlap(j, left, right, loL, hiL, loR, hiR, equis, bin))
       case _ => None
     }
   }
 
-  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
-    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
-    case other => Seq(other)
+  /** Analyzed-plan → DataFrame bridges for the rewrite body. */
+  private def dfs(left: LogicalPlan, right: LogicalPlan) = {
+    import org.apache.spark.sql.graft.PlanBridge
+    (PlanBridge.ofRows(spark, left), PlanBridge.ofRows(spark, right))
   }
 
-  private def build(j: Join, left: LogicalPlan, right: LogicalPlan,
+  private def buildPoint(j: Join, left: LogicalPlan, right: LogicalPlan,
       pt: Attribute, lo: Attribute, hi: Attribute, inclusive: Boolean,
       ptOnLeft: Boolean, equis: Seq[(Attribute, Attribute)], bin: Long): LogicalPlan = {
     import org.apache.spark.sql.graft.PlanBridge
-    val ldf = PlanBridge.ofRows(spark, left)
-    val rdf = PlanBridge.ofRows(spark, right)
+    val (ldf, rdf) = dfs(left, right)
     val (ptDf, ivDf) = if (ptOnLeft) (ldf, rdf) else (rdf, ldf)
+    val dt: DataType = pt.dataType
 
     // bin arithmetic shared with the explicit operator — one definition
     val ptBinned = ptDf.withColumn(BinCol,
-      graft.ops.RangeJoin.pointBin(col(pt.name), bin))
+      graft.ops.RangeJoin.pointBin(col(pt.name), dt, bin))
     val ivBinned = ivDf
       .filter(col(lo.name) <= col(hi.name)) // inverted intervals match nothing
       .withColumn(BinCol,
-        graft.ops.RangeJoin.intervalBins(col(lo.name), col(hi.name), bin, inclusive))
+        graft.ops.RangeJoin.intervalBins(col(lo.name), col(hi.name), dt, bin, inclusive))
 
     val equiCond = equis.map { case (la, ra) =>
       if (ptOnLeft) ptBinned(la.name) === ivBinned(ra.name)
@@ -141,6 +175,35 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .drop(BinCol)
     // restore the original output order/attributes — child attr ids pass
     // through the reconstruction untouched, so this Project resolves
+    Project(j.output, PlanBridge.analyzed(joined))
+  }
+
+  private def buildOverlap(j: Join, left: LogicalPlan, right: LogicalPlan,
+      loL: Attribute, hiL: Attribute, loR: Attribute, hiR: Attribute,
+      equis: Seq[(Attribute, Attribute)], bin: Long): LogicalPlan = {
+    import org.apache.spark.sql.graft.PlanBridge
+    val (ldf, rdf) = dfs(left, right)
+    val dt: DataType = loL.dataType
+
+    val lBinned = ldf.withColumn(BinCol,
+      graft.ops.RangeJoin.intervalBins(col(loL.name), col(hiL.name), dt, bin, inclusiveHi = false))
+    val rBinned = rdf.withColumn(BinCol,
+      graft.ops.RangeJoin.intervalBins(col(loR.name), col(hiR.name), dt, bin, inclusiveHi = false))
+
+    val equiCond = equis.map { case (la, ra) => lBinned(la.name) === rBinned(ra.name) }
+    val joinCond = (equiCond :+ (lBinned(BinCol) === rBinned(BinCol))).reduce(_ && _)
+    val residual = col(loL.name) < col(hiR.name) && col(loR.name) < col(hiL.name)
+    // each overlapping pair shares many bins; keep only the overlap-START
+    // bin — same distinct-free dedupe as ops.RangeJoin.intervalOverlap.
+    // Dataset-qualified: both sides still carry BinCol at this point (the
+    // join condition equates them, so either qualifies)
+    val dedupe = lBinned(BinCol) ===
+      graft.ops.RangeJoin.pointBin(greatest(col(loL.name), col(loR.name)), dt, bin)
+
+    val joined = lBinned.join(rBinned, joinCond)
+      .filter(residual)
+      .filter(dedupe)
+      .drop(BinCol)
     Project(j.output, PlanBridge.analyzed(joined))
   }
 }

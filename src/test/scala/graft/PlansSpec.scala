@@ -99,6 +99,86 @@ class PlansSpec extends SparkSpec {
     assert(!exchanges.exists(l => l.contains("qt") || l.contains("tt")))
   }
 
+  test("RangeJoinRule rewrites LONG-axis point-in-interval joins (generic binSize key)") {
+    val s2 = org.apache.spark.sql.graft.SessionBridge.newSessionWithExtensions(
+      spark, new GraftExtensions()(_))
+    import s2.implicits._
+    val points = Seq((1L, 105L), (2L, 230L), (3L, 999L)).toDF("pid", "pt")
+    val ivs = Seq((10L, 100L, 150L), (11L, 140L, 260L), (12L, 990L, 991L)).toDF("iid", "lo", "hi")
+    val cond = col("pt") >= col("lo") && col("pt") < col("hi")
+    val naive = points.join(ivs, cond)
+    assert(naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val expect = naive.collect().map(_.toSeq).toSet
+    s2.conf.set("spark.graft.rangeJoin.binSize", "50")
+    try {
+      val rewritten = points.join(ivs, cond)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"not rewritten:\n$plan")
+      assert(rewritten.collect().map(_.toSeq).toSet === expect)
+    } finally s2.conf.unset("spark.graft.rangeJoin.binSize")
+  }
+
+  test("RangeJoinRule rewrites DATE-axis joins (bin width in days)") {
+    val s2 = org.apache.spark.sql.graft.SessionBridge.newSessionWithExtensions(
+      spark, new GraftExtensions()(_))
+    import s2.implicits._
+    val points = Seq((1L, "2024-01-05"), (2L, "2024-02-10"), (3L, "2024-03-01"))
+      .toDF("pid", "d_s").select(col("pid"), col("d_s").cast("date").as("d"))
+    val ivs = Seq((10L, "2024-01-01", "2024-01-31"), (11L, "2024-02-01", "2024-02-10"))
+      .toDF("iid", "lo_s", "hi_s")
+      .select(col("iid"), col("lo_s").cast("date").as("lo"), col("hi_s").cast("date").as("hi"))
+    // inclusive upper this time: d >= lo AND d <= hi
+    val cond = col("d") >= col("lo") && col("d") <= col("hi")
+    val naive = points.join(ivs, cond)
+    val expect = naive.collect().map(_.toSeq).toSet
+    s2.conf.set("spark.graft.rangeJoin.binSize", "7")
+    try {
+      val rewritten = points.join(ivs, cond)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"not rewritten:\n$plan")
+      assert(rewritten.collect().map(_.toSeq).toSet === expect)
+      assert(expect.map(_(0)) === Set(1L, 2L))
+    } finally s2.conf.unset("spark.graft.rangeJoin.binSize")
+  }
+
+  test("RangeJoinRule rewrites interval-overlap joins, one row per pair") {
+    val s2 = org.apache.spark.sql.graft.SessionBridge.newSessionWithExtensions(
+      spark, new GraftExtensions()(_))
+    import s2.implicits._
+    val rnd = new scala.util.Random(11)
+    // long-axis windows spanning MANY bins so the dedupe filter is load-bearing
+    val a = Seq.tabulate(60) { i =>
+      val lo = rnd.nextInt(500).toLong; (i.toLong, lo, lo + 1 + rnd.nextInt(200))
+    }.toDF("aid", "alo", "ahi")
+    val b = Seq.tabulate(60) { i =>
+      val lo = rnd.nextInt(500).toLong; (i.toLong, lo, lo + 1 + rnd.nextInt(200))
+    }.toDF("bid", "blo", "bhi")
+    val cond = col("alo") < col("bhi") && col("blo") < col("ahi")
+    val naive = a.join(b, cond)
+    assert(naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val expect = naive.collect().map(_.toSeq)
+    s2.conf.set("spark.graft.rangeJoin.binSize", "40")
+    try {
+      val rewritten = a.join(b, cond)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"not rewritten:\n$plan")
+      val got = rewritten.collect().map(_.toSeq)
+      // exact multiset equality: pairs sharing many bins must appear ONCE
+      assert(got.sortBy(_.toString).toSeq === expect.sortBy(_.toString).toSeq)
+    } finally s2.conf.unset("spark.graft.rangeJoin.binSize")
+  }
+
+  test("ops.intervalOverlap handles empty/inverted intervals without bin explosion") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 10L), (2L, 20L, 5L), (3L, 0L, 30L)).toDF("aid", "alo", "ahi")
+    val b = Seq((7L, 5L, 25L)).toDF("bid", "blo", "bhi")
+    val out = graft.ops.RangeJoin.intervalOverlap(a, b, "alo", "ahi", "blo", "bhi", Nil, 4L)
+    // predicate semantics (loL < hiR AND loR < hiL), exactly once per pair
+    val naive = a.join(b, col("alo") < col("bhi") && col("blo") < col("ahi"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(out.collect().map(_.toSeq).sortBy(_.toString).toSeq === naive.toSeq)
+  }
+
   test("GraftExtensions session plans AsOfJoinPlan without imperative registration") {
     val s2 = org.apache.spark.sql.graft.SessionBridge.newSessionWithExtensions(
       spark, new GraftExtensions()(_))
