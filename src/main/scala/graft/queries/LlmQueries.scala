@@ -396,6 +396,40 @@ object LlmQueries {
         |ORDER BY id, rk""".stripMargin) { (s, d) =>
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
         .orderBy(col("id"), col("rk"))
+    },
+
+    // Benchmark decontamination: per-doc 5-gram overlap against a
+    // benchmark set (docs with doc_id % 50 = 0 stand in for an eval
+    // suite). Benchmark grams broadcast; only hits shuffle.
+    QueryDef.sql(
+      "q87_decontaminate",
+      """WITH words AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN len(ws) < 5 THEN [list_aggregate(ws, 'string_agg', ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ws) - 3),
+        |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+        |                     ws[i+3] || ' ' || ws[i+4])) END AS toks
+        |  FROM words),
+        |bench AS (SELECT DISTINCT unnest(toks) AS g FROM tok WHERE doc_id % 50 = 0),
+        |grams AS (SELECT doc_id, unnest(toks) AS g FROM tok),
+        |hits AS (
+        |  SELECT grams.doc_id, CAST(COUNT(DISTINCT grams.g) AS BIGINT) AS n_matched
+        |  FROM grams JOIN bench USING (g) GROUP BY grams.doc_id),
+        |sizes AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_grams FROM tok)
+        |SELECT s.doc_id, s.n_grams, COALESCE(h.n_matched, 0) AS n_matched,
+        |  CASE WHEN s.n_grams > 0
+        |       THEN CAST(COALESCE(h.n_matched, 0) AS DOUBLE) / s.n_grams
+        |       ELSE 0.0 END AS contamination,
+        |  COALESCE(h.n_matched, 0) > 0 AS contaminated
+        |FROM sizes s LEFT JOIN hits h USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      graft.llm.Decontaminate.ngramOverlap(docs, bench, "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -236,6 +236,27 @@ class LlmSpec extends SparkSpec {
     assert(counts.getOrElse("val", 0L) + counts.getOrElse("test", 0L) > 0)
   }
 
+  test("decontaminate: overlap counts, empty docs, and the clean keep-list") {
+    import graft.llm.Decontaminate
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),   // shares 5-grams with bench
+      (1L, "one two three"),                          // <5 words: whole-text gram, no overlap
+      (2L, "totally unrelated words in this doc ok"), // no overlap
+      (3L, "12345 67890 ...")                         // letterless: zero grams
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val rep = Decontaminate.ngramOverlap(train, bench, "doc_id", "text", n = 5)
+      .orderBy(col("doc_id")).collect()
+    assert(rep.length === 4) // row-preserving
+    assert(rep(0).getLong(2) === 1L && rep(0).getBoolean(4))       // doc 0 contaminated
+    assert(rep(1).getLong(1) === 1L && rep(1).getLong(2) === 0L)   // whole-text gram, clean
+    assert(rep(2).getLong(2) === 0L && !rep(2).getBoolean(4))
+    assert(rep(3).getLong(1) === 0L && rep(3).getDouble(3) === 0.0) // no grams, ratio 0
+    val kept = Decontaminate.clean(train, bench, "doc_id", "text", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 2L, 3L))
+  }
+
   test("multimodal: resize keeps the media schema and stamps target dims in meta") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text", "text/plain")
     val resized = Multimodal.resize(spark, media, w = 4, h = 2)
