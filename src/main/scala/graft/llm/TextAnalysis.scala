@@ -114,6 +114,39 @@ object TextAnalysis {
   /** 64-bit rolling-hash fingerprint (custom RollingHash expression). */
   def hashFingerprint(c: Column): Column = toCol(RollingHash(toExpr(c.cast("string"))))
 
+  /** PII redaction patterns, applied IN THIS ORDER (IP before phone so a
+    * dotted octet run is never half-eaten as a dotted phone; card before
+    * SSN/phone so a 16-digit PAN isn't partially consumed). Every regex
+    * stays inside the Java-regex ∩ RE2 common subset (no lookaround, no
+    * backrefs, ASCII classes) so the same pattern text runs on Spark and
+    * DuckDB oracles verbatim.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("card", "\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b", "<CARD>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>"))
+
+  /** Text with each PII category replaced by its placeholder token —
+    * sequential global regexp_replace, codegen'd, shuffle-free.
+    */
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (_, re, tok)) =>
+      regexp_replace(acc, re, tok)
+    }
+
+  /** Match count of one PII category on the RAW text (counts are
+    * independent per category; a string can be counted by two categories
+    * if patterns overlap — redaction order, not counting order, decides
+    * who wins the replacement).
+    */
+  def piiCount(c: Column, category: String): Column = {
+    val re = piiPatterns.collectFirst { case (`category`, r, _) => r }
+      .getOrElse(throw new IllegalArgumentException(s"unknown PII category: $category"))
+    size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+  }
+
   /** TF-IDF top-k terms per document. tf = termCount/docLen, idf =
     * ln(N/df). Two aggregations (per-(doc,term) counts, per-term doc
     * frequency) + a bounded per-doc top-k window — the standard

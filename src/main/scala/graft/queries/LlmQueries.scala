@@ -430,6 +430,52 @@ object LlmQueries {
       val bench = docs.filter(col("doc_id") % 50 === 0)
       graft.llm.Decontaminate.ngramOverlap(docs, bench, "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))
+    },
+
+    // PII redaction: deterministic synthetic PII (email/IP per doc, card+
+    // SSN+phone every 7th doc) appended identically on both engines, then
+    // sequential-global redaction + per-category counts. The pattern text
+    // lives in TextAnalysis.piiPatterns (Java-regex ∩ RE2 common subset)
+    // and is inlined verbatim in the oracle.
+    QueryDef.sql(
+      "q88_pii_redaction",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN ' card 4111-1111-1111-1111 ssn 123-45-6789 call 555.867.5309'
+        |         ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '<CARD>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) AS BIGINT) AS n_card,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phone
+        |FROM aug ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.llm.TextAnalysis
+      val aug = Tables.documents(s, d).select(col("doc_id"), concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com via 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"),
+        when(col("doc_id") % 7 === 0,
+          lit(" card 4111-1111-1111-1111 ssn 123-45-6789 call 555.867.5309"))
+          .otherwise(lit(""))).as("t"))
+      aug.select(col("doc_id"),
+          TextAnalysis.redactPii(col("t")).as("redacted"),
+          TextAnalysis.piiCount(col("t"), "email").as("n_email"),
+          TextAnalysis.piiCount(col("t"), "ip").as("n_ip"),
+          TextAnalysis.piiCount(col("t"), "card").as("n_card"),
+          TextAnalysis.piiCount(col("t"), "ssn").as("n_ssn"),
+          TextAnalysis.piiCount(col("t"), "phone").as("n_phone"))
+        .orderBy(col("doc_id"))
     }
   )
 }

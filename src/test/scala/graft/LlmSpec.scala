@@ -257,6 +257,23 @@ class LlmSpec extends SparkSpec {
     assert(kept === Seq(1L, 2L, 3L))
   }
 
+  test("PII redaction: order-sensitive replacement and per-category counts") {
+    import graft.llm.TextAnalysis._
+    val df = Seq((1L,
+      "mail a.b@x.io, host 10.20.30.40, card 4111-1111-1111-1111, " +
+        "ssn 123-45-6789, call 555.867.5309 or 555-867-5309")).toDF("id", "t")
+    val r = df.select(
+      redactPii(col("t")).as("red"),
+      piiCount(col("t"), "email").as("e"), piiCount(col("t"), "ip").as("i"),
+      piiCount(col("t"), "card").as("c"), piiCount(col("t"), "ssn").as("s"),
+      piiCount(col("t"), "phone").as("p")).collect().head
+    assert(r.getString(0) ===
+      "mail <EMAIL>, host <IP>, card <CARD>, ssn <SSN>, call <PHONE> or <PHONE>")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      === ((1L, 1L, 1L, 1L, 2L)))
+    intercept[IllegalArgumentException](piiCount(col("t"), "nope"))
+  }
+
   test("multimodal: resize keeps the media schema and stamps target dims in meta") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text", "text/plain")
     val resized = Multimodal.resize(spark, media, w = 4, h = 2)
