@@ -1,0 +1,42 @@
+package graft.llm
+
+import graft.ops.RowIndex
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining batches (north-star extension): lay
+  * documents head-to-tail in a deterministic order and slice the token
+  * stream into fixed-budget context windows ("concat-then-chunk", the
+  * standard packing used by public LLM training pipelines — documents may
+  * span window boundaries).
+  *
+  * 100 TB shape: the only heavy step is the distributed prefix sum
+  * (RowIndex.withRunningTotal — ONE range shuffle on the order key, a
+  * numPartitions-row driver aggregate, a per-partition sequential scan).
+  * Everything downstream is arithmetic on (offset, budget): codegen,
+  * shuffle-free. No single-partition window anywhere.
+  */
+object Packing {
+
+  /** Per-document placement in the packed token stream:
+    * start_off (global token offset), bin (= context-window index of the
+    * document's first token), bin_off (offset inside that window), and
+    * end_bin (window of the last token; zero-token docs keep end_bin =
+    * bin). `order` must be a total order (add an id tiebreak) for exact
+    * reproducibility.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, order: Seq[Column]): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    val cum = RowIndex.withRunningTotal(
+      df.select(col(idCol), col(tokenCol)), "__cum", col(tokenCol), order)
+    cum
+      .withColumn("start_off", col("__cum") - col(tokenCol))
+      .withColumn("bin", expr(s"start_off div ${budget}L"))
+      .withColumn("bin_off", pmod(col("start_off"), lit(budget)))
+      .withColumn("end_bin",
+        when(col(tokenCol) > 0, expr(s"(__cum - 1) div ${budget}L"))
+          .otherwise(expr(s"start_off div ${budget}L")))
+      .drop("__cum")
+  }
+}

@@ -78,4 +78,65 @@ object RowIndex {
       .withColumn(idxName, offsetExpr + localRank)
       .drop(pidCol, midCol)
   }
+
+  /** Append an INCLUSIVE running total of `value` under `order` as column
+    * `totalName` (LONG) — the distributed prefix-sum sibling of
+    * [[withRowIndex]], and the building block for sequence packing.
+    *
+    * Same two-pass shape: one range shuffle + local sort; per-partition
+    * value TOTALS (a numPartitions-row aggregate) become broadcast prefix
+    * offsets; the within-partition running sum is a single sequential scan
+    * per sorted partition via `mapPartitions` — the genuinely-imperative
+    * per-partition case (SURVEY §7.3 (d)), since a pid-partitioned window
+    * would re-shuffle the data a second time. Project the input down to
+    * slim columns before calling: the scan crosses the Row boundary.
+    *
+    * NULL values count as 0. Ties in `order` land in one partition, so
+    * totals are deterministic up to tie order within equal keys — give a
+    * total order (add an id tiebreak) for exact reproducibility.
+    */
+  def withRunningTotal(
+      df: DataFrame,
+      totalName: String,
+      value: Column,
+      order: Seq[Column],
+      numPartitions: Int = 0): DataFrame = {
+    require(order.nonEmpty, "running total needs explicit order keys")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions else spark.sessionState.conf.numShufflePartitions
+    val valCol = "__graft_val"
+    val pidCol = "__graft_pid"
+    val ranged = df
+      .withColumn(valCol, coalesce(value.cast("long"), lit(0L)))
+      .repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn(pidCol, spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    CacheRegistry.register(ranged)
+
+    val totals = ranged.groupBy(col(pidCol)).agg(sum(col(valCol)).as("t"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets: Map[Int, Long] =
+      totals.map { case (pid, t) => val entry = (pid, acc); acc += t; entry }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+
+        org.apache.spark.sql.types.StructField(totalName, org.apache.spark.sql.types.LongType, nullable = false))
+    val valIdx = ranged.schema.fieldIndex(valCol)
+    val pidIdx = ranged.schema.fieldIndex(pidCol)
+    val rdd = ranged.rdd.mapPartitions { it =>
+      var seeded = false
+      var running = 0L
+      it.map { r =>
+        if (!seeded) { running = bc.value.getOrElse(r.getInt(pidIdx), 0L); seeded = true }
+        running += r.getLong(valIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ running)
+      }
+    }
+    spark.createDataFrame(rdd, schema).drop(valCol, pidCol)
+  }
 }

@@ -476,6 +476,31 @@ object LlmQueries {
           TextAnalysis.piiCount(col("t"), "ssn").as("n_ssn"),
           TextAnalysis.piiCount(col("t"), "phone").as("n_phone"))
         .orderBy(col("doc_id"))
+    },
+
+    // Sequence packing: concat-then-chunk placement of every document in
+    // 512-token context windows, via the distributed prefix sum (ONE range
+    // shuffle; no single-partition window). Oracle = SQL window cumsum.
+    QueryDef.sql(
+      "q89_sequence_packing",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tokens, cum - n_tokens AS start_off,
+        |  (cum - n_tokens) // 512 AS bin,
+        |  (cum - n_tokens) % 512 AS bin_off,
+        |  CASE WHEN n_tokens > 0 THEN (cum - 1) // 512
+        |       ELSE (cum - n_tokens) // 512 END AS end_bin
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        size(TextAnalysis.wordTokens(col("text"))).cast("long").as("n_tokens"))
+      graft.llm.Packing.packSequences(toks, "doc_id", "n_tokens", 512L, Seq(col("doc_id")))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -109,6 +109,37 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("rangepartitioning"), s"range exchange missing:\n$plan")
   }
 
+  test("withRunningTotal matches a single-partition window model (incl. negatives/nulls)") {
+    import graft.ops.RowIndex
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.tabulate(500)(i =>
+      (i.toLong, if (i % 17 == 0) None else Some(rnd.nextInt(200).toLong - 40)))
+    val df = twoLongs("k", "v", rows.map { case (k, v) => (Some(k), v) })
+    val got = RowIndex.withRunningTotal(df, "rt", col("v"), Seq(col("k")), numPartitions = 8)
+      .select(col("k"), col("rt")).as[(Long, Long)].collect().toMap
+    var acc = 0L
+    for ((k, v) <- rows) {
+      acc += v.getOrElse(0L)
+      assert(got(k) === acc, s"running total at k=$k")
+    }
+  }
+
+  test("packSequences: contiguous bins, budget arithmetic, zero-token docs") {
+    import graft.llm.Packing
+    val df = Seq((0L, 300L), (1L, 300L), (2L, 0L), (3L, 500L), (4L, 1200L))
+      .toDF("id", "n_tokens")
+    val out = Packing.packSequences(df, "id", "n_tokens", 512L, Seq(col("id")))
+      .orderBy(col("id"))
+      .select("id", "start_off", "bin", "bin_off", "end_bin")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 0L, 0L, 0L, 0L),       // tokens 0-299 in bin 0
+      (1L, 300L, 0L, 300L, 1L),   // spans bins 0-1
+      (2L, 600L, 1L, 88L, 1L),    // zero tokens: end_bin = bin
+      (3L, 600L, 1L, 88L, 2L),    // spans 1-2
+      (4L, 1100L, 2L, 76L, 4L)))  // spans 2-4
+  }
+
   test("positional ops contain no unpartitioned Window (100TB scale guard)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val dir = "/root/testdata/sf0.001"
