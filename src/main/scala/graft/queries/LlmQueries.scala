@@ -501,6 +501,39 @@ object LlmQueries {
         size(TextAnalysis.wordTokens(col("text"))).cast("long").as("n_tokens"))
       graft.llm.Packing.packSequences(toks, "doc_id", "n_tokens", 512L, Seq(col("doc_id")))
         .orderBy(col("doc_id"))
+    },
+
+    // Data-mixture sampling: downsample four weighted sources to a 3000-
+    // token budget (unlisted sources drop), stable-md5-bucket keeps, then
+    // the per-source realized mixture. Totals broadcast; corpus scanned
+    // once, never shuffled on text.
+    QueryDef.sql(
+      "q90_mixture_sampling",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tot AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS source_tokens
+        |        FROM t GROUP BY 1),
+        |r AS (SELECT source, least(1.0,
+        |        (CASE source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.3
+        |                     WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.2
+        |                     ELSE 0.0 END) * 3000 / source_tokens) AS rate
+        |      FROM tot),
+        |kept AS (
+        |  SELECT t.source, t.doc_id, t.n_tokens FROM t JOIN r USING (source)
+        |  WHERE CAST(('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 65536
+        |        < CAST(floor(rate * 65536) AS BIGINT))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(TextAnalysis.wordTokens(col("text"))).cast("long").as("n_tokens"))
+      graft.llm.Mixing.sampleToMixture(toks, "doc_id", "n_tokens", "source",
+          Map("src0" -> 0.3, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.2), 3000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
+        .orderBy(col("source"))
     }
   )
 }

@@ -274,6 +274,27 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException](piiCount(col("t"), "nope"))
   }
 
+  test("mixture sampling: rate cap, unlisted-source drop, hash determinism") {
+    import graft.llm.Mixing
+    val rows = Seq.tabulate(300)(i =>
+      (i.toLong, 10L, s"s${i % 3}")) // 3 sources x 100 docs x 10 tokens
+    val df = rows.toDF("id", "n_tokens", "src")
+    // s0 wants 2000 tokens of 1000 available -> rate capped at 1 (all kept);
+    // s1 wants 200 of 1000 -> rate 0.2; s2 unlisted -> dropped
+    val kept = Mixing.sampleToMixture(df, "id", "n_tokens", "src",
+      Map("s0" -> 1.0, "s1" -> 0.1), 2000L)
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("s0") === 100L)
+    assert(!bySrc.contains("s2"))
+    assert(bySrc("s1") > 5 && bySrc("s1") < 40) // ~20 of 100 at 1/65536 resolution
+    // deterministic: same input, same keeps
+    val again = Mixing.sampleToMixture(df, "id", "n_tokens", "src",
+      Map("s0" -> 1.0, "s1" -> 0.1), 2000L)
+    assert(kept.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("multimodal: resize keeps the media schema and stamps target dims in meta") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text", "text/plain")
     val resized = Multimodal.resize(spark, media, w = 4, h = 2)
