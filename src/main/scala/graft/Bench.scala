@@ -47,8 +47,12 @@ object Bench {
     // the line to ~1.3 KB so it fits whole; (b) the full-name line still
     // goes to BENCH_LOCAL.json for humans.
     def r4(v: Double): Double = math.rint(v * 10000) / 10000
+    // duplicate short keys would silently drop a timing at the JSON parser
+    // (last key wins) — fall back to full names if prefixes ever collide
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    val shortOk = shortKeys.distinct.length == shortKeys.length
     def queriesJson(short: Boolean): String = results.map { case (k, v) =>
-      val key = if (short) k.takeWhile(_ != '_') else k
+      val key = if (short && shortOk) k.takeWhile(_ != '_') else k
       "\"" + key + "\":" + r4(v)
     }.mkString("{", ",", "}")
     val total = r4(results.map(_._2).filter(_ >= 0).sum)

@@ -23,13 +23,15 @@ object Packing {
     * document's first token), bin_off (offset inside that window), and
     * end_bin (window of the last token; zero-token docs keep end_bin =
     * bin). `order` must be a total order (add an id tiebreak) for exact
-    * reproducibility.
+    * reproducibility, and may reference any column of `df` — all input
+    * columns pass through to the output. Project `df` down to the columns
+    * you need BEFORE calling: the prefix-sum scan crosses the Row boundary,
+    * so slim input is the scan-economical shape.
     */
-  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+  def packSequences(df: DataFrame, tokenCol: String,
       budget: Long, order: Seq[Column]): DataFrame = {
     require(budget > 0, s"token budget must be positive: $budget")
-    val cum = RowIndex.withRunningTotal(
-      df.select(col(idCol), col(tokenCol)), "__cum", col(tokenCol), order)
+    val cum = RowIndex.withRunningTotal(df, "__cum", col(tokenCol), order)
     cum
       .withColumn("start_off", col("__cum") - col(tokenCol))
       .withColumn("bin", expr(s"start_off div ${budget}L"))

@@ -81,13 +81,15 @@ object AsOfJoin {
     * per key — no union materialization, no window carry state. Same output
     * contract as [[asOf]] (left columns + nullable right payload).
     *
-    * `toleranceUs`: keep a match only if |leftTime − matchedRightTime| is
-    * within this many microseconds (pandas merge_asof `tolerance`).
+    * `tolerance`: keep a match only if |leftTime − matchedRightTime| is
+    * within this many of the time column's AXIS UNITS (pandas merge_asof
+    * `tolerance`): microseconds for TIMESTAMP/TIMESTAMP_NTZ, days for
+    * DATE, raw value units for INT/BIGINT time columns.
     */
   def asOfPhysical(left: DataFrame, right: DataFrame,
       leftTime: String, rightTime: String, keys: Seq[String],
       direction: String = "backward",
-      toleranceUs: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward", s"direction: $direction")
     val leftCols = left.columns.filterNot(keys.contains)
     val rightCols = right.columns.filterNot(keys.contains)
@@ -105,7 +107,7 @@ object AsOfJoin {
       lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
-      forward = direction == "forward", toleranceUs = toleranceUs)
+      forward = direction == "forward", tolerance = tolerance)
     // keep left columns + non-key right payload (keys are on both sides;
     // select by attribute, not name, to disambiguate)
     val keep = lPlan.output ++ rPlan.output.filterNot(a => keys.contains(a.name))

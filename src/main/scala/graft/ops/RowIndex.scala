@@ -41,31 +41,48 @@ object RowIndex {
     * Scale shape: one range shuffle + one bounded (numPartitions-row) driver
     * collect; no single-partition stage, no second data shuffle.
     */
+  private val pidCol = "__graft_pid"
+  private val midCol = "__graft_mid"
+  private val valCol = "__graft_val"
+
+  /** Shared pass-1 scaffolding: range-shuffle + local sort + partition id,
+    * persisted (the per-partition aggregate below and the caller's action
+    * share one shuffle), plus cumulative prefix OFFSETS of a per-partition
+    * quantity (`perPartition` row aggregate, e.g. count or sum) — bounded
+    * by the PARTITION COUNT, never by data size.
+    */
+  private def rangedWithOffsets(
+      df: DataFrame, order: Seq[Column], numPartitions: Int,
+      perPartition: Column,
+      postSort: DataFrame => DataFrame = identity): (DataFrame, Seq[(Int, Long)]) = {
+    require(order.nonEmpty, "positional ops need explicit order keys (distributed tables have no inherent order)")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions else spark.sessionState.conf.numShufflePartitions
+    val ranged = postSort(df
+      .repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*))
+      .withColumn(pidCol, spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    CacheRegistry.register(ranged)
+    val perPart = ranged.groupBy(col(pidCol)).agg(perPartition.as("q"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = perPart.toSeq.map { case (pid, q) => val entry = (pid, acc); acc += q; entry }
+    (ranged, offsets)
+  }
+
   def withRowIndex(
       df: DataFrame,
       idxName: String,
       order: Seq[Column],
       numPartitions: Int = 0): DataFrame = {
-    require(order.nonEmpty, "row index needs explicit order keys (distributed tables have no inherent order)")
-    val spark = df.sparkSession
-    val n = if (numPartitions > 0) numPartitions else spark.sessionState.conf.numShufflePartitions
-    val pidCol = "__graft_pid"
-    val midCol = "__graft_mid"
-    val ranged = df
-      .repartitionByRange(n, order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn(pidCol, spark_partition_id())
-      .withColumn(midCol, monotonically_increasing_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    CacheRegistry.register(ranged)
-
-    val counts = ranged.groupBy(col(pidCol)).count()
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
-      .sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.map { case (pid, c) => val entry = (pid, acc); acc += c; entry }
-
+    // the id must be minted AFTER the range shuffle + sort: its lower bits
+    // are the per-SORTED-partition counter that serves as the local rank
+    val (ranged, offsets) = rangedWithOffsets(
+      df, order, numPartitions, count(lit(1)),
+      postSort = _.withColumn(midCol, monotonically_increasing_id()))
     val offsetExpr =
       if (offsets.isEmpty) lit(0L)
       else element_at(
@@ -101,27 +118,12 @@ object RowIndex {
       value: Column,
       order: Seq[Column],
       numPartitions: Int = 0): DataFrame = {
-    require(order.nonEmpty, "running total needs explicit order keys")
     val spark = df.sparkSession
-    val n = if (numPartitions > 0) numPartitions else spark.sessionState.conf.numShufflePartitions
-    val valCol = "__graft_val"
-    val pidCol = "__graft_pid"
-    val ranged = df
-      .withColumn(valCol, coalesce(value.cast("long"), lit(0L)))
-      .repartitionByRange(n, order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn(pidCol, spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    CacheRegistry.register(ranged)
-
-    val totals = ranged.groupBy(col(pidCol)).agg(sum(col(valCol)).as("t"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
-      .sortBy(_._1)
-    var acc = 0L
-    val offsets: Map[Int, Long] =
-      totals.map { case (pid, t) => val entry = (pid, acc); acc += t; entry }.toMap
-    val bc = spark.sparkContext.broadcast(offsets)
+    val (ranged, offsetSeq) = rangedWithOffsets(
+      df.withColumn(valCol, coalesce(value.cast("long"), lit(0L))),
+      order, numPartitions,
+      coalesce(sum(col(valCol)), lit(0L)))
+    val bc = spark.sparkContext.broadcast(offsetSeq.toMap)
 
     val schema = org.apache.spark.sql.types.StructType(
       ranged.schema.fields :+

@@ -16,9 +16,11 @@ import org.apache.spark.sql.types._
   * body. This is the engine-layer counterpart of `ops.AsOfJoin.asOf` (the
   * window-composed form): same semantics — for each left row, the most
   * recent right row with rightTime <= leftTime on the same key ("backward",
-  * inclusive; "forward" = earliest at-or-after), optional tolerance —
-  * but the physical form never materializes the union or carries window
-  * state; it walks both sorted streams once with O(1) state per key.
+  * inclusive; "forward" = earliest at-or-after), optional tolerance in the
+  * time column's axis units (µs for timestamps, days for dates, value
+  * units for ints) — but the physical form never materializes the union or
+  * carries window state; it walks both sorted streams once with O(1) state
+  * per key.
   *
   * Scale shape: EnsureRequirements plans one hash exchange per side (keys
   * only — no time-range explosion), one per-partition sort each, then a
@@ -37,7 +39,7 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     forward: Boolean,
-    toleranceUs: Option[Long]) extends BinaryNode {
+    tolerance: Option[Long]) extends BinaryNode {
 
   require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
     "as-of join needs at least one equi-key, aligned left/right")
@@ -77,7 +79,7 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     forward: Boolean,
-    toleranceUs: Option[Long]) extends BinaryExecNode {
+    tolerance: Option[Long]) extends BinaryExecNode {
 
   private val timeTypes: Set[DataType] =
     Set(TimestampType, TimestampNTZType, LongType, IntegerType, DateType)
@@ -117,7 +119,7 @@ case class AsOfJoinExec(
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
     val fwd = forward
-    val tol = toleranceUs
+    val tol = tolerance
     val keyTypes = leftKeys.map(_.dataType)
     val lKeyExprs = leftKeys
     val rKeyExprs = rightKeys
@@ -176,12 +178,15 @@ case class AsOfJoinExec(
               val rk = rKeyProj(rRow)
               val c = keyOrd.compare(rk, lk)
               if (c < 0) rRow = advanceRight()
-              else if (c == 0 && inReach(timeOf(rTime, rRow), lt)) {
-                matchRow = rRow.copy()
-                matchKey = rk.copy()
-                matchT = timeOf(rTime, rRow)
-                rRow = advanceRight()
-              } else break = true
+              else {
+                val rt = if (c == 0) timeOf(rTime, rRow).longValue() else 0L
+                if (c == 0 && inReach(rt, lt)) {
+                  matchRow = rRow.copy()
+                  matchKey = rk.copy()
+                  matchT = rt
+                  rRow = advanceRight()
+                } else break = true
+              }
             }
           }
           val hit = matchRow != null && !lk.anyNull && lt != null &&

@@ -24,9 +24,15 @@ import org.apache.spark.sql.types.DataType
   * all range columns of a join (`ops.RangeJoin.axisTypes`).
   *
   * HINT-DRIVEN like production range-join optimizations: inert unless the
-  * session sets `spark.graft.rangeJoin.binSize` (axis units; alias
-  * `binSizeUs` for the timestamp axis) — bin width is a data-dependent
-  * choice the user makes (near the typical interval length). Matched shape:
+  * session sets a bin width FOR THE JOIN'S AXIS TYPE — bin width is a
+  * data-dependent, unit-bearing choice, so each axis family has its own
+  * key and one session can safely mix axis types:
+  *
+  *  - `spark.graft.rangeJoin.binSizeUs`    (TIMESTAMP/TIMESTAMP_NTZ, µs)
+  *  - `spark.graft.rangeJoin.binSizeDays`  (DATE)
+  *  - `spark.graft.rangeJoin.binSizeUnits` (INT/BIGINT raw units)
+  *
+  * A join over an axis whose key is unset/0 is left untouched. Matched shape:
   * Inner join whose condition is a conjunction of equi-conjuncts plus
   * exactly one of the two range patterns over supported axis columns, point
   * and interval sides on opposite inputs. Anything else is left untouched.
@@ -35,25 +41,35 @@ import org.apache.spark.sql.types.DataType
   */
 case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private val ConfKey = "spark.graft.rangeJoin.binSize"
-  private val ConfKeyUs = "spark.graft.rangeJoin.binSizeUs"
+  private def confLong(k: String): Long =
+    try spark.conf.get(k, "0").toLong catch { case _: NumberFormatException => 0L }
 
-  private def binSize: Long = {
-    def get(k: String): Long =
-      try spark.conf.get(k, "0").toLong catch { case _: NumberFormatException => 0L }
-    val v = get(ConfKey)
-    if (v > 0) v else get(ConfKeyUs)
+  /** Bin width for one axis type — 0 (no rewrite) unless its key is set. */
+  private def widthFor(dt: DataType): Long = dt match {
+    case org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType =>
+      confLong("spark.graft.rangeJoin.binSizeUs")
+    case org.apache.spark.sql.types.DateType =>
+      confLong("spark.graft.rangeJoin.binSizeDays")
+    case org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.IntegerType =>
+      confLong("spark.graft.rangeJoin.binSizeUnits")
+    case _ => 0L
   }
 
+  private def anyWidthSet: Boolean =
+    confLong("spark.graft.rangeJoin.binSizeUs") > 0 ||
+      confLong("spark.graft.rangeJoin.binSizeDays") > 0 ||
+      confLong("spark.graft.rangeJoin.binSizeUnits") > 0
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val bin = binSize
-    if (bin <= 0) return plan
+    if (!anyWidthSet) return plan
     plan.transform {
       // user-hinted joins are left alone (the rewrite would discard the
       // hint and silently override an explicit broadcast request)
       case j @ Join(left, right, Inner, Some(cond), hint)
           if hint == org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE =>
-        tryRewrite(j, left, right, cond, bin).getOrElse(j)
+        tryRewrite(j, left, right, cond).getOrElse(j)
     }
   }
 
@@ -65,7 +81,7 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def tryRewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
-      cond: Expression, bin: Long): Option[LogicalPlan] = {
+      cond: Expression): Option[LogicalPlan] = {
     // column names must be unambiguous for the Dataset-level
     // reconstruction — compared case-insensitively (Spark's default
     // resolution), and the bin column name is reserved. The BinCol check
@@ -121,6 +137,8 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val ptOnLeft = side(pt1).get
         if (side(lo) == side(pt1) || side(hi) == side(pt1)) return None
         if (side(lo) != side(hi)) return None
+        val bin = widthFor(pt1.dataType)
+        if (bin <= 0) return None
         Some(buildPoint(j, left, right, pt1, lo, hi, inclusive, ptOnLeft, equis, bin))
       // interval-overlap: loL < hiR AND loR < hiL (both strict), one
       // lower-attr on each side, four distinct columns (a degenerate
@@ -134,6 +152,8 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val (loL, hiR, loR, hiL) =
           if (side(x1).contains(true)) (x1, y1, x2, y2) else (x2, y2, x1, y1)
         if (side(hiL) != Some(true) || side(hiR) != Some(false)) return None
+        val bin = widthFor(loL.dataType)
+        if (bin <= 0) return None
         Some(buildOverlap(j, left, right, loL, hiL, loR, hiR, equis, bin))
       case _ => None
     }

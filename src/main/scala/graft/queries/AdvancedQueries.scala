@@ -98,7 +98,7 @@ object AdvancedQueries {
       val left = Tables.events(s, d).select(col("event_id"), col("user_id"),
         col("ts").cast("timestamp_ntz").as("ts"))
       AsOfJoin.asOfPhysical(left, right, leftTime = "ts", rightTime = "o_orderdate",
-          keys = Seq("user_id"), toleranceUs = Some(30L * 86400L * 1000000L))
+          keys = Seq("user_id"), tolerance = Some(30L * 86400L * 1000000L))
         .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("event_id"))
     },

@@ -499,7 +499,7 @@ object LlmQueries {
         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
       val toks = Tables.documents(s, d).select(col("doc_id"),
         size(TextAnalysis.wordTokens(col("text"))).cast("long").as("n_tokens"))
-      graft.llm.Packing.packSequences(toks, "doc_id", "n_tokens", 512L, Seq(col("doc_id")))
+      graft.llm.Packing.packSequences(toks, "n_tokens", 512L, Seq(col("doc_id")))
         .orderBy(col("doc_id"))
     },
 

@@ -44,7 +44,7 @@ class PlansSpec extends SparkSpec {
     assert(collect(fwd) === Seq(
       (0L, Some(10.0)), (1L, Some(10.0)), (6L, Some(12.0)), (100L, None)))
     val tol = AsOfJoin.asOfPhysical(trades, quotes, "tt", "qt", Seq("k"),
-      toleranceUs = Some(2L))
+      tolerance = Some(2L))
     assert(collect(tol) === Seq(
       (0L, None), (1L, Some(10.0)), (6L, Some(11.0)), (100L, None)))
   }
@@ -109,13 +109,13 @@ class PlansSpec extends SparkSpec {
     val naive = points.join(ivs, cond)
     assert(naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
     val expect = naive.collect().map(_.toSeq).toSet
-    s2.conf.set("spark.graft.rangeJoin.binSize", "50")
+    s2.conf.set("spark.graft.rangeJoin.binSizeUnits", "50")
     try {
       val rewritten = points.join(ivs, cond)
       val plan = rewritten.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"not rewritten:\n$plan")
       assert(rewritten.collect().map(_.toSeq).toSet === expect)
-    } finally s2.conf.unset("spark.graft.rangeJoin.binSize")
+    } finally s2.conf.unset("spark.graft.rangeJoin.binSizeUnits")
   }
 
   test("RangeJoinRule rewrites DATE-axis joins (bin width in days)") {
@@ -131,14 +131,14 @@ class PlansSpec extends SparkSpec {
     val cond = col("d") >= col("lo") && col("d") <= col("hi")
     val naive = points.join(ivs, cond)
     val expect = naive.collect().map(_.toSeq).toSet
-    s2.conf.set("spark.graft.rangeJoin.binSize", "7")
+    s2.conf.set("spark.graft.rangeJoin.binSizeDays", "7")
     try {
       val rewritten = points.join(ivs, cond)
       val plan = rewritten.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"not rewritten:\n$plan")
       assert(rewritten.collect().map(_.toSeq).toSet === expect)
       assert(expect.map(_(0)) === Set(1L, 2L))
-    } finally s2.conf.unset("spark.graft.rangeJoin.binSize")
+    } finally s2.conf.unset("spark.graft.rangeJoin.binSizeDays")
   }
 
   test("RangeJoinRule rewrites interval-overlap joins, one row per pair") {
@@ -157,7 +157,7 @@ class PlansSpec extends SparkSpec {
     val naive = a.join(b, cond)
     assert(naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
     val expect = naive.collect().map(_.toSeq)
-    s2.conf.set("spark.graft.rangeJoin.binSize", "40")
+    s2.conf.set("spark.graft.rangeJoin.binSizeUnits", "40")
     try {
       val rewritten = a.join(b, cond)
       val plan = rewritten.queryExecution.executedPlan.toString
@@ -165,7 +165,7 @@ class PlansSpec extends SparkSpec {
       val got = rewritten.collect().map(_.toSeq)
       // exact multiset equality: pairs sharing many bins must appear ONCE
       assert(got.sortBy(_.toString).toSeq === expect.sortBy(_.toString).toSeq)
-    } finally s2.conf.unset("spark.graft.rangeJoin.binSize")
+    } finally s2.conf.unset("spark.graft.rangeJoin.binSizeUnits")
   }
 
   test("ops.intervalOverlap handles empty/inverted intervals without bin explosion") {
@@ -194,7 +194,7 @@ class PlansSpec extends SparkSpec {
       lp, rp,
       Seq(lp.output.find(_.name == "k").get), Seq(rp.output.find(_.name == "k").get),
       lp.output.find(_.name == "tt").get, rp.output.find(_.name == "qt").get,
-      forward = false, toleranceUs = None)
+      forward = false, tolerance = None)
     val out = PlanBridge.ofRows(s2, node)
     assert(out.count() === 2)
     assert(out.filter(ColumnBridge.column(rp.output.find(_.name == "price").get).isNotNull)

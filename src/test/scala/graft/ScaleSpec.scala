@@ -128,7 +128,7 @@ class ScaleSpec extends SparkSpec {
     import graft.llm.Packing
     val df = Seq((0L, 300L), (1L, 300L), (2L, 0L), (3L, 500L), (4L, 1200L))
       .toDF("id", "n_tokens")
-    val out = Packing.packSequences(df, "id", "n_tokens", 512L, Seq(col("id")))
+    val out = Packing.packSequences(df, "n_tokens", 512L, Seq(col("id")))
       .orderBy(col("id"))
       .select("id", "start_off", "bin", "bin_off", "end_bin")
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
