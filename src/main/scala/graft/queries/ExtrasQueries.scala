@@ -195,6 +195,28 @@ object ExtrasQueries {
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("total_bal"))
         .orderBy(col("s_nationkey"))
+    },
+
+    // Bounded top-k per group via the TopK typed Aggregator — algebraic
+    // (map-side partial agg caps state at k pairs per group per task; the
+    // shuffle carries k pairs per (group, partition)) where the window
+    // form shuffles and sorts every row. Oracle = the window form.
+    QueryDef.sql(
+      "q91_topk_agg",
+      """SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t WHERE rk <= 3
+        |ORDER BY o_orderpriority, rk""".stripMargin) { (s, d) =>
+      val topk = udaf(new graft.functions.TopK(3))
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rk"),
+          col("col._2").as("o_orderkey"), col("col._1").as("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rk"))
     }
   )
 }

@@ -140,6 +140,25 @@ class ScaleSpec extends SparkSpec {
       (4L, 1100L, 2L, 76L, 4L)))  // spans 2-4
   }
 
+  test("TopK aggregator equals the window top-k on random data (merge path included)") {
+    import graft.functions.TopK
+    val rnd = new scala.util.Random(23)
+    // duplicate scores on purpose: the id tie-break must decide
+    val rows = Seq.tabulate(2000)(i => (s"g${i % 7}", (rnd.nextInt(50) * 10).toDouble, i.toLong))
+    val df = rows.toDF("g", "score", "id").repartition(8)
+    val topk = udaf(new TopK(5))
+    val got = df.groupBy(col("g")).agg(topk(col("score"), col("id")).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).as("rk"), col("col._1").as("score"), col("col._2").as("id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+    val expect = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy(r => (-r._2, r._3)).take(5).zipWithIndex.map { case ((_, sc, id), i) =>
+        (g, i + 1, sc, id)
+      }
+    }.toSet
+    assert(got === expect)
+  }
+
   test("positional ops contain no unpartitioned Window (100TB scale guard)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val dir = "/root/testdata/sf0.001"
