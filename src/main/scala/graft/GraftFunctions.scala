@@ -40,7 +40,10 @@ object GraftFunctions {
     "shingle_tokens" -> (es => ShingleTokens(asS(es(0)), 3)),
     "minhash_sig" -> (es => MinHashSig(asS(es(0)), 3, 32, 42L)),
     "cosine_sim" -> (es => CosineSim(asAD(es(0)), asAD(es(1)))),
-    "srp_sig" -> (es => SrpSig(asAD(es(0)), 16, 7L)))
+    "srp_sig" -> (es => SrpSig(asAD(es(0)), 16, 7L)),
+    // table-generating (UDTF): SELECT shingle_explode(text) — LATERAL VIEW
+    // compatible; fixed 3-gram width on the SQL surface like shingle_tokens
+    "shingle_explode" -> (es => ShingleExplode(asS(es(0)), 3)))
 
   def registerAll(spark: SparkSession): Unit =
     builders.foreach { case (name, b) => FunctionBridge.register(spark, name, b) }

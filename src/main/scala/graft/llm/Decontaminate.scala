@@ -27,10 +27,12 @@ object Decontaminate {
     */
   def ngramOverlap(train: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    // ShingleExplode generator: kernel + explode fused, no intermediate array
     val benchGrams = bench
-      .select(explode(Dedup.shingles(col(textCol), n)).as("g")).distinct()
-    val grams = train.select(col(idCol).as("doc_id"),
-      explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(Dedup.shingleRows(col(textCol), n))
+      .select(col("shingle").as("g")).distinct()
+    val grams = train.select(col(idCol).as("doc_id"), Dedup.shingleRows(col(textCol), n))
+      .select(col("doc_id"), col("shingle").as("g"))
     val hits = grams.join(broadcast(benchGrams), Seq("g"))
       .groupBy(col("doc_id")).agg(countDistinct(col("g")).as("n_matched"))
     val sizes = train.select(col(idCol).as("doc_id"),

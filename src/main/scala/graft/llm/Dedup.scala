@@ -43,6 +43,14 @@ object Dedup {
   def shingles(text: Column, n: Int = 3): Column =
     toCol(ShingleTokens(toExpr(text.cast("string")), n))
 
+  /** One OUTPUT ROW per distinct shingle, with first-occurrence position —
+    * the kernel and the explode fused into one table-generating expression
+    * (graft.expressions.ShingleExplode, the §2.12 UDTF leg); inverted-index
+    * pipelines skip materializing the intermediate array.
+    */
+  def shingleRows(text: Column, n: Int = 3): Column =
+    toCol(graft.expressions.ShingleExplode(toExpr(text.cast("string")), n))
+
   /** k-permutation MinHash signature (array<long>) over the n-shingle set
     * of `text` — single-pass MinHashSig kernel (31-bit prime field,
     * seed-derived permutations).

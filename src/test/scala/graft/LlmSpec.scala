@@ -257,6 +257,26 @@ class LlmSpec extends SparkSpec {
     assert(kept === Seq(1L, 2L, 3L))
   }
 
+  test("shingle_explode generator equals explode(shingle_tokens), SQL LATERAL VIEW works") {
+    val viaGen = docs.select(col("doc_id"), Dedup.shingleRows(col("text")))
+      .select(col("doc_id"), col("pos"), col("shingle"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val viaArray = docs.select(col("doc_id"),
+        posexplode(Dedup.shingles(col("text"))).as(Seq("pos", "shingle")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(viaGen === viaArray)
+    assert(viaGen.nonEmpty)
+    // NULL text generates zero rows
+    val withNull = Seq((9L, Option.empty[String])).toDF("doc_id", "text")
+    assert(withNull.select(col("doc_id"), Dedup.shingleRows(col("text"))).count() === 0)
+    // SQL surface: LATERAL VIEW over the registered generator
+    GraftFunctions.registerAll(spark)
+    docs.createOrReplaceTempView("ldocs")
+    val n = spark.sql(
+      "SELECT doc_id, s.shingle FROM ldocs LATERAL VIEW shingle_explode(text) s").count()
+    assert(n === viaGen.size)
+  }
+
   test("PII redaction: order-sensitive replacement and per-category counts") {
     import graft.llm.TextAnalysis._
     val df = Seq((1L,
