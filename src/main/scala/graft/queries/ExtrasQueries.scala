@@ -217,6 +217,25 @@ object ExtrasQueries {
         .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rk"),
           col("col._2").as("o_orderkey"), col("col._1").as("o_totalprice"))
         .orderBy(col("o_orderpriority"), col("rk"))
+    },
+
+    // Arrow batch-dir through the DataSource V2 reader
+    // (sources.arrowdir): customer staged as IPC payloads, loaded with
+    // spark.read.format(...), pruned + aggregated. The oracle aggregates
+    // the original parquet — the v2 scan must be the identity.
+    QueryDef.sql(
+      "q92_arrowdir_scan",
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(c_acctbal), 2) AS total_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val src = Tables.customer(s, d)
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_arrowdir_gate_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      graft.sources.ArrowInterop.writeBatchDir(src, dir)
+      s.read.format("graft.sources.arrowdir").load(dir)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy(col("c_mktsegment"))
     }
   )
 }

@@ -45,6 +45,22 @@ object ArrowBridge {
     * (export_record_batch_stream, arrow_c_ffi.rs:2104). Nothing ever
     * touches the driver.
     */
+  /** Executor-side: one serialized IPC record-batch payload → InternalRows.
+    * The building block for the DataSource V2 reader (sources.arrowdir);
+    * `tz`/`largeVarTypes` must be captured from the session at PLANNING
+    * time and shipped, since executors have no session state.
+    */
+  def deserializeBatch(bytes: Array[Byte], schemaJson: String, tz: String,
+      largeVarTypes: Boolean): Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    ArrowConverters.fromBatchIterator(
+      Iterator.single(bytes), schema, tz,
+      /* errorOnDuplicatedFieldNames = */ true,
+      largeVarTypes,
+      org.apache.spark.TaskContext.get())
+  }
+
   def fromArrowBatchRdd(spark: SparkSession,
       batches: org.apache.spark.rdd.RDD[Array[Byte]],
       schemaJson: String): DataFrame = {

@@ -52,6 +52,30 @@ class ArrowSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("DataSource V2 reader loads a batch dir with pruned columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2").toString
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001").repartition(3)
+    ArrowInterop.writeBatchDir(orders, dir)
+    val back = spark.read.format("graft.sources.arrowdir").load(dir)
+    assert(back.schema === orders.schema)
+    // full-row equality through the v2 scan
+    val a = orders.orderBy(col("o_orderkey")).collect().map(_.toSeq)
+    val b = back.orderBy(col("o_orderkey")).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+    // column pruning reaches the scan: the projected read reports only the
+    // referenced columns in its ReadSchema (SupportsPushDownRequiredColumns)
+    val slim = back.select(col("o_orderkey"), col("o_totalprice"))
+    val plan = slim.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      s"pruning did not reach the v2 scan:\n$plan")
+    // (no float-sum compare here — summation order differs across the new
+    // partitioning; row equality above already pins content)
+    assert(slim.count() === orders.count())
+    // one input partition per payload file
+    assert(back.rdd.getNumPartitions ===
+      new java.io.File(dir).list().count(_.endsWith(".arrowbatch")))
+  }
+
   test("round-trip preserves a real table incl. timestamps") {
     val orders = Tables.orders(spark, "/root/testdata/sf0.001").limit(100)
     val back = ArrowInterop.roundTrip(spark, orders)
