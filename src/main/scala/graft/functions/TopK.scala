@@ -22,9 +22,19 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopK(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
   require(k > 0, s"k must be positive: $k")
 
-  /** score DESC, id ASC — total order, so results are deterministic. */
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** score DESC, id ASC — total order, so results are deterministic.
+    * Double.compare gives SQL ORDER BY semantics at the edges: NaN sorts
+    * as the LARGEST score (rank 1 in a DESC window), and -0.0 is
+    * normalized to 0.0 on insert so the id tie-break, not the sign bit,
+    * decides between zeros — both matching the window-form oracle.
+    */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
+
+  private def norm(v: (Double, Long)): (Double, Long) =
+    if (v._1 == 0.0) (0.0, v._2) else v
 
   private def insert(buf: Seq[(Double, Long)], v: (Double, Long)): Seq[(Double, Long)] = {
     val at = buf.indexWhere(x => better(v, x)) match {
@@ -37,7 +47,7 @@ class TopK(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(
 
   override def zero: Seq[(Double, Long)] = Vector.empty
   override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
-    insert(buf, in)
+    insert(buf, norm(in))
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
     b.foldLeft(a)(insert)
   override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf

@@ -36,8 +36,12 @@ class ArrowDirSource extends TableProvider {
     ArrowDirSource.sidecarSchema(ArrowDirSource.pathOf(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    ArrowDirTable(properties.get("path"), schema)
+      properties: util.Map[String, String]): Table = {
+    // a user-supplied schema skips inferSchema (the other path guard)
+    val p = properties.get("path")
+    require(p != null, "graft.sources.arrowdir needs a path: spark.read.format(...).load(dir)")
+    ArrowDirTable(p, schema)
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -59,11 +63,13 @@ object ArrowDirSource {
       java.nio.file.Paths.get(path, "schema.json"))).asInstanceOf[StructType]
 
   def listPayloads(path: String): Array[String] = {
-    val dir = java.nio.file.Paths.get(path)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    java.nio.file.Files.list(dir).forEach { p =>
+    // Files.list holds a directory handle until closed — and this runs on
+    // the driver once per (re-)planning
+    val st = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+    try st.forEach { p =>
       if (p.getFileName.toString.endsWith(".arrowbatch")) out += p.toString
-    }
+    } finally st.close()
     out.sorted.toArray
   }
 }
@@ -108,12 +114,12 @@ case class ArrowDirScan(path: String, fullSchema: StructType, required: StructTy
     ArrowDirSource.listPayloads(path).map(f => ArrowDirPartition(f): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ArrowDirReaderFactory(fullSchema.json, fullSchema, required, tz, largeVarTypes)
+    ArrowDirReaderFactory(fullSchema, required, tz, largeVarTypes)
 }
 
 case class ArrowDirPartition(file: String) extends InputPartition
 
-case class ArrowDirReaderFactory(fullSchemaJson: String, fullSchema: StructType,
+case class ArrowDirReaderFactory(fullSchema: StructType,
     required: StructType, tz: String, largeVarTypes: Boolean)
     extends PartitionReaderFactory {
 
@@ -122,7 +128,7 @@ case class ArrowDirReaderFactory(fullSchemaJson: String, fullSchema: StructType,
     new PartitionReader[InternalRow] {
       private val rows: Iterator[InternalRow] = {
         val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
-        val full = ArrowBridge.deserializeBatch(bytes, fullSchemaJson, tz, largeVarTypes)
+        val full = ArrowBridge.deserializeBatch(bytes, fullSchema.json, tz, largeVarTypes)
         if (required == fullSchema) full
         else {
           val refs = required.fields.map { f =>

@@ -39,12 +39,6 @@ object ArrowBridge {
       schemaJson: String): DataFrame =
     ArrowConverters.toDataFrame(batches, schemaJson, spark.asInstanceOf[CSparkSession])
 
-  /** Distributed import: batch payloads living on executors (one or more
-    * IPC blobs per partition) are deserialized per-partition into
-    * InternalRows — the unbounded record-batch-stream analog
-    * (export_record_batch_stream, arrow_c_ffi.rs:2104). Nothing ever
-    * touches the driver.
-    */
   /** Executor-side: one serialized IPC record-batch payload → InternalRows.
     * The building block for the DataSource V2 reader (sources.arrowdir);
     * `tz`/`largeVarTypes` must be captured from the session at PLANNING
@@ -61,6 +55,12 @@ object ArrowBridge {
       org.apache.spark.TaskContext.get())
   }
 
+  /** Distributed import: batch payloads living on executors (one or more
+    * IPC blobs per partition) are deserialized per-partition into
+    * InternalRows — the unbounded record-batch-stream analog
+    * (export_record_batch_stream, arrow_c_ffi.rs:2104). Nothing ever
+    * touches the driver.
+    */
   def fromArrowBatchRdd(spark: SparkSession,
       batches: org.apache.spark.rdd.RDD[Array[Byte]],
       schemaJson: String): DataFrame = {

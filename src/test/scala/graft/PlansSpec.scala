@@ -99,7 +99,7 @@ class PlansSpec extends SparkSpec {
     assert(!exchanges.exists(l => l.contains("qt") || l.contains("tt")))
   }
 
-  test("RangeJoinRule rewrites LONG-axis point-in-interval joins (generic binSize key)") {
+  test("RangeJoinRule rewrites LONG-axis point-in-interval joins (binSizeUnits key)") {
     val s2 = org.apache.spark.sql.graft.SessionBridge.newSessionWithExtensions(
       spark, new GraftExtensions()(_))
     import s2.implicits._

@@ -159,6 +159,24 @@ class ScaleSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("TopK ranks NaN first and ignores the zero sign, like the window oracle") {
+    import graft.functions.TopK
+    val df = Seq(("g", 1.0, 1L), ("g", Double.NaN, 2L), ("g", -0.0, 3L),
+      ("g", 0.0, 4L), ("g", 2.0, 5L)).toDF("g", "score", "id").repartition(3)
+    val topk = udaf(new TopK(4))
+    val got = df.groupBy(col("g")).agg(topk(col("score"), col("id")).as("top"))
+      .select(posexplode(col("top")))
+      .collect().map(r => r.getStruct(1).getLong(1)).toSeq
+    // NaN (id 2) first, then 2.0, 1.0, then the zeros by id tie-break
+    assert(got === Seq(2L, 5L, 1L, 3L))
+    val win = df.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+          .orderBy(col("score").desc, col("id"))))
+      .filter(col("rk") <= 4).orderBy(col("rk"))
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    assert(got === win)
+  }
+
   test("positional ops contain no unpartitioned Window (100TB scale guard)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val dir = "/root/testdata/sf0.001"
