@@ -4,9 +4,10 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.graft.ArrowBridge
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -58,9 +59,13 @@ object ArrowDirSource {
     p
   }
 
-  def sidecarSchema(path: String): StructType =
-    DataType.fromJson(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(path, "schema.json"))).asInstanceOf[StructType]
+  def sidecarSchema(path: String): StructType = {
+    val sidecar = java.nio.file.Paths.get(path, "schema.json")
+    // a missing sidecar means a write to a fresh directory: the writer
+    // takes its schema from the query, so infer an empty struct here
+    if (!java.nio.file.Files.exists(sidecar)) new StructType()
+    else DataType.fromJson(java.nio.file.Files.readString(sidecar)).asInstanceOf[StructType]
+  }
 
   def listPayloads(path: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -74,13 +79,17 @@ object ArrowDirSource {
   }
 }
 
-case class ArrowDirTable(path: String, tableSchema: StructType) extends Table with SupportsRead {
+case class ArrowDirTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-arrowdir:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ArrowDirScanBuilder(path, tableSchema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ArrowDirWriteBuilder(path, info.schema())
 }
 
 class ArrowDirScanBuilder(path: String, fullSchema: StructType)
@@ -118,6 +127,93 @@ case class ArrowDirScan(path: String, fullSchema: StructType, required: StructTy
 }
 
 case class ArrowDirPartition(file: String) extends InputPartition
+
+/** Write path: each task serializes its rows into `maxRecordsPerBatch`
+  * chunks (bounded memory — one Arrow batch in flight per task) under
+  * UNIQUE staged names; the driver's commit writes the schema sidecar and
+  * sweeps files no committed task claims (covering aborted/speculative
+  * attempts, and pre-existing payloads under truncate/overwrite).
+  */
+class ArrowDirWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateRequested = false
+  override def truncate(): WriteBuilder = { truncateRequested = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val conf = SQLConf.get
+      ArrowDirBatchWrite(path, schema, truncateRequested,
+        conf.arrowMaxRecordsPerBatch, conf.sessionLocalTimeZone, conf.arrowUseLargeVarTypes)
+    }
+  }
+}
+
+case class ArrowDirCommit(files: Seq[String]) extends WriterCommitMessage
+
+case class ArrowDirBatchWrite(path: String, schema: StructType, truncate: Boolean,
+    maxRecords: Int, tz: String, largeVarTypes: Boolean) extends BatchWrite {
+
+  // file names carry this write job's tag, so the commit sweep can tell
+  // "orphan of THIS job" (failed/speculative attempt) from "data of an
+  // earlier write" (which append mode must keep)
+  private val jobTag: String = java.util.UUID.randomUUID().toString.take(8)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    ArrowDirWriterFactory(path, jobTag, schema.json, maxRecords, tz, largeVarTypes)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val committed = messages.flatMap { case ArrowDirCommit(fs) => fs }.toSet
+    ArrowDirSource.listPayloads(path)
+      .filterNot(f => committed.contains(new java.io.File(f).getName))
+      // truncate sweeps everything uncommitted; append only this job's orphans
+      .filter(f => truncate || new java.io.File(f).getName.contains(s"-$jobTag-"))
+      .foreach(f => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "schema.json"), schema.json)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case ArrowDirCommit(fs) => fs.foreach(f =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, f)))
+      case _ => ()
+    }
+}
+
+case class ArrowDirWriterFactory(path: String, jobTag: String, schemaJson: String,
+    maxRecords: Int, tz: String, largeVarTypes: Boolean) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      private val written = scala.collection.mutable.ArrayBuffer.empty[String]
+      private var chunk = 0
+
+      private def flush(): Unit = if (buf.nonEmpty) {
+        val payloads = ArrowBridge.serializeBatches(
+          buf.iterator, schemaJson, maxRecords.toLong.max(1L), tz, largeVarTypes)
+        payloads.foreach { bytes =>
+          val name = f"part-$jobTag-$partitionId%05d-$taskId-$chunk%03d.arrowbatch"
+          java.nio.file.Files.write(java.nio.file.Paths.get(path, name), bytes)
+          written += name
+          chunk += 1
+        }
+        buf.clear()
+      }
+
+      override def write(record: InternalRow): Unit = {
+        buf += record.copy()
+        if (buf.length >= math.max(maxRecords, 1)) flush()
+      }
+      override def commit(): WriterCommitMessage = { flush(); ArrowDirCommit(written.toSeq) }
+      override def abort(): Unit = {
+        written.foreach(f =>
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, f)))
+      }
+      override def close(): Unit = buf.clear()
+    }
+}
 
 case class ArrowDirReaderFactory(fullSchema: StructType,
     required: StructType, tz: String, largeVarTypes: Boolean)

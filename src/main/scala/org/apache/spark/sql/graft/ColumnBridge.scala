@@ -55,6 +55,22 @@ object ArrowBridge {
       org.apache.spark.TaskContext.get())
   }
 
+  /** Executor-side inverse of [[deserializeBatch]]: InternalRows → one IPC
+    * payload per `maxRecordsPerBatch` chunk (the DSv2 writer's building
+    * block). Conf values ship from planning time, as above.
+    */
+  def serializeBatches(rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      schemaJson: String, maxRecordsPerBatch: Long, tz: String,
+      largeVarTypes: Boolean): Iterator[Array[Byte]] = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    ArrowConverters.toBatchIterator(
+      rows, schema, maxRecordsPerBatch, tz,
+      /* errorOnDuplicatedFieldNames = */ true,
+      largeVarTypes,
+      org.apache.spark.TaskContext.get())
+  }
+
   /** Distributed import: batch payloads living on executors (one or more
     * IPC blobs per partition) are deserialized per-partition into
     * InternalRows — the unbounded record-batch-stream analog

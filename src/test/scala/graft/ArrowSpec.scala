@@ -76,6 +76,24 @@ class ArrowSpec extends SparkSpec {
       new java.io.File(dir).list().count(_.endsWith(".arrowbatch")))
   }
 
+  test("DataSource V2 writer: overwrite and append through df.write") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2w").toString
+    val nation = Tables.nation(spark, "/root/testdata/sf0.001")
+    nation.write.format("graft.sources.arrowdir").mode("overwrite").save(dir)
+    val once = spark.read.format("graft.sources.arrowdir").load(dir)
+    assert(once.schema === nation.schema)
+    assert(once.orderBy(col("n_nationkey")).collect().map(_.toSeq).toSeq ===
+      nation.orderBy(col("n_nationkey")).collect().map(_.toSeq).toSeq)
+    // append doubles the rows, keeping the first write's payloads
+    nation.write.format("graft.sources.arrowdir").mode("append").save(dir)
+    assert(spark.read.format("graft.sources.arrowdir").load(dir).count() === 2 * nation.count())
+    // overwrite replaces everything (stale payloads swept at commit)
+    nation.limit(5).write.format("graft.sources.arrowdir").mode("overwrite").save(dir)
+    assert(spark.read.format("graft.sources.arrowdir").load(dir).count() === 5)
+    // interop: the v1-style reader sees the v2 writer's layout
+    assert(ArrowInterop.readBatchDir(spark, dir).count() === 5)
+  }
+
   test("round-trip preserves a real table incl. timestamps") {
     val orders = Tables.orders(spark, "/root/testdata/sf0.001").limit(100)
     val back = ArrowInterop.roundTrip(spark, orders)
