@@ -113,11 +113,24 @@ class ArrowDirScanBuilder(path: String, fullSchema: StructType)
 }
 
 case class ArrowDirScan(path: String, fullSchema: StructType, required: StructType,
-    tz: String, largeVarTypes: Boolean) extends Scan with Batch {
+    tz: String, largeVarTypes: Boolean)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-arrowdir $path, ReadSchema: ${required.catalogString}"
+
+  /** Payload bytes ≈ in-memory size (Arrow IPC is the uncompressed wire
+    * form), so the file-length sum is an honest sizeInBytes — it lets
+    * Catalyst pick BroadcastHashJoin for small arrowdir tables instead of
+    * defaulting to the conservative "unknown" estimate.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = ArrowDirSource.listPayloads(path)
+      .map(f => java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     ArrowDirSource.listPayloads(path).map(f => ArrowDirPartition(f): InputPartition)

@@ -92,6 +92,12 @@ class ArrowSpec extends SparkSpec {
     assert(spark.read.format("graft.sources.arrowdir").load(dir).count() === 5)
     // interop: the v1-style reader sees the v2 writer's layout
     assert(ArrowInterop.readBatchDir(spark, dir).count() === 5)
+    // reported statistics: a small arrowdir side gets broadcast in a join
+    val small = spark.read.format("graft.sources.arrowdir").load(dir)
+    val fact = Tables.orders(spark, "/root/testdata/sf0.001")
+    val joined = fact.join(small, fact("o_orderkey") === small("n_nationkey"))
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "size statistics not reported: small arrowdir side not broadcast")
   }
 
   test("round-trip preserves a real table incl. timestamps") {
