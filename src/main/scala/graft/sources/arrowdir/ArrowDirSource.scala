@@ -59,12 +59,18 @@ object ArrowDirSource {
     p
   }
 
+  def sidecarPath(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path, "schema.json")
+
+  /** Writes never reach here (supportsExternalMetadata: Spark hands the
+    * query schema straight to getTable), so a missing sidecar on READ is a
+    * user error — fail with the real story, not an empty DataFrame.
+    */
   def sidecarSchema(path: String): StructType = {
-    val sidecar = java.nio.file.Paths.get(path, "schema.json")
-    // a missing sidecar means a write to a fresh directory: the writer
-    // takes its schema from the query, so infer an empty struct here
-    if (!java.nio.file.Files.exists(sidecar)) new StructType()
-    else DataType.fromJson(java.nio.file.Files.readString(sidecar)).asInstanceOf[StructType]
+    val sidecar = sidecarPath(path)
+    require(java.nio.file.Files.exists(sidecar),
+      s"$path is not an arrowdir (no schema.json sidecar)")
+    DataType.fromJson(java.nio.file.Files.readString(sidecar)).asInstanceOf[StructType]
   }
 
   def listPayloads(path: String): Array[String] = {
@@ -123,12 +129,18 @@ case class ArrowDirScan(path: String, fullSchema: StructType, required: StructTy
   /** Payload bytes ≈ in-memory size (Arrow IPC is the uncompressed wire
     * form), so the file-length sum is an honest sizeInBytes — it lets
     * Catalyst pick BroadcastHashJoin for small arrowdir tables instead of
-    * defaulting to the conservative "unknown" estimate.
+    * defaulting to the conservative "unknown" estimate. Computed once per
+    * Scan (Catalyst may ask several times), skipping files a concurrent
+    * overwrite sweeps between listing and stat.
     */
+  private lazy val payloadBytes: Long = ArrowDirSource.listPayloads(path)
+    .map { f =>
+      try java.nio.file.Files.size(java.nio.file.Paths.get(f))
+      catch { case _: java.io.IOException => 0L }
+    }.sum
+
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = ArrowDirSource.listPayloads(path)
-      .map(f => java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
-    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(payloadBytes)
     override def numRows(): util.OptionalLong = util.OptionalLong.empty()
   }
 
@@ -153,6 +165,20 @@ class ArrowDirWriteBuilder(path: String, schema: StructType)
   override def truncate(): WriteBuilder = { truncateRequested = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
+      // append must match the existing sidecar field-for-field (payloads
+      // decode positionally): committing a different schema would rewrite
+      // the sidecar and silently corrupt every earlier payload. Spark's
+      // by-name validation can't catch this — supportsExternalMetadata
+      // hands it the query's own schema as the table schema.
+      val sidecar = ArrowDirSource.sidecarPath(path)
+      if (!truncateRequested && java.nio.file.Files.exists(sidecar)) {
+        val existing = ArrowDirSource.sidecarSchema(path)
+        // nullability-insensitive, order- and type-sensitive comparison
+        def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType.catalogString)).toSeq
+        require(shape(existing) == shape(schema),
+          s"append schema ${schema.catalogString} does not match " +
+            s"arrowdir schema ${existing.catalogString} at $path")
+      }
       val conf = SQLConf.get
       ArrowDirBatchWrite(path, schema, truncateRequested,
         conf.arrowMaxRecordsPerBatch, conf.sessionLocalTimeZone, conf.arrowUseLargeVarTypes)
@@ -175,23 +201,33 @@ case class ArrowDirBatchWrite(path: String, schema: StructType, truncate: Boolea
     ArrowDirWriterFactory(path, jobTag, schema.json, maxRecords, tz, largeVarTypes)
   }
 
+  // prefix match, not contains: a contains("-tag-") could collide with the
+  // unpadded decimal taskId segment of an EARLIER job's committed file and
+  // sweep real data
+  private def thisJobs(fileName: String): Boolean =
+    fileName.startsWith(s"part-$jobTag-")
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val committed = messages.flatMap { case ArrowDirCommit(fs) => fs }.toSet
     ArrowDirSource.listPayloads(path)
-      .filterNot(f => committed.contains(new java.io.File(f).getName))
+      .map(f => new java.io.File(f).getName)
+      .filterNot(committed.contains)
       // truncate sweeps everything uncommitted; append only this job's orphans
-      .filter(f => truncate || new java.io.File(f).getName.contains(s"-$jobTag-"))
-      .foreach(f => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+      .filter(n => truncate || thisJobs(n))
+      .foreach(n => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, n)))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "schema.json"), schema.json)
   }
 
+  /** Sweep EVERYTHING this job staged — tasks that died without running
+    * their own abort never sent a commit message, so the message list
+    * alone would leave orphans that later reads ingest as data.
+    */
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case ArrowDirCommit(fs) => fs.foreach(f =>
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, f)))
-      case _ => ()
-    }
+    ArrowDirSource.listPayloads(path)
+      .map(f => new java.io.File(f).getName)
+      .filter(thisJobs)
+      .foreach(n => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, n)))
 }
 
 case class ArrowDirWriterFactory(path: String, jobTag: String, schemaJson: String,
@@ -204,8 +240,10 @@ case class ArrowDirWriterFactory(path: String, jobTag: String, schemaJson: Strin
       private var chunk = 0
 
       private def flush(): Unit = if (buf.nonEmpty) {
+        // maxRecords <= 0 means "no limit" (Spark's documented semantics
+        // for arrow.maxRecordsPerBatch) — one batch of everything buffered
         val payloads = ArrowBridge.serializeBatches(
-          buf.iterator, schemaJson, maxRecords.toLong.max(1L), tz, largeVarTypes)
+          buf.iterator, schemaJson, maxRecords.toLong, tz, largeVarTypes)
         payloads.foreach { bytes =>
           val name = f"part-$jobTag-$partitionId%05d-$taskId-$chunk%03d.arrowbatch"
           java.nio.file.Files.write(java.nio.file.Paths.get(path, name), bytes)
@@ -215,9 +253,12 @@ case class ArrowDirWriterFactory(path: String, jobTag: String, schemaJson: Strin
         buf.clear()
       }
 
+      // <= 0 ("no limit"): buffer until task commit, like ArrowConverters
+      private val flushAt = if (maxRecords <= 0) Int.MaxValue else maxRecords
+
       override def write(record: InternalRow): Unit = {
         buf += record.copy()
-        if (buf.length >= math.max(maxRecords, 1)) flush()
+        if (buf.length >= flushAt) flush()
       }
       override def commit(): WriterCommitMessage = { flush(); ArrowDirCommit(written.toSeq) }
       override def abort(): Unit = {

@@ -98,6 +98,19 @@ class ArrowSpec extends SparkSpec {
     val joined = fact.join(small, fact("o_orderkey") === small("n_nationkey"))
     assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
       "size statistics not reported: small arrowdir side not broadcast")
+    // append with a reordered/different schema must fail loudly, not
+    // rewrite the sidecar under earlier payloads
+    val mismatch = intercept[Exception] {
+      nation.select(col("n_name"), col("n_nationkey"), col("n_regionkey"))
+        .write.format("graft.sources.arrowdir").mode("append").save(dir)
+    }
+    assert(mismatch.getMessage.contains("does not match"),
+      s"unexpected: ${mismatch.getMessage}")
+    // reading a non-arrowdir directory is a clear error, not an empty frame
+    val bogus = java.nio.file.Files.createTempDirectory("graft_notarrow").toString
+    val err = intercept[Exception](
+      spark.read.format("graft.sources.arrowdir").load(bogus).collect())
+    assert(err.getMessage.contains("schema.json"), s"unexpected: ${err.getMessage}")
   }
 
   test("round-trip preserves a real table incl. timestamps") {
