@@ -99,8 +99,13 @@ case class ArrowDirTable(path: String, tableSchema: StructType)
 }
 
 class ArrowDirScanBuilder(path: String, fullSchema: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  import org.apache.spark.sql.catalyst.expressions.{And => CAnd, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGte, In => CIn, IsNotNull => CNotNull, IsNull => CNull, LessThan => CLt, LessThanOrEqual => CLte, Literal, Not => CNot, Or => COr}
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var pushedExpr: Option[Expression] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve the payload's field order — the row projection below binds
@@ -109,22 +114,70 @@ class ArrowDirScanBuilder(path: String, fullSchema: StructType)
     required = StructType(fullSchema.fields.filter(f => keep.contains(f.name)))
   }
 
+  /** Arrow payloads carry no row-group statistics, so "pushdown" here is
+    * row-level: translatable filters are evaluated inside the reader,
+    * BEFORE rows are materialized/projected into the query. Spark skips
+    * re-evaluating whatever we accept, so only exactly-translatable
+    * shapes are taken; the rest stay with Spark as post-scan filters.
+    */
+  private def translate(f: Filter): Option[Expression] = {
+    def ref(name: String): Option[org.apache.spark.sql.catalyst.expressions.BoundReference] =
+      fullSchema.fields.indexWhere(_.name == name) match {
+        case -1 => None
+        case i =>
+          val fld = fullSchema.fields(i)
+          Some(org.apache.spark.sql.catalyst.expressions.BoundReference(i, fld.dataType, fld.nullable))
+      }
+    def lit(v: Any, dt: org.apache.spark.sql.types.DataType): Option[Literal] =
+      try Some(Literal.create(v, dt)) catch { case _: RuntimeException => None }
+    f match {
+      case EqualTo(a, v) => for (r <- ref(a); l <- lit(v, r.dataType)) yield CEq(r, l)
+      case GreaterThan(a, v) => for (r <- ref(a); l <- lit(v, r.dataType)) yield CGt(r, l)
+      case GreaterThanOrEqual(a, v) => for (r <- ref(a); l <- lit(v, r.dataType)) yield CGte(r, l)
+      case LessThan(a, v) => for (r <- ref(a); l <- lit(v, r.dataType)) yield CLt(r, l)
+      case LessThanOrEqual(a, v) => for (r <- ref(a); l <- lit(v, r.dataType)) yield CLte(r, l)
+      case In(a, vs) => ref(a).flatMap { r =>
+        val ls = vs.map(v => lit(v, r.dataType))
+        if (ls.contains(None)) None else Some(CIn(r, ls.flatten.toSeq))
+      }
+      case IsNull(a) => ref(a).map(CNull)
+      case IsNotNull(a) => ref(a).map(CNotNull)
+      case And(l, r) => for (a <- translate(l); b <- translate(r)) yield CAnd(a, b)
+      case Or(l, r) => for (a <- translate(l); b <- translate(r)) yield COr(a, b)
+      case Not(c) => translate(c).map(CNot)
+      case _ => None
+    }
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val translated = filters.map(f => f -> translate(f))
+    pushed = translated.collect { case (f, Some(_)) => f }
+    pushedExpr = translated.flatMap(_._2).reduceOption(CAnd)
+    // return what we canNOT handle — Spark keeps evaluating those
+    translated.collect { case (f, None) => f }
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = {
     // session state is reachable only at planning time — capture what the
     // executor-side Arrow deserializer needs NOW
     val conf = SQLConf.get
     ArrowDirScan(path, fullSchema, required,
-      conf.sessionLocalTimeZone, conf.arrowUseLargeVarTypes)
+      conf.sessionLocalTimeZone, conf.arrowUseLargeVarTypes,
+      pushedExpr, pushed.mkString("[", ", ", "]"))
   }
 }
 
 case class ArrowDirScan(path: String, fullSchema: StructType, required: StructType,
-    tz: String, largeVarTypes: Boolean)
+    tz: String, largeVarTypes: Boolean,
+    filter: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
+    filterDesc: String = "[]")
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-arrowdir $path, ReadSchema: ${required.catalogString}"
+    s"graft-arrowdir $path, ReadSchema: ${required.catalogString}, PushedFilters: $filterDesc"
 
   /** Payload bytes ≈ in-memory size (Arrow IPC is the uncompressed wire
     * form), so the file-length sum is an honest sizeInBytes — it lets
@@ -148,7 +201,7 @@ case class ArrowDirScan(path: String, fullSchema: StructType, required: StructTy
     ArrowDirSource.listPayloads(path).map(f => ArrowDirPartition(f): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ArrowDirReaderFactory(fullSchema, required, tz, largeVarTypes)
+    ArrowDirReaderFactory(fullSchema, required, tz, largeVarTypes, filter)
 }
 
 case class ArrowDirPartition(file: String) extends InputPartition
@@ -270,7 +323,8 @@ case class ArrowDirWriterFactory(path: String, jobTag: String, schemaJson: Strin
 }
 
 case class ArrowDirReaderFactory(fullSchema: StructType,
-    required: StructType, tz: String, largeVarTypes: Boolean)
+    required: StructType, tz: String, largeVarTypes: Boolean,
+    filter: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -278,7 +332,16 @@ case class ArrowDirReaderFactory(fullSchema: StructType,
     new PartitionReader[InternalRow] {
       private val rows: Iterator[InternalRow] = {
         val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
-        val full = ArrowBridge.deserializeBatch(bytes, fullSchema.json, tz, largeVarTypes)
+        val decoded = ArrowBridge.deserializeBatch(bytes, fullSchema.json, tz, largeVarTypes)
+        // pushed filters run against the FULL row before any projection,
+        // so filtered-out rows never materialize as UnsafeRows
+        val full = filter match {
+          case None => decoded
+          case Some(e) =>
+            val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(e)
+            p.initialize(0)
+            decoded.filter(p.eval)
+        }
         if (required == fullSchema) full
         else {
           val refs = required.fields.map { f =>

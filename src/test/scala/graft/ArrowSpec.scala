@@ -113,6 +113,32 @@ class ArrowSpec extends SparkSpec {
     assert(err.getMessage.contains("schema.json"), s"unexpected: ${err.getMessage}")
   }
 
+  test("DataSource V2 filter pushdown: rows filtered in-reader, residual stays with Spark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2f").toString
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    orders.write.format("graft.sources.arrowdir").mode("overwrite").save(dir)
+    val back = spark.read.format("graft.sources.arrowdir").load(dir)
+
+    val filtered = back.filter(col("o_totalprice") > 100000.0 &&
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    val expect = orders.filter(col("o_totalprice") > 100000.0 &&
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    assert(filtered.count() === expect.count())
+    assert(filtered.orderBy(col("o_orderkey")).collect().map(_.toSeq).toSeq ===
+      expect.orderBy(col("o_orderkey")).collect().map(_.toSeq).toSeq)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(o_totalprice"),
+      s"filters not pushed into the arrowdir scan:\n$plan")
+
+    // timestamp literals translate too; a non-translatable predicate
+    // (expression on the column) stays behind without breaking results
+    val ts = back.filter(col("o_orderdate") >= "1997-06-01" &&
+      length(col("o_orderpriority")) > 5)
+    val tsExpect = orders.filter(col("o_orderdate") >= "1997-06-01" &&
+      length(col("o_orderpriority")) > 5)
+    assert(ts.count() === tsExpect.count())
+  }
+
   test("round-trip preserves a real table incl. timestamps") {
     val orders = Tables.orders(spark, "/root/testdata/sf0.001").limit(100)
     val back = ArrowInterop.roundTrip(spark, orders)
