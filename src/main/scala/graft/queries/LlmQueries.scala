@@ -503,6 +503,39 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Packed-bin assembly: the batch-manifest view of q89's placement —
+    // per context window, the ordered document list (OrderedConcat typed
+    // Aggregator over the packing prefix sum) plus doc/token counts.
+    // Composes two custom operators; the whole composition is oracle-exact.
+    QueryDef.sql(
+      "q93_packed_bins",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT (cum - n_tokens) // 512 AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS docs
+        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions.udaf
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        size(TextAnalysis.wordTokens(col("text"))).cast("long").as("n_tokens"))
+      val placed = graft.llm.Packing.packSequences(toks, "n_tokens", 512L, Seq(col("doc_id")))
+      val oc = udaf(new graft.functions.OrderedConcat(","))
+      placed.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"),
+          // doc_id order == (start_off, doc_id) order here (offsets are
+          // nondecreasing in doc_id) and is tie-free for zero-token docs
+          oc(col("doc_id"), col("doc_id").cast("string")).as("docs"))
+        .orderBy(col("bin"))
+    },
+
     // Data-mixture sampling: downsample four weighted sources to a 3000-
     // token budget (unlisted sources drop), stable-md5-bucket keeps, then
     // the per-source realized mixture. Totals broadcast; corpus scanned
