@@ -73,13 +73,17 @@ object ArrowDirSource {
     DataType.fromJson(java.nio.file.Files.readString(sidecar)).asInstanceOf[StructType]
   }
 
-  def listPayloads(path: String): Array[String] = {
+  def listStaged(path: String): Array[String] = listBySuffix(path, ".arrowbatch.staged")
+
+  def listPayloads(path: String): Array[String] = listBySuffix(path, ".arrowbatch")
+
+  private def listBySuffix(path: String, suffix: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     // Files.list holds a directory handle until closed — and this runs on
     // the driver once per (re-)planning
     val st = java.nio.file.Files.list(java.nio.file.Paths.get(path))
     try st.forEach { p =>
-      if (p.getFileName.toString.endsWith(".arrowbatch")) out += p.toString
+      if (p.getFileName.toString.endsWith(suffix)) out += p.toString
     } finally st.close()
     out.sorted.toArray
   }
@@ -224,16 +228,23 @@ class ArrowDirWriteBuilder(path: String, schema: StructType)
       // by-name validation can't catch this — supportsExternalMetadata
       // hands it the query's own schema as the table schema.
       val sidecar = ArrowDirSource.sidecarPath(path)
-      if (!truncateRequested && java.nio.file.Files.exists(sidecar)) {
-        val existing = ArrowDirSource.sidecarSchema(path)
-        // nullability-insensitive, order- and type-sensitive comparison
-        def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType.catalogString)).toSeq
-        require(shape(existing) == shape(schema),
-          s"append schema ${schema.catalogString} does not match " +
-            s"arrowdir schema ${existing.catalogString} at $path")
-      }
+      val commitSchema =
+        if (!truncateRequested && java.nio.file.Files.exists(sidecar)) {
+          val existing = ArrowDirSource.sidecarSchema(path)
+          // nullability-insensitive, order- and type-sensitive comparison
+          def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType.catalogString)).toSeq
+          require(shape(existing) == shape(schema),
+            s"append schema ${schema.catalogString} does not match " +
+              s"arrowdir schema ${existing.catalogString} at $path")
+          // the committed sidecar must stay valid for EARLIER payloads too:
+          // a field that was ever nullable stays nullable (an append of a
+          // non-null frame must not constant-fold IS NULL over old nulls)
+          StructType(existing.fields.zip(schema.fields).map { case (e, n) =>
+            e.copy(nullable = e.nullable || n.nullable)
+          })
+        } else schema
       val conf = SQLConf.get
-      ArrowDirBatchWrite(path, schema, truncateRequested,
+      ArrowDirBatchWrite(path, commitSchema, truncateRequested,
         conf.arrowMaxRecordsPerBatch, conf.sessionLocalTimeZone, conf.arrowUseLargeVarTypes)
     }
   }
@@ -260,27 +271,45 @@ case class ArrowDirBatchWrite(path: String, schema: StructType, truncate: Boolea
   private def thisJobs(fileName: String): Boolean =
     fileName.startsWith(s"part-$jobTag-")
 
+  /** Tasks stage under `.staged` names (invisible to listPayloads' glob);
+    * commit RENAMES the committed set to final names, so readers never see
+    * uncommitted data — a driver crash mid-job leaves only `.staged` files
+    * behind, which every later job's commit sweeps as stale.
+    */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val committed = messages.flatMap { case ArrowDirCommit(fs) => fs }.toSet
-    ArrowDirSource.listPayloads(path)
-      .map(f => new java.io.File(f).getName)
-      .filterNot(committed.contains)
-      // truncate sweeps everything uncommitted; append only this job's orphans
-      .filter(n => truncate || thisJobs(n))
-      .foreach(n => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, n)))
+    committed.foreach { n =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(path, n + ArrowDirWriterFactory.StagedSuffix),
+        java.nio.file.Paths.get(path, n),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // sweep staged leftovers (this job's failed/speculative attempts, and
+    // any earlier crashed job's debris) + committed payloads under truncate
+    ArrowDirSource.listStaged(path)
+      .foreach(f => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+    if (truncate) {
+      ArrowDirSource.listPayloads(path)
+        .map(f => new java.io.File(f).getName)
+        .filterNot(committed.contains)
+        .foreach(n => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, n)))
+    }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "schema.json"), schema.json)
   }
 
-  /** Sweep EVERYTHING this job staged — tasks that died without running
-    * their own abort never sent a commit message, so the message list
-    * alone would leave orphans that later reads ingest as data.
+  /** Drop everything this job staged — nothing was renamed, so committed
+    * data from earlier jobs is untouched by construction.
     */
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    ArrowDirSource.listPayloads(path)
-      .map(f => new java.io.File(f).getName)
-      .filter(thisJobs)
-      .foreach(n => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, n)))
+    ArrowDirSource.listStaged(path)
+      .filter(f => thisJobs(new java.io.File(f).getName))
+      .foreach(f => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+}
+
+object ArrowDirWriterFactory {
+  /** Staged files don't end in .arrowbatch, so readers can't glob them. */
+  val StagedSuffix = ".staged"
 }
 
 case class ArrowDirWriterFactory(path: String, jobTag: String, schemaJson: String,
@@ -288,6 +317,9 @@ case class ArrowDirWriterFactory(path: String, jobTag: String, schemaJson: Strin
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
+      // parse once per task, not once per flush
+      private val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
       private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
       private val written = scala.collection.mutable.ArrayBuffer.empty[String]
       private var chunk = 0
@@ -296,10 +328,11 @@ case class ArrowDirWriterFactory(path: String, jobTag: String, schemaJson: Strin
         // maxRecords <= 0 means "no limit" (Spark's documented semantics
         // for arrow.maxRecordsPerBatch) — one batch of everything buffered
         val payloads = ArrowBridge.serializeBatches(
-          buf.iterator, schemaJson, maxRecords.toLong, tz, largeVarTypes)
+          buf.iterator, schema, maxRecords.toLong, tz, largeVarTypes)
         payloads.foreach { bytes =>
           val name = f"part-$jobTag-$partitionId%05d-$taskId-$chunk%03d.arrowbatch"
-          java.nio.file.Files.write(java.nio.file.Paths.get(path, name), bytes)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(path, name + ArrowDirWriterFactory.StagedSuffix), bytes)
           written += name
           chunk += 1
         }
@@ -315,8 +348,8 @@ case class ArrowDirWriterFactory(path: String, jobTag: String, schemaJson: Strin
       }
       override def commit(): WriterCommitMessage = { flush(); ArrowDirCommit(written.toSeq) }
       override def abort(): Unit = {
-        written.foreach(f =>
-          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, f)))
+        written.foreach(f => java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(path, f + ArrowDirWriterFactory.StagedSuffix)))
       }
       override def close(): Unit = buf.clear()
     }

@@ -60,16 +60,13 @@ object ArrowBridge {
     * block). Conf values ship from planning time, as above.
     */
   def serializeBatches(rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
-      schemaJson: String, maxRecordsPerBatch: Long, tz: String,
-      largeVarTypes: Boolean): Iterator[Array[Byte]] = {
-    import org.apache.spark.sql.types.{DataType, StructType}
-    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      schema: org.apache.spark.sql.types.StructType, maxRecordsPerBatch: Long, tz: String,
+      largeVarTypes: Boolean): Iterator[Array[Byte]] =
     ArrowConverters.toBatchIterator(
       rows, schema, maxRecordsPerBatch, tz,
       /* errorOnDuplicatedFieldNames = */ true,
       largeVarTypes,
       org.apache.spark.TaskContext.get())
-  }
 
   /** Distributed import: batch payloads living on executors (one or more
     * IPC blobs per partition) are deserialized per-partition into
