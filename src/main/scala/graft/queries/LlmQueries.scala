@@ -567,6 +567,37 @@ object LlmQueries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
         .orderBy(col("source"))
+    },
+
+    // Exact corpus heavy hitters: top-20 word terms by count. One
+    // (term)-keyed shuffle with map-side combine; documents are never
+    // shuffled whole. Tie-break term ASC makes the LIMIT deterministic.
+    QueryDef.sql(
+      "q94_heavy_hitters",
+      """SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |      FROM documents)
+        |GROUP BY w ORDER BY n DESC, term LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextAnalysis.wordTokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(20)
+    },
+
+    // Approximate heavy hitters via the Misra-Gries FrequentItems
+    // Aggregator: bounded ≤2k-entry state per task, shuffle carries ≤2k
+    // entries per partition — the shape that survives unbounded
+    // vocabularies (URLs, n-grams) where the exact form's per-distinct-term
+    // shuffle does not. Estimated counts are merge-order dependent →
+    // rows-only gate; ScaleSpec proves the N/(k+1) bounds vs exact counts.
+    QueryDef.noOracle("q95_heavy_hitters_approx") { (s, d) =>
+      val fi = udaf(new graft.functions.FrequentItems(32))
+      Tables.documents(s, d)
+        .select(explode(TextAnalysis.wordTokens(col("text"))).as("term"))
+        .agg(fi(col("term")).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e._1").as("term"), col("e._2").as("est_count"))
+        .orderBy(col("est_count").desc, col("term")).limit(10)
     }
   )
 }

@@ -343,4 +343,34 @@ class ScaleSpec extends SparkSpec {
     assert(collect(tol) === Seq(
       (0L, None), (1L, Some(10.0)), (6L, Some(11.0)), (100L, None)))
   }
+
+  test("FrequentItems honors the Misra-Gries N/(k+1) bounds under merges") {
+    // zipf-ish stream: term t_i appears ~C/i times, plus a long tail of
+    // singletons; randomized partitioning forces nontrivial merge trees
+    val rnd = new scala.util.Random(42)
+    val stream = (1 to 40).flatMap(i => Seq.fill(2000 / i)(s"t$i")) ++
+      (1 to 3000).map(i => s"tail${i}_${rnd.nextInt(1000)}")
+    val n = stream.size.toLong
+    val k = 32
+    val exact = stream.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+    val df = spark.createDataFrame(rnd.shuffle(stream).map(Tuple1(_))).toDF("term")
+      .repartition(8)
+    val fi = udaf(new graft.functions.FrequentItems(k))
+    val est = df.agg(fi(col("term")).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e._1"), col("e._2"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val bound = n / (k + 1) + 1 // integer slack on the N/(k+1) bound
+    assert(est.size <= k, s"summary exceeded k entries: ${est.size}")
+    // (1) every term with true count > N/(k+1) must survive
+    for ((t, c) <- exact if c > bound) {
+      assert(est.contains(t), s"heavy hitter $t (count $c, bound $bound) missing")
+    }
+    // (2) est ≤ true ≤ est + N/(k+1) for every surviving term
+    for ((t, e) <- est) {
+      val c = exact.getOrElse(t, 0L)
+      assert(e <= c, s"$t overestimated: est $e > true $c")
+      assert(c - e <= bound, s"$t underestimated beyond bound: true $c est $e")
+    }
+  }
 }
