@@ -17,5 +17,8 @@ object GraftConf {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // native TIME(n) type (Spark 4.1, flag-gated) — the reference's
+    // Time64(Microsecond) analog (ops/TimeOfDay.scala)
+    spark.conf.set("spark.sql.timeType.enabled", "true")
   }
 }

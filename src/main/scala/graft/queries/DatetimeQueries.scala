@@ -126,6 +126,42 @@ object DatetimeQueries {
           count(lit(1)).as("n"),
           round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("bucket"), col("event_type"))
+    },
+
+    // Time-of-day (TIME) surface: Spark 4.1's native TIME(6) type as the
+    // reference's Time64(Microsecond) analog — construct from a timestamp,
+    // extract fields, truncate, wraparound arithmetic, compare. Output is
+    // all-integer (the TIME values' µs physical form) so the oracle
+    // compare stays engine-neutral; DuckDB computes the same fields from
+    // CAST(ts AS TIME).
+    QueryDef.sql(
+      "q96_time_of_day",
+      """SELECT event_id,
+        |  CAST(date_part('hour', t) AS INT) AS h,
+        |  CAST(date_part('minute', t) AS INT) AS m,
+        |  CAST(date_part('second', t) AS INT) AS s_int,
+        |  epoch_us(t) AS us_day,
+        |  (epoch_us(t) // 60000000) * 60000000 AS trunc_min_us,
+        |  (epoch_us(t) + 26580000000) % 86400000000 AS wrap_us,
+        |  t < TIME '12:00:00' AS am
+        |FROM (SELECT event_id, CAST(ts AS TIME) AS t FROM events
+        |      WHERE event_id < 2000)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      import graft.ops.TimeOfDay
+      val t = TimeOfDay.ofTimestamp(col("ts"))
+      Tables.events(s, d).filter(col("event_id") < 2000)
+        .select(col("event_id"), t.as("t"))
+        .select(
+          col("event_id"),
+          TimeOfDay.hourOf(col("t")).as("h"),
+          TimeOfDay.minuteOf(col("t")).as("m"),
+          TimeOfDay.secondOf(col("t")).as("s_int"),
+          TimeOfDay.microsOfDay(col("t")).as("us_day"),
+          TimeOfDay.microsOfDay(TimeOfDay.truncTo("MINUTE", col("t"))).as("trunc_min_us"),
+          // +7h23m — crosses midnight for late events, exercising the wrap
+          TimeOfDay.microsOfDay(TimeOfDay.addMicrosWrap(col("t"), lit(26580000000L))).as("wrap_us"),
+          (col("t") < TimeOfDay.parse(lit("12:00:00"))).as("am"))
+        .orderBy(col("event_id"))
     }
   )
 }

@@ -128,4 +128,35 @@ class DatetimeSpec extends SparkSpec {
     val us = col1[Long](df.select(Datetime.toEpochMicros(Datetime.fromEpoch(col("e"), "s"))))
     assert(us === Seq(Some(1704067200000000L)))
   }
+
+  test("time-of-day surface: roundtrip, wraparound, midnight edges") {
+    import graft.ops.TimeOfDay
+    GraftConf.tune(spark) // TIME(n) is flag-gated
+    // µs-of-day roundtrip at the edges of the day and at full µs precision
+    val edges = Seq(Some(0L), Some(1L), Some(47107123456L), Some(86399999999L), None)
+    val df = longs("us", edges)
+    assert(col1[Long](df.select(TimeOfDay.microsOfDay(TimeOfDay.ofMicrosOfDay(col("us"))))) ===
+      edges)
+    // wraparound add: +2h over midnight, negative delta under midnight
+    val t = df.select(TimeOfDay.ofMicrosOfDay(col("us")).as("t"))
+    assert(col1[Long](t.select(TimeOfDay.microsOfDay(
+      TimeOfDay.addMicrosWrap(col("t"), lit(7200000000L))))) ===
+      Seq(Some(7200000000L), Some(7200000001L), Some(54307123456L),
+        Some(7199999999L), None))
+    assert(col1[Long](t.select(TimeOfDay.microsOfDay(
+      TimeOfDay.addMicrosWrap(col("t"), lit(-1L))))) ===
+      Seq(Some(86399999999L), Some(0L), Some(47107123455L), Some(86399999998L), None))
+    // parse both forms; extraction keeps fractional seconds exactly
+    val p = strings("s", Seq(Some("13:05:07.123456")))
+      .select(TimeOfDay.parse(col("s")).as("t"))
+    assert(col1[Int](p.select(TimeOfDay.hourOf(col("t")))) === Seq(Some(13)))
+    assert(col1[java.math.BigDecimal](p.select(TimeOfDay.secondExact(col("t"))))
+      .map(_.map(_.toPlainString)) === Seq(Some("7.123456")))
+    val pp = strings("s", Seq(Some("13-05-07")))
+      .select(TimeOfDay.parse(col("s"), "HH-mm-ss").as("t"))
+    assert(col1[Long](pp.select(TimeOfDay.microsOfDay(col("t")))) === Seq(Some(47107000000L)))
+    // trunc to minute
+    assert(col1[Long](p.select(TimeOfDay.microsOfDay(
+      TimeOfDay.truncTo("MINUTE", col("t"))))) === Seq(Some(47100000000L)))
+  }
 }
