@@ -236,6 +236,32 @@ object ExtrasQueries {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("total_bal"))
         .orderBy(col("c_mktsegment"))
+    },
+
+    // Arrow batch-dir through the MICRO-BATCH streaming reader: supplier
+    // staged via the DSv2 writer (truncate = a clean, committed payload
+    // set), tailed with readStream, aggregated in complete mode, drained
+    // into a memory sink. A bounded replay of the stream must equal the
+    // batch aggregate of the original parquet — same identity contract as
+    // q92, through the streaming leg.
+    QueryDef.sql(
+      "q97_arrowdir_stream",
+      """SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(s_acctbal), 2) AS total_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+      val fmt = "graft.sources.arrowdir"
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_arrowdir_stream_gate_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      Tables.supplier(s, d).write.format(fmt).mode("overwrite").save(dir)
+      val name = "graft_arrowdir_stream_gate_sink"
+      val agg = s.readStream.format(fmt)
+        .schema(graft.sources.arrowdir.ArrowDirSource.sidecarSchema(dir))
+        .load(dir)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("total_bal"))
+      val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).orderBy(col("s_nationkey"))
     }
   )
 }

@@ -86,4 +86,38 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.subsetOf(batchSess))
     assert(emitted.nonEmpty)
   }
+
+  test("arrowdir micro-batch stream tails DSv2 appends incrementally") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_arrowdir_stream_").toString
+    val fmt = "graft.sources.arrowdir"
+    val nation = Tables.nation(spark, sf)
+    val firstHalf = nation.filter(col("n_nationkey") < 12)
+    val secondHalf = nation.filter(col("n_nationkey") >= 12)
+    firstHalf.write.format(fmt).mode("append").save(dir)
+
+    val name = "arrowdir_stream_sink"
+    val stream = spark.readStream.format(fmt)
+      .schema(graft.sources.arrowdir.ArrowDirSource.sidecarSchema(dir))
+      .load(dir)
+      .select(col("n_nationkey"), col("n_name"))
+    val q = stream.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      val afterFirst = spark.table(name).count()
+      assert(afterFirst === firstHalf.count(), s"first micro-batch read $afterFirst rows")
+      // append more payloads while the stream is up — only the delta may arrive
+      secondHalf.write.format(fmt).mode("append").save(dir)
+      q.processAllAvailable()
+      val all = spark.table(name).select(col("n_nationkey"))
+        .collect().map(_.get(0).toString.toLong).sorted.toSeq
+      assert(all === nation.select(col("n_nationkey"))
+        .collect().map(_.get(0).toString.toLong).sorted.toSeq,
+        "streamed union of both appends must equal the full table, exactly once each")
+    } finally q.stop()
+    // offset round-trip: serialized form is stable and recovers the set
+    val off = graft.sources.arrowdir.ArrowDirOffset(Set("b.arrowbatch", "a.arrowbatch"))
+    assert(graft.sources.arrowdir.ArrowDirOffset.fromJson(off.json()) === off)
+    assert(off.json() === """["a.arrowbatch","b.arrowbatch"]""")
+  }
 }
