@@ -262,6 +262,34 @@ object ExtrasQueries {
       val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
       s.table(name).orderBy(col("s_nationkey"))
+    },
+
+    // Z-order (Morton) clustering key over (p_size, p_partkey % 256) —
+    // the multi-dim layout primitive (ops/ZOrder.cluster sorts/writes by
+    // this value; SinkSpec proves the per-file locality it buys). The
+    // z-value is pure bit arithmetic on both engines, so the gate checks
+    // it cell-exact, in the exact order the clustered layout would use.
+    QueryDef.sql(
+      "q98_zorder_key",
+      s"""SELECT p_partkey, ${ExtrasQueries.zOracleExpr} AS zval
+         |FROM part ORDER BY zval, p_partkey""".stripMargin) { (s, d) =>
+      import graft.ops.ZOrder
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          // p_size normalized to the full 8-bit lane (1..50 → 5..250) so
+          // both dims share the high interleave bits (see ZOrder scaladoc)
+          ZOrder.zValue(Seq(col("p_size") * 5, col("p_partkey") % 256), bits = 8).as("zval"))
+        .orderBy(col("zval"), col("p_partkey"))
     }
   )
+
+  /** DuckDB replay of ZOrder.zValue(Seq(p_size, p_partkey % 256), 8):
+    * bit j of dim i → output position 2j + i, as explicit shift/mask
+    * terms (both engines: exact integer bit arithmetic).
+    */
+  private[queries] def zOracleExpr: String = (0 until 8).flatMap { j =>
+    Seq(
+      s"(((CAST(p_size * 5 AS BIGINT) >> $j) & 1) << ${2 * j})",
+      s"(((CAST(p_partkey % 256 AS BIGINT) >> $j) & 1) << ${2 * j + 1})")
+  }.mkString(" | ")
 }

@@ -31,4 +31,43 @@ class SinkSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byFlag === sqlCounts)
   }
+
+  test("z-order clustering bounds per-file spread on every clustered dimension") {
+    import graft.ops.ZOrder
+    val part = Tables.part(spark, "/root/testdata/sf0.01")
+      .select(col("p_partkey"), col("p_size"), (col("p_partkey") % 256).as("pk8"))
+
+    def perFileSpread(dir: String, dim: String): Double = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      assert(files.length >= 4, s"expected several files, got ${files.length}")
+      val spreads = files.map { f =>
+        val r = spark.read.parquet(f).agg(
+          (max(col(dim)) - min(col(dim))).cast("double")).collect()(0)
+        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      }
+      spreads.sum / spreads.length
+    }
+
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    // normalize p_size (1..50) to the full 8-bit lane (×5 → 5..250): with
+    // unequal effective widths the wider dim monopolizes the high
+    // interleave bits and the narrow dim gets no locality at all
+    ZOrder.clusterWrite(part, Seq(col("p_size") * 5, col("pk8")), numFiles = 16, zDir, bits = 8)
+    val rDir = java.nio.file.Files.createTempDirectory("graft_zorder_rand_").toString
+    part.repartition(16, col("p_partkey")).write.mode("overwrite").parquet(rDir)
+
+    // a hash layout gives every file ~the global spread on both dims; the
+    // z-layout must confine BOTH dims well below it (that confinement is
+    // exactly what parquet min/max footer pruning exploits)
+    for (dim <- Seq("p_size", "pk8")) {
+      val zs = perFileSpread(zDir, dim)
+      val rs = perFileSpread(rDir, dim)
+      assert(zs < rs * 0.6, s"$dim: z-clustered spread $zs not < 0.6 × hash spread $rs")
+    }
+    // identity: clustering rewrites layout, never rows
+    val a = spark.read.parquet(zDir).orderBy(col("p_partkey")).collect().map(_.toSeq).toSeq
+    val b = part.orderBy(col("p_partkey")).collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
 }
