@@ -225,9 +225,14 @@ object Dedup {
     // expensive lineage like the LSH pipeline — recomputing it per
     // iteration turns O(diameter) into O(diameter × pipeline)) and swap
     // cached label generations.
+    // pre-partition the cached edges by the per-iteration join key: the
+    // distinct's (id1,id2) partitioning would otherwise force an Exchange
+    // of the WHOLE edge set on every iteration; keyed by id2, each
+    // iteration only shuffles the (small) label table
     val edges = pairs.select(col("id1"), col("id2"))
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .distinct()
+      .repartition(col("id2"))
       .persist()
     var labels = edges.select(col("id1").as("id")).distinct()
       .withColumn("component", col("id"))

@@ -590,6 +590,9 @@ object LlmQueries {
     // vocabularies (URLs, n-grams) where the exact form's per-distinct-term
     // shuffle does not. Estimated counts are merge-order dependent →
     // rows-only gate; ScaleSpec proves the N/(k+1) bounds vs exact counts.
+    // The rows-only contract (row COUNT) is stable: limit(10) over a
+    // corpus with ≥10 surviving terms always yields exactly 10 rows even
+    // if merge order perturbs est_count values.
     QueryDef.noOracle("q95_heavy_hitters_approx") { (s, d) =>
       val fi = udaf(new graft.functions.FrequentItems(32))
       Tables.documents(s, d)

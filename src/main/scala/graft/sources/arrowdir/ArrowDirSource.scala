@@ -251,6 +251,15 @@ case class ArrowDirMicroBatchStream(path: String, fullSchema: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[ArrowDirOffset].files
     val now = end.asInstanceOf[ArrowDirOffset].files
+    // files that vanished from the directory mean an external truncate/
+    // overwrite raced the stream — fail loudly: silently continuing would
+    // re-deliver the rewritten rows under their new job-tag names
+    val vanished = seen -- now
+    require(vanished.isEmpty,
+      s"arrowdir $path was rewritten under a running stream " +
+        s"(${vanished.size} already-read payload(s) vanished, e.g. " +
+        s"${vanished.take(3).mkString(", ")}); restart the stream from a " +
+        "fresh checkpoint to re-read the new contents")
     (now -- seen).toArray.sorted
       .map(n => ArrowDirPartition(java.nio.file.Paths.get(path, n).toString): InputPartition)
   }

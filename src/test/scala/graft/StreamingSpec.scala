@@ -119,5 +119,15 @@ class StreamingSpec extends SparkSpec {
     val off = graft.sources.arrowdir.ArrowDirOffset(Set("b.arrowbatch", "a.arrowbatch"))
     assert(graft.sources.arrowdir.ArrowDirOffset.fromJson(off.json()) === off)
     assert(off.json() === """["a.arrowbatch","b.arrowbatch"]""")
+    // a payload vanishing between offsets (external truncate under a live
+    // stream) must fail the batch loudly, not silently re-deliver
+    val mbs = graft.sources.arrowdir.ArrowDirMicroBatchStream(
+      dir, stream.schema, stream.schema, "UTC", largeVarTypes = false, None)
+    val ex = intercept[IllegalArgumentException] {
+      mbs.planInputPartitions(
+        graft.sources.arrowdir.ArrowDirOffset(Set("gone.arrowbatch")),
+        graft.sources.arrowdir.ArrowDirOffset(Set.empty))
+    }
+    assert(ex.getMessage.contains("vanished"))
   }
 }
