@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output normally passes through sbt's logger, which prefixes
+// every line with "[info] " — that prefix broke the driver's JSON parse of
+// Bench's one-line stdout contract in rounds 1-3 ("parsed": null in every
+// BENCH_r0N.json even when the line fit the tail cap). StdoutOutput pipes
+// the child's stdout straight through, unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
