@@ -41,6 +41,8 @@ object GraftFunctions {
     "minhash_sig" -> (es => MinHashSig(asS(es(0)), 3, 32, 42L)),
     "cosine_sim" -> (es => CosineSim(asAD(es(0)), asAD(es(1)))),
     "srp_sig" -> (es => SrpSig(asAD(es(0)), 16, 7L)),
+    "nfc_normalize" -> (es => NfcNormalize(asS(es(0)))),
+    "strip_accents" -> (es => StripAccents(asS(es(0)))),
     // table-generating (UDTF): SELECT shingle_explode(text) — LATERAL VIEW
     // compatible; fixed 3-gram width on the SQL surface like shingle_tokens
     "shingle_explode" -> (es => ShingleExplode(asS(es(0)), 3)))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.expressions.{CountMatch, FindStr0, RollingHash}
+import graft.expressions.{CountMatch, FindStr0, NfcNormalize, RollingHash, StripAccents}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
@@ -74,6 +74,13 @@ object Strings {
 
   /** Deterministic 64-bit content fingerprint (rolling hash over bytes). */
   def fingerprint(c: Column): Column = toCol(RollingHash(toExpr(c)))
+
+  /** Unicode canonical composition / diacritic removal (UnicodeNorm
+    * kernels) — the corpus-normalization pass every downstream hash/token
+    * kernel assumes has already run.
+    */
+  def nfcNormalize(c: Column): Column = toCol(NfcNormalize(toExpr(c)))
+  def stripAccents(c: Column): Column = toCol(StripAccents(toExpr(c)))
 
   /** Dictionary-aware string transform (minarrow's dict kernels operate on
     * `unique_values` only — e.g. regex_replace_dict rewrites the dictionary

@@ -83,6 +83,33 @@ object SemanticsQueries {
           col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    // Explicit GROUPING SETS (the general form ROLLUP/CUBE are sugar for):
+    // an asymmetric set list no rollup/cube can express — (flag, status),
+    // (status), () — via Spark 4's Dataset.groupingSets.
+    QueryDef.sql(
+      "q99_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  ROUND(SUM(l_extendedprice), 2) AS total, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          round(sum(col("l_extendedprice")), 2).as("total"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("g_flag"), col("g_status"),
+          col("total"), col("n"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
     // Percentile battery: exact interpolated quantiles (== DuckDB
     // quantile_cont), computed by the SCALE-SAFE two-pass shape
     // (ops/Percentiles): per-(group, distinct-value) counts + cumulative

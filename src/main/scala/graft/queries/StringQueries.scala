@@ -139,6 +139,53 @@ object StringQueries {
           "o_orderpriority", c => regexp_replace(c, "[0-9]-", ""), "prio_clean")
         .select(col("o_orderkey"), col("prio_clean"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // Unicode normalization kernels (NFC composition + diacritic strip).
+    // The fixture corpus is pure ASCII (normalization is the identity on
+    // it — proven by the unioned document rows), so the interesting cases
+    // ride in as literals: decomposed e+◌́ / i+◌̈ sequences that NFC must
+    // compose, and æ/ß/ﬁ which strip_accents must pass through. Both
+    // engines implement the same Unicode canonical algorithms
+    // (java.text.Normalizer vs utf8proc), which this query pins cell-exact.
+    QueryDef.sql(
+      "q101_unicode_norm",
+      """WITH t(id, s) AS (
+        |  SELECT * FROM (VALUES
+        |    (1, 'e' || chr(769) || 'cole'),
+        |    (2, CAST('école' AS VARCHAR)),
+        |    (3, CAST('ﬁn æß' AS VARCHAR)),
+        |    (4, 'Cafe' || chr(769) || ' du Mont'),
+        |    (5, 'nai' || chr(776) || 've'),
+        |    (6, 'plain ascii'))
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS INT) + 100, substring(text, 1, 12)
+        |  FROM documents WHERE doc_id < 3)
+        |SELECT id, nfc_normalize(s) AS nfc,
+        |  strip_accents(s) AS stripped,
+        |  CAST(strlen(s) AS BIGINT) AS bytes_raw,
+        |  CAST(strlen(nfc_normalize(s)) AS BIGINT) AS bytes_nfc
+        |FROM t ORDER BY id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      // ids 1/4/5 are DECOMPOSED (base char + combining mark, matching the
+      // oracle's chr(769)/chr(776) construction) — bytes_raw must agree
+      val lits = Seq(
+        (1, "école"),
+        (2, "école"),
+        (3, "ﬁn æß"),
+        (4, "Café du Mont"),
+        (5, "naïve"),
+        (6, "plain ascii")).toDF("id", "s")
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 3)
+        .select((col("doc_id") + 100).cast("int").as("id"),
+          substring(col("text"), 1, 12).as("s"))
+      lits.unionByName(docs)
+        .select(col("id"),
+          Strings.nfcNormalize(col("s")).as("nfc"),
+          Strings.stripAccents(col("s")).as("stripped"),
+          octet_length(col("s")).cast("long").as("bytes_raw"),
+          octet_length(Strings.nfcNormalize(col("s"))).cast("long").as("bytes_nfc"))
+        .orderBy(col("id"))
     }
   )
 }

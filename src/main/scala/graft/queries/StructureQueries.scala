@@ -112,6 +112,21 @@ object StructureQueries {
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_orderkey")).as("approx_orders"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Mergeable-sketch reaggregation — the 100 TB rollup pattern: build
+    // HLL sketches once at fine grain (per priority × year, the "silver
+    // table" shape), then answer the coarse question by UNIONING sketches
+    // (hll_union_agg) instead of rescanning raw data. Estimates are
+    // engine/implementation-specific → rows-only; ScaleSpec pins
+    // merge-vs-direct identity and the error envelope vs exact counts.
+    QueryDef.noOracle("q100_sketch_rollup") { (s, d) =>
+      val fine = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), year(col("o_orderdate")).as("yr"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      fine.groupBy(col("o_orderpriority"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_customers"))
+        .orderBy(col("o_orderpriority"))
     }
   )
 }

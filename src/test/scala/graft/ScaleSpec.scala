@@ -344,6 +344,31 @@ class ScaleSpec extends SparkSpec {
       (0L, None), (1L, Some(10.0)), (6L, Some(11.0)), (100L, None)))
   }
 
+  test("HLL sketch union equals direct sketch; estimate inside the error envelope") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    // fine-grain sketches (priority × year) unioned up to priority must
+    // give the SAME estimate as sketching the priority directly — HLL
+    // merge is lossless over its register state
+    val fine = orders
+      .groupBy(col("o_orderpriority"), year(col("o_orderdate")).as("yr"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    val merged = fine.groupBy(col("o_orderpriority"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = orders.groupBy(col("o_orderpriority"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === direct, "sketch-union estimate diverged from direct sketch")
+    val exact = orders.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((p, n) <- exact) {
+      val e = merged(p)
+      assert(math.abs(e - n).toDouble / n < 0.05,
+        s"$p: estimate $e outside 5% of exact $n")
+    }
+  }
+
   test("FrequentItems honors the Misra-Gries N/(k+1) bounds under merges") {
     // zipf-ish stream: term t_i appears ~C/i times, plus a long tail of
     // singletons; randomized partitioning forces nontrivial merge trees

@@ -96,4 +96,27 @@ class StringsSpec extends SparkSpec {
     val ct = Strings.crossTabulate(df, "r", "c", Seq("x", "y")).orderBy(col("r")).collect()
     assert(ct.map(_.toSeq).toSeq === Seq(Seq("a", 2L, 1L), Seq("b", 1L, 0L)))
   }
+
+  test("unicode normalization: NFC composes, strip_accents drops marks only") {
+    val decomposed = "école"  // e + combining acute
+    val composed = "école"     // é precomposed
+    val df = strings("s", Seq(
+      Some(decomposed), Some(composed), Some("ﬁn æß"), // ﬁn æß
+      Some("naïve"), Some(""), None))
+    val out = df.select(
+      Strings.nfcNormalize(col("s")).as("n"),
+      Strings.stripAccents(col("s")).as("a")).collect()
+    // NFC: both encodings land on the composed bytes; ﬁ (compat-only
+    // decomposition) and æ/ß (none) are untouched
+    assert(out.map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq ===
+      Seq(composed, composed, "ﬁn æß", "naïve", "", null))
+    // strip: marks removed whether precomposed or combining; æ/ß kept
+    assert(out.map(r => if (r.isNullAt(1)) null else r.getString(1)).toSeq ===
+      Seq("ecole", "ecole", "ﬁn æß", "naive", "", null))
+    // SQL surface
+    GraftFunctions.registerAll(spark)
+    val sql = spark.sql(
+      s"SELECT nfc_normalize('$decomposed') AS n, strip_accents('$decomposed') AS a").collect()(0)
+    assert(sql.getString(0) === composed && sql.getString(1) === "ecole")
+  }
 }
