@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.llm.{Dedup, Multimodal, Similarity, Splits, TextAnalysis}
+import graft.llm.{Chunking, Dedup, Multimodal, Similarity, Splits, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -582,6 +582,30 @@ object LlmQueries {
         .select(explode(TextAnalysis.wordTokens(col("text"))).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term")).limit(20)
+    },
+
+    // Overlapping token-window chunking (context-window prep; the slicing
+    // sibling of q89's packing). Pure flat-map — tokens materialized once,
+    // sequence()+slice codegen, no shuffle; the oracle replays the same
+    // window arithmetic with list_slice.
+    QueryDef.sql(
+      "q102_doc_chunking",
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents WHERE doc_id < 200),
+        |b AS (SELECT doc_id, ws, len(ws) AS n FROM t),
+        |s AS (
+        |  SELECT doc_id, ws,
+        |    unnest(range(0, CASE WHEN n <= 24 THEN 1 ELSE ((n-1)//16)*16 + 1 END, 16)) AS st
+        |  FROM b)
+        |SELECT doc_id, CAST(st // 16 AS BIGINT) AS chunk_id,
+        |  array_to_string(ws[st+1:st+24], ' ') AS chunk_text,
+        |  CAST(len(ws[st+1:st+24]) AS BIGINT) AS n_tokens
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      Chunking.chunkByTokens(
+          Tables.documents(s, d).filter(col("doc_id") < 200),
+          "doc_id", "text", size = 24, stride = 16)
+        .orderBy(col("doc_id"), col("chunk_id"))
     },
 
     // Approximate heavy hitters via the Misra-Gries FrequentItems

@@ -331,4 +331,28 @@ class LlmSpec extends SparkSpec {
     // deterministic: identical payloads resize identically
     assert(rows(0).getAs[Array[Byte]](1).toSeq === rows(3).getAs[Array[Byte]](1).toSeq)
   }
+
+  test("chunkByTokens: overlap, short/empty docs, boundary starts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ('a' to 'j').map(c => s"w$c").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // short: one chunk
+      (3L, "")                                        // empty: one empty chunk
+    ).toDF("doc_id", "text")
+    val out = graft.llm.Chunking.chunkByTokens(docs, "doc_id", "text", size = 4, stride = 3)
+      .orderBy(col("doc_id"), col("chunk_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // doc 1: starts 0,3,6,9 — window 4, stride 3 ⇒ one-token overlap;
+    // final start 9 yields the 1-token tail
+    assert(out.filter(_._1 == 1L).toSeq === Seq(
+      (1L, 0L, "wa wb wc wd", 4L),
+      (1L, 1L, "wd we wf wg", 4L),
+      (1L, 2L, "wg wh wi wj", 4L),
+      (1L, 3L, "wj", 1L)))
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, "a b c", 3L)))
+    assert(out.filter(_._1 == 3L).toSeq === Seq((3L, 0L, "", 0L)))
+    // coverage: every token of doc 1 appears in at least one chunk
+    val covered = out.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet
+    assert(covered === ('a' to 'j').map(c => s"w$c").toSet)
+  }
 }
