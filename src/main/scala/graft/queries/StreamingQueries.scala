@@ -24,6 +24,38 @@ object StreamingQueries {
         .orderBy(col("wstart"), col("event_type"))
     },
 
+    // Sessionization through Spark 4's transformWithState (the CURRENT
+    // arbitrary-state API, RocksDB-backed). A single-batch replay emits
+    // exactly the CLOSED sessions = every session except each user's
+    // last — deterministic, so the oracle is the batch sessionization
+    // minus each user's final session, cell-exact.
+    QueryDef.sql(
+      "q103_sessionize_tws",
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM marked),
+        |agg AS (
+        |  SELECT user_id, sess_id,
+        |    MIN(epoch_us(ts)) AS sess_start_us, MAX(epoch_us(ts)) AS sess_end_us,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM sess GROUP BY user_id, sess_id),
+        |last AS (SELECT user_id, MAX(sess_id) AS last_id FROM agg GROUP BY user_id)
+        |SELECT a.user_id, a.sess_start_us, a.sess_end_us, a.n_events
+        |FROM agg a JOIN last l ON a.user_id = l.user_id AND a.sess_id <> l.last_id
+        |ORDER BY a.user_id, a.sess_start_us""".stripMargin) { (s, d) =>
+      Events.sessionizeTransformWithState(s, d, gapMinutes = 30)
+        .orderBy(col("user_id"), col("sess_start_us"))
+    },
+
     QueryDef.sql(
       "q44_sessionize",
       """WITH marked AS (

@@ -173,6 +173,35 @@ object Events {
     s2.table(name)
   }
 
+  /** Streaming sessionization on Spark 4's transformWithState — the
+    * CURRENT arbitrary-state API (flatMapGroupsWithState's successor):
+    * typed per-key ValueState through a StatefulProcessor, RocksDB state
+    * store (the provider the API requires — also the store you'd run at
+    * 100 TB: state spills off-heap instead of living on the JVM heap).
+    * Emits CLOSED sessions only, exactly like `sessionizeStreaming`; on a
+    * single-batch replay that is every session except each user's last —
+    * a deterministic set, so the gate checks it cell-exact against the
+    * batch sessionization with each user's final session removed.
+    */
+  def sessionizeTransformWithState(spark: SparkSession, sfDir: String, gapMinutes: Int,
+      stateParts: Int = 8): DataFrame = withStateParts(spark, stateParts) { s2 =>
+    import s2.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val name = s"graft_events_tws_${counter.incrementAndGet()}"
+    val stream = streamEvents(s2, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+    val sessions = stream.groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapUs), TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "sess_start_us", "sess_end_us", "n_events")
+    val q = sessions.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s2.table(name)
+  }
+
   /** Streaming sessionization with explicit state: flatMapGroupsWithState
     * over user_id, emitting CLOSED sessions only — a session still open at
     * the end of the processed data stays in state until a later batch
@@ -214,5 +243,40 @@ object Events {
     val q = sessions.writeStream.outputMode("append").format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     s2.table(name)
+  }
+}
+
+/** Per-user gap-sessionization processor for [[Events.sessionizeTransformWithState]]:
+  * state = the one OPEN session (start, end, count); a row beyond the gap
+  * closes it (emit) and opens a new one. O(1) state per key — the
+  * transformWithState port of the flatMapGroupsWithState logic above.
+  */
+class SessionProcessor(gapUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), (Long, Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var open: ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getValueState[(Long, Long, Long)]("open",
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long, Long)](),
+      TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+      timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    val times = rows.map(_._2).toArray.sorted
+    var state = if (open.exists()) Some(open.get()) else None
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    times.foreach { t =>
+      state match {
+        case Some((s0, e0, n0)) if t - e0 <= gapUs =>
+          state = Some((s0, math.max(e0, t), n0 + 1))
+        case other =>
+          other.foreach { case (s0, e0, n0) => out += ((user, s0, e0, n0)) }
+          state = Some((t, t, 1L))
+      }
+    }
+    state.foreach(open.update)
+    out.iterator
   }
 }

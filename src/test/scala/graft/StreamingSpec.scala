@@ -87,6 +87,15 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.nonEmpty)
   }
 
+  test("transformWithState sessionization emits the same closed sessions as flatMapGroupsWithState") {
+    val tws = Events.sessionizeTransformWithState(spark, sf, gapMinutes = 30)
+      .collect().map(_.toSeq).toSet
+    val fmgws = Events.sessionizeStreaming(spark, sf, gapMinutes = 30)
+      .collect().map(_.toSeq).toSet
+    assert(tws === fmgws, "the two arbitrary-state APIs disagree on closed sessions")
+    assert(tws.nonEmpty)
+  }
+
   test("arrowdir micro-batch stream tails DSv2 appends incrementally") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft_arrowdir_stream_").toString
