@@ -210,6 +210,37 @@ object Dedup {
       .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"), col("jaccard"))
   }
 
+  /** Fuzzy string pairs: every (id1 < id2) pair with edit distance ≤
+    * `maxDist` — the record-linkage / typo-dedup sibling of the token
+    * similarity families above.
+    *
+    * Candidate blocking is the LOSSLESS length band (|len(a) − len(b)| ≤
+    * maxDist, a hard property of edit distance): side A explodes to its
+    * 2·maxDist+1 candidate lengths and equi-joins side B's length — no
+    * nested-loop, no missed pair, so a brute-force oracle must agree
+    * exactly. Verification uses Spark's thresholded `levenshtein(l, r, k)`
+    * (returns −1 past k ⇒ early-exit instead of full DP).
+    *
+    * Scale note: length alone is a weak blocking key on natural text (most
+    * strings share few lengths → a skewed join); at corpus scale compose
+    * it with a domain blocking key (same first token, same source) the way
+    * minHashLshPairs composes bands — the band join here stays the exact
+    * verification layer.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative: $maxDist")
+    val a = df.select(col(idCol).as("id1"), col(strCol).as("s1"),
+      length(col(strCol)).as("l1"))
+    val b = df.select(col(idCol).as("id2"), col(strCol).as("s2"),
+      length(col(strCol)).as("l2"))
+    a.select(col("id1"), col("s1"),
+        explode(sequence(col("l1") - maxDist, col("l1") + maxDist)).as("lb"))
+      .join(b, col("lb") === col("l2") && col("id1") < col("id2"))
+      .withColumn("dist", levenshtein(col("s1"), col("s2"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("id1"), col("id2"), col("dist"))
+  }
+
   /** Connected components over a near-dup pair list via iterative min-label
     * propagation: each node repeatedly adopts the smallest id reachable in
     * one hop, converging in O(cluster diameter) joins. This is the

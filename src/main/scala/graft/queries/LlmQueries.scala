@@ -584,6 +584,21 @@ object LlmQueries {
         .orderBy(col("n").desc, col("term")).limit(20)
     },
 
+    // Fuzzy (edit-distance) pairs over supplier names — lossless
+    // length-band blocking + thresholded levenshtein verify; the oracle
+    // is the brute-force O(n²) join, so equality proves the blocking
+    // misses nothing.
+    QueryDef.sql(
+      "q104_fuzzy_pairs",
+      """SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      Dedup.fuzzyPairs(Tables.supplier(s, d), "s_suppkey", "s_name", maxDist = 1)
+        .orderBy(col("id1"), col("id2"))
+    },
+
     // Overlapping token-window chunking (context-window prep; the slicing
     // sibling of q89's packing). Pure flat-map — tokens materialized once,
     // sequence()+slice codegen, no shuffle; the oracle replays the same

@@ -332,6 +332,32 @@ class LlmSpec extends SparkSpec {
     assert(rows(0).getAs[Array[Byte]](1).toSeq === rows(3).getAs[Array[Byte]](1).toSeq)
   }
 
+  test("fuzzyPairs: length-band blocking is lossless vs brute-force levenshtein") {
+    import spark.implicits._
+    val names = Seq(
+      (1L, "kitten"), (2L, "sitten"), (3L, "sittin"),   // chain of 1-edits
+      (4L, "kitte"),                                    // deletion (len band edge)
+      (5L, "mittens"),                                  // insertion+sub from kitten = 2
+      (6L, "unrelated")).toDF("id", "s")
+    val got = graft.llm.Dedup.fuzzyPairs(names, "id", "s", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val raw = names.collect().map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      (i1, s1) <- raw; (i2, s2) <- raw
+      if i1 < i2 && lev(s1, s2) <= 2
+    } yield (i1, i2) -> lev(s1, s2).toLong).toMap
+    assert(got === brute, s"blocking missed ${brute.keySet -- got.keySet}")
+    assert(got((1L, 2L)) === 1L && got((1L, 4L)) === 1L && got((1L, 5L)) === 2L)
+    assert(!got.contains((1L, 6L)))
+  }
+
   test("chunkByTokens: overlap, short/empty docs, boundary starts") {
     import spark.implicits._
     val docs = Seq(
