@@ -584,6 +584,47 @@ object LlmQueries {
         .orderBy(col("n").desc, col("term")).limit(20)
     },
 
+    // Chunk-level dedup pipeline — composition of q102's chunking with
+    // exact dedup: overlapping/boilerplate chunks collapse to one
+    // canonical copy corpus-wide (the span-dedup shape C4 applies at
+    // line level), then per-doc survival counts. Whole composition
+    // oracle-exact; shuffles move 16-byte fingerprints + a packed
+    // (doc,chunk) key, never chunk text.
+    QueryDef.sql(
+      "q105_chunk_dedup",
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents WHERE doc_id < 200),
+        |b AS (SELECT doc_id, ws, len(ws) AS n FROM t),
+        |s AS (
+        |  SELECT doc_id, ws,
+        |    unnest(range(0, CASE WHEN n <= 24 THEN 1 ELSE ((n-1)//16)*16 + 1 END, 16)) AS st
+        |  FROM b),
+        |chunks AS (
+        |  SELECT doc_id, st // 16 AS chunk_id,
+        |    array_to_string(ws[st+1:st+24], ' ') AS chunk_text
+        |  FROM s),
+        |keep AS (
+        |  SELECT md5(chunk_text) AS fp, MIN(doc_id * 100000 + chunk_id) AS keep_key
+        |  FROM chunks GROUP BY fp)
+        |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN c.doc_id * 100000 + c.chunk_id = k.keep_key
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM chunks c JOIN keep k ON md5(c.chunk_text) = k.fp
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      val chunks = Chunking.chunkByTokens(
+        Tables.documents(s, d).filter(col("doc_id") < 200),
+        "doc_id", "text", size = 24, stride = 16)
+        .withColumn("fp", md5(col("chunk_text").cast("binary")))
+        .withColumn("key", col("doc_id") * 100000 + col("chunk_id"))
+      val keep = chunks.groupBy(col("fp")).agg(min(col("key")).as("keep_key"))
+      chunks.join(keep, "fp")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("key") === col("keep_key"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("doc_id"))
+    },
+
     // Fuzzy (edit-distance) pairs over supplier names — lossless
     // length-band blocking + thresholded levenshtein verify; the oracle
     // is the brute-force O(n²) join, so equality proves the blocking

@@ -24,6 +24,29 @@ object StreamingQueries {
         .orderBy(col("wstart"), col("event_type"))
     },
 
+    // Value-bounded RANGE window frame (trailing 1-hour per-user
+    // aggregate) — the window-frame shape ROWS frames can't express
+    // (q10/q77 cover ROWS); both engines share the µs-epoch RANGE
+    // arithmetic, ties included by definition.
+    QueryDef.sql(
+      "q106_range_frame",
+      """SELECT event_id,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+        |  ROUND(SUM(value) OVER w, 2) AS val_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum(col("value")).over(w), 2).as("val_1h"))
+        .orderBy(col("event_id"))
+    },
+
     // Sessionization through Spark 4's transformWithState (the CURRENT
     // arbitrary-state API, RocksDB-backed). A single-batch replay emits
     // exactly the CLOSED sessions = every session except each user's
