@@ -26,11 +26,14 @@ object UnicodeKernels {
   def stripAccents(s: UTF8String): UTF8String = {
     val nfd = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(nfd.length)
+    // iterate CODEPOINTS, not UTF-16 chars: a supplementary-plane Mn mark
+    // is two surrogate chars, and Character.getType(char) on either half
+    // reports SURROGATE — a char-wise loop would never strip it
     var i = 0
     while (i < nfd.length) {
-      val c = nfd.charAt(i)
-      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
-      i += 1
+      val cp = nfd.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
     }
     UTF8String.fromString(
       java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC))

@@ -39,12 +39,15 @@ object Chunking {
       .otherwise(((col("__n") - 1) / stride).cast("int") * stride)
     val starts = sequence(lit(0), lastStart, lit(stride))
     toks
-      .select(col(idCol), col("__toks"), posexplode(starts).as(Seq("chunk_id", "__start")))
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(starts).as(Seq("chunk_id", "__start")))
       .select(
         col(idCol),
         col("chunk_id").cast("long").as("chunk_id"),
         array_join(slice(col("__toks"), col("__start") + 1, lit(size)), " ").as("chunk_text"),
-        org.apache.spark.sql.functions.size(slice(col("__toks"), col("__start") + 1, lit(size)))
-          .cast("long").as("n_tokens"))
+        // pure arithmetic — evaluating the slice a second time would
+        // allocate another size-element array per chunk on the hot path
+        // (every start is < n, so the clamp is just least(size, n - start))
+        least(lit(size), col("__n") - col("__start")).cast("long").as("n_tokens"))
   }
 }

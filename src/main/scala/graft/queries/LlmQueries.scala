@@ -605,18 +605,25 @@ object LlmQueries {
         |    array_to_string(ws[st+1:st+24], ' ') AS chunk_text
         |  FROM s),
         |keep AS (
-        |  SELECT md5(chunk_text) AS fp, MIN(doc_id * 100000 + chunk_id) AS keep_key
+        |  SELECT md5(chunk_text) AS fp, MIN(doc_id * 1000000000 + chunk_id) AS keep_key
         |  FROM chunks GROUP BY fp)
         |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
-        |  CAST(SUM(CASE WHEN c.doc_id * 100000 + c.chunk_id = k.keep_key
+        |  CAST(SUM(CASE WHEN c.doc_id * 1000000000 + c.chunk_id = k.keep_key
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM chunks c JOIN keep k ON md5(c.chunk_text) = k.fp
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      // key packs (doc_id, chunk_id) into one BIGINT for a single-column
+      // MIN on both engines; the 1e9 multiplier holds for any document
+      // under ~16e9 tokens (chunk_id < 1e9 at stride 16) — far past real
+      // corpora. Persist: keep and the probe side both consume the
+      // tokenize+chunk+md5 pipeline, which would otherwise run twice.
       val chunks = Chunking.chunkByTokens(
         Tables.documents(s, d).filter(col("doc_id") < 200),
         "doc_id", "text", size = 24, stride = 16)
         .withColumn("fp", md5(col("chunk_text").cast("binary")))
-        .withColumn("key", col("doc_id") * 100000 + col("chunk_id"))
+        .withColumn("key", col("doc_id") * 1000000000L + col("chunk_id"))
+        .persist()
+      graft.ops.CacheRegistry.register(chunks)
       val keep = chunks.groupBy(col("fp")).agg(min(col("key")).as("keep_key"))
       chunks.join(keep, "fp")
         .groupBy(col("doc_id"))
