@@ -42,6 +42,56 @@ object Multimodal {
         lit(null).cast("int").as("height"),
         length(col(payloadCol).cast("binary")).cast("long").as("n_bytes")).as("meta"))
 
+  /** Audio metadata: sample rate instead of image dimensions. */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /** Audio table from any (id, binary) source: payload treated as 16-bit
+    * mono PCM at `sampleRate` (the fixture has no real codecs — same
+    * honest-stub stance as `fakeDecode`; the framing arithmetic below is
+    * the real part).
+    */
+  def asAudioTable(df: DataFrame, idCol: String, payloadCol: String,
+      sampleRate: Int): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(payloadCol).cast("binary").as("payload"),
+      struct(
+        lit("pcm16").as("format"),
+        lit(sampleRate).as("sample_rate"),
+        length(col(payloadCol).cast("binary")).cast("long").as("n_bytes")).as("meta"))
+
+  /** Frame sampling over PCM audio: fixed `frameMs` windows advancing by
+    * `hopMs` (hop < frame ⇒ overlap, the STFT shape). Pure codegen
+    * arithmetic + binary `substr` — the time-axis sibling of
+    * [[Chunking.chunkByTokens]]; clips shorter than one frame emit
+    * nothing (standard frontend behavior). Output: media_id, frame_id,
+    * start_ms, frame (binary).
+    */
+  def frameSlices(audio: DataFrame, frameMs: Int, hopMs: Int): DataFrame = {
+    require(frameMs > 0 && hopMs > 0, s"frameMs/hopMs must be positive: $frameMs/$hopMs")
+    // 16-bit mono: bytes = samples × 2; all products are exact in double
+    // (≪ 2^53) and the ms arithmetic divides evenly by construction
+    val frameBytes = (col("meta.sample_rate") * (2 * frameMs) / 1000).cast("int")
+    val hopBytes = (col("meta.sample_rate") * (2 * hopMs) / 1000).cast("int")
+    val nb = col("meta.n_bytes").cast("int")
+    val starts = when(nb >= frameBytes,
+      sequence(lit(0), nb - frameBytes, hopBytes)).otherwise(array())
+    audio
+      .select(col("media_id"), col("payload"), frameBytes.as("__fb"),
+        col("meta.sample_rate").as("__sr"),
+        posexplode(starts).as(Seq("frame_id", "__start")))
+      .select(
+        col("media_id"),
+        col("frame_id").cast("long").as("frame_id"),
+        // start bytes → ms: bytes/ms = sample_rate·2/1000; the division is
+        // exact (starts are hop multiples, hop divides evenly into ms)
+        (col("__start") * lit(1000L) / (col("__sr") * 2L)).cast("long").as("start_ms"),
+        col("payload").substr(col("__start") + 1, col("__fb")).as("frame"))
+  }
+
   /** STUB — deterministic fake "decode + feature-extract" of a media
     * payload: 8 float features from byte statistics. A real deployment
     * replaces this body with the codec call; signature and batch shape stay.

@@ -584,6 +584,35 @@ object LlmQueries {
         .orderBy(col("n").desc, col("term")).limit(20)
     },
 
+    // Audio frame sampling (STFT-shaped overlapping windows over 16-bit
+    // PCM) — the time-axis sibling of q102's token chunking, over the
+    // multimodal binary-column surface. Codecs aren't available here, so
+    // document text stands in as the waveform bytes (ASCII ⇒ the oracle
+    // can slice the string form byte-for-byte and md5 it; DuckDB has no
+    // BLOB substring). Frame boundaries, timing, and content hashes are
+    // all cell-exact.
+    QueryDef.sql(
+      "q107_audio_frames",
+      """WITH t AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |s AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, length(text) - 64 + 1, 32)) AS st
+        |  FROM t WHERE length(text) >= 64)
+        |SELECT doc_id AS media_id, CAST(st // 32 AS BIGINT) AS frame_id,
+        |  CAST(st // 16 AS BIGINT) AS start_ms,
+        |  md5(substring(text, st + 1, 64)) AS frame_md5
+        |FROM s ORDER BY media_id, frame_id""".stripMargin) { (s, d) =>
+      val audio = Multimodal.asAudioTable(
+        Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text",
+        sampleRate = 8000)
+      // 8 kHz × 16-bit: 4 ms frame = 64 bytes, 2 ms hop = 32 bytes
+      Multimodal.frameSlices(audio, frameMs = 4, hopMs = 2)
+        .select(col("media_id"), col("frame_id"), col("start_ms"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy(col("media_id"), col("frame_id"))
+    },
+
     // Chunk-level dedup pipeline — composition of q102's chunking with
     // exact dedup: overlapping/boilerplate chunks collapse to one
     // canonical copy corpus-wide (the span-dedup shape C4 applies at

@@ -133,4 +133,28 @@ object KernelLaws extends Properties("graft.kernels") {
         math.abs(self - 1.0) < 1e-9
       }
     }
+
+  // Unicode normalization laws: both kernels are idempotent, strip is
+  // invariant under prior NFC, and neither changes ASCII (the fast path
+  // the corpus overwhelmingly takes)
+  private val uniText: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaLowerChar,
+    2 -> Gen.oneOf('é', 'ü', 'ñ', 'ß', 'æ'),
+    1 -> Gen.const('́'), // combining acute
+    1 -> Gen.const(' '))).map(_.mkString)
+
+  property("nfc and stripAccents are idempotent; strip commutes with nfc") =
+    forAll(uniText) { s =>
+      import graft.expressions.UnicodeKernels.{nfc, stripAccents}
+      val once = nfc(u(s))
+      nfc(once) == once &&
+        stripAccents(u(stripAccents(u(s)).toString)).toString == stripAccents(u(s)).toString &&
+        stripAccents(u(once.toString)).toString == stripAccents(u(s)).toString
+    }
+
+  property("normalization is the identity on ASCII") =
+    forAll(asciiText) { s =>
+      import graft.expressions.UnicodeKernels.{nfc, stripAccents}
+      nfc(u(s)).toString == s && stripAccents(u(s)).toString == s
+    }
 }

@@ -332,6 +332,29 @@ class LlmSpec extends SparkSpec {
     assert(rows(0).getAs[Array[Byte]](1).toSeq === rows(3).getAs[Array[Byte]](1).toSeq)
   }
 
+  test("frameSlices: window timing, overlap, short-clip drop, rate scaling") {
+    import spark.implicits._
+    val clips = Seq(
+      (1L, "x" * 100), // 100 bytes @ 8k/16-bit: frames at 0,32,64 → wait: starts 0..36 step 32 = 0,32
+      (2L, "y" * 63),  // shorter than one 64-byte frame → no frames
+      (3L, "z" * 64)   // exactly one frame
+    ).toDF("id", "payload")
+    val audio = graft.llm.Multimodal.asAudioTable(clips, "id", "payload", sampleRate = 8000)
+    val out = graft.llm.Multimodal.frameSlices(audio, frameMs = 4, hopMs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Array[Byte]](3).length)).sortBy(x => (x._1, x._2))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 0L, 64), (1L, 1L, 2L, 64), // starts 0 and 32 (36 > 100-64)
+      (3L, 0L, 0L, 64)))
+    // doubling the sample rate halves the millisecond span of a frame
+    val audio16k = graft.llm.Multimodal.asAudioTable(clips, "id", "payload", sampleRate = 16000)
+    val hi = graft.llm.Multimodal.frameSlices(audio16k, frameMs = 2, hopMs = 1)
+      .filter(col("media_id") === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getAs[Array[Byte]](3).length))
+    // 2 ms @ 16 kHz = 64 bytes again; hop 1 ms = 32 bytes; start_ms now 0,1
+    assert(hi.sortBy(_._1).toSeq === Seq((0L, 0L, 64), (1L, 1L, 64)))
+  }
+
   test("fuzzyPairs: length-band blocking is lossless vs brute-force levenshtein") {
     import spark.implicits._
     val names = Seq(
