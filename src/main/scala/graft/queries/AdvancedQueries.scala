@@ -184,6 +184,32 @@ object AdvancedQueries {
              + CAST(CAST(l_tax AS FLOAT) AS DOUBLE) AS FLOAT) AS fma32_v
         FROM lineitem WHERE l_orderkey < 500
         ORDER BY l_orderkey, l_linenumber""")
+    },
+
+    // Bloom-filter semi-join reduction: the fact scan is prefiltered by a
+    // compact bit-set membership test on the dimension's key set BEFORE
+    // the join shuffle (the runtime-filter pattern at 100 TB). No false
+    // negatives + exact join ⇒ result identical to the plain join, which
+    // is exactly what the oracle runs.
+    QueryDef.sql(
+      "q108_bloom_join",
+      """SELECT s_suppkey, s_name,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7'
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val dim = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").as("l_suppkey"), col("s_suppkey"), col("s_name"))
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      graft.ops.BloomJoin.bloomFilteredJoin(fact, dim, Seq("l_suppkey"),
+          expectedItems = 64)
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("s_suppkey"))
     }
   )
 }

@@ -398,4 +398,42 @@ class ScaleSpec extends SparkSpec {
       assert(c - e <= bound, s"$t underestimated beyond bound: true $c est $e")
     }
   }
+
+  test("BloomJoin: prefiltered join is exactly the plain join, with real reduction") {
+    import graft.ops.BloomJoin
+    val d = "/root/testdata/sf0.001"
+    // selective dim: 6-ish suppliers of one nation
+    val dim = Tables.supplier(spark, d)
+      .join(Tables.nation(spark, d).filter(col("n_name") === "NATION_7"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    val fact = Tables.lineitem(spark, d).select(col("l_suppkey"), col("l_quantity"))
+    val plain = fact.join(dim, Seq("l_suppkey"))
+      .groupBy(col("l_suppkey")).agg(sum(col("l_quantity")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val bloomed = BloomJoin.bloomFilteredJoin(fact, dim, Seq("l_suppkey"), expectedItems = 64)
+      .groupBy(col("l_suppkey")).agg(sum(col("l_quantity")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(bloomed === plain, "bloom prefilter changed the join result")
+    // the membership test must actually cut the fact volume before the join
+    val (m, k) = BloomJoin.geometry(64, 0.01)
+    val bits = BloomJoin.buildBits(dim, Seq(dim("l_suppkey")), m, k)
+    val kept = fact.filter(BloomJoin.mightContain(Seq(fact("l_suppkey")), bits, k)).count()
+    val total = fact.count()
+    assert(kept < total / 2, s"no reduction: kept $kept of $total")
+  }
+
+  test("BloomJoin: no false negatives ever; false-positive rate near the design fpp") {
+    import graft.ops.BloomJoin
+    val members = longs("v", (0L until 2000L).map(i => Some(i * 3)))
+    val (m, k) = BloomJoin.geometry(2000, 0.01)
+    val bits = BloomJoin.buildBits(members, Seq(col("v")), m, k)
+    // every member passes — bloom filters cannot miss
+    val missed = members.filter(!BloomJoin.mightContain(Seq(col("v")), bits, k)).count()
+    assert(missed === 0L, s"$missed false negatives")
+    // disjoint probes: observed fp rate within 5x of the 1% design point
+    val probes = longs("v", (0L until 10000L).map(i => Some(1000000L + i)))
+    val fp = probes.filter(BloomJoin.mightContain(Seq(col("v")), bits, k)).count()
+    assert(fp.toDouble / 10000 < 0.05, s"fp rate ${fp.toDouble / 10000} too high")
+  }
 }
