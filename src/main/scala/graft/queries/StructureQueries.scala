@@ -127,6 +127,25 @@ object StructureQueries {
       fine.groupBy(col("o_orderpriority"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_customers"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // Count-min sketch point-frequency probes — the "how frequent is THIS
+    // item" estimator next to HLL's "how many items" (q29) and
+    // Misra-Gries' "which items" (q95). CMS partial sketches merge by
+    // cell-wise ADDITION (merge-order independent), so estimates are
+    // deterministic for a fixed seed; on a 5-value domain with a
+    // 2·10⁴-cell row the probe estimates carry no collisions, so the
+    // oracle can pin them to the EXACT counts — the eps·N bound proven in
+    // ScaleSpec guards the general case.
+    QueryDef.sql(
+      "q109_countmin",
+      """SELECT o_orderpriority AS probe, CAST(COUNT(*) AS BIGINT) AS est
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val probes = Tables.orders(s, d).select(col("o_orderpriority"))
+        .distinct().collect().map(_.getString(0)).sorted.toSeq
+      graft.ops.Sketches.countMinEstimates(s, Tables.orders(s, d),
+          col("o_orderpriority"), probes)
+        .orderBy(col("probe"))
     }
   )
 }

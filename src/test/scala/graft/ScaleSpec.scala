@@ -399,6 +399,29 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("Sketches: count-min never undercounts, stays in eps*N, ignores partitioning") {
+    import graft.ops.Sketches
+    val rnd = new scala.util.Random(7)
+    // skewed vocabulary plus a tail that forces real collisions at eps=0.01
+    val vals = (1 to 50).flatMap(i => Seq.fill(400 / i)(s"v$i")) ++
+      (1 to 2000).map(i => s"tail$i")
+    val n = vals.size.toLong
+    val exact = vals.groupBy(identity).map { case (v, xs) => (v, xs.size.toLong) }
+    val shuffled = rnd.shuffle(vals).map(Tuple1(_))
+    val df8 = spark.createDataFrame(shuffled).toDF("v").repartition(8)
+    val df1 = spark.createDataFrame(shuffled).toDF("v").coalesce(1)
+    val (eps, conf, seed) = (0.01, 0.99, 7)
+    val sk8 = Sketches.countMinSketch(df8, col("v"), eps, conf, seed)
+    val sk1 = Sketches.countMinSketch(df1, col("v"), eps, conf, seed)
+    for ((v, c) <- exact) {
+      val e = sk8.estimateCount(v)
+      assert(e >= c, s"$v undercounted: est $e < true $c")
+      assert(e - c <= (eps * n).toLong + 1, s"$v overcounted beyond eps*N: est $e true $c")
+      // cell-wise-addition merge ⇒ partitioning cannot change the estimate
+      assert(e === sk1.estimateCount(v), s"$v estimate depends on partitioning")
+    }
+  }
+
   test("BloomJoin: prefiltered join is exactly the plain join, with real reduction") {
     import graft.ops.BloomJoin
     val d = "/root/testdata/sf0.001"
