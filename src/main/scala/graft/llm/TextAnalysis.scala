@@ -169,4 +169,48 @@ object TextAnalysis {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("id"), col("term"), col("tfidf"), col("rk").cast("long").as("rk"))
   }
+
+  /** Sparse TF-IDF cosine similarity pairs via the inverted index — the
+    * lexical leg of near-dup detection, between exact n-gram Jaccard
+    * (set overlap, `Dedup.ngramJaccardPairs`) and dense-embedding cosine
+    * (`Similarity.cosineNearDupPairs`): weighted-term overlap that scores
+    * boilerplate-heavy near-dups MinHash misses.
+    *
+    * Distributed shape: only (term, doc, weight) triplets ever shuffle —
+    * never document text. `maxDocFreq` prunes terms present in more than
+    * that fraction of the corpus BEFORE the self-join (a term in p·N docs
+    * produces (p·N)² join rows — the same posting-list guard as the
+    * n-gram index); pruned cosines are computed over the surviving
+    * dimensions on BOTH sides, so the metric is "cosine over
+    * non-boilerplate vocabulary", matching what the oracle replays.
+    * Weights are rounded to 9 digits so both engines sum identical
+    * doubles; the final cosine rounds to 6.
+    */
+  def tfIdfCosinePairs(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      minCos: Double, maxDocFreq: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val n = df.count()
+    val terms = df.select(col(idCol).as("id"), explode(wordTokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("id"), col("term")).agg(count(lit(1)).as("c"))
+    val docLen = tf.groupBy(col("id")).agg(sum(col("c")).as("len"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= lit(maxDocFreq * n))
+    // weights persisted: the self-join consumes this lineage twice
+    val w = tf.join(docLen, "id").join(docFreq, "term")
+      .select(col("id"), col("term"),
+        round((col("c").cast("double") / col("len")) * log(lit(n.toDouble) / col("df")), 9)
+          .as("w"))
+      .persist()
+    graft.ops.CacheRegistry.register(w)
+    val norms = w.groupBy(col("id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val a = w.select(col("id").as("id1"), col("term"), col("w").as("w1"))
+    val b = w.select(col("id").as("id2"), col("term"), col("w").as("w2"))
+    a.join(b, Seq("term")).filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(sum(col("w1") * col("w2")).as("dot"))
+      .join(norms.select(col("id").as("id1"), col("nrm").as("n1")), "id1")
+      .join(norms.select(col("id").as("id2"), col("nrm").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(col("dot") / (col("n1") * col("n2")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
 }

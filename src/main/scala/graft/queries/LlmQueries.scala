@@ -398,6 +398,39 @@ object LlmQueries {
         .orderBy(col("id"), col("rk"))
     },
 
+    // Sparse TF-IDF cosine pairs — the weighted-lexical leg of near-dup
+    // detection (between q31's set-overlap Jaccard and q37's dense
+    // embedding cosine). Inverted-index self-join: only (term, doc,
+    // weight) triplets shuffle; terms in >50% of docs are pruned before
+    // the join (posting-list guard), with the oracle replaying the same
+    // cutoff. Weights rounded to 9 digits on both engines so the dot
+    // products sum identical doubles.
+    QueryDef.sql(
+      "q110_tfidf_cosine",
+      """WITH scope AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |t AS (SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |      FROM scope),
+        |tf AS (SELECT id, term, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |dl AS (SELECT id, SUM(c) AS len FROM tf GROUP BY 1),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |w AS (
+        |  SELECT tf.id, tf.term,
+        |    ROUND((CAST(tf.c AS DOUBLE) / dl.len) * ln(300.0 / dfq.df), 9) AS w
+        |  FROM tf JOIN dl ON tf.id = dl.id JOIN dfq ON tf.term = dfq.term
+        |  WHERE dfq.df <= 150.0),
+        |nrm AS (SELECT id, sqrt(SUM(w*w)) AS nrm FROM w GROUP BY 1),
+        |p AS (SELECT a.id AS id1, b.id AS id2, SUM(a.w*b.w) AS dot
+        |      FROM w a JOIN w b ON a.term = b.term AND a.id < b.id GROUP BY 1, 2)
+        |SELECT p.id1, p.id2, ROUND(p.dot/(n1.nrm*n2.nrm), 6) AS cos
+        |FROM p JOIN nrm n1 ON p.id1 = n1.id JOIN nrm n2 ON p.id2 = n2.id
+        |WHERE ROUND(p.dot/(n1.nrm*n2.nrm), 6) >= 0.8
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      TextAnalysis.tfIdfCosinePairs(
+          Tables.documents(s, d).filter(col("doc_id") < 300),
+          "doc_id", "text", minCos = 0.8, maxDocFreq = 0.5)
+        .orderBy(col("id1"), col("id2"))
+    },
+
     // Benchmark decontamination: per-doc 5-gram overlap against a
     // benchmark set (docs with doc_id % 50 = 0 stand in for an eval
     // suite). Benchmark grams broadcast; only hits shuffle.

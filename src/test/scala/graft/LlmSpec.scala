@@ -404,4 +404,21 @@ class LlmSpec extends SparkSpec {
     val covered = out.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet
     assert(covered === ('a' to 'j').map(c => s"w$c").toSet)
   }
+
+  test("tfIdfCosinePairs: identical docs score 1, disjoint docs never pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),   // exact dup of 1
+      (3L, "alpha beta gamma epsilon"), // near dup of 1/2
+      (4L, "zeta eta theta iota")       // disjoint vocabulary
+    ).toDF("doc_id", "text")
+    val pairs = graft.llm.TextAnalysis
+      .tfIdfCosinePairs(docs, "doc_id", "text", minCos = 0.0, maxDocFreq = 1.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) === 1.0, "identical docs must score cosine 1")
+    assert(pairs((1L, 3L)) > 0.0 && pairs((1L, 3L)) < 1.0)
+    // no shared surviving term ⇒ no inverted-index row ⇒ pair absent
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+  }
 }
