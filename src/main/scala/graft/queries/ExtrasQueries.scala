@@ -280,6 +280,31 @@ object ExtrasQueries {
           // both dims share the high interleave bits (see ZOrder scaladoc)
           ZOrder.zValue(Seq(col("p_size") * 5, col("p_partkey") % 256), bits = 8).as("zval"))
         .orderBy(col("zval"), col("p_partkey"))
+    },
+
+    // Pipeline QA metrics via the Observation API: exact aggregates
+    // (row count, token total, id range) collected as a SIDE-OUTPUT of
+    // the pipeline's own action — no second scan. The oracle computes
+    // the same aggregates the direct way; equality proves the observe
+    // node sees exactly the pipeline's output.
+    QueryDef.sql(
+      "q111_observed_metrics",
+      """WITH t AS (
+        |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+')) AS n
+        |  FROM documents)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM t WHERE n >= 10""".stripMargin) { (s, d) =>
+      val pipeline = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(graft.llm.TextAnalysis.wordTokens(col("text"))).cast("long").as("n"))
+        .filter(col("n") >= 10)
+      graft.ops.Observe.observedStats(s, pipeline, Seq(
+        "n_rows" -> count(lit(1)),
+        "total_tokens" -> sum(col("n")),
+        "min_id" -> min(col("doc_id")),
+        "max_id" -> max(col("doc_id"))))
     }
   )
 

@@ -65,6 +65,24 @@ class OpsSpec extends SparkSpec {
     assert(r.getBoolean(5))
   }
 
+  test("Observe: metrics ride the pipeline action and match direct aggregation") {
+    import graft.ops.Observe
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, Double.NaN), (4L, 40.0))
+      .toDF("id", "v").filter(col("id") =!= 3L)
+    val stats = Observe.observedStats(spark, df, Seq(
+      "n" -> count(lit(1)),
+      "sum_v" -> sum(col("v")),
+      "max_id" -> max(col("id")))).head()
+    assert(stats.getLong(0) === 3L)
+    assert(stats.getDouble(1) === 70.0)
+    assert(stats.getLong(2) === 4L)
+    // the write-variant lands the data AND returns the same stats, one scan
+    val out = java.nio.file.Files.createTempDirectory("graft_obs").toString + "/p"
+    val stats2 = Observe.writeWithStats(spark, df, out, Seq("n" -> count(lit(1)))).head()
+    assert(stats2.getLong(0) === 3L)
+    assert(spark.read.parquet(out).count() === 3L)
+  }
+
   test("introspection: shape, size estimate, schema, render") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
     assert(Introspect.shape(df) === (2L, 2))
