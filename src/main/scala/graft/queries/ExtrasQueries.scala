@@ -305,6 +305,31 @@ object ExtrasQueries {
         "total_tokens" -> sum(col("n")),
         "min_id" -> min(col("doc_id")),
         "max_id" -> max(col("doc_id"))))
+    },
+
+    // Data skipping end-to-end: z-cluster lineitem on (l_partkey,
+    // l_suppkey), build the per-file min/max manifest, answer a partkey
+    // box query by reading ONLY the files whose stats overlap (driver
+    // prunes on the manifest before any data IO) + the residual filter.
+    // The oracle full-scans with the same predicate — equality proves
+    // pruning loses nothing; SinkSpec proves it actually skips files.
+    QueryDef.sql(
+      "q112_manifest_prune",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(l_quantity), 2) AS sum_q
+        |FROM lineitem WHERE l_partkey BETWEEN 100 AND 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.ops.ZOrder
+      import graft.sources.Sinks
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_zprune_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      ZOrder.clusterWrite(Tables.lineitem(s, d),
+        Seq(pmod(col("l_partkey"), lit(65536)), pmod(col("l_suppkey"), lit(65536))),
+        numFiles = 16, dir)
+      Sinks.readPruned(s, dir, "l_partkey", 100, 300)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_q"))
+        .orderBy(col("l_returnflag"))
     }
   )
 

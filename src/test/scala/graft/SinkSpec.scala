@@ -70,4 +70,33 @@ class SinkSpec extends SparkSpec {
     val b = part.orderBy(col("p_partkey")).collect().map(_.toSeq).toSeq
     assert(a === b)
   }
+
+  test("stats manifest prunes files on a sorted layout without losing rows") {
+    import graft.sources.Sinks
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune_").toString
+    // range-sorted layout on the prune column: each file covers a narrow
+    // l_partkey band, so a box query should drop most files at the manifest
+    li.repartitionByRange(8, col("l_partkey")).sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(dir)
+    val manifest = Sinks.statsManifest(spark, dir, Seq("l_partkey")).collect()
+    val nFiles = manifest.length
+    assert(nFiles >= 8, s"expected >=8 files, got $nFiles")
+    val (lo, hi) = (10L, 30L)
+    val overlapping = manifest.count { r =>
+      val mn = r.getAs[Long]("min_l_partkey"); val mx = r.getAs[Long]("max_l_partkey")
+      !(mx < lo || mn > hi)
+    }
+    assert(overlapping < nFiles / 2, s"no skipping: $overlapping of $nFiles files overlap")
+    // equality: pruned read ≡ full-scan filter
+    val pruned = Sinks.readPruned(spark, dir, "l_partkey", lo, hi)
+      .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    val full = li.filter(col("l_partkey").between(lo, hi))
+      .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    assert(pruned === full)
+    // disjoint range: zero files kept, empty result, schema preserved
+    val none = Sinks.readPruned(spark, dir, "l_partkey", 10000000L, 20000000L)
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq === li.columns.toSeq)
+  }
 }
