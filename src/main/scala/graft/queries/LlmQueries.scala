@@ -148,6 +148,20 @@ object LlmQueries {
         .orderBy(col("id1"), col("id2"))
     },
 
+    // Semantic dedup (SemDeDup): IVF-cluster the corpus, cosine pairs
+    // within cells only, connected components, keep min id per group —
+    // the embedding-space sibling of q57's lexical dedupCorpus. Keep-list
+    // is deterministic (fixed quantizer init, exact cosine, min-label CC)
+    // but k-means isn't SQL-expressible → rows-only; LlmSpec pins
+    // equality with the brute-force keep-list on a clustered fixture.
+    QueryDef.noOracle("q113_semantic_dedup") { (s, d) =>
+      val corpus = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val centroids = Similarity.ivfTrain(corpus, k = 8)
+      Similarity.semanticDedup(corpus, centroids, threshold = 0.35)
+        .orderBy(col("id"))
+    },
+
     // Text statistics: token counts (ws + BPE-ish), stopwords, punctuation,
     // composite quality score — identical expression shape on both engines
     // keeps doubles bit-exact with no rounding.

@@ -405,6 +405,43 @@ class LlmSpec extends SparkSpec {
     assert(covered === ('a' to 'j').map(c => s"w$c").toSet)
   }
 
+  test("semanticDedup equals the brute-force keep-list when groups are cluster-tight") {
+    import spark.implicits._
+    import graft.llm.{Dedup, Similarity}
+    // three well-separated directions, each with near-identical copies,
+    // plus far-off singletons — dup groups are tighter than cluster
+    // separation, so within-cell pairing loses nothing
+    def jitter(v: Seq[Double], eps: Double): Seq[Double] =
+      v.zipWithIndex.map { case (x, i) => x + eps * (i % 3 - 1) }
+    val base = Map(
+      1L -> Seq(10.0, 0.0, 0.0, 1.0),
+      2L -> Seq(0.0, 10.0, 0.0, -1.0),
+      3L -> Seq(0.0, 0.0, 10.0, 0.5))
+    // id layout i*10+g: the quantizer's deterministic init samples the
+    // first k distinct vectors by id, so ids 0,1,2 span all three groups
+    val vecs: Seq[(Long, Seq[Double])] =
+      (0 until 3).flatMap(g => (0 until 4).map(i =>
+        (i * 10L + g, jitter(base(g + 1L), 0.01 * i)))) ++
+      Seq((100L, Seq(5.0, 5.0, 5.0, 0.0)), (101L, Seq(-5.0, 5.0, -5.0, 0.0)))
+    val corpus = vecs.toDF("id", "vec")
+    val centroids = Similarity.ivfTrain(corpus, k = 3, sampleSize = 100)
+    val got = Similarity.semanticDedup(corpus, centroids, threshold = 0.999)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // brute force: all-pairs cosine >= t -> CC -> keep min per component
+    val allPairs = corpus.select(col("id").as("id1"), col("vec").as("v1"))
+      .crossJoin(corpus.select(col("id").as("id2"), col("vec").as("v2")))
+      .filter(col("id1") < col("id2"))
+      .filter(Similarity.cosine(col("v1"), col("v2")) >= 0.999)
+      .select(col("id1"), col("id2"))
+    val comp = Dedup.connectedComponents(allPairs)
+    val expected = corpus.select(col("id")).join(comp, Seq("id"), "left")
+      .filter(col("component").isNull || col("component") === col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === expected)
+    // each dup group collapses to its min id; singletons survive
+    assert(got === Seq(0L, 1L, 2L, 100L, 101L))
+  }
+
   test("tfIdfCosinePairs: identical docs score 1, disjoint docs never pair") {
     import spark.implicits._
     val docs = Seq(
