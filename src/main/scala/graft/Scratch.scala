@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Scratch profiling main (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.01"
+    val sfDir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -26,24 +26,11 @@ object Scratch {
     val corpus = Tables.embeddings(spark, sfDir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val centroids = time("ivfTrain")(Similarity.ivfTrain(corpus, k = 8))
-    val assigned = corpus.select(col("id"),
-      col("vec").cast("array<double>").as("v"),
-      Similarity.ivfCell(col("vec"), centroids).as("cell")).persist()
-    time("assign")(assigned.count())
-    val l = assigned.select(col("cell"), col("id").as("id1"), col("v").as("v1"))
-    val r = assigned.select(col("cell"), col("id").as("id2"), col("v").as("v2"))
-    val pairs = l.join(r, Seq("cell")).filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), Similarity.cosine(col("v1"), col("v2")).as("cos"))
-      .filter(col("cos") >= 0.35)
-      .select(col("id1"), col("id2"))
-    val p = time("within-cell pairs")(pairs.persist().count())
-    val comp = time("cc")(graft.llm.Dedup.connectedComponents(pairs))
-    time("cc count")(comp.count())
-    val keep = assigned.select(col("id"))
-      .join(comp, Seq("id"), "left")
-      .filter(col("component").isNull || col("component") === col("id"))
-      .select(col("id"))
-    time("keep")(keep.count())
+    val keep = Similarity.semanticDedup(corpus, centroids, threshold = 0.35)
+    time("semanticDedup e2e")(keep.count())
+    val docs = Tables.documents(spark, sfDir)
+    time("dedupCorpus (q57)")(graft.llm.Dedup
+      .dedupCorpus(docs, "doc_id", "text").count())
     spark.stop()
   }
 }

@@ -244,63 +244,69 @@ object Dedup {
   /** Connected components over a near-dup pair list via min-label
     * propagation with pointer jumping: each round every node adopts the
     * smallest label one hop away, then compresses through its label's own
-    * label (path halving) — O(log diameter) rounds instead of
-    * O(diameter). This is the scalable union-find substitute (no
-    * driver-side state).
+    * label (path halving). This is the scalable union-find substitute
+    * (no driver-side state).
     *
-    * Each round ends in `localCheckpoint`: the label table re-roots on
-    * materialized partitions, so the logical plan stays CONSTANT-size
-    * across rounds. Without it every round's plan embeds all previous
-    * rounds — analysis/optimization cost grows per round and any
-    * post-loop action replays the whole chain (measured: 131 s → 2 s on
-    * a 20-round graph at sf0.01).
+    * The loop body is deliberately RDD-based — the one place in this
+    * repo where dropping below DataFrames is the right call (§7.3(d)):
+    * an iterative fixed point re-plans under Catalyst EVERY round
+    * (analysis + AQE ≈ 0.4 s/round of pure overhead, and exchange reuse
+    * does not survive across rounds), while an RDD loop with ONE shared
+    * HashPartitioner makes the edge⋈label join narrow every round —
+    * edges are partitioned once and never move again; only the (small)
+    * label table shuffles. This is exactly GraphX/Pregel's execution
+    * shape, without the dependency.
     *
     * Input: (id1, id2) pairs. Output: (id, component) where component is
     * the smallest id in the cluster. Singleton ids absent from `pairs`
     * are their own component and are not emitted.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // persist the edge set ONCE (it may sit on an expensive lineage like
-    // the LSH pipeline), pre-partitioned by the per-iteration join key so
-    // each round only shuffles the (small) label table
-    val edges = pairs.select(col("id1"), col("id2"))
-      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .distinct()
-      .repartition(col("id2"))
-      .persist()
-    var labels = edges.select(col("id1").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    val numParts = math.max(4,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt / 2)
+    val part = new org.apache.spark.HashPartitioner(numParts)
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // key by the neighbor whose label flows IN: (src, dst) both ways;
+    // partitioned once — every round's join against labels is narrow
+    val raw = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
+      .rdd.flatMap { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        Seq((a, b), (b, a))
+      }
+    val edges = raw.distinct(numParts).partitionBy(part).persist(storage)
+    var labels = edges.keys.distinct(numParts)
+      .map(id => (id, id)).partitionBy(part).persist(storage)
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("id", "id2").withColumnRenamed("component", "ncomp"), "id2")
-        .select(col("id1").as("id"), col("ncomp"))
-      // carry the previous label through the aggregation so convergence is
-      // a filter on the SAME frame — not an extra join per iteration
-      val stepped = labels.join(viaNeighbor, Seq("id"), "left")
-        .groupBy(col("id"))
-        .agg(
-          min(col("component")).as("__old"),
-          least(min(col("component")), coalesce(min(col("ncomp")), min(col("component")))).as("c1"))
-      // pointer jump: follow the adopted label to ITS new label (path
-      // halving) — long chains collapse in O(log d) rounds
-      val next = stepped
-        .join(stepped.select(col("id").as("c1"), col("c1").as("pc")), Seq("c1"), "left")
-        .select(col("id"), col("__old"),
-          least(col("c1"), coalesce(col("pc"), col("c1"))).as("component"))
-        .localCheckpoint()
-      val changed = next.filter(col("component") =!= col("__old")).limit(1).count()
-      labels = next.select(col("id"), col("component"))
-      converged = changed == 0
+      // neighbor-min: label(dst) flows to src (edges keyed by dst here:
+      // (dst=key, src=value) — the symmetric set makes direction moot)
+      val viaNbr = edges.join(labels).map { case (_, (src, ncomp)) => (src, ncomp) }
+      val stepped = labels.union(viaNbr).reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      // pointer jump (path halving): component := label(component)
+      val jumped = stepped.map { case (id, c) => (c, id) }.join(stepped)
+        .map { case (c, (id, pc)) => (id, math.min(c, pc)) }
+        .partitionBy(part).persist(storage)
+      // one action materializes the round AND checks convergence: the
+      // old/new join is narrow (both sides share `part`)
+      converged = jumped.join(labels)
+        .filter { case (_, (n, o)) => n != o }.take(1).isEmpty
+      labels.unpersist(blocking = false)
+      labels = jumped
       i += 1
     }
-    edges.unpersist()
+    edges.unpersist(blocking = false)
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter iterations — " +
-        "a near-dup cluster has diameter > 2^$maxIter; raise maxIter")
-    labels
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "a near-dup cluster has extreme diameter; raise maxIter")
+    val out = spark.createDataFrame(
+      labels.map { case (id, c) => org.apache.spark.sql.Row(id, c) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("component", org.apache.spark.sql.types.LongType, nullable = false))))
+    out
   }
 
   /** End-to-end corpus dedup: exact (fingerprint) + near-dup (MinHash-LSH
