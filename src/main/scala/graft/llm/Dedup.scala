@@ -241,6 +241,53 @@ object Dedup {
       .select(col("id1"), col("id2"), col("dist"))
   }
 
+  /** Fuzzy pairs via FastSS deletion neighborhoods (Bocek et al. 2007) —
+    * the strong blocking key for small edit radii where the length band
+    * degenerates (uniform-length corpora: ids, SKUs, normalized names).
+    *
+    * Property: ed(a,b) = d ⟺ some string is reachable from a by i
+    * deletions and from b by j deletions with i + j = d. So for
+    * `maxDist` = k, candidates = pairs whose ≤k-deletion neighborhoods
+    * intersect — LOSSLESS (every true pair shares a variant), and a pair
+    * sharing one has ed ≤ 2k, so the thresholded `levenshtein` verify
+    * discards the rest. Neighborhood size is O(len^k) per string
+    * (vs the O(n²) same-length classes): the explode+equi-join replaces
+    * the all-pairs comparison entirely.
+    *
+    * Shuffle discipline: the candidate join carries (variant, id) pairs;
+    * id-pair distinct happens BEFORE names are re-attached (broadcast-
+    * sized dimension both times), so candidate text never shuffles.
+    */
+  def fuzzyPairsFastSS(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"FastSS neighborhood supported for maxDist 1 or 2, got $maxDist")
+    // self + all single deletions; guarded so "" maps to {""} (sequence
+    // would otherwise descend 1,0 and emit garbage variants)
+    def nbhd1(s: Column): Column =
+      when(length(s) === 0, array(s))
+        .otherwise(array_union(array(s),
+          transform(sequence(lit(1), length(s)),
+            i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))))
+    def neighborhood(s: Column): Column =
+      if (maxDist == 1) nbhd1(s)
+      else array_distinct(flatten(transform(nbhd1(s), t => nbhd1(t))))
+    val keyed = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("id"), explode(neighborhood(col("s"))).as("vkey"))
+    val cand = keyed.select(col("vkey"), col("id").as("id1"))
+      .join(keyed.select(col("vkey"), col("id").as("id2")), Seq("vkey"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val names = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    cand
+      .join(names.select(col("id").as("id1"), col("s").as("s1")), "id1")
+      .join(names.select(col("id").as("id2"), col("s").as("s2")), "id2")
+      .withColumn("dist", levenshtein(col("s1"), col("s2"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("id1"), col("id2"), col("dist"))
+  }
+
   /** Connected components over a near-dup pair list via min-label
     * propagation with pointer jumping: each round every node adopts the
     * smallest label one hop away, then compresses through its label's own

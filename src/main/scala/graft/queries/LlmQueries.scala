@@ -708,10 +708,11 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
-    // Fuzzy (edit-distance) pairs over supplier names — lossless
-    // length-band blocking + thresholded levenshtein verify; the oracle
-    // is the brute-force O(n²) join, so equality proves the blocking
-    // misses nothing.
+    // Fuzzy (edit-distance) pairs over supplier names via FastSS
+    // deletion-neighborhood blocking (supplier names are uniform-length,
+    // where the length band degenerates to all-pairs) + thresholded
+    // levenshtein verify; the oracle is the brute-force O(n²) join, so
+    // equality proves the blocking misses nothing.
     QueryDef.sql(
       "q104_fuzzy_pairs",
       """SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
@@ -719,7 +720,7 @@ object LlmQueries {
         |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
         |WHERE levenshtein(a.s_name, b.s_name) <= 1
         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
-      Dedup.fuzzyPairs(Tables.supplier(s, d), "s_suppkey", "s_name", maxDist = 1)
+      Dedup.fuzzyPairsFastSS(Tables.supplier(s, d), "s_suppkey", "s_name", maxDist = 1)
         .orderBy(col("id1"), col("id2"))
     },
 

@@ -379,6 +379,20 @@ class LlmSpec extends SparkSpec {
     assert(got === brute, s"blocking missed ${brute.keySet -- got.keySet}")
     assert(got((1L, 2L)) === 1L && got((1L, 4L)) === 1L && got((1L, 5L)) === 2L)
     assert(!got.contains((1L, 6L)))
+    // FastSS deletion-neighborhood blocking finds exactly the same pairs
+    // (k=2 here, incl. deletions/insertions and the empty-string edge)
+    val names2 = names.union(Seq((7L, ""), (8L, "a"), (9L, "")).toDF("id", "s"))
+    val brute2 = (for {
+      (i1, s1) <- raw ++ Seq((7L, ""), (8L, "a"), (9L, ""))
+      (i2, s2) <- raw ++ Seq((7L, ""), (8L, "a"), (9L, ""))
+      if i1 < i2 && lev(s1, s2) <= 2
+    } yield (i1, i2) -> lev(s1, s2).toLong).toMap
+    for (k <- Seq(1, 2)) {
+      val fast = graft.llm.Dedup.fuzzyPairsFastSS(names2, "id", "s", maxDist = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(fast === brute2.filter(_._2 <= k),
+        s"FastSS k=$k missed ${brute2.filter(_._2 <= k).keySet -- fast.keySet}")
+    }
   }
 
   test("chunkByTokens: overlap, short/empty docs, boundary starts") {
