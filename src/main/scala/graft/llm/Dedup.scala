@@ -151,7 +151,11 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, maxDocFreq: Double = 1.0): DataFrame = {
+    // the shingle kernel feeds three consumers (doc-freq guard, the
+    // inverted index, and sizes) — materialize it once
     val tok = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("toks"))
+      .persist()
+    graft.ops.CacheRegistry.register(tok)
     val inv0 = tok.select(col("id"), explode(col("toks")).as("w"))
     val inv = if (maxDocFreq >= 1.0) inv0 else {
       val total = df.count()

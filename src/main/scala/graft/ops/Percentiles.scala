@@ -31,9 +31,16 @@ object Percentiles {
   def exactPercentiles(df: DataFrame, keyCol: String, valCol: String,
       ps: Seq[Double], names: Seq[String]): DataFrame = {
     require(ps.nonEmpty && ps.length == names.length)
-    val counts = df.filter(col(valCol).isNotNull)
+    // one scan: NULL values keep their group key alive in the same pass
+    // (a separate df.select(key).distinct() would rescan the base table
+    // just for the all-NULL-group edge); the counts frame is bounded by
+    // distinct values, so caching it is cheap
+    val counts0 = df
       .groupBy(col(keyCol), col(valCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__c"))
+      .persist()
+    CacheRegistry.register(counts0)
+    val counts = counts0.filter(col("__v").isNotNull)
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
     val cum = counts
       .withColumn("__cumEnd", sum(col("__c")).over(w))
@@ -53,8 +60,8 @@ object Percentiles {
     }
     // groups whose values are ALL NULL must still appear (with NULL
     // percentiles) — the builtin and quantile_cont both emit them, and the
-    // isNotNull pre-filter above would otherwise drop the key entirely
-    val allKeys = df.select(col(keyCol)).distinct()
+    // isNotNull filter above would otherwise drop the key entirely
+    val allKeys = counts0.select(col(keyCol)).distinct()
     val agged = allKeys.join(cum.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*),
       Seq(keyCol), "left")
     val outCols = col(keyCol) +: ps.zipWithIndex.map { case (p, i) =>
