@@ -162,6 +162,43 @@ object DatetimeQueries {
           TimeOfDay.microsOfDay(TimeOfDay.addMicrosWrap(col("t"), lit(26580000000L))).as("wrap_us"),
           (col("t") < TimeOfDay.parse(lit("12:00:00"))).as("am"))
         .orderBy(col("event_id"))
+    },
+
+    // Timezone conversion against the IANA database (tz.rs:502 lookup
+    // surface), oracle-checked: UTC → America/New_York wall time, the
+    // derived UTC offset (flips -5/-4 across the DST edges — events are
+    // spread over 12 months via month arithmetic to cover both), and a
+    // half-hour zone (Asia/Kolkata, +330 min). Offsets are derived from
+    // the µs epochs, so both engines do exact integer arithmetic; the
+    // ambiguous fall-back hour is avoided by using only instant-total
+    // conversions (UTC→local), never local→UTC.
+    QueryDef.sql(
+      "q114_timezone",
+      """WITH e AS (
+        |  SELECT event_id, ts + TO_MONTHS(CAST(event_id % 12 AS INT)) AS ts2
+        |  FROM events WHERE event_id < 2000),
+        |n AS (
+        |  SELECT event_id, ts2,
+        |    timezone('America/New_York', CAST(ts2 AS TIMESTAMPTZ)) AS ny,
+        |    timezone('Asia/Kolkata', CAST(ts2 AS TIMESTAMPTZ)) AS ist
+        |  FROM e)
+        |SELECT event_id, ny AS ny_wall,
+        |  CAST(hour(ny) AS BIGINT) AS ny_hour,
+        |  CAST((epoch_us(ny) - epoch_us(ts2)) // CAST(3600000000 AS BIGINT) AS BIGINT) AS ny_off_h,
+        |  CAST((epoch_us(ist) - epoch_us(ts2)) // CAST(60000000 AS BIGINT) AS BIGINT) AS ist_off_min
+        |FROM n ORDER BY event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          expr("timestampadd(MONTH, CAST(event_id % 12 AS INT), ts)").as("ts2"))
+      e.select(col("event_id"), col("ts2"),
+          Datetime.toTimezone(col("ts2"), "America/New_York").as("ny"),
+          Datetime.toTimezone(col("ts2"), "Asia/Kolkata").as("ist"))
+        .select(col("event_id"),
+          col("ny").cast("timestamp_ntz").as("ny_wall"),
+          hour(col("ny")).cast("long").as("ny_hour"),
+          expr("(unix_micros(ny) - unix_micros(ts2)) div 3600000000L").as("ny_off_h"),
+          expr("(unix_micros(ist) - unix_micros(ts2)) div 60000000L").as("ist_off_min"))
+        .orderBy(col("event_id"))
     }
   )
 }
