@@ -150,6 +150,35 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
     },
 
+    // Stream-stream LEFT OUTER join: matches emit eagerly; a click's
+    // NULL-extended row emits only once the watermark proves no future
+    // purchase can match it. The oracle replays the eviction rule in
+    // batch SQL: unmatched clicks survive iff click_ts + 1h is strictly
+    // under the final global watermark, min(max click_ts, max purchase_ts)
+    // − 1h on this bounded replay.
+    QueryDef.sql(
+      "q115_stream_outer_join",
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT MAX(click_ts) FROM c),
+        |                    (SELECT MAX(purchase_ts) FROM p)) - INTERVAL 1 HOUR AS w),
+        |j AS (SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts,
+        |             p.purchase_ts, p.value
+        |      FROM c LEFT JOIN p
+        |        ON c.user_id = p.user_id
+        |       AND p.purchase_ts >= c.click_ts
+        |       AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+        |SELECT user_id, click_id, purchase_id, click_ts, purchase_ts, value
+        |FROM j
+        |WHERE purchase_id IS NOT NULL
+        |   OR click_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+      Events.clickPurchaseJoinStreaming(s, d, joinType = "left_outer")
+        .orderBy(col("click_id"), col("purchase_id"))
+    },
+
     // Dictionary/categorical parity (SURVEY §7.4.3): explicit (code, label)
     // pairs — the logical equivalent of minarrow's CategoricalArray codes +
     // unique_values. Scale shape: codes are assigned on the (tiny) DISTINCT

@@ -122,15 +122,22 @@ object Events {
     build(s2)
   }
 
-  /** Stream-stream inner join with event-time range condition — clicks
-    * joined to the same user's purchases within the following hour. Both
-    * sides carry watermarks so Spark bounds the join STATE on each side
+  /** Stream-stream join with event-time range condition — clicks joined
+    * to the same user's purchases within the following hour. Both sides
+    * carry watermarks so Spark bounds the join STATE on each side
     * (without them, every past row must be retained forever — the
     * stream-join scale cliff). On a bounded replay the emitted matches
     * equal the batch join, which is the oracle.
+    *
+    * `joinType` "left_outer": unmatched clicks additionally emit a
+    * NULL-extended row, but only once the global watermark proves no
+    * future purchase can match (click_ts + 1h < watermark) — clicks too
+    * close to the end of the replay never emit their NULL row. The
+    * oracle replays exactly that rule from the batch side.
     */
   def clickPurchaseJoinStreaming(spark: SparkSession, sfDir: String,
-      stateParts: Int = 8): DataFrame = withStateParts(spark, stateParts) { s2 =>
+      stateParts: Int = 8, joinType: String = "inner"): DataFrame =
+    withStateParts(spark, stateParts) { s2 =>
     val name = s"graft_events_ssj_${counter.incrementAndGet()}"
     val clicks = streamEvents(s2, sfDir)
       .filter(col("event_type") === "click")
@@ -144,7 +151,8 @@ object Events {
     val joined = clicks.join(purchases,
       clicks("user_id") === purchases("user_id") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      joinType)
       .select(clicks("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"), col("value"))
     val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
