@@ -23,14 +23,28 @@ object Scratch {
     }
 
     import graft.llm.Similarity
+    // warmup pass
+    SparkEntry.queries("q113_semantic_dedup")(spark, sfDir).count()
+    graft.ops.CacheRegistry.releaseAll()
+
     val corpus = Tables.embeddings(spark, sfDir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val centroids = time("ivfTrain")(Similarity.ivfTrain(corpus, k = 8))
-    val keep = Similarity.semanticDedup(corpus, centroids, threshold = 0.35)
-    time("semanticDedup e2e")(keep.count())
-    val docs = Tables.documents(spark, sfDir)
-    time("dedupCorpus (q57)")(graft.llm.Dedup
-      .dedupCorpus(docs, "doc_id", "text").count())
+    val assigned = corpus.select(col("id"),
+      col("vec").cast("array<double>").as("v"),
+      Similarity.ivfCell(col("vec"), centroids).as("cell")).persist()
+    time("assign")(assigned.count())
+    val l = assigned.select(col("cell"), col("id").as("id1"), col("v").as("v1"))
+    val r = assigned.select(col("cell"), col("id").as("id2"), col("v").as("v2"))
+    val pairs = l.join(r, Seq("cell")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), Similarity.cosine(col("v1"), col("v2")).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .select(col("id1"), col("id2"))
+    val comp = time("cc total")(graft.llm.Dedup.connectedComponents(pairs))
+    time("keep")(assigned.select(col("id"))
+      .join(comp, Seq("id"), "left")
+      .filter(col("component").isNull || col("component") === col("id"))
+      .select(col("id")).count())
     spark.stop()
   }
 }

@@ -314,11 +314,9 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
-    val sc = spark.sparkContext
-    val numParts = math.max(4,
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt / 2)
-    val part = new org.apache.spark.HashPartitioner(numParts)
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val confParts = math.max(4,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt / 2)
     // key by the neighbor whose label flows IN: (src, dst) both ways;
     // partitioned once — every round's join against labels is narrow
     val raw = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
@@ -326,7 +324,15 @@ object Dedup {
         val a = r.getLong(0); val b = r.getLong(1)
         Seq((a, b), (b, a))
       }
-    val edges = raw.distinct(numParts).partitionBy(part).persist(storage)
+    val pre = raw.distinct(confParts).persist(storage)
+    // every round costs partitions × stages of fixed task overhead, and
+    // round count is data-driven — size the loop's parallelism to the
+    // materialized edge count (≈500k edges per partition), exactly the
+    // coalescing AQE would apply if it could see across rounds
+    val numParts = math.max(4, math.min(confParts,
+      (pre.count() / 500000L).toInt + 1))
+    val part = new org.apache.spark.HashPartitioner(numParts)
+    val edges = pre.partitionBy(part).persist(storage)
     var labels = edges.keys.distinct(numParts)
       .map(id => (id, id)).partitionBy(part).persist(storage)
     var i = 0
@@ -337,6 +343,8 @@ object Dedup {
       val viaNbr = edges.join(labels).map { case (_, (src, ncomp)) => (src, ncomp) }
       val stepped = labels.union(viaNbr).reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
       // pointer jump (path halving): component := label(component)
+      // (a second jump per round was measured slower — the extra shuffle
+      // outweighs the rounds it saves)
       val jumped = stepped.map { case (id, c) => (c, id) }.join(stepped)
         .map { case (c, (id, pc)) => (id, math.min(c, pc)) }
         .partitionBy(part).persist(storage)
@@ -349,6 +357,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist(blocking = false)
+    pre.unpersist(blocking = false)
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds — " +
         "a near-dup cluster has extreme diameter; raise maxIter")

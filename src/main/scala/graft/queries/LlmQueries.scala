@@ -158,6 +158,8 @@ object LlmQueries {
       val corpus = Tables.embeddings(s, d)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val centroids = Similarity.ivfTrain(corpus, k = 8)
+      // 0.35 matches this fixture's near-dup population (its densest
+      // cosine band; same threshold as q37) — real corpora tune higher
       Similarity.semanticDedup(corpus, centroids, threshold = 0.35)
         .orderBy(col("id"))
     },
