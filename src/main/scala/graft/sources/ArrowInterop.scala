@@ -96,4 +96,45 @@ object ArrowInterop {
       .map(_._2.toArray())
     importBatchesDistributed(spark, payloads, schemaJson)
   }
+
+  /** Small-files compaction for a batch directory — the OPTIMIZE verb
+    * for this layout. Streaming appends (ArrowDirBatchWrite per trigger)
+    * accrete many small payloads; every reader then pays one task +
+    * one file open per payload. Compaction rewrites the directory into
+    * ⌈totalBytes / targetBytes⌉ consolidated payloads (distributed
+    * read → repartition → rewrite staged in a sibling dir, then swapped
+    * in), preserving rows exactly — batch boundaries are not data.
+    *
+    * Single-writer maintenance op by contract (like any OPTIMIZE):
+    * concurrent appends during the swap window can be lost. Returns the
+    * resulting payload-file count; no-ops (returning the current count)
+    * when the directory already meets the target granularity.
+    */
+  def compactBatchDir(spark: SparkSession, path: String,
+      targetBytes: Long = 64L << 20): Int = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(path)
+    val files = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".arrowbatch")).toVector
+    if (files.isEmpty) return 0
+    val total = files.map(Files.size).sum
+    val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    if (nOut >= files.size) return files.size
+    val staged = readBatchDir(spark, path).repartition(nOut)
+    val tmp = path + ".compacting"
+    writeBatchDir(staged, tmp)
+    // swap: stale payloads out, consolidated payloads in, stage dir gone
+    files.foreach(Files.delete)
+    val tmpDir = Paths.get(tmp)
+    val moved = Files.list(tmpDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".arrowbatch"))
+      .map { p =>
+        Files.move(p, dir.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING)
+        1
+      }.sum
+    Files.deleteIfExists(tmpDir.resolve("schema.json"))
+    Files.deleteIfExists(tmpDir)
+    moved
+  }
 }

@@ -150,4 +150,25 @@ class ArrowSpec extends SparkSpec {
     val b = back.orderBy(col("o_orderkey")).collect().map(_.toSeq)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("compactBatchDir consolidates small payloads without changing rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    // 16 partitions → at least 16 small payload files (streaming-append shape)
+    ArrowInterop.writeBatchDir(orders.repartition(16), dir)
+    def payloads(): Int = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".arrowbatch"))
+    val before = payloads()
+    assert(before >= 16, s"expected many payloads, got $before")
+    val expect = orders.orderBy(col("o_orderkey")).collect().map(_.toSeq).toSeq
+    // huge target ⇒ everything packs into one payload group
+    val n = ArrowInterop.compactBatchDir(spark, dir, targetBytes = 1L << 30)
+    assert(n < before, s"no consolidation: $n of $before")
+    assert(payloads() === n)
+    val after = ArrowInterop.readBatchDir(spark, dir)
+      .orderBy(col("o_orderkey")).collect().map(_.toSeq).toSeq
+    assert(after === expect)
+    // already-compact dirs no-op at the current count
+    assert(ArrowInterop.compactBatchDir(spark, dir, targetBytes = 1L << 30) === n)
+  }
 }
