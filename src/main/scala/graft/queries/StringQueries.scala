@@ -186,6 +186,34 @@ object StringQueries {
           octet_length(col("s")).cast("long").as("bytes_raw"),
           octet_length(Strings.nfcNormalize(col("s"))).cast("long").as("bytes_nfc"))
         .orderBy(col("id"))
+    },
+
+    // String extras battery — the §2.3 long tail both engines share:
+    // character translation, delimiter field extraction, 1-based search,
+    // capture-group regex extraction, fixed-width take from either end,
+    // codepoint↔char. (DuckDB lacks initcap/overlay, so those stay
+    // Spark-spec'd in StringsSpec instead of the oracle battery.)
+    QueryDef.sql(
+      "q117_string_extras",
+      """SELECT s_suppkey,
+        |  translate(s_name, '#0', '_O') AS tr,
+        |  split_part(s_name, '#', 2) AS num_part,
+        |  CAST(strpos(s_name, '#') AS BIGINT) AS hash_at,
+        |  regexp_extract(s_name, '([A-Za-z]+)#(\d+)', 2) AS num_re,
+        |  left(s_name, 8) AS l8, right(s_name, 4) AS r4,
+        |  CAST(ascii(s_name) AS BIGINT) AS first_cp,
+        |  chr(CAST(65 + s_suppkey % 26 AS INT)) AS letter
+        |FROM supplier ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"),
+          translate(col("s_name"), "#0", "_O").as("tr"),
+          expr("split_part(s_name, '#', 2)").as("num_part"),
+          instr(col("s_name"), "#").cast("long").as("hash_at"),
+          regexp_extract(col("s_name"), "([A-Za-z]+)#(\\d+)", 2).as("num_re"),
+          expr("left(s_name, 8)").as("l8"), expr("right(s_name, 4)").as("r4"),
+          ascii(col("s_name")).cast("long").as("first_cp"),
+          expr("chr(65 + s_suppkey % 26)").as("letter"))
+        .orderBy(col("s_suppkey"))
     }
   )
 }

@@ -146,6 +146,37 @@ object StructureQueries {
       graft.ops.Sketches.countMinEstimates(s, Tables.orders(s, d),
           col("o_orderpriority"), probes)
         .orderBy(col("probe"))
+    },
+
+    // Aggregate extras battery: bitwise aggregation (the columnar
+    // bitmask-fold siblings of §2.2's popcount/all_true), boolean
+    // all/any as aggregates (all_eq/all_ne surface), conditional count,
+    // and arg-min/arg-max with a UNIQUE ordering key so both engines
+    // pick the same row deterministically.
+    QueryDef.sql(
+      "q116_agg_extras",
+      """SELECT l_linestatus,
+        |  CAST(bit_and(l_linenumber) AS BIGINT) AS band,
+        |  CAST(bit_or(l_linenumber) AS BIGINT) AS bor,
+        |  CAST(bit_xor(l_linenumber) AS BIGINT) AS bxor,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_discount > 0.09) AS any_big_disc,
+        |  CAST(count_if(l_returnflag = 'R') AS BIGINT) AS n_returned,
+        |  arg_min(l_returnflag, l_orderkey * 10 + l_linenumber) AS first_flag,
+        |  arg_max(l_returnflag, l_orderkey * 10 + l_linenumber) AS last_flag
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          bit_and(col("l_linenumber")).cast("long").as("band"),
+          bit_or(col("l_linenumber")).cast("long").as("bor"),
+          bit_xor(col("l_linenumber")).cast("long").as("bxor"),
+          bool_and(col("l_quantity") > 0).as("all_pos"),
+          bool_or(col("l_discount") > 0.09).as("any_big_disc"),
+          count_if(col("l_returnflag") === "R").as("n_returned"),
+          min_by(col("l_returnflag"), col("l_orderkey") * 10 + col("l_linenumber")).as("first_flag"),
+          max_by(col("l_returnflag"), col("l_orderkey") * 10 + col("l_linenumber")).as("last_flag"))
+        .orderBy(col("l_linestatus"))
     }
   )
 }
