@@ -125,6 +125,40 @@ object StreamingQueries {
         .orderBy(col("wstart"), col("event_type"))
     },
 
+    // Per-key EWMA (half-life decay) — exponential-decay event features,
+    // the smoothing sibling of q59's sliding windows. One shuffle on
+    // user_id, then pure ordered-window arithmetic. The telescoped form
+    // ewma_r = Σ x_i·2^i / Σ 2^i (the 2^{-r} scale cancels) needs no
+    // per-row renormalization; with half-life decay every op (2^i is an
+    // exact double for i ≤ 1023, IEEE ×,+,/ are bit-specified, ordered
+    // running sums are sequential in both engines) is bit-identical to
+    // the oracle.
+    QueryDef.sql(
+      "q118_ewma",
+      """WITH r AS (
+        |  SELECT event_id, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  ROUND(SUM(value * pow(2.0, CAST(i AS DOUBLE))) OVER w
+        |      / SUM(pow(2.0, CAST(i AS DOUBLE))) OVER w, 6) AS ewma
+        |FROM r
+        |WINDOW w AS (PARTITION BY user_id ORDER BY i)
+        |ORDER BY user_id, i""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wOrder = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = Window.partitionBy(col("user_id")).orderBy(col("i"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("i", (row_number().over(wOrder) - 1).cast("long"))
+        .withColumn("u", pow(lit(2.0), col("i").cast("double")))
+        .select(col("event_id"), col("user_id"), col("i"),
+          round(sum(col("value") * col("u")).over(wRun) / sum(col("u")).over(wRun), 6)
+            .as("ewma"))
+        .orderBy(col("user_id"), col("i"))
+        .select(col("event_id"), col("user_id"), col("ewma"))
+    },
+
     // Streaming exact dedup (watermark-bounded state): a REAL streaming
     // query emitting first-arrival keys; on a bounded replay the emitted
     // key set equals batch DISTINCT, which is the oracle.
