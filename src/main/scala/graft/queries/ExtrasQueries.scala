@@ -330,6 +330,42 @@ object ExtrasQueries {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_q"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Array-kernel battery: ordered collect + the array op surface both
+    // engines share (sort/distinct/slice/position/contains/fold/join),
+    // reduced to scalar outputs so the compare is format-proof. Integer
+    // payloads keep the string renderings identical. DuckDB's
+    // list_position yields NULL on absence where Spark yields 0 —
+    // coalesced in the oracle.
+    QueryDef.sql(
+      "q119_array_ops",
+      """WITH a AS (
+        |  SELECT l_orderkey, list_sort(list(l_linenumber)) AS arr
+        |  FROM lineitem WHERE l_orderkey < 2000 GROUP BY 1)
+        |SELECT l_orderkey,
+        |  CAST(len(arr) AS BIGINT) AS n,
+        |  CAST(arr[1] AS BIGINT) AS first_e,
+        |  CAST(arr[-1] AS BIGINT) AS last_e,
+        |  CAST(list_aggregate(arr, 'sum') AS BIGINT) AS total,
+        |  CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct,
+        |  CAST(COALESCE(list_position(arr, 3), 0) AS BIGINT) AS pos3,
+        |  list_contains(arr, 5) AS has5,
+        |  array_to_string(arr[1:3], '-') AS head3
+        |FROM a ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).filter(col("l_orderkey") < 2000)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("arr"))
+        .select(col("l_orderkey"),
+          size(col("arr")).cast("long").as("n"),
+          element_at(col("arr"), 1).cast("long").as("first_e"),
+          element_at(col("arr"), -1).cast("long").as("last_e"),
+          aggregate(col("arr"), lit(0L), (acc, x) => acc + x).as("total"),
+          size(array_distinct(col("arr"))).cast("long").as("n_distinct"),
+          array_position(col("arr"), 3).cast("long").as("pos3"),
+          array_contains(col("arr"), 5).as("has5"),
+          array_join(slice(col("arr"), 1, 3), "-").as("head3"))
+        .orderBy(col("l_orderkey"))
     }
   )
 
