@@ -92,6 +92,56 @@ object Multimodal {
         col("payload").substr(col("__start") + 1, col("__fb")).as("frame"))
   }
 
+  /** Video table from any (id, binary) source: payload treated as raw
+    * frame-major video (`frameBytes` per frame at `fps` — the rawvideo
+    * layout) with a typed meta struct. Same honest-stub stance as
+    * [[asAudioTable]]: no codecs in the sandbox, so the payload stands in
+    * for decoded frames; the indexing/sampling arithmetic is the real
+    * part a cluster pipeline needs.
+    */
+  def asVideoTable(df: DataFrame, idCol: String, payloadCol: String,
+      fps: Int, frameBytes: Int): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(payloadCol).cast("binary").as("payload"),
+      struct(
+        lit("rawvideo").as("format"),
+        lit(fps).as("fps"),
+        lit(frameBytes).as("frame_bytes"),
+        length(col(payloadCol).cast("binary")).cast("long").as("n_bytes")).as("meta"))
+
+  /** Uniform temporal frame sampling — the "sample k frames per clip"
+    * prep every video training pipeline runs. Complete frames n =
+    * ⌊bytes / frame_bytes⌋; sampled indices idx_j = ⌊j·n/k⌋ (j < min(k,
+    * n)) — evenly spaced, always including frame 0, never past the end;
+    * clips shorter than one frame emit nothing. Pure codegen arithmetic
+    * + binary substr, shuffle-free. Output: media_id, sample_id,
+    * frame_idx, t_ms, frame (binary).
+    */
+  def sampleFrames(video: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val fb = col("meta.frame_bytes")
+    // exact integer division throughout (floorDivI is IntegralDivide for
+    // the non-negative operands here) — a double route would wobble past
+    // 2^53 on long clips
+    val n = graft.ops.Arith.floorDivI(col("meta.n_bytes"), fb)
+    val m = least(lit(k.toLong), n)
+    val idxs = when(n > 0, transform(sequence(lit(0L), m - 1),
+      j => graft.ops.Arith.floorDivI(j * n, m))).otherwise(array())
+    video
+      .select(col("media_id"), col("payload"), fb.as("__fb"),
+        col("meta.fps").as("__fps"),
+        posexplode(idxs).as(Seq("sample_id", "frame_idx")))
+      .select(
+        col("media_id"),
+        col("sample_id").cast("long").as("sample_id"),
+        col("frame_idx"),
+        // frame_idx/fps seconds → ms, exact integer arithmetic
+        graft.ops.Arith.floorDivI(col("frame_idx") * 1000L, col("__fps")).as("t_ms"),
+        col("payload").substr((col("frame_idx") * col("__fb")).cast("int") + 1,
+          col("__fb").cast("int")).as("frame"))
+  }
+
   /** STUB — deterministic fake "decode + feature-extract" of a media
     * payload: 8 float features from byte statistics. A real deployment
     * replaces this body with the codec call; signature and batch shape stay.

@@ -662,6 +662,34 @@ object LlmQueries {
         .orderBy(col("media_id"), col("frame_id"))
     },
 
+    // Video frame sampling (uniform temporal selection over raw
+    // frame-major payloads) — the video leg of the multimodal surface
+    // beside q41/q42 (image) and q107 (audio). Document text stands in
+    // for the frame buffer (no codecs in the sandbox; ASCII ⇒ DuckDB
+    // replays the byte slicing on the string form). Indices, timing and
+    // content hashes are all cell-exact.
+    QueryDef.sql(
+      "q120_video_frames",
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |b AS (SELECT doc_id, text,
+        |        length(text) // CAST(48 AS BIGINT) AS n FROM t),
+        |s AS (SELECT doc_id, text, n, LEAST(CAST(4 AS BIGINT), n) AS m
+        |      FROM b WHERE n > 0),
+        |u AS (SELECT doc_id, text, n, m, unnest(range(0, m)) AS j FROM s)
+        |SELECT doc_id AS media_id, CAST(j AS BIGINT) AS sample_id,
+        |  CAST((j * n) // m AS BIGINT) AS frame_idx,
+        |  CAST(((j * n) // m) * CAST(100 AS BIGINT) AS BIGINT) AS t_ms,
+        |  md5(substring(text, CAST((j * n) // m * 48 + 1 AS INT), 48)) AS frame_md5
+        |FROM u ORDER BY media_id, sample_id""".stripMargin) { (s, d) =>
+      val video = Multimodal.asVideoTable(
+        Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text",
+        fps = 10, frameBytes = 48)
+      Multimodal.sampleFrames(video, k = 4)
+        .select(col("media_id"), col("sample_id"), col("frame_idx"),
+          col("t_ms"), md5(col("frame")).as("frame_md5"))
+        .orderBy(col("media_id"), col("sample_id"))
+    },
+
     // Chunk-level dedup pipeline — composition of q102's chunking with
     // exact dedup: overlapping/boilerplate chunks collapse to one
     // canonical copy corpus-wide (the span-dedup shape C4 applies at

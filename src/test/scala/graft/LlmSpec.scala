@@ -355,6 +355,31 @@ class LlmSpec extends SparkSpec {
     assert(hi.sortBy(_._1).toSeq === Seq((0L, 0L, 64), (1L, 1L, 64)))
   }
 
+  test("sampleFrames: uniform selection, short clips, k caps at frame count") {
+    import spark.implicits._
+    import graft.llm.Multimodal
+    // frame_bytes=2, fps=5: clip a has 10 frames, b has 3 (< k), c has 1 byte (none)
+    val clips = Seq(
+      (1L, "aabbccddeeffgghhiijj"), // 10 frames of 2 bytes
+      (2L, "xxyyzz"),               // 3 frames
+      (3L, "q")                     // under one frame
+    ).toDF("id", "payload")
+    val video = Multimodal.asVideoTable(clips, "id", "payload", fps = 5, frameBytes = 2)
+    val out = Multimodal.sampleFrames(video, k = 4)
+      .select(col("media_id"), col("sample_id"), col("frame_idx"), col("t_ms"),
+        col("frame").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // clip 1: n=10, m=4 -> idx floor(j*10/4) = 0,2,5,7; t_ms = idx*200
+    assert(out.filter(_._1 == 1L).toSeq === Seq(
+      (1L, 0L, 0L, 0L, "aa"), (1L, 1L, 2L, 400L, "cc"),
+      (1L, 2L, 5L, 1000L, "ff"), (1L, 3L, 7L, 1400L, "hh")))
+    // clip 2: n=3 < k -> all 3 frames, in order
+    assert(out.filter(_._1 == 2L).toSeq === Seq(
+      (2L, 0L, 0L, 0L, "xx"), (2L, 1L, 1L, 200L, "yy"), (2L, 2L, 2L, 400L, "zz")))
+    // clip 3: shorter than one frame -> nothing
+    assert(!out.exists(_._1 == 3L))
+  }
+
   test("fuzzyPairs: length-band blocking is lossless vs brute-force levenshtein") {
     import spark.implicits._
     val names = Seq(
