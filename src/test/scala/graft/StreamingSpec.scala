@@ -53,6 +53,36 @@ class StreamingSpec extends SparkSpec {
     chunks.foreach(_.unpersist())
   }
 
+  test("foreachBatch streams into the arrowdir DSv2 sink; compaction keeps rows") {
+    import graft.sources.ArrowInterop
+    // stream → per-batch DSv2 append: the streaming leg of the arrowdir
+    // WRITE path (q97 covers the read leg). Then the maintenance op:
+    // compaction rewrites the accreted small payloads without data loss.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val schema = Tables.events(spark, sf).schema
+    val raw = spark.readStream
+      .schema(schema.fields.filter(_.name != "ts")
+        .foldLeft(new org.apache.spark.sql.types.StructType().add("ts", "long"))((s, f) => s.add(f)))
+      .parquet(Events.stageDir(sf))
+      .withColumn("ts", expr("ts DIV 1000"))  // keep long; arrow path is type-agnostic
+    val q = raw.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.format("graft.sources.arrowdir").mode("append").save(dir)
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val expectN = Tables.events(spark, sf).count()
+    val back = spark.read.format("graft.sources.arrowdir").load(dir)
+    assert(back.count() === expectN)
+    // compact and re-read through BOTH readers
+    val n = ArrowInterop.compactBatchDir(spark, dir, targetBytes = 1L << 30)
+    assert(n >= 1)
+    assert(spark.read.format("graft.sources.arrowdir").load(dir).count() === expectN)
+    val sum1 = ArrowInterop.readBatchDir(spark, dir).agg(sum(col("event_id"))).head().getLong(0)
+    val sum2 = Tables.events(spark, sf).agg(sum(col("event_id"))).head().getLong(0)
+    assert(sum1 === sum2)
+  }
+
   test("native session_window streaming mode matches the batch oracle on closed sessions") {
     val gapUs = 30L * 60 * 1000000
     val streamed = Events.sessionizeStreamingNative(spark, sf, gapMinutes = 30)
