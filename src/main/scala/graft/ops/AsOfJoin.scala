@@ -122,4 +122,58 @@ object AsOfJoin {
     if (!es.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       es.extraStrategies = es.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
+
+  /** Broadcast as-of join — the THIRD plan for the same semantics, for
+    * the most common production shape: a huge fact stream enriched
+    * against a dimension-sized reference series (rates, prices, configs).
+    * [[asOf]] and [[asOfPhysical]] both shuffle the FACT side on the key;
+    * here the right side collapses to one sorted struct-array per key,
+    * broadcast-joins onto the left, and the match is found with a
+    * higher-order-function scan — the fact side never shuffles, never
+    * sorts, and stays in one codegen stage end to end.
+    *
+    * Same output contract as [[asOf]] (left columns + nullable right
+    * payload, inclusive matches both directions). Requires (keys,
+    * rightTime) unique on the right (merge_asof's dedup precondition) so
+    * the match is well-defined. Per-row cost is O(|series per key|) —
+    * the broadcast bound (a few MB per key list) is the operator's
+    * admission contract, exactly like any broadcast join.
+    */
+  def asOfBroadcast(left: DataFrame, right: DataFrame,
+      leftTime: String, rightTime: String, keys: Seq[String],
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward", s"direction: $direction")
+    val leftCols = left.columns.filterNot(keys.contains)
+    val rightCols = right.columns.filterNot(keys.contains).filterNot(_ == rightTime)
+    require(leftCols.intersect(rightCols :+ rightTime).isEmpty,
+      s"overlapping non-key columns: ${leftCols.intersect(rightCols :+ rightTime).mkString(",")}")
+    val series = right.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        col(rightTime).as("__t"),
+        struct(rightCols.map(col): _*).as("__p")))).as("__arr"))
+    val lt = col(leftTime)
+    val joined = left.join(broadcast(series), keys, "left")
+    // backward: last element with __t <= lt == element at rank |{__t <= lt}|;
+    // forward: first element with __t >= lt == element at rank |{__t < lt}|+1
+    val (rank, ok) =
+      if (direction == "backward") {
+        val r = size(filter(col("__arr"), e => e.getField("__t") <= lt))
+        (r, r >= 1)
+      } else {
+        val r = size(filter(col("__arr"), e => e.getField("__t") < lt)) + 1
+        (r, r <= size(col("__arr")))
+      }
+    val withHit = joined.withColumn("__hit",
+      when(col("__arr").isNotNull && ok, element_at(col("__arr"), rank)))
+    val withinTol = tolerance match {
+      case None => col("__hit").isNotNull
+      case Some(tol) =>
+        col("__hit").isNotNull && abs(unix_micros(lt.cast("timestamp")) -
+          unix_micros(col("__hit.__t").cast("timestamp"))) <= tol
+    }
+    rightCols.foldLeft(withHit) { (df, c) =>
+      df.withColumn(c, when(withinTol, col(s"__hit.__p.$c")))
+    }.drop("__arr", "__hit")
+  }
 }

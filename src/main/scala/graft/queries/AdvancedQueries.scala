@@ -186,6 +186,34 @@ object AdvancedQueries {
         ORDER BY l_orderkey, l_linenumber""")
     },
 
+    // The THIRD as-of plan: broadcast as-of (q54 = window composition,
+    // q86 = custom physical operator). The dimension-sized right series
+    // collapses to one sorted array per key and broadcasts; the fact
+    // side never shuffles or sorts — the plan for enriching a 100 TB
+    // event stream against a reference table. Oracle identical to q54.
+    QueryDef.sql(
+      "q121_asof_broadcast",
+      """WITH o1 AS (
+        |  SELECT o_custkey AS user_id, o_orderdate,
+        |    MAX(o_orderkey) AS o_orderkey,
+        |    MAX_BY(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o1.o_orderkey, o1.o_totalprice
+        |FROM events e ASOF LEFT JOIN o1
+        |  ON e.user_id = o1.user_id AND e.ts >= o1.o_orderdate
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val right = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      val left = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"))
+      AsOfJoin.asOfBroadcast(left, right, leftTime = "ts", rightTime = "o_orderdate",
+          keys = Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    },
+
     // Bloom-filter semi-join reduction: the fact scan is prefiltered by a
     // compact bit-set membership test on the dimension's key set BEFORE
     // the join shuffle (the runtime-filter pattern at 100 TB). No false

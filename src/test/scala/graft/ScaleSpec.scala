@@ -399,6 +399,33 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("asOfBroadcast matches the window composition and never shuffles the left side") {
+    val d = "/root/testdata/sf0.001"
+    val right = Tables.orders(spark, d)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val left = Tables.events(spark, d).select(col("event_id"), col("user_id"),
+      col("ts").cast("timestamp_ntz").as("ts"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    for (dir <- Seq("backward", "forward");
+         tol <- Seq(None, Some(30L * 86400L * 1000000L))) {
+      val bc = AsOfJoin.asOfBroadcast(left, right, "ts", "o_orderdate",
+        Seq("user_id"), dir, tol)
+      val wn = AsOfJoin.asOf(left, right, "ts", "o_orderdate", Seq("user_id"), dir,
+        tol.map(t => (l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =>
+          abs(unix_micros(l.cast("timestamp")) - unix_micros(r.cast("timestamp"))) <= lit(t)))
+      assert(rows(bc) === rows(wn), s"mismatch dir=$dir tol=$tol")
+    }
+    // plan shape: broadcast join, no sort-merge, no Window carry
+    val plan = AsOfJoin.asOfBroadcast(left, right, "ts", "o_orderdate", Seq("user_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      s"left side pays a shuffle/sort it shouldn't:\n$plan")
+  }
+
   test("Sketches: count-min never undercounts, stays in eps*N, ignores partitioning") {
     import graft.ops.Sketches
     val rnd = new scala.util.Random(7)
