@@ -159,10 +159,18 @@ object Dedup {
     val inv0 = tok.select(col("id"), explode(col("toks")).as("w"))
     val inv = if (maxDocFreq >= 1.0) inv0 else {
       val total = df.count()
-      val keep = inv0.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      // the doc-freq guard join exists anyway — ride it to DICTIONARY-
+      // ENCODE the surviving shingles, so the expensive self-join below
+      // shuffles and compares 8-byte ints instead of n-gram strings.
+      // monotonically_increasing_id is partition-dependent, so the dict
+      // MUST be pinned (persist) or the self-join's two sides could see
+      // different encodings of the same shingle
+      val dict = inv0.groupBy(col("w")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDocFreq * total)
-        .select(col("w"))
-      inv0.join(keep, "w")
+        .select(col("w"), monotonically_increasing_id().as("__wid"))
+        .persist()
+      graft.ops.CacheRegistry.register(dict)
+      inv0.join(dict, "w").select(col("id"), col("__wid").as("w"))
     }
     val sizes = tok.select(col("id"), size(col("toks")).as("n"))
     val pairs = inv.as("a").join(inv.as("b"),
