@@ -332,6 +332,48 @@ object ExtrasQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // MERGE / upsert (the DML verb): updates replace same-key rows, new
+    // keys append, and ONLY the touched partitions rewrite (dynamic
+    // partition overwrite — SinkSpec proves untouched partitions keep
+    // their very files). The oracle replays the merge relationally:
+    // updates ∪ (target ⟕̸ updates).
+    QueryDef.sql(
+      "q122_merge_upsert",
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, CAST(year(o_orderdate) AS INT) AS o_year
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice, o_year
+        |  FROM base WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_year
+        |  FROM base WHERE o_orderkey % 100 = 0),
+        |merged AS (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT * FROM base
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+        |SELECT o_year, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(o_totalprice), 2) AS total
+        |FROM merged GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, d) =>
+      import graft.sources.Sinks
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_merge_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          year(col("o_orderdate")).cast("int").as("o_year"))
+      // deterministic start state each run
+      base.write.mode("overwrite").partitionBy("o_year").parquet(dir)
+      val mods = base.filter(col("o_orderkey") % 100 === 0)
+      val updates = mods.withColumn("o_totalprice", col("o_totalprice") + 1000)
+        .unionByName(mods.withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      Sinks.mergeUpsert(s, dir, updates, Seq("o_orderkey"), "o_year")
+      s.read.parquet(dir)
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_year"))
+    },
+
     // Array-kernel battery: ordered collect + the array op surface both
     // engines share (sort/distinct/slice/position/contains/fold/join),
     // reduced to scalar outputs so the compare is format-proof. Integer

@@ -55,6 +55,37 @@ object Sinks {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** MERGE / upsert into a partitioned parquet layout — the missing DML
+    * verb for an at-rest table: rows in `updates` replace same-key rows,
+    * new keys append. The rewrite is PARTITION-LIMITED: only partitions
+    * present in `updates` are read, merged (anti-join on the keys) and
+    * swapped via dynamic partition overwrite — a 100 TB table with a
+    * day's worth of updates rewrites a day's partitions, not the table.
+    *
+    * Contract: updates must keep each key's partition value (the
+    * date-partitioned-fact norm). A partition-moving update would leave
+    * the old row alive in its old partition — detecting that requires a
+    * full key scan, which is exactly the cost this operator exists to
+    * avoid; use a full rewrite when keys can change partitions.
+    */
+  def mergeUpsert(spark: SparkSession, path: String, updates: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], partitionCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val affected = updates.select(col(partitionCol)).distinct().collect().map(_.get(0))
+    val target = spark.read.parquet(path)
+      .filter(col(partitionCol).isin(affected.toIndexedSeq: _*))
+    val merged = updates.unionByName(
+      target.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+    // the write overwrites partitions the plan is READING — materialize
+    // the merged working set (bounded by the affected partitions) so the
+    // write doesn't race its own source
+    val snap = merged.localCheckpoint()
+    snap.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
+  }
+
   /** Manifest-pruned read: keep only files whose [min,max] range on `c`
     * can overlap [lo, hi], then apply the residual row filter. With a
     * z-ordered or sorted layout most files drop out at the MANIFEST

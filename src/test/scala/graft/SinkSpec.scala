@@ -71,6 +71,36 @@ class SinkSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("mergeUpsert rewrites only touched partitions and merges exactly") {
+    import graft.sources.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_").toString
+    val base = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+    base.write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    // updates touch ONE year: bump prices of its even keys + add new keys
+    val years = base.select(col("o_year")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val (touched, untouched) = (years.head, years.last)
+    val mods = base.filter(col("o_year") === touched && col("o_orderkey") % 2 === 0)
+    val updates = mods.withColumn("o_totalprice", col("o_totalprice") + 1)
+      .unionByName(mods.withColumn("o_orderkey", col("o_orderkey") + 5000000L))
+    def files(y: Int) = new java.io.File(s"$dir/o_year=$y").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    val before = files(untouched)
+    Sinks.mergeUpsert(spark, dir, updates, Seq("o_orderkey"), "o_year")
+    // untouched partition: identical files, identical mtimes — never rewritten
+    assert(files(untouched) === before, "untouched partition was rewritten")
+    // merged content == relational merge
+    val expect = updates.unionByName(
+        base.join(updates.select(col("o_orderkey")).distinct(), Seq("o_orderkey"), "left_anti"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).sorted.toSeq
+    val got = spark.read.parquet(dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_year"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).sorted.toSeq
+    assert(got === expect)
+  }
+
   test("stats manifest prunes files on a sorted layout without losing rows") {
     import graft.sources.Sinks
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
