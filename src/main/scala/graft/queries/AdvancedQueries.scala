@@ -186,6 +186,49 @@ object AdvancedQueries {
         ORDER BY l_orderkey, l_linenumber""")
     },
 
+    // SCD2 / temporal-table point-in-time lookup: a change log (clicks)
+    // becomes validity intervals via lead() — valid_to = next change,
+    // capped at the key's last activity +1s so open intervals stay
+    // bounded — and points (purchases) join the interval active at their
+    // timestamp through the binned range join (no nested loop). The
+    // interval CONSTRUCTION is the new surface; q62/q84 pin the join.
+    QueryDef.sql(
+      "q123_scd2_pit",
+      """WITH c AS (
+        |  SELECT user_id, event_id, value, ts,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+        |    MAX(ts) OVER (PARTITION BY user_id) AS last_ts
+        |  FROM events WHERE event_type = 'click'),
+        |h AS (
+        |  SELECT user_id, event_id AS click_id, value, ts AS valid_from,
+        |    COALESCE(nxt, last_ts + INTERVAL 1 SECOND) AS valid_to
+        |  FROM c),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, h.click_id, ROUND(h.value, 2) AS active_value
+        |FROM p JOIN h ON p.user_id = h.user_id
+        |  AND p.ts >= h.valid_from AND p.ts < h.valid_to
+        |ORDER BY purchase_id, click_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("click_id"))
+      val wAll = Window.partitionBy(col("user_id"))
+      val h = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("value"), col("ts"))
+        .withColumn("valid_from", col("ts"))
+        .withColumn("valid_to", coalesce(lead(col("ts"), 1).over(wSeq),
+          max(col("ts")).over(wAll) + expr("INTERVAL 1 SECOND")))
+        .select(col("user_id"), col("click_id"), col("value"),
+          col("valid_from"), col("valid_to"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      graft.ops.RangeJoin.pointInInterval(
+          p, h, "ts", "valid_from", "valid_to",
+          keys = Seq("user_id"), binWidthUs = 86400L * 1000000L)
+        .select(col("purchase_id"), col("click_id"), round(col("value"), 2).as("active_value"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    },
+
     // The THIRD as-of plan: broadcast as-of (q54 = window composition,
     // q86 = custom physical operator). The dimension-sized right series
     // collapses to one sorted array per key and broadcasts; the fact
