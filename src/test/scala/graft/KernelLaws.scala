@@ -157,4 +157,33 @@ object KernelLaws extends Properties("graft.kernels") {
       import graft.expressions.UnicodeKernels.{nfc, stripAccents}
       nfc(u(s)).toString == s && stripAccents(u(s)).toString == s
     }
+
+  // FastSS losslessness (Bocek et al. 2007), the property
+  // Dedup.fuzzyPairsFastSS's blocking relies on: ed(a,b) <= k implies the
+  // <=k-deletion neighborhoods intersect. Tiny alphabet + short strings
+  // maximize near-miss pairs. (The converse is deliberately false —
+  // the thresholded levenshtein verify discards over-generation.)
+  private val tinyWord: Gen[String] =
+    Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+
+  private def del1(s: String): Set[String] =
+    if (s.isEmpty) Set(s)
+    else Set(s) ++ s.indices.map(i => s.substring(0, i) + s.substring(i + 1))
+
+  private def nbhd(s: String, k: Int): Set[String] =
+    if (k == 1) del1(s) else del1(s).flatMap(del1)
+
+  private def editDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  property("FastSS deletion neighborhoods are a lossless blocking key") =
+    forAll(tinyWord, tinyWord, Gen.oneOf(1, 2)) { (a, b, k) =>
+      editDist(a, b) > k || nbhd(a, k).intersect(nbhd(b, k)).nonEmpty
+    }
 }
