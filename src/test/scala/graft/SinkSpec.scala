@@ -32,6 +32,36 @@ class SinkSpec extends SparkSpec {
     assert(byFlag === sqlCounts)
   }
 
+  test("typed cogroup: per-key two-sided imperative merge equals the relational form") {
+    // KeyValueGroupedDataset.cogroup — the typed two-input leg of §1.3
+    // (mapGroups covers one input; joins cover relational merges; cogroup
+    // is for per-key logic that genuinely needs both iterators at once)
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
+      .groupByKey(_._1)
+    val cust = Tables.customer(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey"), col("c_acctbal")).as[(Long, Double)]
+      .groupByKey(_._1)
+    val merged = cust.cogroup(orders) { (k, cs, os) =>
+      val bal = cs.map(_._2).toSeq
+      val ov = os.map(_._2).toSeq // iterators are single-pass: materialize
+      if (bal.isEmpty) Iterator.empty // orders without a customer row: drop
+      else Iterator((k, bal.head, ov.sum, ov.size.toLong))
+    }.toDF("custkey", "acctbal", "order_total", "n_orders")
+    val relational = Tables.customer(spark, "/root/testdata/sf0.001")
+      .join(Tables.orders(spark, "/root/testdata/sf0.001"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey").as("custkey"))
+      .agg(first(col("c_acctbal")).as("acctbal"),
+        coalesce(sum(col("o_totalprice")), lit(0.0)).as("order_total"),
+        count(col("o_orderkey")).as("n_orders"))
+    val a = merged.collect().map(r => (r.getLong(0), r.getDouble(1),
+      math.round(r.getDouble(2) * 100), r.getLong(3))).toSet
+    val b = relational.collect().map(r => (r.getLong(0), r.getDouble(1),
+      math.round(r.getDouble(2) * 100), r.getLong(3))).toSet
+    assert(a === b)
+  }
+
   test("z-order clustering bounds per-file spread on every clustered dimension") {
     import graft.ops.ZOrder
     val part = Tables.part(spark, "/root/testdata/sf0.01")
