@@ -140,6 +140,40 @@ object ExtrasQueries {
         .orderBy(col("event_type"))
     },
 
+    // Semi-structured round trip through Spark 4's VARIANT type: nested
+    // JSON (object + array) built from columns with to_json, ingested
+    // with parse_json, fields extracted via typed variant_get paths —
+    // the modern engine-native path beyond q49's string-level
+    // get_json_object. Compare happens on EXTRACTED values only, so
+    // engine JSON formatting differences can't leak in.
+    QueryDef.sql(
+      "q124_variant",
+      """WITH j AS (
+        |  SELECT event_id,
+        |    json_object('id', event_id,
+        |      'who', json_object('u', user_id, 't', event_type),
+        |      'vals', json_array(value, value * 2)) AS v
+        |  FROM events WHERE event_id < 2000)
+        |SELECT event_id,
+        |  CAST(json_extract(v, '$.who.u') AS BIGINT) AS u,
+        |  json_extract_string(v, '$.who.t') AS t,
+        |  ROUND(CAST(json_extract(v, '$.vals[1]') AS DOUBLE), 2) AS v2,
+        |  CAST(json_array_length(json_extract(v, '$.vals')) AS BIGINT) AS n_vals
+        |FROM j ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          parse_json(to_json(struct(
+            col("event_id").as("id"),
+            struct(col("user_id").as("u"), col("event_type").as("t")).as("who"),
+            array(col("value"), col("value") * 2).as("vals")))).as("v"))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.who.u", "long").as("u"),
+          variant_get(col("v"), "$.who.t", "string").as("t"),
+          round(variant_get(col("v"), "$.vals[1]", "double"), 2).as("v2"),
+          expr("CAST(array_size(variant_get(v, '$.vals', 'array<double>')) AS BIGINT)").as("n_vals"))
+        .orderBy(col("event_id"))
+    },
+
     // Cube-analog stack (src/structs/cube.rs:77): label-axis union of
     // same-schema snapshots, then a per-axis aggregation.
     QueryDef.sql(
