@@ -96,6 +96,31 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Broadcast variant of [[pointInInterval]] for dimension-sized interval
+    * sets (calendars, rate tables, config windows): the intervals collapse
+    * to one array per key, broadcast onto the points, and each point
+    * filter-scans its key's array — the FACT side never shuffles and
+    * never explodes to bins (the same admission contract as any broadcast
+    * join: interval lists per key must stay broadcast-sized). A point in
+    * k intervals emits k rows, identical to the binned form.
+    */
+  def pointInIntervalBroadcast(left: DataFrame, right: DataFrame,
+      ptCol: String, startCol: String, endCol: String,
+      keys: Seq[String]): DataFrame = {
+    val rightCols = right.columns.filterNot(keys.contains)
+    val leftCols = left.columns.filterNot(keys.contains)
+    require(leftCols.intersect(rightCols).isEmpty,
+      s"overlapping non-key columns: ${leftCols.intersect(rightCols).mkString(",")}")
+    val packed = right.groupBy(keys.map(col): _*)
+      .agg(collect_list(struct(rightCols.map(col): _*)).as("__ivs"))
+    val pt = col(ptCol)
+    left.join(broadcast(packed), keys, "inner")
+      .withColumn("__hit", explode(filter(col("__ivs"),
+        e => pt >= e.getField(startCol) && pt < e.getField(endCol))))
+      .select((left.columns.map(col) ++
+        rightCols.map(c => col(s"__hit.$c").as(c))).toIndexedSeq: _*)
+  }
+
   /** Interval-overlap join: pairs whose half-open windows [loL, hiL) and
     * [loR, hiR) intersect, sharing `keys` — the other classic range-join
     * shape (concurrency detection, conflict windows). Both sides explode

@@ -27,6 +27,27 @@ class OpsSpec extends SparkSpec {
     assert(got === Set((10L, "2024-01-01 00:30:00.0")))  // point 2 outside, user-2 point before window
   }
 
+  test("broadcast point-in-interval equals the binned form and never shuffles points") {
+    // realistic shape: events (points) against per-user click windows
+    val d = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, d)
+    val intervals = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("iid"), col("user_id"),
+        col("ts").as("w_start"), (col("ts") + expr("INTERVAL 2 HOUR")).as("w_end"))
+    val points = ev.select(col("event_id").as("pid"), col("user_id"), col("ts"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.select(col("pid"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val binned = RangeJoin.pointInInterval(points, intervals, "ts", "w_start", "w_end",
+      Seq("user_id"), binWidthUs = 2L * 3600 * 1000000)
+    val bcast = RangeJoin.pointInIntervalBroadcast(points, intervals,
+      "ts", "w_start", "w_end", Seq("user_id"))
+    assert(rows(bcast) === rows(binned))
+    assert(rows(bcast).nonEmpty)
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"points were shuffled:\n$plan")
+  }
+
   test("interval-overlap join equals the naive overlap predicate, emitted once per pair") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // windows spanning multiple bins (1h bin width) to exercise the
