@@ -125,6 +125,28 @@ object StreamingQueries {
         .orderBy(col("wstart"), col("event_type"))
     },
 
+    // Running DISTINCT count over a window — a native Spark gap
+    // (count(DISTINCT) OVER is unsupported) closed with the set-state
+    // form: size(collect_set() OVER (... ROWS UNBOUNDED PRECEDING)).
+    // State is the distinct set per frame — bounded by the event-type
+    // domain here; the HLL sketch (q100) is the unbounded-domain path.
+    QueryDef.sql(
+      "q125_window_distinct",
+      """SELECT event_id, user_id,
+        |  CAST(COUNT(DISTINCT event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          size(collect_set(col("event_type")).over(w)).cast("long").as("n_types_seen"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+        .select(col("event_id"), col("user_id"), col("n_types_seen"))
+    },
+
     // Per-key EWMA (half-life decay) — exponential-decay event features,
     // the smoothing sibling of q59's sliding windows. One shuffle on
     // user_id, then pure ordered-window arithmetic. The telescoped form
