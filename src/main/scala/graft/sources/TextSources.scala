@@ -38,4 +38,31 @@ object TextSources {
       .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
       .schema(schema)
       .json(path)
+
+  /** Quarantine-channel JSON-lines read: PERMISSIVE mode with an explicit
+    * corrupt-record column — malformed lines arrive as rows whose data
+    * columns are NULL and whose `_corrupt_record` holds the raw line,
+    * instead of failing the job (FAILFAST) or vanishing (DROPMALFORMED).
+    * The 100 TB ingest stance: a petabyte crawl WILL contain garbage
+    * lines; the pipeline routes them to a quarantine sink and keeps
+    * going. Returns (good rows, quarantined raw lines).
+    */
+  def readJsonLinesQuarantine(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val withCorrupt = spark.read
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", "string"))
+      .json(path)
+      // Spark requires caching/materialization before filtering on the
+      // corrupt column alone (the parser must see the full row)
+      .cache()
+    val good = withCorrupt.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val bad = withCorrupt.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"))
+    (good, bad)
+  }
 }

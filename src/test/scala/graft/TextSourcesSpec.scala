@@ -51,4 +51,25 @@ class TextSourcesSpec extends SparkSpec {
     val b = back.orderBy(col("o_orderkey")).collect().map(_.toSeq)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("quarantine read routes malformed lines without failing or dropping") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_quarantine").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "data.jsonl"),
+      """{"id": 1, "v": 10.5}
+        |{"id": 2, "v": "not-a-number"}
+        |this is not json at all
+        |{"id": 4, "v": 2.25}
+        |{"id": 5 BROKEN
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    val (good, bad) = TextSources.readJsonLinesQuarantine(spark, dir, schema)
+    val g = good.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(g === Seq((1L, 10.5), (4L, 2.25)))
+    val q = bad.collect().map(_.getString(0)).toSeq
+    assert(q.length === 3, s"expected 3 quarantined lines, got: $q")
+    assert(q.exists(_.contains("not-a-number")) && q.exists(_.contains("not json")) &&
+      q.exists(_.contains("BROKEN")))
+  }
 }
