@@ -53,4 +53,36 @@ object ZOrder {
   def clusterWrite(df: DataFrame, dims: Seq[Column], numFiles: Int, path: String,
       bits: Int = 16): Unit =
     cluster(df, dims, numFiles, bits).write.mode("overwrite").parquet(path)
+
+  /** Equi-depth cutpoints for one dimension — the ONE-PASS normalization
+    * constants the zValue docstring demands: 2^bits−1 approx quantiles
+    * computed driver-side (Greenwald-Khanna sketch; bounded memory, one
+    * scan), so any numeric distribution maps onto the full bit lane.
+    */
+  def quantileCuts(df: DataFrame, dim: String, bits: Int,
+      relErr: Double = 0.001): Array[Double] = {
+    require(bits >= 1 && bits <= 10,
+      s"quantile normalization supports bits <= 10 (the rank scan is O(2^bits)/row); got $bits")
+    val lanes = 1 << bits
+    val probs = (1 until lanes).map(_.toDouble / lanes).toArray
+    df.stat.approxQuantile(dim, probs, relErr)
+  }
+
+  /** Rank of a value against precomputed cutpoints: |{cut <= v}| ∈
+    * [0, 2^bits) — a codegen HOF scan over a broadcast literal array.
+    * NULLs rank 0 (lowest lane), keeping them clustered together.
+    */
+  def quantileRank(c: Column, cuts: Array[Double]): Column =
+    coalesce(size(filter(lit(cuts), x => x <= c.cast("double"))), lit(0))
+
+  /** Z-cluster on quantile-NORMALIZED dimensions: every dim fills its
+    * lane regardless of distribution or unit (the skew-proof form of
+    * [[cluster]] — raw skewed dims would leave most of a lane empty and
+    * give that dim no effective locality).
+    */
+  def clusterByQuantile(df: DataFrame, dims: Seq[String], numFiles: Int,
+      bits: Int = 8): DataFrame = {
+    val ranked = dims.map(d => quantileRank(col(d), quantileCuts(df, d, bits)))
+    cluster(df, ranked, numFiles, bits)
+  }
 }

@@ -101,6 +101,29 @@ class SinkSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("quantile normalization fills the z lane uniformly on skewed data") {
+    import graft.ops.ZOrder
+    import spark.implicits._
+    // heavy right skew: x^4 over [0,1) — raw values leave the upper lane
+    // almost empty; quantile ranks must spread uniformly
+    val vals = (0 until 4096).map(i => math.pow(i / 4096.0, 4)).toDF("x")
+    val cuts = ZOrder.quantileCuts(vals, "x", bits = 6)
+    assert(cuts.length === 63)
+    val ranks = vals.select(ZOrder.quantileRank(col("x"), cuts).as("r"))
+      .collect().map(_.getInt(0))
+    assert(ranks.min === 0 && ranks.max === 63)
+    // every octant of the lane gets its ~1/8 share (±30% for sketch error)
+    val perOctant = ranks.groupBy(_ / 8).view.mapValues(_.length).toMap
+    for (o <- 0 until 8) {
+      val share = perOctant.getOrElse(o, 0).toDouble / ranks.length
+      assert(share > 0.125 * 0.7 && share < 0.125 * 1.3, s"octant $o share $share")
+    }
+    // clusterByQuantile keeps rows intact
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val clustered = ZOrder.clusterByQuantile(li, Seq("l_extendedprice", "l_partkey"), 8)
+    assert(clustered.count() === li.count())
+  }
+
   test("mergeUpsert rewrites only touched partitions and merges exactly") {
     import graft.sources.Sinks
     val dir = java.nio.file.Files.createTempDirectory("graft_merge_").toString
