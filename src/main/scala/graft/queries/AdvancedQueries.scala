@@ -158,6 +158,31 @@ object AdvancedQueries {
         .orderBy(col("event_id"))
     },
 
+    // q62's point-in-interval semantics through the BROADCAST variant:
+    // the signup windows are dimension-sized, so they pack to one array
+    // per user and broadcast — the event stream is never shuffled and
+    // never explodes to bins. Oracle identical to q62's naive range SQL.
+    QueryDef.sql(
+      "q126_range_broadcast",
+      """SELECT s.event_id, CAST(COUNT(*) AS BIGINT) AS n_in_window
+        |FROM events s JOIN events e
+        |  ON e.user_id = s.user_id
+        |  AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 2 HOUR
+        |WHERE s.event_type = 'signup'
+        |GROUP BY s.event_id ORDER BY s.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val intervals = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOUR")).as("w_end"))
+      val points = ev.select(col("user_id"), col("ts"))
+      graft.ops.RangeJoin.pointInIntervalBroadcast(
+          points, intervals, "ts", "w_start", "w_end", keys = Seq("user_id"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_in_window"))
+        .orderBy(col("event_id"))
+    },
+
     // Custom kernels through the SQL surface: registered functions callable
     // from spark.sql; oracle replays the semantics in portable SQL.
     QueryDef.sql(
