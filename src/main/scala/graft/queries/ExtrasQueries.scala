@@ -140,6 +140,63 @@ object ExtrasQueries {
         .orderBy(col("event_type"))
     },
 
+    // Snapshot reconciliation: row-level diff of two table versions by
+    // key (adds / removes / payload changes via null-safe struct
+    // compare) — output is the drift, never the table. Oracle replays
+    // the FULL OUTER + IS DISTINCT FROM form.
+    QueryDef.sql(
+      "q127_table_diff",
+      """WITH b AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        |a AS (SELECT k, p + CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END AS p
+        |      FROM b WHERE k % 11 <> 0
+        |      UNION ALL SELECT k + 30000000, p FROM b WHERE k % 13 = 0),
+        |d AS (SELECT COALESCE(b.k, a.k) AS k,
+        |        CASE WHEN b.k IS NULL THEN 'added'
+        |             WHEN a.k IS NULL THEN 'removed'
+        |             WHEN a.p IS DISTINCT FROM b.p THEN 'changed' END AS status
+        |      FROM b FULL OUTER JOIN a ON b.k = a.k)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM d WHERE status IS NOT NULL GROUP BY status ORDER BY status""".stripMargin) { (s, d) =>
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      val after = base.filter(col("k") % 11 =!= 0)
+        .withColumn("p", col("p") + when(col("k") % 7 === 0, 1.0).otherwise(0.0))
+        .unionByName(base.filter(col("k") % 13 === 0)
+          .withColumn("k", col("k") + 30000000L))
+      graft.ops.TableDiff.diff(base, after, Seq("k"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
+    },
+
+    // Incremental view maintenance: fold a pre-aggregated delta batch
+    // into the silver aggregate table WITHOUT rescanning the base.
+    // Integer measures (count + cents) keep the additive fold exactly
+    // associative, so the maintained table is cell-identical to the
+    // full recompute the oracle runs.
+    QueryDef.sql(
+      "q128_silver_update",
+      """WITH base AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |delta AS (
+        |  SELECT yr, cents + 500 AS cents FROM base),
+        |unioned AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+        |SELECT yr, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents
+        |FROM unioned GROUP BY yr ORDER BY yr""".stripMargin) { (s, d) =>
+      val rows = Tables.orders(s, d)
+        .select(year(col("o_orderdate")).cast("int").as("yr"),
+          // explicit round: Spark's double->long cast truncates where
+          // DuckDB's rounds; price*100 sits epsilon under the integer
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("yr"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+      val silver = agg(rows)
+      val deltaBatch = rows.withColumn("cents", col("cents") + 500L)
+      graft.ops.TableDiff.mergeAdditive(silver, agg(deltaBatch), Seq("yr"))
+        .orderBy(col("yr"))
+    },
+
     // Semi-structured round trip through Spark 4's VARIANT type: nested
     // JSON (object + array) built from columns with to_json, ingested
     // with parse_json, fields extracted via typed variant_get paths —
