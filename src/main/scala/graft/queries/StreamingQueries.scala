@@ -125,6 +125,27 @@ object StreamingQueries {
         .orderBy(col("wstart"), col("event_type"))
     },
 
+    // Stream-static join: the event stream enriched against the customer
+    // →nation dimension (broadcast per micro-batch, no join state), then
+    // a watermarked windowed aggregate — the everyday streaming
+    // enrichment shape, completing the join matrix with q74/q115. On the
+    // bounded replay the emitted finalized windows equal the batch form.
+    QueryDef.sql(
+      "q129_stream_static_join",
+      """WITH dim AS (
+        |  SELECT c_custkey, n_name FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT time_bucket(INTERVAL 6 HOUR, e.ts) AS wstart, d.n_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(e.value), 2) AS total_value
+        |FROM events e JOIN dim d ON e.user_id = d.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val dim = Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      Events.enrichedCountsStreaming(s, d, dim, "c_custkey", "n_name")
+        .orderBy(col("wstart"), col("n_name"))
+    },
+
     // Running DISTINCT count over a window — a native Spark gap
     // (count(DISTINCT) OVER is unsupported) closed with the set-state
     // form: size(collect_set() OVER (... ROWS UNBOUNDED PRECEDING)).

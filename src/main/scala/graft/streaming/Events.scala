@@ -160,6 +160,32 @@ object Events {
     s2.table(name)
   }
 
+  /** Stream-static join — the third leg of the streaming join matrix
+    * (q74 inner stream-stream, q115 outer stream-stream): an unbounded
+    * event stream enriched against a STATIC dimension (re-resolved per
+    * micro-batch, broadcast — no state store involved), then a
+    * watermarked windowed aggregate. On a bounded replay the result
+    * equals the batch join+agg, which is the oracle.
+    */
+  def enrichedCountsStreaming(spark: SparkSession, sfDir: String, dim: DataFrame,
+      dimKey: String, labelCol: String, stateParts: Int = 8): DataFrame =
+    withStateParts(spark, stateParts) { s2 =>
+    val name = s"graft_events_enrich_${counter.incrementAndGet()}"
+    val enriched = streamEvents(s2, sfDir)
+      .withWatermark("ts", "1 hour")
+      .join(org.apache.spark.sql.functions.broadcast(dim),
+        col("user_id") === col(dimKey))
+      .groupBy(window(col("ts"), "6 hours"), col(labelCol))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("wstart"), col(labelCol), col("n"), col("total_value"))
+    // complete mode: the memory sink mirrors the full aggregate table,
+    // so trailing windows the watermark hasn't finalized still appear
+    // (q43's convention; append mode would withhold the last window)
+    val q = enriched.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s2.table(name)
+  }
+
   /** Streaming exact deduplication — the training-pipeline ingest shape:
     * emit the first event per key as it arrives, with WATERMARK-BOUNDED
     * state (dropDuplicatesWithinWatermark evicts keys older than the
