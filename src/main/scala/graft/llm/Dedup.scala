@@ -162,12 +162,14 @@ object Dedup {
       // the doc-freq guard join exists anyway — ride it to DICTIONARY-
       // ENCODE the surviving shingles, so the expensive self-join below
       // shuffles and compares 8-byte ints instead of n-gram strings.
-      // monotonically_increasing_id is partition-dependent, so the dict
-      // MUST be pinned (persist) or the self-join's two sides could see
-      // different encodings of the same shingle
-      val dict = inv0.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      // Ids come from the deterministic RowIndex primitive (rank in
+      // shingle order): a recompute after cache eviction reproduces the
+      // SAME encoding, so the self-join's two sides can never diverge
+      // (monotonically_increasing_id would be partition-dependent here)
+      val keep = inv0.groupBy(col("w")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDocFreq * total)
-        .select(col("w"), monotonically_increasing_id().as("__wid"))
+        .select(col("w"))
+      val dict = graft.ops.RowIndex.withRowIndex(keep, "__wid", Seq(col("w")))
         .persist()
       graft.ops.CacheRegistry.register(dict)
       inv0.join(dict, "w").select(col("id"), col("__wid").as("w"))
@@ -366,9 +368,15 @@ object Dedup {
     }
     edges.unpersist(blocking = false)
     pre.unpersist(blocking = false)
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds — " +
-        "a near-dup cluster has extreme diameter; raise maxIter")
+    if (!converged) {
+      labels.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "a near-dup cluster has extreme diameter; raise maxIter")
+    }
+    // the returned DataFrame is backed by the final cached label RDD —
+    // callers can't unpersist it, so bound its lifetime in the registry
+    graft.ops.CacheRegistry.registerRdd(labels)
     val out = spark.createDataFrame(
       labels.map { case (id, c) => org.apache.spark.sql.Row(id, c) },
       org.apache.spark.sql.types.StructType(Seq(

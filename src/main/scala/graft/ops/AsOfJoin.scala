@@ -145,10 +145,15 @@ object AsOfJoin {
       tolerance: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward", s"direction: $direction")
     val leftCols = left.columns.filterNot(keys.contains)
-    val rightCols = right.columns.filterNot(keys.contains).filterNot(_ == rightTime)
-    require(leftCols.intersect(rightCols :+ rightTime).isEmpty,
-      s"overlapping non-key columns: ${leftCols.intersect(rightCols :+ rightTime).mkString(",")}")
-    val series = right.groupBy(keys.map(col): _*)
+    // payload = ALL non-key right columns incl. rightTime (asOf's output
+    // contract: the matched row's own time column comes along)
+    val rightCols = right.columns.filterNot(keys.contains)
+    require(leftCols.intersect(rightCols).isEmpty,
+      s"overlapping non-key columns: ${leftCols.intersect(rightCols).mkString(",")}")
+    // NULL right times can never satisfy an inequality — drop them up
+    // front or they'd sort to the array head and shift every rank
+    val series = right.filter(col(rightTime).isNotNull)
+      .groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(struct(
         col(rightTime).as("__t"),
         struct(rightCols.map(col): _*).as("__p")))).as("__arr"))

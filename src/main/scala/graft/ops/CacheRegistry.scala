@@ -16,6 +16,7 @@ import org.apache.spark.sql.DataFrame
 object CacheRegistry {
   private val maxEntries = 8
   private val entries = new java.util.ArrayDeque[DataFrame]()
+  private val rddEntries = new java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]]()
 
   def register(df: DataFrame): DataFrame = synchronized {
     entries.addLast(df)
@@ -26,10 +27,25 @@ object CacheRegistry {
     df
   }
 
+  /** Same policy for operator-internal RDD persists (the CC label table). */
+  def registerRdd[T](rdd: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] =
+    synchronized {
+      rddEntries.addLast(rdd)
+      while (rddEntries.size() > maxEntries) {
+        try rddEntries.removeFirst().unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      }
+      rdd
+    }
+
   /** Release everything now (e.g. between bench passes). */
   def releaseAll(): Unit = synchronized {
     while (!entries.isEmpty) {
       try entries.removeFirst().unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
+    while (!rddEntries.isEmpty) {
+      try rddEntries.removeFirst().unpersist(blocking = false)
       catch { case _: Throwable => () }
     }
   }

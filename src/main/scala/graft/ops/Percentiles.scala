@@ -33,13 +33,14 @@ object Percentiles {
     require(ps.nonEmpty && ps.length == names.length)
     // one scan: NULL values keep their group key alive in the same pass
     // (a separate df.select(key).distinct() would rescan the base table
-    // just for the all-NULL-group edge); the counts frame is bounded by
-    // distinct values, so caching it is cheap
+    // just for the all-NULL-group edge). No persist — for a continuous
+    // measure the counts frame is ~table-sized; instead both consumers
+    // sit on the SAME aggregation subtree, so Catalyst's exchange reuse
+    // scans the base once and replays the shuffle output for the second
+    // branch.
     val counts0 = df
       .groupBy(col(keyCol), col(valCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__c"))
-      .persist()
-    CacheRegistry.register(counts0)
     val counts = counts0.filter(col("__v").isNotNull)
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
     val cum = counts

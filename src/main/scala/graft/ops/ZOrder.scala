@@ -78,11 +78,18 @@ object ZOrder {
   /** Z-cluster on quantile-NORMALIZED dimensions: every dim fills its
     * lane regardless of distribution or unit (the skew-proof form of
     * [[cluster]] — raw skewed dims would leave most of a lane empty and
-    * give that dim no effective locality).
+    * give that dim no effective locality). All dims' cutpoints come from
+    * ONE scan (the multi-column approxQuantile overload), so the whole
+    * rewrite costs two passes regardless of dimension count.
     */
   def clusterByQuantile(df: DataFrame, dims: Seq[String], numFiles: Int,
       bits: Int = 8): DataFrame = {
-    val ranked = dims.map(d => quantileRank(col(d), quantileCuts(df, d, bits)))
+    require(bits >= 1 && bits <= 10,
+      s"quantile normalization supports bits <= 10; got $bits")
+    val lanes = 1 << bits
+    val probs = (1 until lanes).map(_.toDouble / lanes).toArray
+    val allCuts = df.stat.approxQuantile(dims.toArray, probs, 0.001)
+    val ranked = dims.zip(allCuts).map { case (d, cuts) => quantileRank(col(d), cuts) }
     cluster(df, ranked, numFiles, bits)
   }
 }

@@ -67,9 +67,12 @@ object ArrowInterop {
     java.nio.file.Files.createDirectories(dir)
     // overwrite semantics: clear previous part files first, or a rewrite
     // that produces fewer batches leaves stale payloads the reader globs
-    // back in as duplicated/mixed data
-    java.nio.file.Files.list(dir).forEach { p =>
-      if (p.getFileName.toString.endsWith(".arrowbatch")) java.nio.file.Files.delete(p)
+    // back in as duplicated/mixed data. (Files.list holds a directory fd
+    // until closed — bracket it.)
+    scala.util.Using.resource(java.nio.file.Files.list(dir)) { s =>
+      s.forEach { p =>
+        if (p.getFileName.toString.endsWith(".arrowbatch")) java.nio.file.Files.delete(p)
+      }
     }
     java.nio.file.Files.writeString(dir.resolve("schema.json"), df.schema.json)
     // one FILE per batch payload: a partition can emit several IPC batch
@@ -115,8 +118,9 @@ object ArrowInterop {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     val dir = Paths.get(path)
-    val files = Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".arrowbatch")).toVector
+    val files = scala.util.Using.resource(Files.list(dir))(
+      _.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".arrowbatch")).toVector)
     if (files.isEmpty) return 0
     val total = files.map(Files.size).sum
     val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
@@ -127,12 +131,13 @@ object ArrowInterop {
     // swap: stale payloads out, consolidated payloads in, stage dir gone
     files.foreach(Files.delete)
     val tmpDir = Paths.get(tmp)
-    val moved = Files.list(tmpDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".arrowbatch"))
-      .map { p =>
-        Files.move(p, dir.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING)
-        1
-      }.sum
+    val moved = scala.util.Using.resource(Files.list(tmpDir))(
+      _.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".arrowbatch"))
+        .map { p =>
+          Files.move(p, dir.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING)
+          1
+        }.sum)
     Files.deleteIfExists(tmpDir.resolve("schema.json"))
     Files.deleteIfExists(tmpDir)
     moved

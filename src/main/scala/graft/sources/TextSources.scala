@@ -58,8 +58,10 @@ object TextSources {
       .schema(schema.add("_corrupt_record", "string"))
       .json(path)
       // Spark requires caching/materialization before filtering on the
-      // corrupt column alone (the parser must see the full row)
+      // corrupt column alone (the parser must see the full row); the
+      // registry bounds the cache's lifetime — the caller can't
       .cache()
+    graft.ops.CacheRegistry.register(withCorrupt)
     val good = withCorrupt.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
     val bad = withCorrupt.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw"))
