@@ -191,6 +191,171 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 
+  // ----------------------------------------------------------------- PQ
+
+  /** Train product-quantization codebooks (Jégou et al. 2011): vectors
+    * are L2-normalized (so L2 order ≡ cosine order: ‖a−b‖² = 2−2cos on
+    * unit vectors), split into `m` subvectors, and each subspace gets
+    * its own k-means codebook — trained driver-side on a bounded sample,
+    * the same index-build contract as [[ivfTrain]]. Returns m × k
+    * sub-centroids. PQ is the COMPRESSION leg of ANN: a 64-dim float
+    * vector becomes m small codes, so a 100 TB embedding corpus scans
+    * from a few bytes per row.
+    */
+  def pqTrain(corpus: DataFrame, m: Int, k: Int = 16, iters: Int = 8,
+      sampleSize: Int = 4096, idCol: String = "id",
+      vecCol: String = "vec"): Array[Array[Array[Double]]] = {
+    val sample = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(sampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val sub = d / m
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val pts = sample.map(normalize)
+    (0 until m).toArray.map { s =>
+      val subPts = pts.map(_.slice(s * sub, (s + 1) * sub))
+      var cents = subPts.map(_.toSeq).distinct.take(k).map(_.toArray)
+      require(cents.nonEmpty, "degenerate subspace")
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](sub))
+        val cnts = new Array[Long](cents.length)
+        subPts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var i = 0
+          while (i < cents.length) {
+            var dd = 0.0; var j = 0
+            while (j < sub) { val x = p(j) - cents(i)(j); dd += x * x; j += 1 }
+            if (dd < bestD) { bestD = dd; best = i }
+            i += 1
+          }
+          var j = 0
+          while (j < sub) { sums(best)(j) += p(j); j += 1 }
+          cnts(best) += 1
+        }
+        cents = cents.indices.map { i =>
+          if (cnts(i) == 0) cents(i) else sums(i).map(_ / cnts(i))
+        }.toArray
+      }
+      cents
+    }
+  }
+
+  /** L2-normalized copy of a vector column (unit sphere — zero vectors
+    * pass through unchanged).
+    */
+  def l2Normalize(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val n = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x))
+    when(n === 0.0, v).otherwise(transform(v, x => x / n))
+  }
+
+  private def subSliceDist(qSub: Column, centroid: Column): Column =
+    aggregate(zip_with(qSub, centroid, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** PQ code column: per subspace, the index of the nearest sub-centroid
+    * (argmin L2) — one codegen map pass, codebooks are broadcast
+    * literals. Input must already be normalized ([[l2Normalize]]).
+    */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    array((0 until m).map { s =>
+      val qSub = slice(vec, s * sub + 1, sub)
+      val scored = array(codebooks(s).indices.map { i =>
+        struct(lit(i).as("c"),
+          subSliceDist(qSub, typedLit(codebooks(s)(i).toSeq)).as("d"))
+      }: _*)
+      aggregate(scored,
+        struct(lit(-1).as("c"), lit(Double.MaxValue).as("d")),
+        (acc, x) => when(x.getField("d") < acc.getField("d"), x).otherwise(acc)
+      ).getField("c")
+    }: _*)
+  }
+
+  /** Asymmetric-distance PQ top-k: corpus rows carry only their codes;
+    * each (query, row) distance is Σ over subspaces of the exact
+    * query-subvector-to-sub-centroid distance selected by the row's code
+    * — the ADC scan. Queries broadcast; the ADC pass never shuffles the
+    * corpus and never rereads vectors.
+    *
+    * `rerank` > k engages the production IVF-PQ shape: the ADC scan
+    * produces a `rerank`-deep shortlist, whose TRUE vectors (only
+    * |Q|·rerank rows) are re-fetched for an exact-cosine re-rank to k —
+    * quantization error then only costs recall when a true neighbor
+    * falls outside the shortlist entirely. Approximate by construction
+    * → rows-only gate; the spec pins recall against brute force.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+      codebooks: Array[Array[Array[Double]]], k: Int, rerank: Int = 0,
+      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val kCents = codebooks.head.length
+    val encoded = corpus.select(col(idCol).as("nid"),
+      pqEncode(l2Normalize(col(vecCol)), codebooks).as("codes"))
+    // ADC lookup tables are computed DRIVER-side per query (|Q|·m·k
+    // doubles — queries are the bounded side, same contract as the
+    // broadcast in bruteForceTopK): the per-row distance then collapses
+    // to m table lookups instead of m sub-vector distance expressions,
+    // which keeps the scan inside a small codegen stage
+    val spark = queries.sparkSession
+    val qRows = queries
+      .select(col(idCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
+      .collect().map { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Double](1).toArray
+        val tab = new Array[Double](m * kCents)
+        var s = 0
+        while (s < m) {
+          var c = 0
+          while (c < kCents) {
+            var dd = 0.0; var j = 0
+            while (j < sub) {
+              val x = qv(s * sub + j) - codebooks(s)(c)(j); dd += x * x; j += 1
+            }
+            tab(s * kCents + c) = dd
+            c += 1
+          }
+          s += 1
+        }
+        org.apache.spark.sql.Row(qid, qv.toSeq, tab.toSeq)
+      }
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("qv",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType), false),
+      org.apache.spark.sql.types.StructField("tab",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType), false)))
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qSchema)
+    val dist = (0 until m).map { s =>
+      element_at(col("tab"), lit(s * kCents) + element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    val scored = encoded.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), dist.as("adist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid"))
+    val short = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= math.max(k, rerank)).drop("rn")
+    if (rerank <= k) short
+    else {
+      val nv = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nv"))
+      val exact = short.select(col("qid"), col("nid"))
+        .join(nv, "nid")
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+      val w2 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      exact.withColumn("rn", row_number().over(w2)).filter(col("rn") <= k).drop("rn")
+    }
+  }
+
   /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023, arXiv:
     * 2303.09540): cluster the corpus with the IVF coarse quantizer, score
     * cosine pairs WITHIN each cluster only, connect components, keep the

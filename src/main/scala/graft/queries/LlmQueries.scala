@@ -139,6 +139,24 @@ object LlmQueries {
         .orderBy(col("qid"), col("nid"))
     },
 
+    // Product-quantization ANN (IVF-PQ's compression leg): corpus rows
+    // carry only m=8 sub-codes after a one-pass codegen encode; the ADC
+    // scan over codes builds a 100-deep shortlist whose true vectors are
+    // exact-cosine re-ranked (the production IVF-PQ shape). Unit-sphere
+    // normalization makes PQ's L2 order equal cosine order, so q35 is
+    // the exact baseline. Approximate by construction → rows-only;
+    // LlmSpec pins recall vs brute force.
+    QueryDef.noOracle("q130_pq_topk") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val codebooks = Similarity.pqTrain(corpus, m = 8, k = 16)
+      Similarity.pqTopK(queries, corpus, codebooks, k = 5, rerank = 100)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("qid"), col("nid"))
+    },
+
     // Embedding-space near-duplicate pairs via SRP buckets.
     QueryDef.noOracle("q37_embedding_neardup") { (s, d) =>
       Similarity.cosineNearDupPairs(

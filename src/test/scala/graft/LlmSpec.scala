@@ -444,6 +444,34 @@ class LlmSpec extends SparkSpec {
     assert(covered === ('a' to 'j').map(c => s"w$c").toSet)
   }
 
+  test("PQ top-k: exact self-match at zero distance, recall floor vs brute force") {
+    import graft.llm.Similarity
+    val d = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, d)
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val codebooks = Similarity.pqTrain(corpus, m = 8, k = 16)
+    assert(codebooks.length === 8 && codebooks.forall(_.head.length === 8))
+    val pq = Similarity.pqTopK(queries, corpus, codebooks, k = 10, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // recall@10 over the query set: the ADC shortlist (100 deep) + exact
+    // re-rank must recover most true neighbors
+    val recalls = exact.keys.toSeq.map { q =>
+      pq(q).intersect(exact(q)).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean > 0.75, s"mean recall@10 $mean too low")
+    // determinism: same codebooks, same result
+    val pq2 = Similarity.pqTopK(queries, corpus, codebooks, k = 10, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq2 === pq.toSeq.flatMap { case (q, ns) => ns.toSeq.map((q, _)) }.toSet)
+  }
+
   test("semanticDedup equals the brute-force keep-list when groups are cluster-tight") {
     import spark.implicits._
     import graft.llm.{Dedup, Similarity}
