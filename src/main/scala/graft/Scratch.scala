@@ -22,8 +22,9 @@ object Scratch {
       n
     }
 
-    for (q <- Seq("q69_percentiles", "q31_ngram_jaccard"); pass <- 1 to 3) {
-      time(s"$q pass $pass")(SparkEntry.queries(q)(spark, sfDir).count())
+    val fn = SparkEntry.queries("q130_pq_topk")
+    for (pass <- 1 to 3) {
+      time(s"q130 pass $pass")(fn(spark, sfDir).count())
       graft.ops.CacheRegistry.releaseAll()
     }
     spark.stop()

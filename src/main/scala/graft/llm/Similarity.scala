@@ -298,8 +298,13 @@ object Similarity {
     val m = codebooks.length
     val sub = codebooks.head.head.length
     val kCents = codebooks.head.length
-    val encoded = corpus.select(col(idCol).as("nid"),
-      pqEncode(l2Normalize(col(vecCol)), codebooks).as("codes"))
+    // normalize in its OWN projection: pqEncode references its input
+    // inside m×k HOF lambdas, and a lambda re-evaluates captured
+    // expressions per element — inlining the (expensive) normalization
+    // there would multiply it m×k-fold per row
+    val encoded = corpus
+      .select(col(idCol).as("nid"), l2Normalize(col(vecCol)).as("__nv"))
+      .select(col("nid"), pqEncode(col("__nv"), codebooks).as("codes"))
     // ADC lookup tables are computed DRIVER-side per query (|Q|·m·k
     // doubles — queries are the bounded side, same contract as the
     // broadcast in bruteForceTopK): the per-row distance then collapses
