@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** Scratch profiling main (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq("q113_semantic_dedup")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -22,10 +23,12 @@ object Scratch {
       n
     }
 
-    val fn = SparkEntry.queries("q130_pq_topk")
-    for (pass <- 1 to 3) {
-      time(s"q130 pass $pass")(fn(spark, sfDir).count())
-      graft.ops.CacheRegistry.releaseAll()
+    for (name <- names) {
+      val fn = SparkEntry.queries(name)
+      for (pass <- 1 to 3) {
+        time(s"$name pass $pass")(fn(spark, sfDir).count())
+        graft.ops.CacheRegistry.releaseAll()
+      }
     }
     spark.stop()
   }

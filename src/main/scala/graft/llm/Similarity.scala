@@ -349,7 +349,12 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid"))
     val short = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= math.max(k, rerank)).drop("rn")
-    if (rerank <= k) short
+    // uniform output contract regardless of the rerank knob: (qid, nid,
+    // cos) with higher-is-closer. On unit vectors ‖a−b‖² = 2−2cos, so the
+    // ADC distance converts exactly — without this, tuning rerank would
+    // silently swap the score column and its ordering semantics
+    if (rerank <= k)
+      short.select(col("qid"), col("nid"), (lit(1.0) - col("adist") / 2).as("cos"))
     else {
       val nv = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nv"))
       val exact = short.select(col("qid"), col("nid"))
@@ -359,6 +364,95 @@ object Similarity {
       val w2 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
       exact.withColumn("rn", row_number().over(w2)).filter(col("rn") <= k).drop("rn")
     }
+  }
+
+  /** IVF-PQ search — the production 100 TB ANN shape (Jégou et al. 2011,
+    * §IV; the composition of [[ivfTopK]]'s cell pruning with [[pqTopK]]'s
+    * compressed ADC scan). The corpus is indexed once per call in a single
+    * map-side codegen pass (coarse cell + PQ codes, both from broadcast
+    * literal codebooks — at rest this is the index you'd write partitioned
+    * by cell, turning the probe into partition pruning). Per query,
+    * driver-side prep (bounded by the |Q|-is-small broadcast contract)
+    * yields the ADC lookup table and the `nProbe` nearest cells; the ADC
+    * scan then touches ONLY rows in probed cells, and the `rerank`-deep
+    * shortlist's true vectors (|Q|·rerank rows) get an exact-cosine
+    * re-rank to k. The corpus is never shuffled and full vectors are only
+    * read for the shortlist.
+    *
+    * Output: (qid, nid, cos), same contract as every other ANN path here.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+      centroids: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      k: Int, nProbe: Int, rerank: Int = 0,
+      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val kCents = codebooks.head.length
+    // index pass: normalization materialized in its own projection (HOF
+    // lambdas re-evaluate captured expressions per element — see pqTopK)
+    val encoded = corpus
+      .select(col(idCol).as("nid"), l2Normalize(col(vecCol)).as("__nv"),
+        ivfCell(col(vecCol), centroids).as("cell"))
+      .select(col("nid"), col("cell"), pqEncode(col("__nv"), codebooks).as("codes"))
+    val spark = queries.sparkSession
+    // one broadcast row per (query, probed cell): ADC table + normalized
+    // query vector ride along so the scan and the re-rank both join on it
+    val qRows = queries
+      .select(col(idCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
+      .collect().flatMap { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Double](1).toArray
+        val tab = new Array[Double](m * kCents)
+        var s = 0
+        while (s < m) {
+          var c = 0
+          while (c < kCents) {
+            var dd = 0.0; var j = 0
+            while (j < sub) {
+              val x = qv(s * sub + j) - codebooks(s)(c)(j); dd += x * x; j += 1
+            }
+            tab(s * kCents + c) = dd
+            c += 1
+          }
+          s += 1
+        }
+        // qv is unit-norm and ivfTrain centroids are unit-norm, so the
+        // dot IS the cosine — same cell ordering as ivfCell/ivfTopK
+        val probed = centroids.indices.map { i =>
+          var d = 0.0; var j = 0
+          while (j < qv.length) { d += qv(j) * centroids(i)(j); j += 1 }
+          (i, d)
+        }.sortBy { case (i, d) => (-d, i) }.take(nProbe).map(_._1)
+        probed.map(cell => org.apache.spark.sql.Row(qid, cell, qv.toSeq, tab.toSeq))
+      }
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType, false),
+      org.apache.spark.sql.types.StructField("qv",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType), false),
+      org.apache.spark.sql.types.StructField("tab",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType), false)))
+    val q = spark.createDataFrame(java.util.Arrays.asList(qRows: _*), qSchema)
+    val dist = (0 until m).map { s =>
+      element_at(col("tab"), lit(s * kCents) + element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    // probed-cells-only ADC scan: the broadcast hash join on cell drops
+    // every unprobed cell at the scan, no shuffle of the corpus
+    val scored = encoded.join(broadcast(q.select(col("cell"), col("qid"), col("tab"))), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), dist.as("adist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid"))
+    val short = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= math.max(k, rerank)).drop("rn")
+    // exact-cosine re-rank over the shortlist's true vectors
+    val nv = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nv"))
+    val qvOnly = q.select(col("qid"), col("qv")).dropDuplicates("qid")
+    val exact = short.select(col("qid"), col("nid"))
+      .join(nv, "nid")
+      .join(broadcast(qvOnly), "qid")
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    exact.withColumn("rn", row_number().over(w2)).filter(col("rn") <= k).drop("rn")
   }
 
   /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023, arXiv:
@@ -381,12 +475,21 @@ object Similarity {
         ivfCell(col(vecCol), centroids).as("cell"))
       .persist()
     graft.ops.CacheRegistry.register(assigned)
-    val l = assigned.select(col("cell"), col("id").as("id1"), col("v").as("v1"))
-    val r = assigned.select(col("cell"), col("id").as("id2"), col("v").as("v2"))
-    val pairs = l.join(r, Seq("cell")).filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cos"))
-      .filter(col("cos") >= threshold)
-      .select(col("id1"), col("id2"))
+    // Shuffle-shape note (measured, sf0.1): the within-cell pair count is
+    // P = Σ|cell|² ≫ N, so the lshTopK pattern (id-only candidates, then
+    // re-attach vectors by id) is WRONG here — it exchanges P pair rows
+    // twice and carries v1 through the second join, strictly more vector
+    // bytes than exchanging the corpus once. Instead the two sides of the
+    // cell self-join are the SAME canonicalized plan (one aliased frame),
+    // so Catalyst's exchange reuse ships the corpus through ONE exchange;
+    // pair enumeration, cosine, and the threshold filter all happen inside
+    // the join stage — candidate pairs never shuffle, and only the
+    // (id1, id2) survivors leave the stage (the CC input).
+    val self = assigned.select(col("cell"), col("id"), col("v"))
+    val pairs = self.as("l").join(self.as("r"),
+        col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+      .filter(cosine(col("l.v"), col("r.v")) >= threshold)
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
     val comp = Dedup.connectedComponents(pairs)
     assigned.select(col("id"))
       .join(comp, Seq("id"), "left")

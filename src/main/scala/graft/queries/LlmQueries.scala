@@ -157,6 +157,25 @@ object LlmQueries {
         .orderBy(col("qid"), col("nid"))
     },
 
+    // IVF-PQ: the production ANN composition — coarse cells prune the
+    // scan (only nProbe cells per query are touched), PQ codes compress
+    // what remains (ADC scan over m=8 sub-codes), exact-cosine re-rank
+    // of the shortlist. Approximate by construction → rows-only; LlmSpec
+    // pins full-probe == flat-PQ identity and a recall floor vs brute
+    // force at the gate's partial-probe budget.
+    QueryDef.noOracle("q131_ivfpq_topk") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val centroids = Similarity.ivfTrain(corpus, k = 16)
+      val codebooks = Similarity.pqTrain(corpus, m = 8, k = 16)
+      Similarity.ivfPqTopK(queries, corpus, centroids, codebooks,
+          k = 5, nProbe = 4, rerank = 50)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("qid"), col("nid"))
+    },
+
     // Embedding-space near-duplicate pairs via SRP buckets.
     QueryDef.noOracle("q37_embedding_neardup") { (s, d) =>
       Similarity.cosineNearDupPairs(

@@ -472,6 +472,39 @@ class LlmSpec extends SparkSpec {
     assert(pq2 === pq.toSeq.flatMap { case (q, ns) => ns.toSeq.map((q, _)) }.toSet)
   }
 
+  test("IVF-PQ: full probe equals flat PQ; partial probe holds the recall floor") {
+    import graft.llm.Similarity
+    val d = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, d)
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val nCells = 16
+    val centroids = Similarity.ivfTrain(corpus, k = nCells)
+    val codebooks = Similarity.pqTrain(corpus, m = 8, k = 16)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    // probing EVERY cell scans the whole corpus -> identical shortlist,
+    // identical re-rank: ivfPqTopK degenerates to flat pqTopK exactly
+    val full = Similarity.ivfPqTopK(queries, corpus, centroids, codebooks,
+      k = 10, nProbe = nCells, rerank = 100).collect().map(key).toSet
+    val flat = Similarity.pqTopK(queries, corpus, codebooks,
+      k = 10, rerank = 100).collect().map(key).toSet
+    assert(full === flat, "full-probe IVF-PQ must equal flat PQ")
+    // partial probe at the gate's budget: recall@10 vs brute force must
+    // not collapse (cell pruning only loses neighbors whose cell was not
+    // probed; the codebook error is already covered by the flat-PQ floor)
+    val part = Similarity.ivfPqTopK(queries, corpus, centroids, codebooks,
+        k = 10, nProbe = 4, rerank = 100)
+      .collect().map(key).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 10)
+      .collect().map(key).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.toSeq.map { q =>
+      part.getOrElse(q, Set.empty[Long]).intersect(exact(q)).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean > 0.6, s"mean recall@10 $mean too low for nProbe=4/$nCells")
+  }
+
   test("semanticDedup equals the brute-force keep-list when groups are cluster-tight") {
     import spark.implicits._
     import graft.llm.{Dedup, Similarity}
