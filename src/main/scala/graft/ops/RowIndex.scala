@@ -57,9 +57,14 @@ object RowIndex {
       postSort: DataFrame => DataFrame = identity): (DataFrame, Seq[(Int, Long)]) = {
     require(order.nonEmpty, "positional ops need explicit order keys (distributed tables have no inherent order)")
     val spark = df.sparkSession
-    val n = if (numPartitions > 0) numPartitions else spark.sessionState.conf.numShufflePartitions
-    val ranged = postSort(df
-      .repartitionByRange(n, order: _*)
+    // numPartitions == 0 leaves the count UNPINNED (plain repartitionByRange):
+    // AQE then coalesces adjacent range partitions to its advisory size, so a
+    // small input collapses to a few tasks while a 100 TB one still fans out
+    // to the full shuffle width — an explicit n would disable that coalesce.
+    // Adjacent-merge preserves the global range order the id mint relies on.
+    val ranged = postSort((
+        if (numPartitions > 0) df.repartitionByRange(numPartitions, order: _*)
+        else df.repartitionByRange(order: _*))
       .sortWithinPartitions(order: _*))
       .withColumn(pidCol, spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -78,6 +83,25 @@ object RowIndex {
       idxName: String,
       order: Seq[Column],
       numPartitions: Int = 0): DataFrame = {
+    // Cost-based fast path, same decision rule as Spark's own broadcast
+    // planning: when the caller didn't pin a partition count and the
+    // optimizer's size estimate says the input is dimension-sized (under
+    // autoBroadcastJoinThreshold), the two-pass shape is pure overhead —
+    // its range-boundary sampling job and offsets job each cost more than
+    // sorting the whole input in one task. coalesce(1) keeps it a single
+    // narrow stage (no shuffle at all); the id mint on one sorted
+    // partition IS the global index. Above the threshold (any real
+    // corpus) the distributed two-pass path below is unchanged.
+    if (numPartitions == 0) {
+      val conf = df.sparkSession.sessionState.conf
+      val stats = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (conf.autoBroadcastJoinThreshold > 0 &&
+          stats <= conf.autoBroadcastJoinThreshold) {
+        require(order.nonEmpty, "positional ops need explicit order keys (distributed tables have no inherent order)")
+        return df.coalesce(1).sortWithinPartitions(order: _*)
+          .withColumn(idxName, monotonically_increasing_id())
+      }
+    }
     // the id must be minted AFTER the range shuffle + sort: its lower bits
     // are the per-SORTED-partition counter that serves as the local rank
     val (ranged, offsets) = rangedWithOffsets(
