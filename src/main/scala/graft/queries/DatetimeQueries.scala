@@ -106,6 +106,49 @@ object DatetimeQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // Interval(MonthDaysNs) — Arrow's three-field month/day/nanosecond
+    // interval (time_units.rs:71), which Spark's two-family ANSI intervals
+    // can't carry losslessly: struct-backed (months, days, nanos) with
+    // field-wise make/add/negate/scale and a calendar-correct timestamp
+    // shift (months with end-of-month clamping, then days, then nanos
+    // truncated to µs at the timestamp boundary). DuckDB's INTERVAL is the
+    // SAME triple at µs precision, so the oracle replays every op
+    // natively; the gate keeps nanos on multiples of 1000 so the ns→µs
+    // boundary is exact both sides. Projection-only: codegen, shuffle-free.
+    QueryDef.sql(
+      "q132_interval_mdn",
+      """SELECT o_orderkey,
+        |  CAST((o_orderkey % 7) * 2 + 1 AS INT) AS months,
+        |  CAST((o_orderkey % 29) * 2 + 2 AS INT) AS days,
+        |  CAST(((o_orderkey % 86400) * 1000000 + 45000) * 2 + 3000 AS BIGINT) AS nanos,
+        |  CAST(o_orderdate AS TIMESTAMP)
+        |    + to_months(CAST((o_orderkey % 7) * 2 + 1 AS INT))
+        |    + to_days(CAST((o_orderkey % 29) * 2 + 2 AS INT))
+        |    + to_microseconds((CAST((o_orderkey % 86400) * 1000000 + 45000 AS BIGINT) * 2 + 3000) // CAST(1000 AS BIGINT)) AS shifted,
+        |  CAST(o_orderdate AS TIMESTAMP)
+        |    + to_months(CAST(-(o_orderkey % 7) AS INT))
+        |    + to_days(CAST(-(o_orderkey % 29) AS INT))
+        |    + to_microseconds(-(CAST((o_orderkey % 86400) * 1000000 + 45000 AS BIGINT)) // CAST(1000 AS BIGINT)) AS shifted_back
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import graft.ops.Intervals
+      val base = Intervals.monthDayNano(
+        col("o_orderkey") % 7,
+        col("o_orderkey") % 29,
+        (col("o_orderkey") % 86400) * 1000000L + 45000L)
+      val itv = Intervals.mdnAdd(
+        Intervals.mdnScale(base, lit(2)),
+        Intervals.monthDayNano(lit(1), lit(2), lit(3000L)))
+      Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          itv.getField("months").as("months"),
+          itv.getField("days").as("days"),
+          itv.getField("nanos").as("nanos"),
+          Intervals.mdnShift(col("o_orderdate"), itv).as("shifted"),
+          Intervals.mdnShift(col("o_orderdate"), Intervals.mdnNegate(base)).as("shifted_back"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Tumbling-window aggregation over the event stream's time column —
     // batch form of the streaming windowed agg (SURVEY.md §2.11); the same
     // date_trunc bucketing runs under Structured Streaming in

@@ -159,4 +159,33 @@ class DatetimeSpec extends SparkSpec {
     assert(col1[Long](p.select(TimeOfDay.microsOfDay(
       TimeOfDay.truncTo("MINUTE", col("t"))))) === Seq(Some(47100000000L)))
   }
+
+  test("MonthDayNano interval: no field carry, negatives, EOM clamp, ns->us truncation") {
+    import graft.ops.Intervals
+    val df = tsDf(Seq(Some("2024-01-31 12:00:00")))
+    // fields stay independent: 1 month + 40 days + 25h-of-ns does NOT
+    // normalize (Arrow MonthDayNano semantics)
+    val big = Intervals.monthDayNano(lit(1), lit(40), lit(25L * 3600L * 1000000000L))
+    val fields = df.select(
+      big.getField("months"), big.getField("days"), big.getField("nanos")).head
+    assert((fields.getInt(0), fields.getInt(1), fields.getLong(2)) ===
+      ((1, 40, 90000000000000L)))
+    // shift applies months first (EOM clamp: Jan 31 + 1m = Feb 29 in a
+    // leap year), then days, then nanos
+    val shifted = col1[java.sql.Timestamp](df.select(
+      Intervals.mdnShift(col("t"), big))).head.get
+    assert(shifted === java.sql.Timestamp.valueOf("2024-04-10 13:00:00"))
+    // add/scale/negate are field-wise; subtracting a scaled copy returns
+    // to a pure negative of the base
+    val b = Intervals.monthDayNano(lit(2), lit(3), lit(4000L))
+    val combo = Intervals.mdnSubtract(b, Intervals.mdnScale(b, lit(2)))
+    val cf = df.select(combo.getField("months"), combo.getField("days"),
+      combo.getField("nanos")).head
+    assert((cf.getInt(0), cf.getInt(1), cf.getLong(2)) === ((-2, -3, -4000L)))
+    // negative ns truncate toward zero at the us boundary: -1500ns -> -1us
+    val tiny = Intervals.monthDayNano(lit(0), lit(0), lit(-1500L))
+    val back = col1[java.sql.Timestamp](df.select(
+      Intervals.mdnShift(col("t"), tiny))).head.get
+    assert(back === java.sql.Timestamp.valueOf("2024-01-31 11:59:59.999999"))
+  }
 }
