@@ -133,9 +133,10 @@ object AsOfJoin {
     * sorts, and stays in one codegen stage end to end.
     *
     * Same output contract as [[asOf]] (left columns + nullable right
-    * payload, inclusive matches both directions). Requires (keys,
-    * rightTime) unique on the right (merge_asof's dedup precondition) so
-    * the match is well-defined. Per-row cost is O(|series per key|) —
+    * payload, inclusive matches both directions; null keys match the
+    * null-key series group, as in the window/physical plans — the join
+    * is null-safe). Requires (keys, rightTime) unique on the right
+    * (merge_asof's dedup precondition) so the match is well-defined. Per-row cost is O(|series per key|) —
     * the broadcast bound (a few MB per key list) is the operator's
     * admission contract, exactly like any broadcast join.
     */
@@ -157,8 +158,15 @@ object AsOfJoin {
       .agg(sort_array(collect_list(struct(
         col(rightTime).as("__t"),
         struct(rightCols.map(col): _*).as("__p")))).as("__arr"))
+      // rename series keys so the join can use NULL-SAFE equality: the
+      // window/physical asOf plans group null keys together (null left
+      // rows match the null-key series), and a plain equi-join here would
+      // silently diverge from them on exactly those rows
+      .select(keys.map(k => col(k).as(s"__k_$k")) :+ col("__arr"): _*)
     val lt = col(leftTime)
-    val joined = left.join(broadcast(series), keys, "left")
+    val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+    val joined = left.join(broadcast(series), cond, "left")
+      .drop(keys.map(k => s"__k_$k"): _*)
     // backward: last element with __t <= lt == element at rank |{__t <= lt}|;
     // forward: first element with __t >= lt == element at rank |{__t < lt}|+1
     val (rank, ok) =

@@ -17,10 +17,25 @@ object TableDiff {
     * the output is the (small) drift, never the table. Payload equality
     * is null-safe struct comparison — no serialization, no hashing
     * collisions. One full-outer shuffle on the keys.
+    *
+    * PRECONDITION: `keys` must uniquely identify a row on EACH side
+    * (same as [[AsOfJoin.asOfBroadcast]]'s dedup precondition) —
+    * duplicate keys would turn the full-outer join into a per-key
+    * cartesian with contradictory status rows. Not checked by default
+    * (a check costs two aggregate passes over 100 TB); pass
+    * `checkUniqueKeys = true` to pay for the assertion.
     */
-  def diff(before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame = {
+  def diff(before: DataFrame, after: DataFrame, keys: Seq[String],
+      checkUniqueKeys: Boolean = false): DataFrame = {
     require(before.columns.sorted.sameElements(after.columns.sorted),
       s"schemas differ: ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
+    if (checkUniqueKeys) {
+      for ((df, side) <- Seq((before, "before"), (after, "after"))) {
+        val dup = df.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"diff keys not unique on $side side, e.g. ${dup.head.toSeq.init.mkString(",")}")
+      }
+    }
     val payload = before.columns.filterNot(keys.contains).sorted
     def packed(df: DataFrame, name: String) = df.select(
       keys.map(col) :+ struct(payload.map(col): _*).as(name): _*)

@@ -169,35 +169,70 @@ object StreamingQueries {
     },
 
     // Per-key EWMA (half-life decay) — exponential-decay event features,
-    // the smoothing sibling of q59's sliding windows. One shuffle on
-    // user_id, then pure ordered-window arithmetic. The telescoped form
-    // ewma_r = Σ x_i·2^i / Σ 2^i (the 2^{-r} scale cancels) needs no
-    // per-row renormalization; with half-life decay every op (2^i is an
-    // exact double for i ≤ 1023, IEEE ×,+,/ are bit-specified, ordered
-    // running sums are sequential in both engines) is bit-identical to
-    // the oracle.
+    // the smoothing sibling of q59's sliding windows. The naive telescoped
+    // form Σ x_i·2^i / Σ 2^i overflows pow(2,i) to Inf at i ≥ 1024 (NaN
+    // tails for any key with >1024 events — at corpus scale, every active
+    // key). BOUNDED-EXPONENT reformulation: block the index (B = 32, so
+    // exponents stay ≤ 2^31 forever), keep the sequential running sums
+    // with block-LOCAL exponents, and fold in the two previous blocks'
+    // totals scaled by 2^-32 / 2^-64 — power-of-two scaling is exact in
+    // IEEE, the lag windows are per-key, and terms older than 3 blocks
+    // (decay < 2^-64, invisible at round-6) drop identically on both
+    // engines. Block totals come from max_by of the RUNNING sum, never an
+    // unordered GROUP-BY float sum, so every addition stays sequential
+    // and the oracle is bit-exact. Still one logical shape: windows and
+    // the block join all partition by user_id.
     QueryDef.sql(
       "q118_ewma",
       """WITH r AS (
         |  SELECT event_id, user_id, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i
-        |  FROM events)
+        |  FROM events),
+        |r2 AS (
+        |  SELECT *, i // CAST(32 AS BIGINT) AS b, CAST(i % 32 AS DOUBLE) AS e FROM r),
+        |run AS (
+        |  SELECT *,
+        |    SUM(value * pow(2.0, e)) OVER w AS s,
+        |    SUM(pow(2.0, e)) OVER w AS t
+        |  FROM r2 WINDOW w AS (PARTITION BY user_id, b ORDER BY i)),
+        |blk AS (
+        |  SELECT user_id, b, max_by(s, i) AS sb, max_by(t, i) AS tb
+        |  FROM run GROUP BY user_id, b),
+        |lagged AS (
+        |  SELECT user_id, b,
+        |    lag(sb, 1) OVER wb AS sp1, lag(tb, 1) OVER wb AS tp1,
+        |    lag(sb, 2) OVER wb AS sp2, lag(tb, 2) OVER wb AS tp2
+        |  FROM blk WINDOW wb AS (PARTITION BY user_id ORDER BY b))
         |SELECT event_id, user_id,
-        |  ROUND(SUM(value * pow(2.0, CAST(i AS DOUBLE))) OVER w
-        |      / SUM(pow(2.0, CAST(i AS DOUBLE))) OVER w, 6) AS ewma
-        |FROM r
-        |WINDOW w AS (PARTITION BY user_id ORDER BY i)
+        |  ROUND((s + COALESCE(sp1, 0) * pow(2.0, -32.0) + COALESCE(sp2, 0) * pow(2.0, -64.0))
+        |      / (t + COALESCE(tp1, 0) * pow(2.0, -32.0) + COALESCE(tp2, 0) * pow(2.0, -64.0)), 6) AS ewma
+        |FROM run JOIN lagged USING (user_id, b)
         |ORDER BY user_id, i""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val wOrder = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val wRun = Window.partitionBy(col("user_id")).orderBy(col("i"))
-      Tables.events(s, d)
+      val wRun = Window.partitionBy(col("user_id"), col("b")).orderBy(col("i"))
+      val wb = Window.partitionBy(col("user_id")).orderBy(col("b"))
+      val run = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
         .withColumn("i", (row_number().over(wOrder) - 1).cast("long"))
-        .withColumn("u", pow(lit(2.0), col("i").cast("double")))
+        .withColumn("b", (col("i") / 32).cast("long"))
+        .withColumn("e", (col("i") % 32).cast("double"))
+        .withColumn("u", pow(lit(2.0), col("e")))
+        .withColumn("s", sum(col("value") * col("u")).over(wRun))
+        .withColumn("t", sum(col("u")).over(wRun))
+      val blk = run.groupBy(col("user_id"), col("b"))
+        .agg(max_by(col("s"), col("i")).as("sb"), max_by(col("t"), col("i")).as("tb"))
+        .select(col("user_id"), col("b"),
+          lag(col("sb"), 1).over(wb).as("sp1"), lag(col("tb"), 1).over(wb).as("tp1"),
+          lag(col("sb"), 2).over(wb).as("sp2"), lag(col("tb"), 2).over(wb).as("tp2"))
+      val c32 = pow(lit(2.0), lit(-32.0))
+      val c64 = pow(lit(2.0), lit(-64.0))
+      run.join(blk, Seq("user_id", "b"))
         .select(col("event_id"), col("user_id"), col("i"),
-          round(sum(col("value") * col("u")).over(wRun) / sum(col("u")).over(wRun), 6)
-            .as("ewma"))
+          round((col("s") + coalesce(col("sp1"), lit(0.0)) * c32
+              + coalesce(col("sp2"), lit(0.0)) * c64)
+            / (col("t") + coalesce(col("tp1"), lit(0.0)) * c32
+              + coalesce(col("tp2"), lit(0.0)) * c64), 6).as("ewma"))
         .orderBy(col("user_id"), col("i"))
         .select(col("event_id"), col("user_id"), col("ewma"))
     },

@@ -76,14 +76,23 @@ object Sinks {
       .filter(col(partitionCol).isin(affected.toIndexedSeq: _*))
     val merged = updates.unionByName(
       target.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"))
-    // the write overwrites partitions the plan is READING — materialize
-    // the merged working set (bounded by the affected partitions) so the
-    // write doesn't race its own source
-    val snap = merged.localCheckpoint()
-    snap.write.mode("overwrite")
+    // the overwrite replaces partitions the merge plan READS, so the
+    // merged working set must be materialized first — and DURABLY: an
+    // unreplicated localCheckpoint would make the merged rows' only copy
+    // an executor's local blocks, so losing one mid-overwrite strands the
+    // table with no recovery source. Stage to a sibling directory instead
+    // (the compactBatchDir pattern): the overwrite then sources from
+    // at-rest parquet independent of the rows it replaces, and a crash
+    // mid-commit is replayable from the stage.
+    val stage = path.stripSuffix("/") + ".__graft_merge_stage"
+    merged.write.mode("overwrite").parquet(stage)
+    spark.read.parquet(stage).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
 
   /** Manifest-pruned read: keep only files whose [min,max] range on `c`
@@ -96,15 +105,25 @@ object Sinks {
     */
   def readPruned(spark: SparkSession, path: String, c: String, lo: Long, hi: Long): DataFrame = {
     import org.apache.spark.sql.functions._
-    require(lo <= hi, s"empty range [$lo, $hi]")
-    val m = statsManifest(spark, path, Seq(c))
-      .select(col("file"), col(s"min_$c").cast("long"), col(s"max_$c").cast("long"))
-      .collect()
-    val keep = m.filter { r =>
-      r.isNullAt(1) || r.isNullAt(2) || !(r.getLong(2) < lo || r.getLong(1) > hi)
-    }.map(_.getString(0))
+    val keep = prunedFiles(spark, path, c, lo, hi).collect().map(_.getString(0))
     val base = if (keep.isEmpty) spark.read.parquet(path).limit(0)
       else spark.read.parquet(keep.toIndexedSeq: _*)
     base.filter(col(c).between(lo, hi))
+  }
+
+  /** Surviving file paths for a range predicate — the overlap test runs
+    * as a DISTRIBUTED filter over the manifest DataFrame, so the driver
+    * only ever materializes files the scan plan will actually read
+    * (bounded by predicate selectivity, the Delta/Iceberg planning
+    * contract), never the full million-file listing with its stats.
+    */
+  def prunedFiles(spark: SparkSession, path: String, c: String, lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val mn = col(s"min_$c").cast("long")
+    val mx = col(s"max_$c").cast("long")
+    statsManifest(spark, path, Seq(c))
+      .filter(mn.isNull || mx.isNull || !(mx < lo || mn > hi))
+      .select(col("file"))
   }
 }

@@ -112,4 +112,37 @@ class OpsSpec extends SparkSpec {
     val rendered = Introspect.render(df, 5)
     assert(rendered.contains("id | s") && rendered.contains("1 | a"))
   }
+
+  test("asOf plans agree on NULL keys (broadcast joins null-safe)") {
+    import graft.ops.AsOfJoin
+    val left = Seq((Some(1L), 100L, "l1"), (None, 100L, "l2"), (Some(2L), 50L, "l3"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((Some(1L), 90L, 1.0), (None, 80L, 2.0), (Some(2L), 60L, 3.0))
+      .toDF("k", "rts", "price")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(2), if (r.isNullAt(3)) None else Some(r.getDouble(r.fieldIndex("price"))))
+    val win = AsOfJoin.asOf(left, right, "ts", "rts", Seq("k"))
+      .select(col("tag"), col("price")).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    val bc = AsOfJoin.asOfBroadcast(left, right, "ts", "rts", Seq("k"))
+      .select(col("tag"), col("price")).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    assert(bc === win)
+    // the null-key left row matches the null-key series row
+    assert(bc.contains(("l2", Some(2.0))))
+  }
+
+  test("TableDiff.diff duplicate-key guard trips only when asked") {
+    import graft.ops.TableDiff
+    val a = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("id", "v")
+    val b = Seq((1L, "x"), (2L, "z")).toDF("id", "v")
+    // default: documented precondition, no scan spent on checking
+    TableDiff.diff(a, b, Seq("id")).collect()
+    val e = intercept[IllegalArgumentException] {
+      TableDiff.diff(a, b, Seq("id"), checkUniqueKeys = true).collect()
+    }
+    assert(e.getMessage.contains("not unique"))
+    // unique keys pass the guard
+    assert(TableDiff.diff(b, b, Seq("id"), checkUniqueKeys = true).count() === 0L)
+  }
 }

