@@ -115,13 +115,20 @@ object Dedup {
     * candidates, so callers pay for exactly the radius they ask for.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    simHashPairsFromSigs(
+      df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig")), maxHamming)
+
+  /** Pigeonhole pairing over a prebuilt (id, sig: long) frame — shared by
+    * the production kernel signature ([[simHash]]) and the portable md5
+    * signature ([[simHashMd5Sigs]]).
+    */
+  def simHashPairsFromSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in [0, 64): $maxHamming")
     val nChunks = maxHamming + 1
     // 64 bits split as evenly as possible: first (64 % n) chunks get an extra bit
     val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _).init
-    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until nChunks).map { b =>
         val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
@@ -137,6 +144,57 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** ENGINE-PORTABLE 64-bit SimHash over distinct lowercase word tokens:
+    * per token the bit source is md5 split into two 32-bit halves (hex
+    * digits 1-8 / 9-16) — md5 is identical in every engine and 32-bit
+    * values keep ALL arithmetic exact in doubles, so an oracle can replay
+    * the signature digit-for-digit (the role the splitmix64 kernel in
+    * [[simHash]] cannot fill: no engine-neutral 64-bit wrapping ops).
+    * Bit b of the signature is sign(Σ_tokens (2·bit_b(token) − 1)) with
+    * ties → 0. Docs with zero tokens carry no signal and are EXCLUDED
+    * (mirrors the letterless-phantom rule in ngramJaccardPairs).
+    *
+    * Shape: everything up to the pair join is per-doc map-side HOF
+    * folds — tokens never shuffle, only (id, sig) pairs enter banding.
+    */
+  def simHashMd5Sigs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = array_distinct(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
+    // md5 halves materialized in their own projection: the 64-bit fold
+    // below references them 64×, and HOF lambdas re-evaluate captured
+    // EXPRESSIONS per element (CollapseProject spares multi-use aliases)
+    val hashed = df
+      .select(col(idCol).as("id"), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("id"), transform(col("__toks"), t => {
+        val h = md5(t.cast("binary"))
+        struct(
+          conv(substring(h, 1, 8), 16, 10).cast("long").as("hi"),
+          conv(substring(h, 9, 8), 16, 10).cast("long").as("lo"))
+      }).as("__hs"))
+    // bit b of a 32-bit half via floor(h / 2^b) % 2 — all exact in f64
+    // (the identical formula the oracle uses; avoids column-shift ops)
+    def bitOf(h: Column, b: Column): Column =
+      (floor(h / pow(lit(2.0), b.cast("double"))).cast("long") % 2)
+    val bits = transform(sequence(lit(0), lit(63)), b => {
+      val contrib = aggregate(col("__hs"), lit(0L), (acc, hs) =>
+        acc + when(b < 32, bitOf(hs.getField("lo"), b))
+          .otherwise(bitOf(hs.getField("hi"), b - 32)) * 2L - 1L)
+      when(contrib > 0, lit(1L)).otherwise(lit(0L))
+    })
+    // fold bits (b=63 first) into one long: acc*2 + bit wraps exactly into
+    // two's complement at the sign bit
+    val sig = aggregate(reverse(bits), lit(0L), (acc, x) => acc * 2L + x)
+    hashed.select(col("id"), sig.as("sig"))
+  }
+
+  /** [[simHashPairs]] with the portable md5 signature — same pigeonhole
+    * blocking (recall exactly 1 at the radius), every cell replayable by
+    * a SQL oracle.
+    */
+  def simHashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simHashPairsFromSigs(simHashMd5Sigs(df, idCol, textCol), maxHamming)
 
   /** Exact n-gram Jaccard pairs via inverted-index self-join on SHINGLES
     * (default 3-word): only pairs sharing a shingle are materialized.

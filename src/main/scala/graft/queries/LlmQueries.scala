@@ -80,8 +80,44 @@ object LlmQueries {
     },
 
     // SimHash near-dup pairs (Hamming <= 6 over 64 bits, chunk-bucketed).
-    QueryDef.noOracle("q34_simhash_pairs") { (s, d) =>
-      Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 6)
+    // Runs the PORTABLE md5-based signature (Dedup.simHashMd5Sigs): the
+    // oracle replays the whole kernel — md5 halves parsed digit-by-digit,
+    // per-bit majority vote, Hamming count — so the pigeonhole pair set is
+    // cell-exact, not rows-only (q33 keeps the production splitmix64
+    // kernel under its rows-only + spec guard). Zero-token docs are
+    // excluded on both sides (no phantom all-zero-signature pairs).
+    QueryDef.sql(
+      "q34_simhash_pairs",
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS ts
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS t FROM toks WHERE len(ts) > 0),
+        |hv AS (SELECT doc_id, md5(t) AS h FROM tok),
+        |halves AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(0, 8), k ->
+        |      (strpos('0123456789abcdef', substr(h, 1 + CAST(k AS INT), 1)) - 1)
+        |        * CAST(pow(16, 7 - k) AS BIGINT))) AS hi,
+        |    list_sum(list_transform(range(0, 8), k ->
+        |      (strpos('0123456789abcdef', substr(h, 9 + CAST(k AS INT), 1)) - 1)
+        |        * CAST(pow(16, 7 - k) AS BIGINT))) AS lo
+        |  FROM hv),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN b < 32
+        |      THEN CAST(floor(lo / pow(2.0, CAST(b AS DOUBLE))) AS BIGINT) % 2
+        |      ELSE CAST(floor(hi / pow(2.0, CAST(b - 32 AS DOUBLE))) AS BIGINT) % 2
+        |      END * 2 - 1) AS v
+        |  FROM halves CROSS JOIN range(0, 64) r(b) GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id, b, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM votes),
+        |ham AS (
+        |  SELECT s1.doc_id AS id1, s2.doc_id AS id2,
+        |    CAST(SUM(CASE WHEN s1.bit <> s2.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM sig s1 JOIN sig s2 ON s1.b = s2.b AND s1.doc_id < s2.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, hamming FROM ham WHERE hamming <= 6
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      Dedup.simHashPairsPortable(Tables.documents(s, d), "doc_id", "text", maxHamming = 6)
         .orderBy(col("id1"), col("id2"))
     },
 
