@@ -52,4 +52,33 @@ object Sketches {
       StructField("est", LongType, nullable = false)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
+
+  /** Sampling-based cardinality-ratio estimate — the reference's OWN
+    * estimator contract (utils.rs:327 estimate_categorical_cardinality,
+    * utils.rs:348 estimate_string_cardinality): visit every `step`-th row
+    * in order (step = max(n/sampleSize, 1)), count distinct values seen
+    * (capped at sampleSize — the reference breaks once the set fills),
+    * return distinct / min(sampleSize, n). Deterministic given the order
+    * column, hence SQL-replayable cell-exactly — unlike the HLL twin
+    * (q29) whose error is engine-specific.
+    *
+    * Distributed shape: the systematic row pick rides [[RowIndex]] (one
+    * range shuffle, or a single narrow stage under its dimension-size
+    * fast path); the distinct count then runs over ~sampleSize rows.
+    */
+  def sampleCardinalityRatio(df: DataFrame, valueCol: String,
+      order: Seq[Column], sampleSize: Int): DataFrame = {
+    require(sampleSize > 0, "sampleSize must be positive")
+    val n = df.count()
+    if (n == 0) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      return Seq(0.0).toDF("ratio")
+    }
+    val step = math.max(n / sampleSize, 1L)
+    RowIndex.withRowIndex(df.select((col(valueCol) +: order): _*), "__i", order)
+      .filter(col("__i") % step === 0)
+      .agg((least(countDistinct(col(valueCol)), lit(sampleSize.toLong))
+        / lit(math.min(sampleSize.toLong, n))).as("ratio"))
+  }
 }

@@ -114,6 +114,41 @@ object StructureQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // The reference's sampling-based cardinality estimator REPLAYED
+    // exactly (utils.rs:327,348): every step-th row in key order,
+    // distinct-in-sample capped at the sample size, ratio over
+    // min(sample, n). Fully deterministic (unlike the HLL twin q29 whose
+    // error is engine-specific), so the oracle is cell-exact; 256 is a
+    // power of two, keeping the ratio division exact in f64. Low-card
+    // (o_orderpriority) and unique (c_name) columns cover both regimes
+    // the reference uses the estimate to distinguish.
+    QueryDef.sql(
+      "q133_sample_cardinality",
+      """WITH po AS (
+        |  SELECT o_orderpriority AS v, row_number() OVER (ORDER BY o_orderkey) - 1 AS i,
+        |    (SELECT COUNT(*) FROM orders) AS n FROM orders),
+        |so AS (SELECT v FROM po WHERE i % GREATEST(n // CAST(256 AS BIGINT), 1) = 0),
+        |r1 AS (SELECT CAST(LEAST(COUNT(DISTINCT v), 256) AS DOUBLE)
+        |         / CAST(LEAST(256, (SELECT COUNT(*) FROM orders)) AS DOUBLE) AS lo_ratio FROM so),
+        |pc AS (
+        |  SELECT c_name AS v, row_number() OVER (ORDER BY c_custkey) - 1 AS i,
+        |    (SELECT COUNT(*) FROM customer) AS n FROM customer),
+        |sc AS (SELECT v FROM pc WHERE i % GREATEST(n // CAST(256 AS BIGINT), 1) = 0),
+        |r2 AS (SELECT CAST(LEAST(COUNT(DISTINCT v), 256) AS DOUBLE)
+        |         / CAST(LEAST(256, (SELECT COUNT(*) FROM customer)) AS DOUBLE) AS hi_ratio FROM sc)
+        |SELECT lo_ratio, hi_ratio FROM r1, r2""".stripMargin) { (s, d) =>
+      import graft.ops.Sketches
+      val lo = Sketches.sampleCardinalityRatio(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+          "o_orderpriority", Seq(col("o_orderkey")), 256)
+        .withColumnRenamed("ratio", "lo_ratio")
+      val hi = Sketches.sampleCardinalityRatio(
+          Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+          "c_name", Seq(col("c_custkey")), 256)
+        .withColumnRenamed("ratio", "hi_ratio")
+      lo.crossJoin(hi)
+    },
+
     // Mergeable-sketch reaggregation — the 100 TB rollup pattern: build
     // HLL sketches once at fine grain (per priority × year, the "silver
     // table" shape), then answer the coarse question by UNIONING sketches

@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator for scaling smokes: replicates a test-data SF
+  * directory `factor`× with per-replica key offsets, so per-key depths,
+  * join fan-outs and duplicate RATES stay constant while volume grows —
+  * the TPC-H scaling model (a bigger SF adds new customers/orders, it
+  * does not deepen old ones). Used to measure the scaling curve of the
+  * slowest gate queries beyond the largest driver-provided SF (the 2×
+  * bench gate proves overhead floors, not curves).
+  *
+  *  - fact/dim keys get `replica * 10^9` offsets, applied consistently to
+  *    PK and FK so intra-replica joins behave exactly like the original;
+  *  - nation/region stay unreplicated (TPC-H fixed dimensions);
+  *  - document text gets a per-replica token prefix, so replicas are
+  *    disjoint near-dup universes (verbatim copies would manufacture a
+  *    ×factor² pair blowup no real corpus has);
+  *  - embeddings are circularly dim-rotated per replica (norm-preserving;
+  *    rotated copies decorrelate, keeping the near-dup rate per replica).
+  */
+object GenScale {
+  private val OFF = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/sfscale"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def replicate(table: String, keyCols: Seq[String],
+        mutate: (DataFrame, Int) => DataFrame = (df, _) => df): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val parts = (0 until factor).map { r =>
+        val shifted = keyCols.foldLeft(mutate(base, r)) { (df, k) =>
+          df.withColumn(k, col(k) + lit(r * OFF))
+        }
+        shifted
+      }
+      parts.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"$table: ${spark.read.parquet(s"$out/$table.parquet").count()} rows")
+    }
+
+    // fixed dimensions: copy as-is
+    for (t <- Seq("region", "nation")) {
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    replicate("customer", Seq("c_custkey"))
+    replicate("supplier", Seq("s_suppkey"))
+    replicate("part", Seq("p_partkey"))
+    replicate("orders", Seq("o_orderkey", "o_custkey"))
+    replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    replicate("events", Seq("event_id", "user_id"))
+    replicate("documents", Seq("doc_id"), (df, r) =>
+      // per-replica token prefix keeps replicas out of each other's
+      // shingle/minhash/simhash universes (dup rate constant per replica)
+      if (r == 0) df
+      else df.withColumn("text", regexp_replace(col("text"), "([A-Za-z]+)", s"x$r$$1")))
+    replicate("embeddings", Seq("vec_id"), (df, r) =>
+      // circular rotation by r dims: norm-preserving, decorrelates
+      if (r == 0) df
+      else df.withColumn("embedding",
+        concat(slice(col("embedding"), r + 1, 10000),
+          slice(col("embedding"), 1, r))))
+    spark.stop()
+  }
+}
