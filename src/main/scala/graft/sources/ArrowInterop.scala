@@ -142,4 +142,42 @@ object ArrowInterop {
     Files.deleteIfExists(tmpDir)
     moved
   }
+
+  // ---------------------------------------------- Arrow string width tags
+
+  /** Key under which a string column's ORIGINAL Arrow physical width is
+    * carried ("utf8" | "large_utf8" | "utf8_view" — ffi/arrow_dtype.rs:
+    * 84-121). Spark has one logical StringType and Tungsten owns physical
+    * layout, so the width is metadata, not representation; tagging on
+    * ingest makes the round trip lossless at the SCHEMA level (an
+    * exporter reads the tag to pick offset width / view layout).
+    */
+  val StringWidthKey = "graft.arrow.string_width"
+
+  /** Tag string columns with their source Arrow width (unknown columns
+    * left untouched). Metadata rides StructType.json, so batch-dir
+    * sidecars and [[roundTrip]] both preserve it.
+    */
+  def withArrowStringWidth(df: DataFrame, widths: Map[String, String]): DataFrame = {
+    val allowed = Set("utf8", "large_utf8", "utf8_view")
+    require(widths.values.forall(allowed), s"widths must be in $allowed")
+    import org.apache.spark.sql.types.MetadataBuilder
+    import org.apache.spark.sql.functions.col
+    df.select(df.schema.fields.map { f =>
+      widths.get(f.name) match {
+        case Some(w) =>
+          val md = new MetadataBuilder().withMetadata(f.metadata)
+            .putString(StringWidthKey, w).build()
+          col(f.name).as(f.name, md)
+        case None => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+  }
+
+  /** Read back a column's tagged Arrow width, if any. */
+  def arrowStringWidth(df: DataFrame, column: String): Option[String] = {
+    val f = df.schema(column)
+    if (f.metadata.contains(StringWidthKey)) Some(f.metadata.getString(StringWidthKey))
+    else None
+  }
 }

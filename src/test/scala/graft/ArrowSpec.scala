@@ -171,4 +171,19 @@ class ArrowSpec extends SparkSpec {
     // already-compact dirs no-op at the current count
     assert(ArrowInterop.compactBatchDir(spark, dir, targetBytes = 1L << 30) === n)
   }
+
+  test("Arrow string-width tags survive the distributed round trip") {
+    import graft.sources.ArrowInterop
+    val df = Seq((1L, "a", "b"), (2L, "c", "d")).toDF("id", "s_small", "s_view")
+    val tagged = ArrowInterop.withArrowStringWidth(df,
+      Map("s_small" -> "utf8", "s_view" -> "utf8_view"))
+    assert(ArrowInterop.arrowStringWidth(tagged, "s_small") === Some("utf8"))
+    assert(ArrowInterop.arrowStringWidth(tagged, "id") === None)
+    val back = ArrowInterop.roundTrip(spark, tagged)
+    assert(ArrowInterop.arrowStringWidth(back, "s_view") === Some("utf8_view"))
+    assert(back.orderBy(col("id")).collect().toSeq === tagged.orderBy(col("id")).collect().toSeq)
+    intercept[IllegalArgumentException] {
+      ArrowInterop.withArrowStringWidth(df, Map("s_small" -> "bogus"))
+    }
+  }
 }
