@@ -130,4 +130,54 @@ object StrKernels {
     }
     sig
   }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Engine-portable 64-bit SimHash: same fold as [[simHash64]] but the
+    * per-token bit source is md5's first 8 bytes read as two big-endian
+    * 32-bit halves (hex digits 1-8 → hi, 9-16 → lo; signature bits 0-31
+    * vote from lo, 32-63 from hi) — reproducible digit-for-digit by any
+    * SQL engine with md5. Separators are the RE2 \s class ([ \t\n\f\r],
+    * the oracle's string_split_regex semantics).
+    */
+  def simHashMd5(s: UTF8String): Long = {
+    val b = s.getBytes
+    val md = md5Local.get()
+    val counters = new Array[Int](64)
+    var start = 0
+    var i = 0
+    while (i <= b.length) {
+      val isSep = i == b.length || b(i) == ' ' || b(i) == '\t' ||
+        b(i) == '\n' || b(i) == '\f' || b(i) == '\r'
+      if (isSep) {
+        if (i > start) {
+          md.reset()
+          md.update(b, start, i - start)
+          val d = md.digest()
+          val hi = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          val lo = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+            ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+          var bit = 0
+          while (bit < 32) {
+            if (((lo >>> bit) & 1L) == 1L) counters(bit) += 1 else counters(bit) -= 1
+            if (((hi >>> bit) & 1L) == 1L) counters(bit + 32) += 1 else counters(bit + 32) -= 1
+            bit += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counters(bit) > 0) sig |= (1L << bit)
+      bit += 1
+    }
+    sig
+  }
 }

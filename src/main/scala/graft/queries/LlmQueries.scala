@@ -80,16 +80,18 @@ object LlmQueries {
     },
 
     // SimHash near-dup pairs (Hamming <= 6 over 64 bits, chunk-bucketed).
-    // Runs the PORTABLE md5-based signature (Dedup.simHashMd5Sigs): the
-    // oracle replays the whole kernel — md5 halves parsed digit-by-digit,
-    // per-bit majority vote, Hamming count — so the pigeonhole pair set is
-    // cell-exact, not rows-only (q33 keeps the production splitmix64
-    // kernel under its rows-only + spec guard). Zero-token docs are
-    // excluded on both sides (no phantom all-zero-signature pairs).
+    // Runs the PORTABLE md5-based signature (Dedup.simHashMd5Sigs) on the
+    // kernel's own feature basis — frequency-weighted raw whitespace
+    // tokens: the oracle replays the whole kernel (md5 halves parsed
+    // digit-by-digit, per-bit majority vote, Hamming count), so the
+    // pigeonhole pair set is cell-exact, not rows-only (q33 keeps the
+    // production splitmix64 kernel under its rows-only + spec guard).
+    // Zero-token docs are excluded on both sides.
     QueryDef.sql(
       "q34_simhash_pairs",
       """WITH toks AS (
-        |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS ts
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0) AS ts
         |  FROM documents),
         |tok AS (SELECT doc_id, unnest(ts) AS t FROM toks WHERE len(ts) > 0),
         |hv AS (SELECT doc_id, md5(t) AS h FROM tok),
