@@ -558,4 +558,25 @@ class LlmSpec extends SparkSpec {
     // no shared surviving term ⇒ no inverted-index row ⇒ pair absent
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
+
+  test("ivfPqTopK plan: corpus reaches the ADC scan without an exchange") {
+    import graft.llm.Similarity
+    val d = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, d)
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = Similarity.ivfTrain(corpus, k = 8)
+    val codebooks = Similarity.pqTrain(corpus, m = 8, k = 16)
+    val out = Similarity.ivfPqTopK(queries, corpus, centroids, codebooks,
+      k = 5, nProbe = 2, rerank = 20)
+    out.write.format("noop").mode("overwrite").save()
+    val plan = out.queryExecution.executedPlan.toString
+    // the probe join must broadcast the (cell, qid, tab) side; the encoded
+    // corpus must NOT be exchanged before it (scan -> project -> BHJ)
+    assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
+    val corpusSide = plan.split("BroadcastHashJoin")(1).split("BroadcastExchange")(0)
+    assert(!corpusSide.contains("Exchange hashpartitioning"),
+      s"corpus shuffled before the ADC scan:\n$plan")
+  }
 }
