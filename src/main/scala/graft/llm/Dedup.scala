@@ -188,6 +188,54 @@ object Dedup {
       maxHamming: Int = 3): DataFrame =
     simHashPairsFromSigs(simHashMd5Sigs(df, idCol, textCol), maxHamming)
 
+  /** ENGINE-PORTABLE MinHash-LSH near-dup pairs (the oracle-replayable
+    * twin of [[minHashLshPairs]], which uses a JVM permutation kernel):
+    * base hash = md5 hi-32 of each distinct 3-word shingle (< 2^32, so
+    * every value is exact in any engine), k = 16 "permutations" via exact
+    * universal hashes (a_j·h + b_j) mod (2^31 − 1) — all BIGINT-exact —
+    * banded 4×4: candidates share all 4 signature slots of ≥1 band, then
+    * exact-Jaccard verified. Every step is a deterministic integer
+    * function of the text, so the full pair set hash-matches a SQL
+    * oracle. Docs with empty shingle sets are excluded.
+    *
+    * Scale shape: one md5 per (doc, shingle) in a codegen projection (no
+    * HOF folds), 16 mins in ONE map-side-combined aggregate (no row
+    * blowup), banding joins 4 rows/doc of 5 ints, and only candidate
+    * pairs re-attach shingle arrays for the verify.
+    */
+  def minHashLshPairsPortable(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val P = 2147483647L // 2^31 - 1
+    val tok = df.select(col(idCol).as("id"), shingles(col(textCol), 3).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .persist()
+    graft.ops.CacheRegistry.register(tok)
+    val inv = tok.select(col("id"), explode(col("toks")).as("w"))
+      .withColumn("h", conv(substring(md5(col("w").cast("binary")), 1, 8), 16, 10).cast("long"))
+    val minExprs = (0 until 16).map { j =>
+      min((col("h") * (2L * j + 3L) + 104729L * (j + 1)) % P).as(s"s$j")
+    }
+    val sigs = inv.groupBy(col("id")).agg(minExprs.head, minExprs.tail: _*)
+    val bandRows = sigs.select(col("id"), explode(array((0 until 4).map { t =>
+        struct((lit(t).as("band") +:
+          (0 until 4).map(r => col(s"s${t * 4 + r}").as(s"v$r"))): _*)
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.v0"), col("bb.v1"), col("bb.v2"), col("bb.v3"))
+    val keys = Seq("band", "v0", "v1", "v2", "v3")
+    val cand = bandRows.select((keys.map(col) :+ col("id").as("id1")): _*)
+      .join(bandRows.select((keys.map(col) :+ col("id").as("id2")): _*), keys)
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val t1 = tok.select(col("id").as("id1"), col("toks").as("toks1"))
+    val t2 = tok.select(col("id").as("id2"), col("toks").as("toks2"))
+    cand.join(t1, "id1").join(t2, "id2")
+      .withColumn("inter", size(array_intersect(col("toks1"), col("toks2"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("toks1")) + size(col("toks2")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** Exact n-gram Jaccard pairs via inverted-index self-join on SHINGLES
     * (default 3-word): only pairs sharing a shingle are materialized.
     *

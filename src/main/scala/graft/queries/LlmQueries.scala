@@ -123,6 +123,63 @@ object LlmQueries {
         .orderBy(col("id1"), col("id2"))
     },
 
+    // ENGINE-PORTABLE MinHash-LSH (the oracle-replayable twin of q32's
+    // kernel MinHash): md5 hi-32 base hash per shingle, 16 exact
+    // universal hashes mod 2^31-1, 4×4 banding, exact-Jaccard verify —
+    // every step integer-deterministic, so the candidate SET (not just
+    // verified metrics) is hash-checked. The oracle SQL is generated
+    // from the same (a_j, b_j) constants the Spark side uses.
+    QueryDef.sql(
+      "q134_minhash_lsh_portable", {
+        val minExprs = (0 until 16).map { j =>
+          s"    MIN((h * ${2 * j + 3} + ${104729 * (j + 1)}) % 2147483647) AS s$j"
+        }.mkString(",\n")
+        val bandSelects = (0 until 4).map { t =>
+          val vs = (0 until 4).map(r => s"s${t * 4 + r}").mkString(", ")
+          s"  SELECT doc_id, $t AS band, $vs FROM sigs"
+        }.mkString("\n  UNION ALL\n")
+        s"""WITH words AS (
+           |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+           |tok AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(ws) < 3 THEN [list_aggregate(ws, 'string_agg', ' ')]
+           |         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+           |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS toks
+           |  FROM words),
+           |inv AS (
+           |  SELECT doc_id, unnest(toks) AS w FROM tok),
+           |hv AS (
+           |  SELECT doc_id,
+           |    list_sum(list_transform(range(0, 8), kk ->
+           |      (strpos('0123456789abcdef', substr(md5(w), 1 + CAST(kk AS INT), 1)) - 1)
+           |        * CAST(pow(16, 7 - kk) AS BIGINT))) AS h
+           |  FROM inv WHERE w IS NOT NULL),
+           |sigs AS (
+           |  SELECT doc_id,
+           |$minExprs
+           |  FROM hv GROUP BY doc_id),
+           |bands AS (
+           |$bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           |  FROM bands a JOIN bands b ON a.band = b.band
+           |    AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.s3 = b.s3
+           |    AND a.doc_id < b.doc_id),
+           |scored AS (
+           |  SELECT id1, id2,
+           |    CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS inter,
+           |    CAST(len(ta.toks) AS BIGINT) AS n1, CAST(len(tb.toks) AS BIGINT) AS n2
+           |  FROM cand JOIN tok ta ON ta.doc_id = id1 JOIN tok tb ON tb.doc_id = id2)
+           |SELECT id1, id2,
+           |  CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE) AS jaccard
+           |FROM scored
+           |WHERE CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE) >= 0.5
+           |ORDER BY id1, id2""".stripMargin
+      }) { (s, d) =>
+      Dedup.minHashLshPairsPortable(Tables.documents(s, d), "doc_id", "text", 0.5)
+        .orderBy(col("id1"), col("id2"))
+    },
+
     // Brute-force cosine top-5 neighbors for 10 query vectors — exact ANN
     // baseline; ranking on round(cos,4) with id tie-break keeps order
     // deterministic across engines.

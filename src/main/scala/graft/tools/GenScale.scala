@@ -62,9 +62,15 @@ object GenScale {
     replicate("events", Seq("event_id", "user_id"))
     replicate("documents", Seq("doc_id"), (df, r) =>
       // per-replica token prefix keeps replicas out of each other's
-      // shingle/minhash/simhash universes (dup rate constant per replica)
+      // shingle/minhash/simhash universes (dup rate constant per replica).
+      // LETTERS ONLY: a digit in the prefix would be invisible to
+      // [a-z]+ tokenizers (every replica collapses to the same "x word"
+      // stream — measured: 200k phantom cross-replica pairs)
       if (r == 0) df
-      else df.withColumn("text", regexp_replace(col("text"), "([A-Za-z]+)", s"x$r$$1")))
+      else {
+        val tag = "xq" + ('a' + r).toChar
+        df.withColumn("text", regexp_replace(col("text"), "([A-Za-z]+)", s"$tag$$1"))
+      })
     replicate("embeddings", Seq("vec_id"), (df, r) =>
       // circular rotation by r dims: norm-preserving, decorrelates
       if (r == 0) df
