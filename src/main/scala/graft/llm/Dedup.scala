@@ -420,7 +420,8 @@ object Dedup {
     * the smallest id in the cluster. Singleton ids absent from `pairs`
     * are their own component and are not emitted.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+      smallGraphLimit: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val confParts = math.max(4,
@@ -433,12 +434,49 @@ object Dedup {
         Seq((a, b), (b, a))
       }
     val pre = raw.distinct(confParts).persist(storage)
+    val edgeCount = pre.count()
+    // Cost-based small-graph fast path (same decision pattern as
+    // RowIndex's dimension-size shortcut, same bounded-materialization
+    // contract as the IVF training sample / ≤16 MiB bloom set): a
+    // near-dup graph is usually SPARSE relative to its corpus — q113's
+    // sf0.1 run is 1,319 edges — and the RDD loop pays ~rounds × stages
+    // of job overhead regardless of size. Under the limit (≤ ~16 MB of
+    // symmetric edges) a driver union-find answers in ONE job.
+    if (edgeCount <= smallGraphLimit) {
+      val es = pre.collect()
+      pre.unpersist(blocking = false)
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(ra) = rb
+      }
+      val minOf = scala.collection.mutable.HashMap[Long, Long]()
+      parent.keys.foreach { k =>
+        val r = find(k)
+        if (k < minOf.getOrElse(r, Long.MaxValue)) minOf(r) = k
+      }
+      val rows = parent.keys.toSeq.map(k =>
+        org.apache.spark.sql.Row(k, minOf(find(k))))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("component", org.apache.spark.sql.types.LongType, nullable = false))))
+    }
     // every round costs partitions × stages of fixed task overhead, and
     // round count is data-driven — size the loop's parallelism to the
     // materialized edge count (≈500k edges per partition), exactly the
     // coalescing AQE would apply if it could see across rounds
     val numParts = math.max(4, math.min(confParts,
-      (pre.count() / 500000L).toInt + 1))
+      (edgeCount / 500000L).toInt + 1))
     val part = new org.apache.spark.HashPartitioner(numParts)
     val edges = pre.partitionBy(part).persist(storage)
     var labels = edges.keys.distinct(numParts)

@@ -579,4 +579,19 @@ class LlmSpec extends SparkSpec {
     assert(!corpusSide.contains("Exchange hashpartitioning"),
       s"corpus shuffled before the ADC scan:\n$plan")
   }
+
+  test("connectedComponents: driver fast path equals the distributed RDD loop") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // random sparse graph with chains, cliques and singleton-adjacent ids
+    val edges = ((0 until 300).map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong)) ++
+      Seq((500L, 501L), (501L, 502L), (502L, 503L)))
+      .filter(p => p._1 != p._2).toDF("id1", "id2")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = m(Dedup.connectedComponents(edges))
+    val loop = m(Dedup.connectedComponents(edges, smallGraphLimit = 0L))
+    assert(fast === loop)
+    assert(fast(503L) === 500L)
+  }
 }
