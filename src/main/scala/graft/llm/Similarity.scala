@@ -140,24 +140,21 @@ object Similarity {
     centroids
   }
 
-  /** Nearest-centroid cell id for a vector column: an argmax over k codegen
-    * cosine expressions folded through `aggregate` — no UDF, no shuffle.
-    * The centroid array is a broadcast literal (a few KB), so assignment is
-    * one map-side pass however large the corpus is.
+  /** Nearest-centroid cell id for a vector column — one codegen argmax
+    * kernel per row ([[graft.expressions.NearestCentroid]]); the centroid
+    * table rides the codegen reference registry instead of being inlined
+    * as k struct literals in the plan (at a production cell count that
+    * literal array is megabytes of expression tree evaluated through
+    * interpreted HOF folds). Same cosine fold order and first-wins tie
+    * rule as the HOF form — outputs bit-identical, pinned by the
+    * full-probe == brute-force identity in LlmSpec. NULL/zero-norm
+    * vectors land in cell 0 (they must land in SOME cell, or they'd
+    * silently vanish from the index).
     */
-  def ivfCell(vec: Column, centroids: Array[Array[Double]]): Column = {
-    // coalesce: NULL/zero-norm vectors (cosine -> NULL) must still land in
-    // SOME cell (the first), or they'd silently vanish from the index and
-    // break the full-probe == brute-force identity
-    val scored = array(centroids.indices.map { i =>
-      struct(lit(i).as("cid"),
-        coalesce(cosine(vec.cast("array<double>"), typedLit(centroids(i).toSeq)), lit(-2.0)).as("d"))
-    }: _*)
-    aggregate(scored,
-      struct(lit(-1).cast("int").as("cid"), lit(Double.MinValue).as("d")),
-      (acc, x) => when(x.getField("d") > acc.getField("d"), x).otherwise(acc)
-    ).getField("cid")
-  }
+  def ivfCell(vec: Column, centroids: Array[Array[Double]]): Column =
+    toCol(graft.expressions.NearestCentroid(
+      toExpr(coalesce(vec.cast("array<double>"), typedLit(Seq.empty[Double]))),
+      centroids))
 
   /** IVF top-k search: each query probes its `nProbe` nearest cells and
     * scores ONLY vectors assigned there. The (qid, cell) probe list is tiny
@@ -255,29 +252,16 @@ object Similarity {
     when(n === 0.0, v).otherwise(transform(v, x => x / n))
   }
 
-  private def subSliceDist(qSub: Column, centroid: Column): Column =
-    aggregate(zip_with(qSub, centroid, (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
-
   /** PQ code column: per subspace, the index of the nearest sub-centroid
-    * (argmin L2) — one codegen map pass, codebooks are broadcast
-    * literals. Input must already be normalized ([[l2Normalize]]).
+    * (argmin L2) — one codegen kernel pass per row
+    * ([[graft.expressions.PqEncode]]); codebooks ride the codegen
+    * reference registry, not m×k struct literals evaluated through
+    * interpreted HOF folds. Same distance fold and first-wins argmin as
+    * the HOF form (IVF-PQ == flat-PQ identity pins it). Input must
+    * already be normalized ([[l2Normalize]]).
     */
-  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
-    val m = codebooks.length
-    val sub = codebooks.head.head.length
-    array((0 until m).map { s =>
-      val qSub = slice(vec, s * sub + 1, sub)
-      val scored = array(codebooks(s).indices.map { i =>
-        struct(lit(i).as("c"),
-          subSliceDist(qSub, typedLit(codebooks(s)(i).toSeq)).as("d"))
-      }: _*)
-      aggregate(scored,
-        struct(lit(-1).as("c"), lit(Double.MaxValue).as("d")),
-        (acc, x) => when(x.getField("d") < acc.getField("d"), x).otherwise(acc)
-      ).getField("c")
-    }: _*)
-  }
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    toCol(graft.expressions.PqEncode(toExpr(vec.cast("array<double>")), codebooks))
 
   /** Asymmetric-distance PQ top-k: corpus rows carry only their codes;
     * each (query, row) distance is Σ over subspaces of the exact
