@@ -594,4 +594,26 @@ class LlmSpec extends SparkSpec {
     assert(fast === loop)
     assert(fast(503L) === 500L)
   }
+
+  test("IVF index at rest: partitionBy(cell) turns the probe into partition pruning") {
+    import graft.llm.Similarity
+    val d = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, d)
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = Similarity.ivfTrain(corpus, k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/index"
+    corpus.withColumn("cell", Similarity.ivfCell(col("vec"), centroids))
+      .write.partitionBy("cell").parquet(dir)
+    // reading two probed cells must prune directories at the SCAN
+    val probed = spark.read.parquet(dir).filter(col("cell").isin(2, 5))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"probe not pushed to partition pruning:\n$plan")
+    // and the at-rest assignment equals the in-memory one exactly
+    val atRest = probed.select(col("id")).collect().map(_.getLong(0)).toSet
+    val inMem = corpus.select(col("id"), Similarity.ivfCell(col("vec"), centroids).as("cell"))
+      .filter(col("cell").isin(2, 5)).select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(atRest === inMem)
+    assert(atRest.nonEmpty)
+  }
 }
