@@ -33,9 +33,31 @@ object Events {
     val dir = Paths.get(sys.props("java.io.tmpdir"),
       "graft_stream_" + sfDir.replaceAll("[^A-Za-z0-9]", "_"))
     Files.createDirectories(dir)
+    // clear previous part files first: a re-generated source with fewer
+    // parts would otherwise leave stale payloads the stream reads back
+    scala.util.Using.resource(Files.list(dir)) { s =>
+      s.forEach { p =>
+        if (p.getFileName.toString.endsWith(".parquet")) Files.delete(p)
+      }
+    }
     val src = Paths.get(sfDir, "events.parquet")
-    val dst = dir.resolve("events.parquet")
-    Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    // events.parquet may be a single FILE (the driver's layout) or a
+    // Spark-written DIRECTORY of part files — silently staging a
+    // directory as if it were a file yields an EMPTY stream (measured:
+    // every streaming query returns 0 rows with no error). Stage each
+    // part file; the file-stream source reads the flat directory.
+    if (Files.isDirectory(src)) {
+      scala.util.Using.resource(Files.list(src)) { s =>
+        s.forEach { p =>
+          val n = p.getFileName.toString
+          if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) {
+            Files.copy(p, dir.resolve(n), StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+      }
+    } else {
+      Files.copy(src, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
     dir.toString
   }
 
