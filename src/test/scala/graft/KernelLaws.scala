@@ -186,4 +186,50 @@ object KernelLaws extends Properties("graft.kernels") {
     forAll(tinyWord, tinyWord, Gen.oneOf(1, 2)) { (a, b, k) =>
       editDist(a, b) > k || nbhd(a, k).intersect(nbhd(b, k)).nonEmpty
     }
+
+  // ANN kernel laws: the codegen argmax/argmin kernels must agree with a
+  // straightforward reference implementation on random inputs (they also
+  // back the spec-level full-probe == brute-force identities, but the
+  // property covers degenerate shapes specs don't reach: zero vectors,
+  // duplicate centroids / exact ties).
+  private val smallVec: Gen[Array[Double]] =
+    Gen.choose(1, 4).flatMap(d => Gen.listOfN(8, Gen.chooseNum(-2.0, 2.0)).map(_.toArray))
+
+  private def refCosine(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  property("nearestCentroid equals the reference argmax incl. ties and zero vectors") =
+    forAll(smallVec, Gen.choose(1, 5), Gen.oneOf(true, false)) { (v0, k, zero) =>
+      val v = if (zero) Array.fill(8)(0.0) else v0
+      val cents = Array.tabulate(k)(i =>
+        if (i == k - 1 && k > 1) Array.tabulate(8)(j => (j % 3).toDouble) // possible dup
+        else Array.tabulate(8)(j => math.sin(i * 17 + j).abs + 0.01))
+      val got = graft.expressions.AnnKernels.nearestCentroid(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v), cents)
+      val ds = cents.map(c => refCosine(v, c))
+      val want = ds.indices.maxBy(i => (ds(i), -i)) // earliest max
+      got == want
+    }
+
+  property("pqEncode equals the per-subspace reference argmin") =
+    forAll(smallVec, Gen.oneOf(1, 2, 4)) { (v, m) =>
+      val sub = 8 / m
+      val cbs = Array.tabulate(m)(s => Array.tabulate(3)(c =>
+        Array.tabulate(sub)(j => math.cos(s * 7 + c * 3 + j))))
+      val got = graft.expressions.AnnKernels.pqEncode(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v), cbs)
+        .toIntArray().toSeq
+      val want = (0 until m).map { s =>
+        val ds = (0 until 3).map { c =>
+          (0 until sub).map(j => { val x = v(s * sub + j) - cbs(s)(c)(j); x * x }).sum
+        }
+        ds.indices.minBy(i => (ds(i), i))
+      }
+      got == want
+    }
 }
