@@ -205,22 +205,9 @@ object Dedup {
     */
   def minHashLshPairsPortable(df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    val P = 2147483647L // 2^31 - 1
-    val tok = df.select(col(idCol).as("id"), shingles(col(textCol), 3).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .persist()
+    val tok = portableTok(df, idCol, textCol).persist()
     graft.ops.CacheRegistry.register(tok)
-    val inv = tok.select(col("id"), explode(col("toks")).as("w"))
-      .withColumn("h", conv(substring(md5(col("w").cast("binary")), 1, 8), 16, 10).cast("long"))
-    val minExprs = (0 until 16).map { j =>
-      min((col("h") * (2L * j + 3L) + 104729L * (j + 1)) % P).as(s"s$j")
-    }
-    val sigs = inv.groupBy(col("id")).agg(minExprs.head, minExprs.tail: _*)
-    val bandRows = sigs.select(col("id"), explode(array((0 until 4).map { t =>
-        struct((lit(t).as("band") +:
-          (0 until 4).map(r => col(s"s${t * 4 + r}").as(s"v$r"))): _*)
-      }: _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.v0"), col("bb.v1"), col("bb.v2"), col("bb.v3"))
+    val bandRows = portableBands(tok)
     val keys = Seq("band", "v0", "v1", "v2", "v3")
     val cand = bandRows.select((keys.map(col) :+ col("id").as("id1")): _*)
       .join(bandRows.select((keys.map(col) :+ col("id").as("id2")): _*), keys)
@@ -234,6 +221,129 @@ object Dedup {
         (size(col("toks1")) + size(col("toks2")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Distinct 3-shingle arrays (id, toks), empty-shingle docs excluded —
+    * the portable signature basis shared by [[minHashLshPairsPortable]]
+    * and [[nearDedupIncrement]].
+    */
+  private def portableTok(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), shingles(col(textCol), 3).as("toks"))
+      .filter(size(col("toks")) > 0)
+
+  /** Engine-portable 4×4 banded MinHash rows (id, band, v0..v3): md5
+    * hi-32 per shingle, 16 exact universal hashes mod 2³¹−1 folded in one
+    * map-side-combined aggregate. Every value is a deterministic integer
+    * function of the text — the property that makes candidate SETS (and
+    * therefore incremental keep decisions) SQL-replayable.
+    */
+  private def portableBands(tok: DataFrame): DataFrame = {
+    val P = 2147483647L // 2^31 - 1
+    val inv = tok.select(col("id"), explode(col("toks")).as("w"))
+      .withColumn("h", conv(substring(md5(col("w").cast("binary")), 1, 8), 16, 10).cast("long"))
+    val minExprs = (0 until 16).map { j =>
+      min((col("h") * (2L * j + 3L) + 104729L * (j + 1)) % P).as(s"s$j")
+    }
+    val sigs = inv.groupBy(col("id")).agg(minExprs.head, minExprs.tail: _*)
+    sigs.select(col("id"), explode(array((0 until 4).map { t =>
+        struct((lit(t).as("band") +:
+          (0 until 4).map(r => col(s"s${t * 4 + r}").as(s"v$r"))): _*)
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.v0"), col("bb.v1"), col("bb.v2"), col("bb.v3"))
+  }
+
+  /** Incremental near-dup dedup against a PERSISTENT signature index —
+    * the daily-ingest shape of a training pipeline: a new crawl batch is
+    * deduplicated against everything EVER seen without re-reading or
+    * re-shuffling the historical corpus.
+    *
+    * Index layout (`indexDir/bands`, `indexDir/toks`, append-only
+    * parquet): 4 band rows of five ints and one distinct-shingle array
+    * per document ever ingested. Per increment:
+    *
+    *  1. the batch's band rows BROADCAST against a scan of the index —
+    *     history is only ever scanned (narrow), never shuffled, no matter
+    *     how large it grows (increment ≪ index is the contract; a
+    *     non-broadcastable increment degrades to a shuffle join, still
+    *     correct);
+    *  2. within-batch candidates come from the batch's own band self-join;
+    *  3. candidates are exact-Jaccard verified (stored shingle arrays —
+    *     no historical TEXT is retained or re-read);
+    *  4. a batch doc is dropped iff a verified neighbor PRECEDES it
+    *     (any indexed doc, or a same-batch doc with smaller id) —
+    *     first-occurrence-wins, the near-dup generalization of
+    *     keep-min-id exact dedup;
+    *  5. ALL batch docs' signatures are appended (kept and dropped
+    *     alike), so the final keep set equals the batch-free global rule
+    *     "kept iff no preceding verified neighbor" — a pure function of
+    *     the corpus that q135's DuckDB oracle replays cell-exactly.
+    *
+    * The index is read from a FILE-LISTING SNAPSHOT taken at call time
+    * (the poor-man's transaction log: bounded driver metadata, the
+    * Delta/Iceberg planning contract), so this call's own append can
+    * never leak into its lazily-evaluated result plan — a live
+    * directory read would see the batch's own signatures and drop every
+    * doc as a self-duplicate.
+    *
+    * Returns (id, kept); empty-shingle docs are always kept.
+    */
+  def nearDedupIncrement(batch: DataFrame, idCol: String, textCol: String,
+      indexDir: String, threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val tok = portableTok(batch, idCol, textCol).persist()
+    graft.ops.CacheRegistry.register(tok)
+    val bands = portableBands(tok).persist()
+    graft.ops.CacheRegistry.register(bands)
+    val keys = Seq("band", "v0", "v1", "v2", "v3")
+    val bandsPath = indexDir.stripSuffix("/") + "/bands"
+    val toksPath = indexDir.stripSuffix("/") + "/toks"
+
+    def snapshot(dir: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toIndexedSeq.map(_.getPath.toString)
+        .filter { f =>
+          val n = f.substring(f.lastIndexOf('/') + 1)
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        }
+    }
+    val bandFiles = snapshot(bandsPath)
+    val tokFiles = snapshot(toksPath)
+
+    val candNew = bands.select((keys.map(col) :+ col("id").as("id1")): _*)
+      .join(bands.select((keys.map(col) :+ col("id").as("id2")): _*), keys)
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+    val cand = (if (bandFiles.isEmpty) candNew else {
+      val idx = spark.read.schema(bands.schema).parquet(bandFiles: _*)
+      val crossCand = idx.select((keys.map(col) :+ col("id").as("id1")): _*)
+        .join(broadcast(bands.select((keys.map(col) :+ col("id").as("id2")): _*)), keys)
+        .select(col("id1"), col("id2"))
+      candNew.unionByName(crossCand)
+    }).distinct()
+
+    // the earlier side (id1) may be historical — its shingles come from
+    // the index; the later side (id2) is always a batch doc
+    val toksEarlier = if (tokFiles.isEmpty) tok
+      else tok.unionByName(spark.read.schema(tok.schema).parquet(tokFiles: _*))
+    val dropped = broadcast(cand)
+      .join(toksEarlier.select(col("id").as("id1"), col("toks").as("toks1")), "id1")
+      .join(broadcast(tok.select(col("id").as("id2"), col("toks").as("toks2"))), "id2")
+      .withColumn("inter", size(array_intersect(col("toks1"), col("toks2"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("toks1")) + size(col("toks2")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id2").as("id")).distinct()
+
+    // append THIS batch's signatures (eager, before the caller acts on
+    // the lazy result — which is safe: the result reads the snapshot)
+    bands.write.mode("append").parquet(bandsPath)
+    tok.write.mode("append").parquet(toksPath)
+
+    batch.select(col(idCol).as("id"))
+      .join(broadcast(dropped.withColumn("__dropped", lit(true))), Seq("id"), "left")
+      .select(col("id"), col("__dropped").isNull.as("kept"))
   }
 
   /** Exact n-gram Jaccard pairs via inverted-index self-join on SHINGLES

@@ -180,6 +180,84 @@ object LlmQueries {
         .orderBy(col("id1"), col("id2"))
     },
 
+    // INCREMENTAL near-dup dedup against a persistent signature index —
+    // the daily-ingest pipeline shape: documents arrive in three batches
+    // (doc_id mod 3), each deduplicated against everything previously
+    // seen via the at-rest band index (history scanned, never shuffled),
+    // first occurrence wins. Because all signatures are appended and
+    // precedence is (batch, id) = (doc_id mod 3, doc_id), the final keep
+    // set is a pure function of the corpus: kept iff no verified
+    // neighbor precedes — which the oracle replays from q134's portable
+    // pair machinery. The three-batch Spark run and the batch-free SQL
+    // rule must agree doc-for-doc.
+    QueryDef.sql(
+      "q135_incremental_dedup", {
+        val minExprs = (0 until 16).map { j =>
+          s"    MIN((h * ${2 * j + 3} + ${104729 * (j + 1)}) % 2147483647) AS s$j"
+        }.mkString(",\n")
+        val bandSelects = (0 until 4).map { t =>
+          val vs = (0 until 4).map(r => s"s${t * 4 + r}").mkString(", ")
+          s"  SELECT doc_id, $t AS band, $vs FROM sigs"
+        }.mkString("\n  UNION ALL\n")
+        s"""WITH words AS (
+           |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+           |tok AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(ws) < 3 THEN [list_aggregate(ws, 'string_agg', ' ')]
+           |         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+           |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS toks
+           |  FROM words),
+           |inv AS (
+           |  SELECT doc_id, unnest(toks) AS w FROM tok),
+           |hv AS (
+           |  SELECT doc_id,
+           |    list_sum(list_transform(range(0, 8), kk ->
+           |      (strpos('0123456789abcdef', substr(md5(w), 1 + CAST(kk AS INT), 1)) - 1)
+           |        * CAST(pow(16, 7 - kk) AS BIGINT))) AS h
+           |  FROM inv WHERE w IS NOT NULL),
+           |sigs AS (
+           |  SELECT doc_id,
+           |$minExprs
+           |  FROM hv GROUP BY doc_id),
+           |bands AS (
+           |$bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           |  FROM bands a JOIN bands b ON a.band = b.band
+           |    AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.s3 = b.s3
+           |    AND a.doc_id < b.doc_id),
+           |scored AS (
+           |  SELECT id1, id2,
+           |    CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS inter,
+           |    CAST(len(ta.toks) AS BIGINT) AS n1, CAST(len(tb.toks) AS BIGINT) AS n2
+           |  FROM cand JOIN tok ta ON ta.doc_id = id1 JOIN tok tb ON tb.doc_id = id2),
+           |pairs AS (
+           |  SELECT id1, id2 FROM scored
+           |  WHERE CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE) >= 0.5),
+           |dropped AS (
+           |  SELECT CASE WHEN (id1 % 3 < id2 % 3) OR (id1 % 3 = id2 % 3 AND id1 < id2)
+           |              THEN id2 ELSE id1 END AS did
+           |  FROM pairs)
+           |SELECT doc_id FROM documents
+           |WHERE doc_id NOT IN (SELECT did FROM dropped)
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_neardedup_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      // fresh index per run: the gate re-executes from scratch
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val results = (0 until 3).map { b =>
+        Dedup.nearDedupIncrement(
+          docs.filter(pmod(col("doc_id"), lit(3)) === b), "doc_id", "text", dir, 0.5)
+      }
+      results.reduce(_.unionByName(_)).filter(col("kept"))
+        .select(col("id").cast("long").as("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // Brute-force cosine top-5 neighbors for 10 query vectors — exact ANN
     // baseline; ranking on round(cos,4) with id tie-break keeps order
     // deterministic across engines.

@@ -40,6 +40,29 @@ class LlmSpec extends SparkSpec {
     assert(pairs.contains((0L, 3L))) // exact dup always survives
   }
 
+  test("incremental near-dedup equals the global first-occurrence rule") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_idx_").toString
+    // three id-interleaved batches (doc_id mod 3), processed in order
+    val kept = (0 until 3).map { b =>
+        Dedup.nearDedupIncrement(
+          corpus.filter(pmod(col("doc_id"), lit(3)) === b), "doc_id", "text", dir, 0.5)
+      }.reduce(_.unionByName(_))
+      .filter(col("kept")).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    // global rule: kept iff no verified neighbor precedes in (batch, id)
+    val pairs = Dedup.minHashLshPairsPortable(corpus, "doc_id", "text", 0.5)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def prec(a: Long, b: Long): Boolean =
+      a % 3 < b % 3 || (a % 3 == b % 3 && a < b)
+    val droppedGlobal = pairs.map { case (a, b) => if (prec(a, b)) b else a }.toSet
+    val allIds = corpus.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept === (allIds -- droppedGlobal))
+    // a dup of a DROPPED doc is still dropped (dropped docs stay indexed)
+    assert(droppedGlobal.nonEmpty && kept.nonEmpty)
+  }
+
   test("simhash: identical -> hamming 0; near-dup < far pair") {
     val sigs = docs.select(Dedup.simHash(col("text"))).collect().map(_.getLong(0))
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)

@@ -541,4 +541,22 @@ class ScaleSpec extends SparkSpec {
       assert(math.abs(got(i)._2 - num / den) < 1e-9, s"drift at i=$i")
     }
   }
+
+  test("incremental near-dedup: index is scanned with the batch broadcast, never sort-merged") {
+    import graft.llm.Dedup
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_plan_").toString
+    // populate the index with batch 0, then PLAN (not run) batch 1
+    Dedup.nearDedupIncrement(corpus.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir, 0.5).collect()
+    val inc = Dedup.nearDedupIncrement(corpus.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", dir, 0.5)
+    val plan = inc.queryExecution.executedPlan.toString
+    // the joins against the at-rest index carry explicit broadcast hints
+    // on the BATCH side: history must only ever be scanned — a sort-merge
+    // join would shuffle the full index every increment
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"index side pays a shuffle it must not:\n$plan")
+  }
 }
