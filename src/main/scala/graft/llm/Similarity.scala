@@ -188,6 +188,35 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 
+  /** Materialize an IVF index AT REST: the corpus written partitioned by
+    * cell, so a probe (`WHERE cell IN (...)`) becomes directory-level
+    * partition pruning — unprobed cells are never even listed. This is
+    * the layout the ivfTopK doc-comment promises; LlmSpec asserts the
+    * PartitionFilters in the probed scan plan.
+    */
+  def ivfWrite(corpus: DataFrame, centroids: Array[Array[Double]], indexDir: String,
+      idCol: String = "id", vecCol: String = "vec"): Unit =
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        ivfCell(col(vecCol), centroids).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+
+  /** ADDITIVE maintenance of an at-rest IVF index: new vectors are
+    * assigned to the EXISTING centroids (one map-side codegen pass — no
+    * retrain, no shuffle, no touch of resident data) and appended into
+    * their cell directories. The grown index is bit-identical to a
+    * rebuild of the union corpus under the same centroids, so probe
+    * semantics are unchanged — the incremental-ingest contract of a
+    * production vector store (FAISS IVF add-after-train). Centroids are
+    * frozen by contract; as the ingested distribution drifts, recall
+    * decays gracefully (vectors still land in their nearest EXISTING
+    * cell) and the retrain cadence is the caller's knob.
+    */
+  def ivfAppend(newVecs: DataFrame, centroids: Array[Array[Double]], indexDir: String,
+      idCol: String = "id", vecCol: String = "vec"): Unit =
+    newVecs.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        ivfCell(col(vecCol), centroids).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(indexDir)
+
   // ----------------------------------------------------------------- PQ
 
   /** Train product-quantization codebooks (Jégou et al. 2011): vectors

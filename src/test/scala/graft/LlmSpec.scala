@@ -625,8 +625,7 @@ class LlmSpec extends SparkSpec {
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val centroids = Similarity.ivfTrain(corpus, k = 8)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/index"
-    corpus.withColumn("cell", Similarity.ivfCell(col("vec"), centroids))
-      .write.partitionBy("cell").parquet(dir)
+    Similarity.ivfWrite(corpus, centroids, dir)
     // reading two probed cells must prune directories at the SCAN
     val probed = spark.read.parquet(dir).filter(col("cell").isin(2, 5))
     val plan = probed.queryExecution.executedPlan.toString
@@ -638,5 +637,29 @@ class LlmSpec extends SparkSpec {
       .filter(col("cell").isin(2, 5)).select(col("id")).collect().map(_.getLong(0)).toSet
     assert(atRest === inMem)
     assert(atRest.nonEmpty)
+  }
+
+  test("IVF additive maintenance: append under frozen centroids equals a rebuild") {
+    import graft.llm.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val old = corpus.filter(col("id") % 2 === 0)
+    val fresh = corpus.filter(col("id") % 2 === 1)
+    val centroids = Similarity.ivfTrain(old, k = 8)
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_add_").toString
+    val grown = base + "/grown"; val rebuilt = base + "/rebuilt"
+    Similarity.ivfWrite(old, centroids, grown)
+    Similarity.ivfAppend(fresh, centroids, grown)
+    Similarity.ivfWrite(old.unionByName(fresh), centroids, rebuilt)
+    def snap(p: String) = spark.read.parquet(p)
+      .select(col("id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val g = snap(grown)
+    assert(g === snap(rebuilt), "grown index diverges from rebuild")
+    assert(g.size === corpus.count())
+    // the appended half still probes through partition pruning
+    val plan = spark.read.parquet(grown).filter(col("cell") === 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"))
   }
 }
