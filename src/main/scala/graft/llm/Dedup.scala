@@ -257,26 +257,31 @@ object Dedup {
     * deduplicated against everything EVER seen without re-reading or
     * re-shuffling the historical corpus.
     *
-    * Index layout (`indexDir/bands`, `indexDir/toks`, append-only
-    * parquet): 4 band rows of five ints and one distinct-shingle array
-    * per document ever ingested. Per increment:
+    * Index layout (`indexDir/state`, append-only parquet): ONE row per
+    * document ever ingested — (id, hs, s0..s15), the distinct md5-hi32
+    * shingle hash set plus the 16 portable MinHash mins, both from a
+    * single map-side-combined aggregate. Per increment:
     *
     *  1. the batch's band rows BROADCAST against a scan of the index —
     *     history is only ever scanned (narrow), never shuffled, no matter
     *     how large it grows (increment ≪ index is the contract; a
     *     non-broadcastable increment degrades to a shuffle join, still
-    *     correct);
+    *     correct); the band join reads only the sig columns (parquet
+    *     prunes the hash sets);
     *  2. within-batch candidates come from the batch's own band self-join;
-    *  3. candidates are exact-Jaccard verified (stored shingle arrays —
-    *     no historical TEXT is retained or re-read);
+    *  3. candidates are exact-Jaccard verified over the stored DISTINCT
+    *     HASH sets (8-byte values; no historical text is retained or
+    *     re-read) — hash-set Jaccard is engine-portable because both
+    *     engines see identical md5 collisions;
     *  4. a batch doc is dropped iff a verified neighbor PRECEDES it
     *     (any indexed doc, or a same-batch doc with smaller id) —
     *     first-occurrence-wins, the near-dup generalization of
     *     keep-min-id exact dedup;
-    *  5. ALL batch docs' signatures are appended (kept and dropped
+    *  5. ALL batch docs' state rows are appended (kept and dropped
     *     alike), so the final keep set equals the batch-free global rule
     *     "kept iff no preceding verified neighbor" — a pure function of
-    *     the corpus that q135's DuckDB oracle replays cell-exactly.
+    *     the corpus that q135's DuckDB oracle replays cell-exactly
+    *     ([[portableHashedPairs]] is the global twin).
     *
     * The index is read from a FILE-LISTING SNAPSHOT taken at call time
     * (the poor-man's transaction log: bounded driver metadata, the
@@ -287,59 +292,115 @@ object Dedup {
     *
     * Returns (id, kept); empty-shingle docs are always kept.
     */
+  /** Per-doc index state (id, hs, s0..s15): the distinct md5-hi32 shingle
+    * hash set AND the 16 portable MinHash mins from ONE map-side-combined
+    * aggregate — signatures for banding, the hash set for exact-Jaccard
+    * verification. Jaccard over distinct integer hashes is itself
+    * engine-portable (identical collisions on both engines), and 8-byte
+    * hashes keep the at-rest index a fraction of the shingle text.
+    */
+  private[graft] def portableState(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val P = 2147483647L // 2^31 - 1
+    val inv = df.select(col(idCol).as("id"), explode(shingles(col(textCol), 3)).as("w"))
+      .withColumn("h", conv(substring(md5(col("w").cast("binary")), 1, 8), 16, 10).cast("long"))
+    val minExprs = (0 until 16).map { j =>
+      min((col("h") * (2L * j + 3L) + 104729L * (j + 1)) % P).as(s"s$j")
+    }
+    inv.groupBy(col("id")).agg(collect_set(col("h")).as("hs"), minExprs: _*)
+  }
+
+  /** 4×4 band rows (id, band, v0..v3) projected from [[portableState]] —
+    * a narrow explode, no extra shuffle.
+    */
+  private def stateBands(state: DataFrame): DataFrame =
+    state.select(col("id"), explode(array((0 until 4).map { t =>
+        struct((lit(t).as("band") +:
+          (0 until 4).map(r => col(s"s${t * 4 + r}").as(s"v$r"))): _*)
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.v0"), col("bb.v1"), col("bb.v2"), col("bb.v3"))
+
+  /** Hash-set Jaccard-verified (id1, id2) pairs among banding candidates —
+    * the global twin of what [[nearDedupIncrement]] computes batchwise
+    * (LlmSpec pins the equality).
+    */
+  private[graft] def portableHashedPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val state = portableState(df, idCol, textCol).persist()
+    graft.ops.CacheRegistry.register(state)
+    val bands = stateBands(state)
+    val keys = Seq("band", "v0", "v1", "v2", "v3")
+    val cand = bands.select((keys.map(col) :+ col("id").as("id1")): _*)
+      .join(bands.select((keys.map(col) :+ col("id").as("id2")): _*), keys)
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    verifyPairs(cand, state.select(col("id"), col("hs")),
+      state.select(col("id"), col("hs")), threshold)
+  }
+
+  /** Exact hash-set Jaccard over candidate pairs; earlier/later sides may
+    * come from different stores.
+    */
+  private def verifyPairs(cand: DataFrame, earlier: DataFrame, later: DataFrame,
+      threshold: Double): DataFrame =
+    broadcast(cand)
+      .join(earlier.select(col("id").as("id1"), col("hs").as("hs1")), "id1")
+      .join(broadcast(later.select(col("id").as("id2"), col("hs").as("hs2"))), "id2")
+      .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("hs1")) + size(col("hs2")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+
   def nearDedupIncrement(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, threshold: Double): DataFrame = {
     val spark = batch.sparkSession
-    val tok = portableTok(batch, idCol, textCol).persist()
-    graft.ops.CacheRegistry.register(tok)
-    val bands = portableBands(tok).persist()
-    graft.ops.CacheRegistry.register(bands)
+    val state = portableState(batch, idCol, textCol).persist()
+    graft.ops.CacheRegistry.register(state)
+    val bands = stateBands(state)
     val keys = Seq("band", "v0", "v1", "v2", "v3")
-    val bandsPath = indexDir.stripSuffix("/") + "/bands"
-    val toksPath = indexDir.stripSuffix("/") + "/toks"
+    val statePath = indexDir.stripSuffix("/") + "/state"
 
-    def snapshot(dir: String): Seq[String] = {
-      val p = new org.apache.hadoop.fs.Path(dir)
+    val stateFiles = {
+      val p = new org.apache.hadoop.fs.Path(statePath)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) Seq.empty
+      if (!fs.exists(p)) Seq.empty[String]
       else fs.listStatus(p).toIndexedSeq.map(_.getPath.toString)
         .filter { f =>
           val n = f.substring(f.lastIndexOf('/') + 1)
           n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
         }
     }
-    val bandFiles = snapshot(bandsPath)
-    val tokFiles = snapshot(toksPath)
 
     val candNew = bands.select((keys.map(col) :+ col("id").as("id1")): _*)
       .join(bands.select((keys.map(col) :+ col("id").as("id2")): _*), keys)
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
-    val cand = (if (bandFiles.isEmpty) candNew else {
-      val idx = spark.read.schema(bands.schema).parquet(bandFiles: _*)
-      val crossCand = idx.select((keys.map(col) :+ col("id").as("id1")): _*)
-        .join(broadcast(bands.select((keys.map(col) :+ col("id").as("id2")): _*)), keys)
-        .select(col("id1"), col("id2"))
-      candNew.unionByName(crossCand)
+    // historical side: the index scan reads ONLY the sig columns for the
+    // band join (parquet prunes hs) and ONLY (id, hs) for the verify
+    val idx = if (stateFiles.isEmpty) None
+      else Some(spark.read.schema(state.schema).parquet(stateFiles: _*))
+    val cand = (idx match {
+      case None => candNew
+      case Some(i) =>
+        val crossCand = stateBands(i).select((keys.map(col) :+ col("id").as("id1")): _*)
+          .join(broadcast(bands.select((keys.map(col) :+ col("id").as("id2")): _*)), keys)
+          .select(col("id1"), col("id2"))
+        candNew.unionByName(crossCand)
     }).distinct()
 
-    // the earlier side (id1) may be historical — its shingles come from
-    // the index; the later side (id2) is always a batch doc
-    val toksEarlier = if (tokFiles.isEmpty) tok
-      else tok.unionByName(spark.read.schema(tok.schema).parquet(tokFiles: _*))
-    val dropped = broadcast(cand)
-      .join(toksEarlier.select(col("id").as("id1"), col("toks").as("toks1")), "id1")
-      .join(broadcast(tok.select(col("id").as("id2"), col("toks").as("toks2"))), "id2")
-      .withColumn("inter", size(array_intersect(col("toks1"), col("toks2"))).cast("long"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("toks1")) + size(col("toks2")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
+    // the earlier side (id1) may be historical; the later (id2) is
+    // always a batch doc
+    val earlier = idx match {
+      case None => state.select(col("id"), col("hs"))
+      case Some(i) => state.select(col("id"), col("hs"))
+        .unionByName(i.select(col("id"), col("hs")))
+    }
+    val dropped = verifyPairs(cand, earlier, state.select(col("id"), col("hs")), threshold)
       .select(col("id2").as("id")).distinct()
 
-    // append THIS batch's signatures (eager, before the caller acts on
-    // the lazy result — which is safe: the result reads the snapshot)
-    bands.write.mode("append").parquet(bandsPath)
-    tok.write.mode("append").parquet(toksPath)
+    // append THIS batch's state (eager, before the caller acts on the
+    // lazy result — which is safe: the result reads the snapshot)
+    state.write.mode("append").parquet(statePath)
 
     batch.select(col(idCol).as("id"))
       .join(broadcast(dropped.withColumn("__dropped", lit(true))), Seq("id"), "left")

@@ -219,6 +219,8 @@ object LlmQueries {
            |  SELECT doc_id,
            |$minExprs
            |  FROM hv GROUP BY doc_id),
+           |hsets AS (
+           |  SELECT doc_id, list_distinct(list(h)) AS hset FROM hv GROUP BY doc_id),
            |bands AS (
            |$bandSelects),
            |cand AS (
@@ -228,9 +230,9 @@ object LlmQueries {
            |    AND a.doc_id < b.doc_id),
            |scored AS (
            |  SELECT id1, id2,
-           |    CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS inter,
-           |    CAST(len(ta.toks) AS BIGINT) AS n1, CAST(len(tb.toks) AS BIGINT) AS n2
-           |  FROM cand JOIN tok ta ON ta.doc_id = id1 JOIN tok tb ON tb.doc_id = id2),
+           |    CAST(len(list_intersect(ha.hset, hb.hset)) AS BIGINT) AS inter,
+           |    CAST(len(ha.hset) AS BIGINT) AS n1, CAST(len(hb.hset) AS BIGINT) AS n2
+           |  FROM cand JOIN hsets ha ON ha.doc_id = id1 JOIN hsets hb ON hb.doc_id = id2),
            |pairs AS (
            |  SELECT id1, id2 FROM scored
            |  WHERE CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE) >= 0.5),

@@ -51,7 +51,7 @@ class LlmSpec extends SparkSpec {
       .filter(col("kept")).select(col("id"))
       .collect().map(_.getLong(0)).toSet
     // global rule: kept iff no verified neighbor precedes in (batch, id)
-    val pairs = Dedup.minHashLshPairsPortable(corpus, "doc_id", "text", 0.5)
+    val pairs = Dedup.portableHashedPairs(corpus, "doc_id", "text", 0.5)
       .select(col("id1"), col("id2")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     def prec(a: Long, b: Long): Boolean =
