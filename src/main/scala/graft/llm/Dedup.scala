@@ -407,6 +407,39 @@ object Dedup {
       .select(col("id"), col("__dropped").isNull.as("kept"))
   }
 
+  /** STREAMING near-dup dedup: a document file-stream drained through
+    * [[nearDedupIncrement]] one micro-batch at a time via foreachBatch —
+    * the production ingest loop (new crawl files land, each batch dedups
+    * against everything ever seen, survivors flow on, the at-rest index
+    * grows). This is the NEAR-dup complement of
+    * `dropDuplicatesWithinWatermark`: state lives in the at-rest index
+    * (unbounded by design, scanned-not-shuffled per batch) instead of a
+    * watermark-bounded state store, because a near-dup of a document
+    * seen a month ago must still be dropped.
+    *
+    * Result: (id, kept, batch_id) per streamed doc, read back from
+    * `outDir`. Micro-batch boundaries follow the source's file order
+    * (one file per trigger here), so the keep set equals the same-split
+    * sequence of batch [[nearDedupIncrement]] calls — LlmSpec pins that
+    * equivalence.
+    */
+  def nearDedupStreaming(spark: org.apache.spark.sql.SparkSession, stagedDir: String,
+      schema: org.apache.spark.sql.types.StructType, idCol: String, textCol: String,
+      indexDir: String, outDir: String, threshold: Double): DataFrame = {
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stagedDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nearDedupIncrement(batch, idCol, textCol, indexDir, threshold)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Exact n-gram Jaccard pairs via inverted-index self-join on SHINGLES
     * (default 3-word): only pairs sharing a shingle are materialized.
     *

@@ -63,6 +63,39 @@ class LlmSpec extends SparkSpec {
     assert(droppedGlobal.nonEmpty && kept.nonEmpty)
   }
 
+  test("streaming near-dedup equals the same-split batch increments") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val base = Files.createTempDirectory("graft_stream_dedup_").toString
+    val staged = Paths.get(base, "staged"); Files.createDirectories(staged)
+    // two staged files with distinct mtimes: the stream's batch order
+    def stage(cond: org.apache.spark.sql.Column, name: String, mtimeSec: Long): Unit = {
+      val tmp = Paths.get(base, "tmp_" + name).toString
+      corpus.filter(cond).coalesce(1).write.parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .find(f => f.endsWith(".parquet") && !f.contains("_SUCCESS")).get
+      val dest = staged.resolve(name)
+      Files.copy(Paths.get(part), dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeSec * 1000))
+    }
+    stage(col("doc_id") % 2 === 0, "a_even.parquet", 1000000000L)
+    stage(col("doc_id") % 2 === 1, "b_odd.parquet", 1000000100L)
+    val streamed = Dedup.nearDedupStreaming(spark, staged.toString, corpus.schema,
+        "doc_id", "text", base + "/idx_stream", base + "/out", 0.5)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+    // the manual twin: same splits, same order, separate index
+    val manual = Seq(col("doc_id") % 2 === 0, col("doc_id") % 2 === 1).zipWithIndex
+      .flatMap { case (cond, i) =>
+        Dedup.nearDedupIncrement(corpus.filter(cond), "doc_id", "text",
+            base + "/idx_manual", 0.5)
+          .collect().map(r => (r.getLong(0), r.getBoolean(1), i.toLong))
+      }.toSet
+    assert(streamed === manual)
+    assert(streamed.exists(!_._2) && streamed.exists(_._2), "expected both outcomes")
+  }
+
   test("simhash: identical -> hamming 0; near-dup < far pair") {
     val sigs = docs.select(Dedup.simHash(col("text"))).collect().map(_.getLong(0))
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
