@@ -283,12 +283,12 @@ object Dedup {
     *     the corpus that q135's DuckDB oracle replays cell-exactly
     *     ([[portableHashedPairs]] is the global twin).
     *
-    * The index is read from a FILE-LISTING SNAPSHOT taken at call time
-    * (the poor-man's transaction log: bounded driver metadata, the
-    * Delta/Iceberg planning contract), so this call's own append can
-    * never leak into its lazily-evaluated result plan — a live
-    * directory read would see the batch's own signatures and drop every
-    * doc as a self-duplicate.
+    * Increments are EPOCH-tagged (monotone `epoch` per call, the
+    * partition column of the at-rest state): reads filter
+    * `epoch < thisEpoch`, so a call's own append can never leak into
+    * its lazily-evaluated result plan, and re-running a crashed epoch
+    * is idempotent — the Delta/Iceberg snapshot-isolation idea reduced
+    * to one partition-pruned column.
     *
     * Returns (id, kept); empty-shingle docs are always kept.
     */
@@ -352,7 +352,7 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
 
   def nearDedupIncrement(batch: DataFrame, idCol: String, textCol: String,
-      indexDir: String, threshold: Double): DataFrame = {
+      indexDir: String, threshold: Double, epoch: Long): DataFrame = {
     val spark = batch.sparkSession
     val state = portableState(batch, idCol, textCol).persist()
     graft.ops.CacheRegistry.register(state)
@@ -360,16 +360,22 @@ object Dedup {
     val keys = Seq("band", "v0", "v1", "v2", "v3")
     val statePath = indexDir.stripSuffix("/") + "/state"
 
-    val stateFiles = {
+    // EPOCH isolation (the transaction-log idea reduced to a partition
+    // column): the index is read through `epoch < thisEpoch`, a
+    // partition-pruned filter — so this call's own append (and any
+    // leftover rows from a crashed attempt at the SAME epoch) are
+    // logically invisible to this increment, making re-runs after a
+    // failed downstream idempotent. Duplicate rows a crashed attempt
+    // leaves behind are also semantically harmless (candidates are
+    // distinct'd, hash-set verify is idempotent); deleting the epoch
+    // directory reclaims them. Single writer per epoch by contract.
+    val hasIndex = {
       val p = new org.apache.hadoop.fs.Path(statePath)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) Seq.empty[String]
-      else fs.listStatus(p).toIndexedSeq.map(_.getPath.toString)
-        .filter { f =>
-          val n = f.substring(f.lastIndexOf('/') + 1)
-          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-        }
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
+    val idx = if (!hasIndex) None
+      else Some(spark.read.parquet(statePath).filter(col("epoch") < epoch)
+        .select(state.columns.map(col): _*))
 
     val candNew = bands.select((keys.map(col) :+ col("id").as("id1")): _*)
       .join(bands.select((keys.map(col) :+ col("id").as("id2")): _*), keys)
@@ -377,8 +383,6 @@ object Dedup {
       .select(col("id1"), col("id2"))
     // historical side: the index scan reads ONLY the sig columns for the
     // band join (parquet prunes hs) and ONLY (id, hs) for the verify
-    val idx = if (stateFiles.isEmpty) None
-      else Some(spark.read.schema(state.schema).parquet(stateFiles: _*))
     val cand = (idx match {
       case None => candNew
       case Some(i) =>
@@ -398,9 +402,10 @@ object Dedup {
     val dropped = verifyPairs(cand, earlier, state.select(col("id"), col("hs")), threshold)
       .select(col("id2").as("id")).distinct()
 
-    // append THIS batch's state (eager, before the caller acts on the
-    // lazy result — which is safe: the result reads the snapshot)
-    state.write.mode("append").parquet(statePath)
+    // append THIS batch's state under its epoch partition (eager, before
+    // the caller acts on the lazy result — safe under epoch isolation)
+    state.withColumn("epoch", lit(epoch))
+      .write.mode("append").partitionBy("epoch").parquet(statePath)
 
     batch.select(col(idCol).as("id"))
       .join(broadcast(dropped.withColumn("__dropped", lit(true))), Seq("id"), "left")
@@ -431,7 +436,7 @@ object Dedup {
       .parquet(stagedDir)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        nearDedupIncrement(batch, idCol, textCol, indexDir, threshold)
+        nearDedupIncrement(batch, idCol, textCol, indexDir, threshold, epoch = batchId)
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outDir)
       }

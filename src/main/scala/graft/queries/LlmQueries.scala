@@ -253,7 +253,8 @@ object LlmQueries {
       if (fs.exists(p)) fs.delete(p, true)
       val results = (0 until 3).map { b =>
         Dedup.nearDedupIncrement(
-          docs.filter(pmod(col("doc_id"), lit(3)) === b), "doc_id", "text", dir, 0.5)
+          docs.filter(pmod(col("doc_id"), lit(3)) === b), "doc_id", "text", dir, 0.5,
+          epoch = b)
       }
       results.reduce(_.unionByName(_)).filter(col("kept"))
         .select(col("id").cast("long").as("doc_id"))

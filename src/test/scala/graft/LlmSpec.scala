@@ -46,7 +46,8 @@ class LlmSpec extends SparkSpec {
     // three id-interleaved batches (doc_id mod 3), processed in order
     val kept = (0 until 3).map { b =>
         Dedup.nearDedupIncrement(
-          corpus.filter(pmod(col("doc_id"), lit(3)) === b), "doc_id", "text", dir, 0.5)
+          corpus.filter(pmod(col("doc_id"), lit(3)) === b), "doc_id", "text", dir, 0.5,
+          epoch = b)
       }.reduce(_.unionByName(_))
       .filter(col("kept")).select(col("id"))
       .collect().map(_.getLong(0)).toSet
@@ -61,6 +62,22 @@ class LlmSpec extends SparkSpec {
     assert(kept === (allIds -- droppedGlobal))
     // a dup of a DROPPED doc is still dropped (dropped docs stay indexed)
     assert(droppedGlobal.nonEmpty && kept.nonEmpty)
+  }
+
+  test("near-dedup increments are idempotent under crash-rerun (epoch isolation)") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_rerun_").toString
+    val b0 = corpus.filter(col("doc_id") % 2 === 0)
+    val b1 = corpus.filter(col("doc_id") % 2 === 1)
+    Dedup.nearDedupIncrement(b0, "doc_id", "text", dir, 0.5, epoch = 0).collect()
+    def run1() = Dedup.nearDedupIncrement(b1, "doc_id", "text", dir, 0.5, epoch = 1)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    val first = run1()
+    // simulate "append succeeded, downstream failed, operator re-ran":
+    // the rerun reads epoch < 1, so its own earlier append is invisible
+    val rerun = run1()
+    assert(rerun === first, "crash-rerun changed keep decisions")
+    assert(first.exists(!_._2), "expected at least one cross-epoch drop")
   }
 
   test("streaming near-dedup equals the same-split batch increments") {
@@ -89,7 +106,7 @@ class LlmSpec extends SparkSpec {
     val manual = Seq(col("doc_id") % 2 === 0, col("doc_id") % 2 === 1).zipWithIndex
       .flatMap { case (cond, i) =>
         Dedup.nearDedupIncrement(corpus.filter(cond), "doc_id", "text",
-            base + "/idx_manual", 0.5)
+            base + "/idx_manual", 0.5, epoch = i.toLong)
           .collect().map(r => (r.getLong(0), r.getBoolean(1), i.toLong))
       }.toSet
     assert(streamed === manual)

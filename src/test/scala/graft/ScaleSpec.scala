@@ -548,9 +548,9 @@ class ScaleSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_inc_plan_").toString
     // populate the index with batch 0, then PLAN (not run) batch 1
     Dedup.nearDedupIncrement(corpus.filter(col("doc_id") % 2 === 0),
-      "doc_id", "text", dir, 0.5).collect()
+      "doc_id", "text", dir, 0.5, epoch = 0).collect()
     val inc = Dedup.nearDedupIncrement(corpus.filter(col("doc_id") % 2 === 1),
-      "doc_id", "text", dir, 0.5)
+      "doc_id", "text", dir, 0.5, epoch = 1)
     val plan = inc.queryExecution.executedPlan.toString
     // the joins against the at-rest index carry explicit broadcast hints
     // on the BATCH side: history must only ever be scanned — a sort-merge
