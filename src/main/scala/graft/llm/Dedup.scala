@@ -427,20 +427,28 @@ object Dedup {
     * (one file per trigger here), so the keep set equals the same-split
     * sequence of batch [[nearDedupIncrement]] calls — LlmSpec pins that
     * equivalence.
+    *
+    * Restart contract: with `checkpointDir` set, a restarted stream
+    * resumes from the last committed offset and completed batches are
+    * not re-run. Without it, a re-run reprocesses from scratch —
+    * decisions come out IDENTICAL (epoch isolation makes each batch
+    * idempotent) but `outDir` accumulates a second copy of every result
+    * row, so point an uncheckpointed re-run at a fresh outDir.
     */
   def nearDedupStreaming(spark: org.apache.spark.sql.SparkSession, stagedDir: String,
       schema: org.apache.spark.sql.types.StructType, idCol: String, textCol: String,
-      indexDir: String, outDir: String, threshold: Double): DataFrame = {
+      indexDir: String, outDir: String, threshold: Double,
+      checkpointDir: Option[String] = None): DataFrame = {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(stagedDir)
-    val q = stream.writeStream
+    val writer = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         nearDedupIncrement(batch, idCol, textCol, indexDir, threshold, epoch = batchId)
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outDir)
       }
-      .start()
+    val q = checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c)).start()
     try q.processAllAvailable() finally q.stop()
     spark.read.parquet(outDir)
   }

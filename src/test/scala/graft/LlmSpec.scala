@@ -111,6 +111,23 @@ class LlmSpec extends SparkSpec {
       }.toSet
     assert(streamed === manual)
     assert(streamed.exists(!_._2) && streamed.exists(_._2), "expected both outcomes")
+
+    // checkpointed restart: a third file lands; the resumed stream
+    // processes ONLY it (completed batches are not re-run) and dedups
+    // it against the full index built by the first run
+    val ck = base + "/ck"; val out2 = base + "/out2"; val idx2 = base + "/idx_ck"
+    Dedup.nearDedupStreaming(spark, staged.toString, corpus.schema,
+      "doc_id", "text", idx2, out2, 0.5, checkpointDir = Some(ck))
+    stage(col("doc_id") % 2 === 0, "c_even_again.parquet", 1000000200L)
+    val resumed = Dedup.nearDedupStreaming(spark, staged.toString, corpus.schema,
+      "doc_id", "text", idx2, out2, 0.5, checkpointDir = Some(ck))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    // batch 2 exists and re-ingests the even docs — ALL dropped as
+    // exact dups of their epoch-0 selves; batches 0/1 kept their counts
+    val byBatch = resumed.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byBatch.keySet === Set(0L, 1L, 2L))
+    val b2 = resumed.filter(_._3 == 2L)
+    assert(b2.nonEmpty && b2.forall(!_._2), "re-ingested docs must all drop")
   }
 
   test("simhash: identical -> hamming 0; near-dup < far pair") {
