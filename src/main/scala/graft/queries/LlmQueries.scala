@@ -244,7 +244,12 @@ object LlmQueries {
            |WHERE doc_id NOT IN (SELECT did FROM dropped)
            |ORDER BY doc_id""".stripMargin
       }) { (s, d) =>
-      val docs = Tables.documents(s, d)
+      // the three increments filter the same table (pmod isn't a
+      // pushable predicate), so the projected text is cached rather than
+      // scanned three times; in production batches arrive as separate
+      // directories (see nearDedupStreaming) and no re-scan exists
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text")).persist()
+      graft.ops.CacheRegistry.register(docs)
       val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_neardedup_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
       // fresh index per run: the gate re-executes from scratch
