@@ -76,7 +76,7 @@ object Events {
   }
 
   def windowedCountsStreaming(spark: SparkSession, sfDir: String, windowLen: String,
-      stateParts: Int = 8): DataFrame = withStateParts(spark, stateParts) { s2 =>
+      stateParts: Int = 4): DataFrame = withStateParts(spark, stateParts) { s2 =>
     val name = s"graft_events_win_${counter.incrementAndGet()}"
     val stream = streamEvents(s2, sfDir)
     val agg = stream
@@ -114,7 +114,7 @@ object Events {
     * sessions stay in state, exactly like the explicit-state variant.
     */
   def sessionizeStreamingNative(spark: SparkSession, sfDir: String, gapMinutes: Int,
-      stateParts: Int = 8): DataFrame = withStateParts(spark, stateParts) { s2 =>
+      stateParts: Int = 4): DataFrame = withStateParts(spark, stateParts) { s2 =>
     val name = s"graft_events_sessnat_${counter.incrementAndGet()}"
     val agg = streamEvents(s2, sfDir)
       .withWatermark("ts", "1 hour")
@@ -133,8 +133,9 @@ object Events {
     * set for a stateful streaming query: state-store count == shuffle
     * partitions is fixed at query start, and every store pays per-batch
     * open/commit cost. Size it to stream volume (at 100 TB you size UP; the
-    * local fixture is oversized at 32 — measured q74 6.2 s, mostly store
-    * overhead). A clone (shared SparkContext, own conf + catalog) keeps the
+    * local fixture is oversized at 32 — measured q74 6.2 s at 32, 3.75 s
+    * at 8, 2.75 s at 4, all identical outputs; the fixture default is 4).
+    * A clone (shared SparkContext, own conf + catalog) keeps the
     * setting out of the caller's session — no global mutation, no race with
     * concurrent queries.
     */
@@ -158,7 +159,7 @@ object Events {
     * oracle replays exactly that rule from the batch side.
     */
   def clickPurchaseJoinStreaming(spark: SparkSession, sfDir: String,
-      stateParts: Int = 8, joinType: String = "inner"): DataFrame =
+      stateParts: Int = 4, joinType: String = "inner"): DataFrame =
     withStateParts(spark, stateParts) { s2 =>
     val name = s"graft_events_ssj_${counter.incrementAndGet()}"
     val clicks = streamEvents(s2, sfDir)
@@ -190,7 +191,7 @@ object Events {
     * equals the batch join+agg, which is the oracle.
     */
   def enrichedCountsStreaming(spark: SparkSession, sfDir: String, dim: DataFrame,
-      dimKey: String, labelCol: String, stateParts: Int = 8): DataFrame =
+      dimKey: String, labelCol: String, stateParts: Int = 4): DataFrame =
     withStateParts(spark, stateParts) { s2 =>
     val name = s"graft_events_enrich_${counter.incrementAndGet()}"
     val enriched = streamEvents(s2, sfDir)
@@ -217,7 +218,7 @@ object Events {
     * is deterministic (which event survives per key is not).
     */
   def dedupStreaming(spark: SparkSession, sfDir: String,
-      stateParts: Int = 8): DataFrame = withStateParts(spark, stateParts) { s2 =>
+      stateParts: Int = 4): DataFrame = withStateParts(spark, stateParts) { s2 =>
     val name = s"graft_events_dedup_${counter.incrementAndGet()}"
     val distinctKeys = streamEvents(s2, sfDir)
       .withWatermark("ts", "1 hour")
@@ -240,7 +241,7 @@ object Events {
     * batch sessionization with each user's final session removed.
     */
   def sessionizeTransformWithState(spark: SparkSession, sfDir: String, gapMinutes: Int,
-      stateParts: Int = 8): DataFrame = withStateParts(spark, stateParts) { s2 =>
+      stateParts: Int = 4): DataFrame = withStateParts(spark, stateParts) { s2 =>
     import s2.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -266,7 +267,7 @@ object Events {
     * closed sessions; its trailing open sessions are the expected delta.
     */
   def sessionizeStreaming(spark: SparkSession, sfDir: String, gapMinutes: Int,
-      stateParts: Int = 8): DataFrame = withStateParts(spark, stateParts) { s2 =>
+      stateParts: Int = 4): DataFrame = withStateParts(spark, stateParts) { s2 =>
     import s2.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = gapMinutes * 60L * 1000000L
