@@ -252,46 +252,6 @@ object Dedup {
       .select(col("id"), col("bb.band"), col("bb.v0"), col("bb.v1"), col("bb.v2"), col("bb.v3"))
   }
 
-  /** Incremental near-dup dedup against a PERSISTENT signature index —
-    * the daily-ingest shape of a training pipeline: a new crawl batch is
-    * deduplicated against everything EVER seen without re-reading or
-    * re-shuffling the historical corpus.
-    *
-    * Index layout (`indexDir/state`, append-only parquet): ONE row per
-    * document ever ingested — (id, hs, s0..s15), the distinct md5-hi32
-    * shingle hash set plus the 16 portable MinHash mins, both from a
-    * single map-side-combined aggregate. Per increment:
-    *
-    *  1. the batch's band rows BROADCAST against a scan of the index —
-    *     history is only ever scanned (narrow), never shuffled, no matter
-    *     how large it grows (increment ≪ index is the contract; a
-    *     non-broadcastable increment degrades to a shuffle join, still
-    *     correct); the band join reads only the sig columns (parquet
-    *     prunes the hash sets);
-    *  2. within-batch candidates come from the batch's own band self-join;
-    *  3. candidates are exact-Jaccard verified over the stored DISTINCT
-    *     HASH sets (8-byte values; no historical text is retained or
-    *     re-read) — hash-set Jaccard is engine-portable because both
-    *     engines see identical md5 collisions;
-    *  4. a batch doc is dropped iff a verified neighbor PRECEDES it
-    *     (any indexed doc, or a same-batch doc with smaller id) —
-    *     first-occurrence-wins, the near-dup generalization of
-    *     keep-min-id exact dedup;
-    *  5. ALL batch docs' state rows are appended (kept and dropped
-    *     alike), so the final keep set equals the batch-free global rule
-    *     "kept iff no preceding verified neighbor" — a pure function of
-    *     the corpus that q135's DuckDB oracle replays cell-exactly
-    *     ([[portableHashedPairs]] is the global twin).
-    *
-    * Increments are EPOCH-tagged (monotone `epoch` per call, the
-    * partition column of the at-rest state): reads filter
-    * `epoch < thisEpoch`, so a call's own append can never leak into
-    * its lazily-evaluated result plan, and re-running a crashed epoch
-    * is idempotent — the Delta/Iceberg snapshot-isolation idea reduced
-    * to one partition-pruned column.
-    *
-    * Returns (id, kept); empty-shingle docs are always kept.
-    */
   /** Per-doc index state (id, hs, s0..s15): the distinct md5-hi32 shingle
     * hash set AND the 16 portable MinHash mins from ONE map-side-combined
     * aggregate — signatures for banding, the hash set for exact-Jaccard
@@ -351,6 +311,50 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
 
+  /** Incremental near-dup dedup against a PERSISTENT signature index —
+    * the daily-ingest shape of a training pipeline: a new crawl batch is
+    * deduplicated against everything EVER seen without re-reading or
+    * re-shuffling the historical corpus.
+    *
+    * Index layout (`indexDir/state`, append-only parquet): ONE row per
+    * document ever ingested — (id, hs, s0..s15), the distinct md5-hi32
+    * shingle hash set plus the 16 portable MinHash mins, both from a
+    * single map-side-combined aggregate. Per increment:
+    *
+    *  1. the batch's band rows BROADCAST against a scan of the index —
+    *     history is only ever scanned (narrow), never shuffled, no matter
+    *     how large it grows (increment ≪ index is the contract; a
+    *     non-broadcastable increment degrades to a shuffle join, still
+    *     correct); the band join reads only the sig columns (parquet
+    *     prunes the hash sets);
+    *  2. within-batch candidates come from the batch's own band self-join;
+    *  3. candidates are exact-Jaccard verified over the stored DISTINCT
+    *     HASH sets (8-byte values; no historical text is retained or
+    *     re-read) — hash-set Jaccard is engine-portable because both
+    *     engines see identical md5 collisions;
+    *  4. a batch doc is dropped iff a verified neighbor PRECEDES it
+    *     (any indexed doc, or a same-batch doc with smaller id) —
+    *     first-occurrence-wins, the near-dup generalization of
+    *     keep-min-id exact dedup;
+    *  5. ALL batch docs' state rows are appended (kept and dropped
+    *     alike), so the final keep set equals the batch-free global rule
+    *     "kept iff no preceding verified neighbor" — a pure function of
+    *     the corpus that q135's DuckDB oracle replays cell-exactly
+    *     ([[portableHashedPairs]] is the global twin).
+    *
+    * Increments are EPOCH-tagged (monotone `epoch` per call, the
+    * partition column of the at-rest state): reads filter
+    * `epoch < thisEpoch`, so a call's own append can never leak into
+    * its lazily-evaluated result plan, and re-running a crashed epoch
+    * is idempotent — the Delta/Iceberg snapshot-isolation idea reduced
+    * to one partition-pruned column.
+    *
+    * Returns (id, kept); empty-shingle docs are always kept.
+    *
+    * Precondition (same style as TableDiff/asOfBroadcast): ids are
+    * unique across the whole ingested corpus — a re-used id would
+    * shadow the earlier doc's signatures and duplicate result rows.
+    */
   def nearDedupIncrement(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, threshold: Double, epoch: Long): DataFrame = {
     val spark = batch.sparkSession
@@ -369,9 +373,16 @@ object Dedup {
     // leaves behind are also semantically harmless (candidates are
     // distinct'd, hash-set verify is idempotent); deleting the epoch
     // directory reclaims them. Single writer per epoch by contract.
+    // "has an index" must mean "has DATA": an increment whose docs all
+    // had empty shingle sets appends zero rows, leaving a directory with
+    // only _SUCCESS — reading that as parquet throws at plan time
     val hasIndex = {
       val p = new org.apache.hadoop.fs.Path(statePath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
     }
     val idx = if (!hasIndex) None
       else Some(spark.read.parquet(statePath).filter(col("epoch") < epoch)
@@ -450,7 +461,18 @@ object Dedup {
       }
     val q = checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c)).start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(outDir)
+    // an empty source (or a restart with nothing new) may never create
+    // outDir — return the empty result rather than a read failure
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    if (!outPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(outPath)) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          schema(idCol).copy(name = "id"),
+          org.apache.spark.sql.types.StructField("kept",
+            org.apache.spark.sql.types.BooleanType, nullable = true),
+          org.apache.spark.sql.types.StructField("batch_id",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    } else spark.read.parquet(outDir)
   }
 
   /** Exact n-gram Jaccard pairs via inverted-index self-join on SHINGLES

@@ -64,6 +64,18 @@ class LlmSpec extends SparkSpec {
     assert(droppedGlobal.nonEmpty && kept.nonEmpty)
   }
 
+  test("near-dedup survives an all-empty-shingle first increment") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_empty_").toString
+    val empty = Seq((100L, ""), (101L, "!!! ???")).toDF("doc_id", "text")
+    val r0 = Dedup.nearDedupIncrement(empty, "doc_id", "text", dir, 0.5, epoch = 0)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(r0 === Set((100L, true), (101L, true))) // no shingles -> kept
+    // the zero-row append must not break the next increment's index read
+    val r1 = Dedup.nearDedupIncrement(docs, "doc_id", "text", dir, 0.5, epoch = 1)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(r1(0L) && !r1(3L)) // within-batch exact dup still drops
+  }
+
   test("near-dedup increments are idempotent under crash-rerun (epoch isolation)") {
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft_inc_rerun_").toString
@@ -91,8 +103,10 @@ class LlmSpec extends SparkSpec {
     def stage(cond: org.apache.spark.sql.Column, name: String, mtimeSec: Long): Unit = {
       val tmp = Paths.get(base, "tmp_" + name).toString
       corpus.filter(cond).coalesce(1).write.parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-        .find(f => f.endsWith(".parquet") && !f.contains("_SUCCESS")).get
+      val part = scala.util.Using.resource(Files.list(Paths.get(tmp))) { s =>
+        s.toArray.map(_.toString)
+          .find(f => f.endsWith(".parquet") && !f.contains("_SUCCESS")).get
+      }
       val dest = staged.resolve(name)
       Files.copy(Paths.get(part), dest, StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeSec * 1000))
