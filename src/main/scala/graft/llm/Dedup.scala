@@ -207,12 +207,7 @@ object Dedup {
       threshold: Double): DataFrame = {
     val tok = portableTok(df, idCol, textCol).persist()
     graft.ops.CacheRegistry.register(tok)
-    val bandRows = portableBands(tok)
-    val keys = Seq("band", "v0", "v1", "v2", "v3")
-    val cand = bandRows.select((keys.map(col) :+ col("id").as("id1")): _*)
-      .join(bandRows.select((keys.map(col) :+ col("id").as("id2")): _*), keys)
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
+    val cand = bandSelfCands(portableBands(tok)).distinct()
     val t1 = tok.select(col("id").as("id1"), col("toks").as("toks1"))
     val t2 = tok.select(col("id").as("id2"), col("toks").as("toks2"))
     cand.join(t1, "id1").join(t2, "id2")
@@ -231,25 +226,41 @@ object Dedup {
     df.select(col(idCol).as("id"), shingles(col(textCol), 3).as("toks"))
       .filter(size(col("toks")) > 0)
 
-  /** Engine-portable 4×4 banded MinHash rows (id, band, v0..v3): md5
-    * hi-32 per shingle, 16 exact universal hashes mod 2³¹−1 folded in one
-    * map-side-combined aggregate. Every value is a deterministic integer
+  // The portable hashing/banding constants live in EXACTLY ONE place
+  // each — every Spark consumer (q134's string path, q135's hash-set
+  // path, the incremental index) and both generated oracles replay the
+  // same numbers, so drift in one copy can't silently break the pinned
+  // Spark/DuckDB exactness.
+
+  /** md5 hi-32 of a token: the engine-portable base hash (< 2³², so all
+    * downstream arithmetic is exact in f64 on both engines).
+    */
+  private def md5Hi32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** The 16 universal-hash minimum aggregates over `h` (mod 2³¹−1). */
+  private def sigMinExprs: Seq[Column] = (0 until 16).map { j =>
+    min((col("h") * (2L * j + 3L) + 104729L * (j + 1)) % 2147483647L).as(s"s$j")
+  }
+
+  /** (id, id1<id2) candidate pairs sharing all four slots of ≥1 band. */
+  private def bandSelfCands(bands: DataFrame): DataFrame = {
+    val keys = Seq("band", "v0", "v1", "v2", "v3")
+    bands.select((keys.map(col) :+ col("id").as("id1")): _*)
+      .join(bands.select((keys.map(col) :+ col("id").as("id2")): _*), keys)
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+  }
+
+  /** Engine-portable 4×4 banded MinHash rows (id, band, v0..v3) from the
+    * string-shingle frame. Every value is a deterministic integer
     * function of the text — the property that makes candidate SETS (and
     * therefore incremental keep decisions) SQL-replayable.
     */
   private def portableBands(tok: DataFrame): DataFrame = {
-    val P = 2147483647L // 2^31 - 1
     val inv = tok.select(col("id"), explode(col("toks")).as("w"))
-      .withColumn("h", conv(substring(md5(col("w").cast("binary")), 1, 8), 16, 10).cast("long"))
-    val minExprs = (0 until 16).map { j =>
-      min((col("h") * (2L * j + 3L) + 104729L * (j + 1)) % P).as(s"s$j")
-    }
-    val sigs = inv.groupBy(col("id")).agg(minExprs.head, minExprs.tail: _*)
-    sigs.select(col("id"), explode(array((0 until 4).map { t =>
-        struct((lit(t).as("band") +:
-          (0 until 4).map(r => col(s"s${t * 4 + r}").as(s"v$r"))): _*)
-      }: _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.v0"), col("bb.v1"), col("bb.v2"), col("bb.v3"))
+      .withColumn("h", md5Hi32(col("w")))
+    stateBands(inv.groupBy(col("id")).agg(sigMinExprs.head, sigMinExprs.tail: _*))
   }
 
   /** Per-doc index state (id, hs, s0..s15): the distinct md5-hi32 shingle
@@ -260,13 +271,9 @@ object Dedup {
     * hashes keep the at-rest index a fraction of the shingle text.
     */
   private[graft] def portableState(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val P = 2147483647L // 2^31 - 1
     val inv = df.select(col(idCol).as("id"), explode(shingles(col(textCol), 3)).as("w"))
-      .withColumn("h", conv(substring(md5(col("w").cast("binary")), 1, 8), 16, 10).cast("long"))
-    val minExprs = (0 until 16).map { j =>
-      min((col("h") * (2L * j + 3L) + 104729L * (j + 1)) % P).as(s"s$j")
-    }
-    inv.groupBy(col("id")).agg(collect_set(col("h")).as("hs"), minExprs: _*)
+      .withColumn("h", md5Hi32(col("w")))
+    inv.groupBy(col("id")).agg(collect_set(col("h")).as("hs"), sigMinExprs: _*)
   }
 
   /** 4×4 band rows (id, band, v0..v3) projected from [[portableState]] —
@@ -287,29 +294,31 @@ object Dedup {
       threshold: Double): DataFrame = {
     val state = portableState(df, idCol, textCol).persist()
     graft.ops.CacheRegistry.register(state)
-    val bands = stateBands(state)
-    val keys = Seq("band", "v0", "v1", "v2", "v3")
-    val cand = bands.select((keys.map(col) :+ col("id").as("id1")): _*)
-      .join(bands.select((keys.map(col) :+ col("id").as("id2")): _*), keys)
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
+    val cand = bandSelfCands(stateBands(state)).distinct()
+    // hint = false: both sides here are the WHOLE corpus — forcing a
+    // broadcast would cap the global twin at driver memory
     verifyPairs(cand, state.select(col("id"), col("hs")),
-      state.select(col("id"), col("hs")), threshold)
+      state.select(col("id"), col("hs")), threshold, hintBroadcast = false)
   }
 
   /** Exact hash-set Jaccard over candidate pairs; earlier/later sides may
-    * come from different stores.
+    * come from different stores. `hintBroadcast` forces the
+    * increment-sized sides (cand, later) to broadcast — pass false when
+    * `later` is corpus-sized and the planner should choose.
     */
   private def verifyPairs(cand: DataFrame, earlier: DataFrame, later: DataFrame,
-      threshold: Double): DataFrame =
-    broadcast(cand)
+      threshold: Double, hintBroadcast: Boolean): DataFrame = {
+    val candSide = if (hintBroadcast) broadcast(cand) else cand
+    val laterSide = later.select(col("id").as("id2"), col("hs").as("hs2"))
+    candSide
       .join(earlier.select(col("id").as("id1"), col("hs").as("hs1")), "id1")
-      .join(broadcast(later.select(col("id").as("id2"), col("hs").as("hs2"))), "id2")
+      .join(if (hintBroadcast) broadcast(laterSide) else laterSide, "id2")
       .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("hs1")) + size(col("hs2")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+  }
 
   /** Incremental near-dup dedup against a PERSISTENT signature index —
     * the daily-ingest shape of a training pipeline: a new crawl batch is
@@ -323,10 +332,11 @@ object Dedup {
     *
     *  1. the batch's band rows BROADCAST against a scan of the index —
     *     history is only ever scanned (narrow), never shuffled, no matter
-    *     how large it grows (increment ≪ index is the contract; a
-    *     non-broadcastable increment degrades to a shuffle join, still
-    *     correct); the band join reads only the sig columns (parquet
-    *     prunes the hash sets);
+    *     how large it grows. Increment ≪ index is an ENFORCED contract:
+    *     the hints broadcast unconditionally, so an increment past the
+    *     broadcast cap fails loudly (split the batch) rather than
+    *     silently shuffling the full index; the band join reads only
+    *     the sig columns (parquet prunes the hash sets);
     *  2. within-batch candidates come from the batch's own band self-join;
     *  3. candidates are exact-Jaccard verified over the stored DISTINCT
     *     HASH sets (8-byte values; no historical text is retained or
@@ -388,10 +398,7 @@ object Dedup {
       else Some(spark.read.parquet(statePath).filter(col("epoch") < epoch)
         .select(state.columns.map(col): _*))
 
-    val candNew = bands.select((keys.map(col) :+ col("id").as("id1")): _*)
-      .join(bands.select((keys.map(col) :+ col("id").as("id2")): _*), keys)
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"))
+    val candNew = bandSelfCands(bands)
     // historical side: the index scan reads ONLY the sig columns for the
     // band join (parquet prunes hs) and ONLY (id, hs) for the verify
     val cand = (idx match {
@@ -410,7 +417,8 @@ object Dedup {
       case Some(i) => state.select(col("id"), col("hs"))
         .unionByName(i.select(col("id"), col("hs")))
     }
-    val dropped = verifyPairs(cand, earlier, state.select(col("id"), col("hs")), threshold)
+    val dropped = verifyPairs(cand, earlier, state.select(col("id"), col("hs")), threshold,
+        hintBroadcast = true)
       .select(col("id2").as("id")).distinct()
 
     // append THIS batch's state under its epoch partition (eager, before
@@ -440,11 +448,14 @@ object Dedup {
     * equivalence.
     *
     * Restart contract: with `checkpointDir` set, a restarted stream
-    * resumes from the last committed offset and completed batches are
-    * not re-run. Without it, a re-run reprocesses from scratch —
-    * decisions come out IDENTICAL (epoch isolation makes each batch
-    * idempotent) but `outDir` accumulates a second copy of every result
-    * row, so point an uncheckpointed re-run at a fresh outDir.
+    * resumes from the last committed offset. foreachBatch is
+    * AT-LEAST-ONCE (a crash between the batch body and the offset
+    * commit re-runs that batch), so the result write is made idempotent
+    * the standard way: partitioned by batch_id with dynamic partition
+    * overwrite — a re-run replaces its own partition instead of
+    * appending a duplicate copy. A fully uncheckpointed re-run
+    * reprocesses from scratch with identical decisions (epoch isolation)
+    * and likewise overwrites per-batch partitions.
     */
   def nearDedupStreaming(spark: org.apache.spark.sql.SparkSession, stagedDir: String,
       schema: org.apache.spark.sql.types.StructType, idCol: String, textCol: String,
@@ -457,7 +468,10 @@ object Dedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         nearDedupIncrement(batch, idCol, textCol, indexDir, threshold, epoch = batchId)
           .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
       }
     val q = checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c)).start()
     try q.processAllAvailable() finally q.stop()
@@ -473,6 +487,8 @@ object Dedup {
           org.apache.spark.sql.types.StructField("batch_id",
             org.apache.spark.sql.types.LongType, nullable = false))))
     } else spark.read.parquet(outDir)
+      // partition-column inference narrows batch_id to int; restore long
+      .withColumn("batch_id", col("batch_id").cast("long"))
   }
 
   /** Exact n-gram Jaccard pairs via inverted-index self-join on SHINGLES

@@ -10,6 +10,50 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries {
 
+  /** Shared DuckDB CTE prefix for the portable-MinHash oracle twins
+    * (q134, q135): words → shingles → md5-hi32 hashes → 16 sig mins →
+    * 4×4 bands → banding candidates. Generated from the same constants
+    * the Spark kernels use, in ONE place — the exactness contract
+    * requires the twins' hashing/banding SQL to be byte-identical, so
+    * there is deliberately no second copy to drift.
+    */
+  private def portableOraclePrefix: String = {
+    val minExprs = (0 until 16).map { j =>
+      s"    MIN((h * ${2 * j + 3} + ${104729 * (j + 1)}) % 2147483647) AS s$j"
+    }.mkString(",\n")
+    val bandSelects = (0 until 4).map { t =>
+      val vs = (0 until 4).map(r => s"s${t * 4 + r}").mkString(", ")
+      s"  SELECT doc_id, $t AS band, $vs FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+       |tok AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ws) < 3 THEN [list_aggregate(ws, 'string_agg', ' ')]
+       |         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+       |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS toks
+       |  FROM words),
+       |inv AS (
+       |  SELECT doc_id, unnest(toks) AS w FROM tok),
+       |hv AS (
+       |  SELECT doc_id,
+       |    list_sum(list_transform(range(0, 8), kk ->
+       |      (strpos('0123456789abcdef', substr(md5(w), 1 + CAST(kk AS INT), 1)) - 1)
+       |        * CAST(pow(16, 7 - kk) AS BIGINT))) AS h
+       |  FROM inv WHERE w IS NOT NULL),
+       |sigs AS (
+       |  SELECT doc_id,
+       |$minExprs
+       |  FROM hv GROUP BY doc_id),
+       |bands AS (
+       |$bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b ON a.band = b.band
+       |    AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.s3 = b.s3
+       |    AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup via hash-groupBy (keep min id per key).
@@ -131,40 +175,7 @@ object LlmQueries {
     // from the same (a_j, b_j) constants the Spark side uses.
     QueryDef.sql(
       "q134_minhash_lsh_portable", {
-        val minExprs = (0 until 16).map { j =>
-          s"    MIN((h * ${2 * j + 3} + ${104729 * (j + 1)}) % 2147483647) AS s$j"
-        }.mkString(",\n")
-        val bandSelects = (0 until 4).map { t =>
-          val vs = (0 until 4).map(r => s"s${t * 4 + r}").mkString(", ")
-          s"  SELECT doc_id, $t AS band, $vs FROM sigs"
-        }.mkString("\n  UNION ALL\n")
-        s"""WITH words AS (
-           |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
-           |tok AS (
-           |  SELECT doc_id,
-           |    CASE WHEN len(ws) < 3 THEN [list_aggregate(ws, 'string_agg', ' ')]
-           |         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
-           |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS toks
-           |  FROM words),
-           |inv AS (
-           |  SELECT doc_id, unnest(toks) AS w FROM tok),
-           |hv AS (
-           |  SELECT doc_id,
-           |    list_sum(list_transform(range(0, 8), kk ->
-           |      (strpos('0123456789abcdef', substr(md5(w), 1 + CAST(kk AS INT), 1)) - 1)
-           |        * CAST(pow(16, 7 - kk) AS BIGINT))) AS h
-           |  FROM inv WHERE w IS NOT NULL),
-           |sigs AS (
-           |  SELECT doc_id,
-           |$minExprs
-           |  FROM hv GROUP BY doc_id),
-           |bands AS (
-           |$bandSelects),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-           |  FROM bands a JOIN bands b ON a.band = b.band
-           |    AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.s3 = b.s3
-           |    AND a.doc_id < b.doc_id),
+        s"""$portableOraclePrefix,
            |scored AS (
            |  SELECT id1, id2,
            |    CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS inter,
@@ -192,42 +203,9 @@ object LlmQueries {
     // rule must agree doc-for-doc.
     QueryDef.sql(
       "q135_incremental_dedup", {
-        val minExprs = (0 until 16).map { j =>
-          s"    MIN((h * ${2 * j + 3} + ${104729 * (j + 1)}) % 2147483647) AS s$j"
-        }.mkString(",\n")
-        val bandSelects = (0 until 4).map { t =>
-          val vs = (0 until 4).map(r => s"s${t * 4 + r}").mkString(", ")
-          s"  SELECT doc_id, $t AS band, $vs FROM sigs"
-        }.mkString("\n  UNION ALL\n")
-        s"""WITH words AS (
-           |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
-           |tok AS (
-           |  SELECT doc_id,
-           |    CASE WHEN len(ws) < 3 THEN [list_aggregate(ws, 'string_agg', ' ')]
-           |         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
-           |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS toks
-           |  FROM words),
-           |inv AS (
-           |  SELECT doc_id, unnest(toks) AS w FROM tok),
-           |hv AS (
-           |  SELECT doc_id,
-           |    list_sum(list_transform(range(0, 8), kk ->
-           |      (strpos('0123456789abcdef', substr(md5(w), 1 + CAST(kk AS INT), 1)) - 1)
-           |        * CAST(pow(16, 7 - kk) AS BIGINT))) AS h
-           |  FROM inv WHERE w IS NOT NULL),
-           |sigs AS (
-           |  SELECT doc_id,
-           |$minExprs
-           |  FROM hv GROUP BY doc_id),
+        s"""$portableOraclePrefix,
            |hsets AS (
            |  SELECT doc_id, list_distinct(list(h)) AS hset FROM hv GROUP BY doc_id),
-           |bands AS (
-           |$bandSelects),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-           |  FROM bands a JOIN bands b ON a.band = b.band
-           |    AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.s3 = b.s3
-           |    AND a.doc_id < b.doc_id),
            |scored AS (
            |  SELECT id1, id2,
            |    CAST(len(list_intersect(ha.hset, hb.hset)) AS BIGINT) AS inter,
@@ -250,12 +228,11 @@ object LlmQueries {
       // directories (see nearDedupStreaming) and no re-scan exists
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text")).persist()
       graft.ops.CacheRegistry.register(docs)
-      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_neardedup_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
-      // fresh index per run: the gate re-executes from scratch
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      // a UNIQUE index dir per invocation: the returned plan reads the
+      // index lazily, so a shared fixed path deleted by the next
+      // invocation would yank files out from under an un-materialized
+      // earlier result (bench runs the same query three times)
+      val dir = java.nio.file.Files.createTempDirectory("graft_neardedup_idx_").toString
       val results = (0 until 3).map { b =>
         Dedup.nearDedupIncrement(
           docs.filter(pmod(col("doc_id"), lit(3)) === b), "doc_id", "text", dir, 0.5,

@@ -130,16 +130,23 @@ class LlmSpec extends SparkSpec {
     // processes ONLY it (completed batches are not re-run) and dedups
     // it against the full index built by the first run
     val ck = base + "/ck"; val out2 = base + "/out2"; val idx2 = base + "/idx_ck"
-    Dedup.nearDedupStreaming(spark, staged.toString, corpus.schema,
+    val first = Dedup.nearDedupStreaming(spark, staged.toString, corpus.schema,
       "doc_id", "text", idx2, out2, 0.5, checkpointDir = Some(ck))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
     stage(col("doc_id") % 2 === 0, "c_even_again.parquet", 1000000200L)
     val resumed = Dedup.nearDedupStreaming(spark, staged.toString, corpus.schema,
       "doc_id", "text", idx2, out2, 0.5, checkpointDir = Some(ck))
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
     // batch 2 exists and re-ingests the even docs — ALL dropped as
-    // exact dups of their epoch-0 selves; batches 0/1 kept their counts
-    val byBatch = resumed.groupBy(_._3).view.mapValues(_.length).toMap
+    // exact dups of their epoch-0 selves; batches 0/1 are NOT re-run:
+    // their row sets are exactly the first run's (no duplicates)
+    val byBatch = resumed.groupBy(_._3).view.mapValues(_.toSet).toMap
     assert(byBatch.keySet === Set(0L, 1L, 2L))
+    val firstByBatch = first.groupBy(_._3).view.mapValues(_.toSet).toMap
+    assert(byBatch(0L) === firstByBatch(0L) && byBatch(1L) === firstByBatch(1L),
+      "completed batches changed across restart")
+    assert(resumed.count(_._3 != 2L) === first.length,
+      "completed batches duplicated rows across restart")
     val b2 = resumed.filter(_._3 == 2L)
     assert(b2.nonEmpty && b2.forall(!_._2), "re-ingested docs must all drop")
   }
