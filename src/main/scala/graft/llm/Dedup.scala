@@ -422,8 +422,15 @@ object Dedup {
       .select(col("id2").as("id")).distinct()
 
     // append THIS batch's state under its epoch partition (eager, before
-    // the caller acts on the lazy result — safe under epoch isolation)
-    state.withColumn("epoch", lit(epoch))
+    // the caller acts on the lazy result — safe under epoch isolation).
+    // FILE SIZING: a 32-way write of a small increment appends 32
+    // near-empty files whose per-file open cost every later scan pays
+    // forever (the small-file problem all table formats fight) — size
+    // the epoch's file count to its materialized row count instead
+    // (~500k state rows per file; the count is a cheap action on the
+    // cache the write was about to populate anyway)
+    val outFiles = math.max(1L, math.min(32L, state.count() / 500000L + 1L)).toInt
+    state.withColumn("epoch", lit(epoch)).coalesce(outFiles)
       .write.mode("append").partitionBy("epoch").parquet(statePath)
 
     batch.select(col(idCol).as("id"))
