@@ -212,10 +212,19 @@ object Similarity {
     * cell) and the retrain cadence is the caller's knob.
     */
   def ivfAppend(newVecs: DataFrame, centroids: Array[Array[Double]], indexDir: String,
-      idCol: String = "id", vecCol: String = "vec"): Unit =
-    newVecs.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      idCol: String = "id", vecCol: String = "vec"): Unit = {
+    val assigned = newVecs.select(col(idCol).as("id"), col(vecCol).as("vec"),
         ivfCell(col(vecCol), centroids).as("cell"))
+      .persist()
+    graft.ops.CacheRegistry.register(assigned)
+    // size writer parallelism to the increment (a 32-way append of a
+    // small batch leaves up to 32 near-empty files PER CELL, and every
+    // later probe pays the per-file open cost — the small-file problem);
+    // ~500k vectors per writer task, min 1
+    val outFiles = math.max(1L, math.min(32L, assigned.count() / 500000L + 1L)).toInt
+    assigned.coalesce(outFiles)
       .write.mode("append").partitionBy("cell").parquet(indexDir)
+  }
 
   // ----------------------------------------------------------------- PQ
 
