@@ -498,6 +498,40 @@ object Dedup {
       .withColumn("batch_id", col("batch_id").cast("long"))
   }
 
+  /** Compact the near-dedup signature index (the Delta-OPTIMIZE verb of
+    * this table's lifecycle): rewrite every settled epoch into ONE
+    * partition at the sentinel epoch −1 ("settled history" — visible to
+    * every future increment, since reads filter `epoch < current` and
+    * increments use epochs ≥ 0), dropping duplicate rows left by crashed
+    * re-runs. SEMANTICS-PRESERVING because index-internal epoch order is
+    * already settled: the keep rule only distinguishes "indexed before
+    * this increment" from "in this increment".
+    *
+    * Durable: stages the rewrite to a sibling directory, then swaps
+    * (the mergeUpsert/compactBatchDir pattern). Single writer: do not
+    * compact concurrently with an in-flight increment.
+    */
+  def nearDedupIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    val statePath = indexDir.stripSuffix("/") + "/state"
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(statePath))) return
+    val all = spark.read.parquet(statePath)
+    // duplicate ids (crash leftovers) carry identical hash sets — keep any
+    val compacted = all.dropDuplicates("id")
+      .withColumn("epoch", lit(-1L))
+      .persist()
+    graft.ops.CacheRegistry.register(compacted)
+    val outFiles = math.max(1L, math.min(32L, compacted.count() / 500000L + 1L)).toInt
+    val stage = statePath + ".__graft_compact_stage"
+    compacted.coalesce(outFiles)
+      .write.mode("overwrite").partitionBy("epoch").parquet(stage)
+    fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(stage),
+      new org.apache.hadoop.fs.Path(statePath))
+  }
+
   /** Exact n-gram Jaccard pairs via inverted-index self-join on SHINGLES
     * (default 3-word): only pairs sharing a shingle are materialized.
     *

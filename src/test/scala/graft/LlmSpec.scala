@@ -92,6 +92,29 @@ class LlmSpec extends SparkSpec {
     assert(first.exists(!_._2), "expected at least one cross-epoch drop")
   }
 
+  test("index compaction preserves decisions and cleans crash duplicates") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dirA = java.nio.file.Files.createTempDirectory("graft_inc_cpt_").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_inc_ref_").toString
+    def inc(dir: String, b: Int) = Dedup.nearDedupIncrement(
+        corpus.filter(pmod(col("doc_id"), lit(3)) === b), "doc_id", "text", dir, 0.5,
+        epoch = b)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    inc(dirA, 0); inc(dirA, 1)
+    inc(dirB, 0); inc(dirB, 1)
+    // crash leftover: epoch 1 re-appended, then compact dirA only
+    inc(dirA, 1)
+    Dedup.nearDedupIndexCompact(spark, dirA)
+    val statePath = dirA + "/state"
+    val rows = spark.read.parquet(statePath)
+    assert(rows.select(col("id")).distinct().count() === rows.count(),
+      "compaction left duplicate ids")
+    assert(rows.select(col("epoch")).distinct().collect().map(_.get(0).toString).toSet
+      === Set("-1"), "expected single settled-history partition")
+    // the third increment decides identically over compacted vs raw history
+    assert(inc(dirA, 2) === inc(dirB, 2))
+  }
+
   test("streaming near-dedup equals the same-split batch increments") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
