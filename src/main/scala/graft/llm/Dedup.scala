@@ -508,8 +508,11 @@ object Dedup {
     * this increment" from "in this increment".
     *
     * Durable: stages the rewrite to a sibling directory, then swaps
-    * (the mergeUpsert/compactBatchDir pattern). Single writer: do not
-    * compact concurrently with an in-flight increment.
+    * (the mergeUpsert/compactBatchDir pattern) — a crash inside the
+    * delete/rename window leaves the complete staged copy on disk at
+    * `state.__graft_compact_stage`, so recovery is renaming it into
+    * place. Single writer: do not compact concurrently with an
+    * in-flight increment.
     */
   def nearDedupIndexCompact(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit = {
