@@ -388,11 +388,8 @@ object Dedup {
     // only _SUCCESS — reading that as parquet throws at plan time
     val hasIndex = {
       val p = new org.apache.hadoop.fs.Path(statePath)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p) && fs.listStatus(p).exists { st =>
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      }
+      graft.ops.Layout.hasParquetData(
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
     }
     val idx = if (!hasIndex) None
       else Some(spark.read.parquet(statePath).filter(col("epoch") < epoch)
@@ -423,13 +420,10 @@ object Dedup {
 
     // append THIS batch's state under its epoch partition (eager, before
     // the caller acts on the lazy result — safe under epoch isolation).
-    // FILE SIZING: a 32-way write of a small increment appends 32
-    // near-empty files whose per-file open cost every later scan pays
-    // forever (the small-file problem all table formats fight) — size
-    // the epoch's file count to its materialized row count instead
-    // (~500k state rows per file; the count is a cheap action on the
-    // cache the write was about to populate anyway)
-    val outFiles = math.max(1L, math.min(32L, state.count() / 500000L + 1L)).toInt
+    // FILE SIZING: size the epoch's file count to its materialized row
+    // count (the count is a cheap action on the cache the write was
+    // about to populate anyway)
+    val outFiles = graft.ops.Layout.sizedFileCount(state.count())
     state.withColumn("epoch", lit(epoch)).coalesce(outFiles)
       .write.mode("append").partitionBy("epoch").parquet(statePath)
 
@@ -482,10 +476,12 @@ object Dedup {
       }
     val q = checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c)).start()
     try q.processAllAvailable() finally q.stop()
-    // an empty source (or a restart with nothing new) may never create
-    // outDir — return the empty result rather than a read failure
+    // an empty source may never create outDir, and all-zero-row batches
+    // create it with only _SUCCESS — return the empty result rather
+    // than a read failure in either case
     val outPath = new org.apache.hadoop.fs.Path(outDir)
-    if (!outPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(outPath)) {
+    if (!graft.ops.Layout.hasParquetData(
+        outPath.getFileSystem(spark.sparkContext.hadoopConfiguration), outPath)) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           schema(idCol).copy(name = "id"),
@@ -499,40 +495,55 @@ object Dedup {
   }
 
   /** Compact the near-dedup signature index (the Delta-OPTIMIZE verb of
-    * this table's lifecycle): rewrite every settled epoch into ONE
-    * partition at the sentinel epoch −1 ("settled history" — visible to
-    * every future increment, since reads filter `epoch < current` and
-    * increments use epochs ≥ 0), dropping duplicate rows left by crashed
-    * re-runs. SEMANTICS-PRESERVING because index-internal epoch order is
-    * already settled: the keep rule only distinguishes "indexed before
+    * this table's lifecycle): rewrite every SETTLED epoch — everything
+    * strictly below the current maximum — into one sentinel partition
+    * (negative, visible to every future increment since reads filter
+    * `epoch < current` and increments use epochs ≥ 0), dropping
+    * duplicate rows left by crashed re-runs. The NEWEST epoch is left
+    * untouched on purpose: under at-least-once streaming it may still
+    * re-run, and folding it into settled history would make that re-run
+    * see its own rows and drop every doc as a self-duplicate.
+    * SEMANTICS-PRESERVING because settled index-internal epoch order no
+    * longer matters: the keep rule only distinguishes "indexed before
     * this increment" from "in this increment".
     *
-    * Durable: stages the rewrite to a sibling directory, then swaps
-    * (the mergeUpsert/compactBatchDir pattern) — a crash inside the
-    * delete/rename window leaves the complete staged copy on disk at
-    * `state.__graft_compact_stage`, so recovery is renaming it into
-    * place. Single writer: do not compact concurrently with an
-    * in-flight increment.
+    * Crash safety WITHOUT a lose-everything window: the new sentinel
+    * generation (one lower than any existing epoch) is staged durably,
+    * renamed INTO the live directory first, and only then are the now-
+    * redundant settled partitions deleted. At every intermediate point
+    * the index content is a superset with duplicate rows — which the
+    * increment path already tolerates and the next compaction cleans.
+    * Single writer: do not compact concurrently with an increment.
     */
   def nearDedupIndexCompact(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit = {
     val statePath = indexDir.stripSuffix("/") + "/state"
-    val fs = new org.apache.hadoop.fs.Path(statePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(statePath))) return
+    val sp = new org.apache.hadoop.fs.Path(statePath)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!graft.ops.Layout.hasParquetData(fs, sp)) return
     val all = spark.read.parquet(statePath)
+    val epochs = all.select(col("epoch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (epochs.length <= 1) return // nothing settled to fold
+    val maxEpoch = epochs.last
+    val sentinel = math.min(-1L, epochs.head - 1L)
     // duplicate ids (crash leftovers) carry identical hash sets — keep any
-    val compacted = all.dropDuplicates("id")
-      .withColumn("epoch", lit(-1L))
+    val settled = all.filter(col("epoch") < maxEpoch)
+      .dropDuplicates("id")
+      .withColumn("epoch", lit(sentinel))
       .persist()
-    graft.ops.CacheRegistry.register(compacted)
-    val outFiles = math.max(1L, math.min(32L, compacted.count() / 500000L + 1L)).toInt
+    graft.ops.CacheRegistry.register(settled)
+    val outFiles = graft.ops.Layout.sizedFileCount(settled.count())
     val stage = statePath + ".__graft_compact_stage"
-    compacted.coalesce(outFiles)
+    settled.coalesce(outFiles)
       .write.mode("overwrite").partitionBy("epoch").parquet(stage)
-    fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
-    fs.rename(new org.apache.hadoop.fs.Path(stage),
-      new org.apache.hadoop.fs.Path(statePath))
+    // land the new generation first, then retire the old partitions
+    fs.rename(new org.apache.hadoop.fs.Path(s"$stage/epoch=$sentinel"),
+      new org.apache.hadoop.fs.Path(s"$statePath/epoch=$sentinel"))
+    epochs.init.foreach { e =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/epoch=$e"), true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
 
   /** Exact n-gram Jaccard pairs via inverted-index self-join on SHINGLES

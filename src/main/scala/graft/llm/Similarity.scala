@@ -217,11 +217,10 @@ object Similarity {
         ivfCell(col(vecCol), centroids).as("cell"))
       .persist()
     graft.ops.CacheRegistry.register(assigned)
-    // size writer parallelism to the increment (a 32-way append of a
+    // size writer parallelism to the increment: a 32-way append of a
     // small batch leaves up to 32 near-empty files PER CELL, and every
-    // later probe pays the per-file open cost — the small-file problem);
-    // ~500k vectors per writer task, min 1
-    val outFiles = math.max(1L, math.min(32L, assigned.count() / 500000L + 1L)).toInt
+    // later probe pays the per-file open cost
+    val outFiles = graft.ops.Layout.sizedFileCount(assigned.count())
     assigned.coalesce(outFiles)
       .write.mode("append").partitionBy("cell").parquet(indexDir)
   }

@@ -1,0 +1,28 @@
+package graft.ops
+
+/** At-rest layout helpers shared by the incremental writers (dedup
+  * signature index, IVF index, compaction).
+  */
+object Layout {
+
+  /** Writer parallelism sized to data volume: ~`rowsPerFile` rows per
+    * output file, clamped to [1, 32]. A shuffle-parallelism write of a
+    * small increment leaves dozens of near-empty files whose per-file
+    * open cost every later scan pays forever — the small-file problem
+    * all table formats fight.
+    */
+  def sizedFileCount(rows: Long, rowsPerFile: Long = 500000L): Int =
+    math.max(1L, math.min(32L, rows / rowsPerFile + 1L)).toInt
+
+  /** True iff `dir` exists and contains any non-hidden entry (a data
+    * file or a partition directory). A zero-row Spark write creates a
+    * directory holding only `_SUCCESS`; reading that as parquet throws
+    * at plan time, so presence checks must mean presence of DATA.
+    */
+  def hasParquetData(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+}

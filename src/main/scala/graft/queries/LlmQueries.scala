@@ -10,6 +10,29 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries {
 
+  /** Per-query previous-invocation scratch dirs: unique dirs keep lazy
+    * index reads safe (a deleted shared path would yank files from an
+    * un-materialized plan), and deleting the PREVIOUS invocation's dirs
+    * at the next invocation bounds /tmp growth to one generation — by
+    * then the sequential harness (Verify, Bench passes) has materialized
+    * the earlier result.
+    */
+  private val lastRunDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private def rotateRunDirs(key: String, dirs: Seq[String]): Unit = {
+    val prev = Option(lastRunDirs.put(key, dirs)).getOrElse(Nil)
+    prev.foreach { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(p)) {
+        scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        }
+      }
+    }
+  }
+
   /** Shared DuckDB CTE prefix for the portable-MinHash oracle twins
     * (q134, q135): words → shingles → md5-hi32 hashes → 16 sig mins →
     * 4×4 bands → banding candidates. Generated from the same constants
@@ -228,11 +251,10 @@ object LlmQueries {
       // directories (see nearDedupStreaming) and no re-scan exists
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text")).persist()
       graft.ops.CacheRegistry.register(docs)
-      // a UNIQUE index dir per invocation: the returned plan reads the
-      // index lazily, so a shared fixed path deleted by the next
-      // invocation would yank files out from under an un-materialized
-      // earlier result (bench runs the same query three times)
+      // a UNIQUE index dir per invocation (lazy-read safety); previous
+      // invocation's dir is reclaimed now that its result is settled
       val dir = java.nio.file.Files.createTempDirectory("graft_neardedup_idx_").toString
+      rotateRunDirs("q135", Seq(dir))
       val results = (0 until 3).map { b =>
         Dedup.nearDedupIncrement(
           docs.filter(pmod(col("doc_id"), lit(3)) === b), "doc_id", "text", dir, 0.5,
@@ -282,22 +304,39 @@ object LlmQueries {
       Files.createDirectories(staged)
       val srcMtime = Files.getLastModifiedTime(
         Paths.get(d, "documents.parquet")).toMillis
+      // the pair of split files is staged ATOMICALLY: a marker records
+      // the exact source mtime they were derived from, and any mismatch
+      // restages BOTH (comparing forged per-file mtimes against the
+      // source could reuse one stale half or invert the batch order)
+      val marker = staged.resolve("_src_mtime")
+      val fresh = Files.exists(marker) &&
+        new String(Files.readAllBytes(marker)).trim == srcMtime.toString &&
+        Files.exists(staged.resolve("a_even.parquet")) &&
+        Files.exists(staged.resolve("b_odd.parquet"))
       def stage(parity: Int, name: String, mtimeSec: Long): Unit = {
-        val dest = staged.resolve(name)
-        if (Files.exists(dest) && Files.getLastModifiedTime(dest).toMillis >= srcMtime)
-          return
-        val tmp = Files.createTempDirectory("graft_q136_tmp_").toString + "/p"
+        val tmpDir = Files.createTempDirectory("graft_q136_tmp_")
+        val tmp = tmpDir.toString + "/p"
         corpus.filter(pmod(col("doc_id"), lit(2)) === parity).coalesce(1).write.parquet(tmp)
         val part = scala.util.Using.resource(Files.list(Paths.get(tmp))) { st =>
           st.toArray.map(_.toString)
             .find(f => f.endsWith(".parquet") && !f.contains("_SUCCESS")).get
         }
-        Files.copy(Paths.get(part), dest, StandardCopyOption.REPLACE_EXISTING)
-        Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeSec * 1000))
+        Files.copy(Paths.get(part), staged.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+        // fixed forged mtimes: the file-stream orders batches by them
+        Files.setLastModifiedTime(staged.resolve(name), FileTime.fromMillis(mtimeSec * 1000))
+        scala.util.Using.resource(Files.walk(tmpDir)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.deleteIfExists(f))
+        }
       }
-      stage(0, "a_even.parquet", srcMtime / 1000 + 1)
-      stage(1, "b_odd.parquet", srcMtime / 1000 + 2)
+      if (!fresh) {
+        Files.deleteIfExists(marker)
+        stage(0, "a_even.parquet", 1000000000L)
+        stage(1, "b_odd.parquet", 1000000100L)
+        Files.write(marker, srcMtime.toString.getBytes)
+      }
       val base = Files.createTempDirectory("graft_q136_").toString
+      rotateRunDirs("q136", Seq(base))
       Dedup.nearDedupStreaming(s, staged.toString, corpus.schema,
           "doc_id", "text", base + "/idx", base + "/out", 0.5)
         .filter(col("kept"))
