@@ -461,8 +461,15 @@ object Dedup {
   def nearDedupStreaming(spark: org.apache.spark.sql.SparkSession, stagedDir: String,
       schema: org.apache.spark.sql.types.StructType, idCol: String, textCol: String,
       indexDir: String, outDir: String, threshold: Double,
-      checkpointDir: Option[String] = None): DataFrame = {
-    val stream = spark.readStream.schema(schema)
+      checkpointDir: Option[String] = None, shufflePartitions: Int = 4): DataFrame = {
+    // AQE is disabled inside streaming queries, so foreachBatch's
+    // aggregates would run at the session's full shuffle parallelism
+    // with no runtime coalesce — size partitions to the increment on a
+    // session CLONE (Events.withStateParts convention: shared context,
+    // own conf, no global mutation)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    val stream = s2.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(stagedDir)
     val writer = stream.writeStream
