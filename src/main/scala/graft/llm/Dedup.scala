@@ -456,7 +456,11 @@ object Dedup {
     * overwrite — a re-run replaces its own partition instead of
     * appending a duplicate copy. A fully uncheckpointed re-run
     * reprocesses from scratch with identical decisions (epoch isolation)
-    * and likewise overwrites per-batch partitions.
+    * — PROVIDED the index has not been compacted since the original
+    * run: [[nearDedupIndexCompact]] folds settled batches into the
+    * sentinel partition, which a from-scratch replay at low epochs
+    * would see as foreign history and self-drop against. Replay into a
+    * fresh index, or resume from the checkpoint, after compacting.
     */
   def nearDedupStreaming(spark: org.apache.spark.sql.SparkSession, stagedDir: String,
       schema: org.apache.spark.sql.types.StructType, idCol: String, textCol: String,
@@ -468,6 +472,10 @@ object Dedup {
     // session CLONE (Events.withStateParts convention: shared context,
     // own conf, no global mutation)
     val s2 = spark.newSession()
+    // newSession() rebuilds SQLConf from the context's SparkConf, DROPPING
+    // the runtime-set semantics confs (ANSI off, ns-as-long, …) the
+    // engine's masked-arithmetic contract depends on — re-apply them
+    graft.GraftConf.tune(s2)
     s2.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
     val stream = s2.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -528,10 +536,12 @@ object Dedup {
     val sp = new org.apache.hadoop.fs.Path(statePath)
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!graft.ops.Layout.hasParquetData(fs, sp)) return
-    val all = spark.read.parquet(statePath)
-    val epochs = all.select(col("epoch").cast("long")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    // the epoch set IS the partition directory names — one listing, not
+    // a distinct job over the whole index
+    val epochs = fs.listStatus(sp).toIndexedSeq.map(_.getPath.getName)
+      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong).sorted
     if (epochs.length <= 1) return // nothing settled to fold
+    val all = spark.read.parquet(statePath)
     val maxEpoch = epochs.last
     val sentinel = math.min(-1L, epochs.head - 1L)
     // duplicate ids (crash leftovers) carry identical hash sets — keep any
@@ -544,9 +554,13 @@ object Dedup {
     val stage = statePath + ".__graft_compact_stage"
     settled.coalesce(outFiles)
       .write.mode("overwrite").partitionBy("epoch").parquet(stage)
-    // land the new generation first, then retire the old partitions
-    fs.rename(new org.apache.hadoop.fs.Path(s"$stage/epoch=$sentinel"),
-      new org.apache.hadoop.fs.Path(s"$statePath/epoch=$sentinel"))
+    // land the new generation first, then retire the old partitions.
+    // Hadoop rename signals most failures by returning FALSE, not
+    // throwing — an unchecked rename followed by the deletes would be
+    // exactly the lose-everything window this ordering exists to close
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$stage/epoch=$sentinel"),
+        new org.apache.hadoop.fs.Path(s"$statePath/epoch=$sentinel")),
+      s"compaction rename failed; staged generation left at $stage")
     epochs.init.foreach { e =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$statePath/epoch=$e"), true)
     }

@@ -14,6 +14,15 @@ object Layout {
   def sizedFileCount(rows: Long, rowsPerFile: Long = 500000L): Int =
     math.max(1L, math.min(32L, rows / rowsPerFile + 1L)).toInt
 
+  /** Best-effort recursive delete of a local scratch directory. */
+  def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+
   /** True iff `dir` exists and contains any non-hidden entry (a data
     * file or a partition directory). A zero-row Spark write creates a
     * directory holding only `_SUCCESS`; reading that as parquet throws

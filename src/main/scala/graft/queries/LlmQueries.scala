@@ -22,15 +22,7 @@ object LlmQueries {
 
   private def rotateRunDirs(key: String, dirs: Seq[String]): Unit = {
     val prev = Option(lastRunDirs.put(key, dirs)).getOrElse(Nil)
-    prev.foreach { d =>
-      val p = java.nio.file.Paths.get(d)
-      if (java.nio.file.Files.exists(p)) {
-        scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
-          st.sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        }
-      }
-    }
+    prev.foreach(d => graft.ops.Layout.deleteRecursively(java.nio.file.Paths.get(d)))
   }
 
   /** Shared DuckDB CTE prefix for the portable-MinHash oracle twins
@@ -324,10 +316,7 @@ object LlmQueries {
         Files.copy(Paths.get(part), staged.resolve(name), StandardCopyOption.REPLACE_EXISTING)
         // fixed forged mtimes: the file-stream orders batches by them
         Files.setLastModifiedTime(staged.resolve(name), FileTime.fromMillis(mtimeSec * 1000))
-        scala.util.Using.resource(Files.walk(tmpDir)) { st =>
-          st.sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.deleteIfExists(f))
-        }
+        graft.ops.Layout.deleteRecursively(tmpDir)
       }
       if (!fresh) {
         Files.deleteIfExists(marker)

@@ -141,6 +141,11 @@ object Events {
     */
   private def withStateParts[T](spark: SparkSession, n: Int)(build: SparkSession => T): T = {
     val s2 = spark.newSession()
+    // newSession() rebuilds SQLConf from the context's SparkConf, dropping
+    // the runtime-set semantics confs (ANSI off, ns-as-long, …) — without
+    // re-tuning, streaming queries would silently run ANSI-ON under any
+    // harness that set those confs at runtime only
+    graft.GraftConf.tune(s2)
     s2.conf.set("spark.sql.shuffle.partitions", n.toString)
     build(s2)
   }
