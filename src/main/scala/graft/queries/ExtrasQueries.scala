@@ -417,6 +417,10 @@ object ExtrasQueries {
       ZOrder.clusterWrite(Tables.lineitem(s, d),
         Seq(pmod(col("l_partkey"), lit(65536)), pmod(col("l_suppkey"), lit(65536))),
         numFiles = 16, dir)
+      // persist the stats manifest AT WRITE TIME (footer metadata only —
+      // no second table scan); the pruned read below consumes it, so the
+      // read path touches nothing but the surviving files
+      Sinks.writeStatsManifest(s, dir, Seq("l_partkey", "l_suppkey"))
       Sinks.readPruned(s, dir, "l_partkey", 100, 300)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_q"))

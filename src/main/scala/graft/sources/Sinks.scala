@@ -43,8 +43,9 @@ object Sinks {
     * requested column) — the data-skipping index a 100 TB table keeps
     * next to its files (Delta/Iceberg metadata, Hudi column-stats index).
     * Built with ONE columnar scan of just the requested columns (parquet
-    * reads only those pages), grouped by `input_file_name`; built once
-    * per layout rewrite, consulted by every subsequent query.
+    * reads only those pages), grouped by `input_file_name`. This is the
+    * generic (any-column-type) builder; `writeStatsManifest` persists a
+    * footer-derived manifest so pruned READS never pay this scan.
     */
   def statsManifest(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -53,6 +54,162 @@ object Sinks {
     spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Sidecar directory name for the persisted manifest. Leading `_` makes
+    * it invisible to Spark's file index, so `spark.read.parquet(path)`
+    * never picks the manifest up as data (the `_delta_log` convention).
+    */
+  val ManifestDir = "_graft_stats"
+  private val FingerprintFile = "_FINGERPRINT"
+
+  /** Persist the per-file stats manifest NEXT TO the layout — the
+    * Delta/Iceberg column-stats contract: built once at layout-write
+    * time, consumed by every pruned read. The build reads parquet
+    * FOOTERS only (row-group statistics — a few KB of metadata per
+    * file, zero data pages), distributed over the file list, so even
+    * the build is not a table scan. Alongside the stats a fingerprint
+    * of the file listing is stored; `prunedFiles` re-derives it from
+    * the live listing (a names-only metadata op the read's own planning
+    * performs anyway) and fails LOUDLY on mismatch — a stale manifest
+    * must never silently drop rows.
+    *
+    * Columns must be INT32/INT64-backed (int/long/date) — the numeric
+    * range-pruning surface `readPruned` serves; files whose footer lacks
+    * stats for a column get nulls (= never pruned, conservatively kept).
+    */
+  def writeStatsManifest(spark: SparkSession, path: String, cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.types._
+    val dataFiles = listDataFiles(spark, path)
+    require(dataFiles.nonEmpty, s"no parquet data files under $path")
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val colsB = spark.sparkContext.broadcast(cols)
+    val nTasks = math.max(1, math.min(dataFiles.size, 32))
+    val rows = spark.sparkContext.parallelize(dataFiles, nTasks).map { name =>
+      val (n, stats) = footerStats(confB.value.value, s"$path/$name", colsB.value)
+      org.apache.spark.sql.Row.fromSeq(
+        name +: Long.box(n) +: stats.flatMap { case (mn, mx) =>
+          Seq(mn.map(Long.box).orNull, mx.map(Long.box).orNull) })
+    }
+    val schema = StructType(
+      StructField("file", StringType, nullable = false) +:
+      StructField("n_rows", LongType, nullable = false) +:
+      cols.flatMap(c => Seq(
+        StructField(s"min_$c", LongType, nullable = true),
+        StructField(s"max_$c", LongType, nullable = true))))
+    val maniPath = s"${path.stripSuffix("/")}/$ManifestDir"
+    spark.createDataFrame(rows, schema).coalesce(1)
+      .write.mode("overwrite").parquet(maniPath)
+    writeText(spark, s"$maniPath/$FingerprintFile", fingerprint(dataFiles))
+  }
+
+  /** Min/max (as longs) + row count from one file's parquet footer. */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration, file: String,
+      cols: Seq[String]): (Long, Seq[(Option[Long], Option[Long])]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      var n = 0L
+      val it = blocks.iterator()
+      val agg = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      var missing = Set.empty[String]
+      while (it.hasNext) {
+        val b = it.next(); n += b.getRowCount
+        val cIt = b.getColumns.iterator()
+        while (cIt.hasNext) {
+          val cc = cIt.next()
+          val cName = cc.getPath.toDotString
+          if (cols.contains(cName)) {
+            val s = cc.getStatistics
+            val lohi: Option[(Long, Long)] =
+              if (s == null || !s.hasNonNullValue) None
+              else s.genericGetMin match {
+                case l: java.lang.Long    => Some((l.longValue, s.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+                case i: java.lang.Integer => Some((i.longValue, s.genericGetMax.asInstanceOf[java.lang.Integer].longValue))
+                case _                    => None // non-integer physical type: no pruning stats
+              }
+            lohi match {
+              case Some((lo, hi)) =>
+                val cur = agg.get(cName)
+                agg(cName) = cur.fold((lo, hi))(c => (math.min(c._1, lo), math.max(c._2, hi)))
+              case None => missing += cName // one statless row group poisons the file's stats
+            }
+          }
+        }
+      }
+      (n, cols.map { c =>
+        if (missing.contains(c)) (None, None)
+        else agg.get(c) match {
+          case Some((lo, hi)) => (Some(lo), Some(hi))
+          case None           => (None, None)
+        }
+      })
+    } finally reader.close()
+  }
+
+  /** Non-hidden parquet data file names directly under `path` (basenames;
+    * relative storage makes the manifest survive a directory move).
+    */
+  private def listDataFiles(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toIndexedSeq
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet")
+      })
+      .map(_.getPath.getName).sorted
+  }
+
+  private def fingerprint(names: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(names.sorted.mkString("\n").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    s"${names.size}\n$hex"
+  }
+
+  private def writeText(spark: SparkSession, file: String, text: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readText(spark: SparkSession, file: String): String = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      new String(bytes, "UTF-8")
+    } finally in.close()
+  }
+
+  /** The persisted manifest, if one exists — validated against the live
+    * file listing first. Returns None when no manifest was ever written
+    * (callers fall back to the scan-built one); throws when a manifest
+    * exists but no longer matches the data files, because pruning from
+    * stale stats silently loses rows — the one failure mode a skipping
+    * index must never have.
+    */
+  def storedManifest(spark: SparkSession, path: String): Option[DataFrame] = {
+    val maniPath = s"${path.stripSuffix("/")}/$ManifestDir"
+    val p = new org.apache.hadoop.fs.Path(maniPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val want = readText(spark, s"$maniPath/$FingerprintFile")
+      val got = fingerprint(listDataFiles(spark, path))
+      if (want != got) throw new IllegalStateException(
+        s"stats manifest at $maniPath is STALE (data files changed since " +
+        "writeStatsManifest) — rewrite the manifest after every layout change")
+      Some(spark.read.parquet(maniPath))
+    }
   }
 
   /** MERGE / upsert into a partitioned parquet layout — the missing DML
@@ -106,6 +263,8 @@ object Sinks {
   def readPruned(spark: SparkSession, path: String, c: String, lo: Long, hi: Long): DataFrame = {
     import org.apache.spark.sql.functions._
     val keep = prunedFiles(spark, path, c, lo, hi).collect().map(_.getString(0))
+      .map(f => if (f.startsWith("/") || f.contains(":/")) f
+                else s"${path.stripSuffix("/")}/$f") // stored manifests hold basenames
     val base = if (keep.isEmpty) spark.read.parquet(path).limit(0)
       else spark.read.parquet(keep.toIndexedSeq: _*)
     base.filter(col(c).between(lo, hi))
@@ -116,14 +275,23 @@ object Sinks {
     * only ever materializes files the scan plan will actually read
     * (bounded by predicate selectivity, the Delta/Iceberg planning
     * contract), never the full million-file listing with its stats.
+    *
+    * Source preference: the PERSISTED manifest (one footer-metadata read
+    * at layout-write time, zero table scans per pruned read) when
+    * `writeStatsManifest` has run; otherwise the scan-built one — so a
+    * layout without a manifest still prunes correctly, it just pays the
+    * stats scan this call (and a stale persisted manifest throws rather
+    * than mispruning).
     */
   def prunedFiles(spark: SparkSession, path: String, c: String, lo: Long, hi: Long): DataFrame = {
     import org.apache.spark.sql.functions._
     require(lo <= hi, s"empty range [$lo, $hi]")
     val mn = col(s"min_$c").cast("long")
     val mx = col(s"max_$c").cast("long")
-    statsManifest(spark, path, Seq(c))
-      .filter(mn.isNull || mx.isNull || !(mx < lo || mn > hi))
+    val mani = storedManifest(spark, path).getOrElse(statsManifest(spark, path, Seq(c)))
+    require(mani.columns.contains(s"min_$c"),
+      s"stored manifest lacks stats for column '$c' — rewrite with writeStatsManifest")
+    mani.filter(mn.isNull || mx.isNull || !(mx < lo || mn > hi))
       .select(col("file"))
   }
 }

@@ -202,4 +202,51 @@ class SinkSpec extends SparkSpec {
     val b = spark.read.parquet(dir).filter(col("k").between(0, 400)).orderBy("k").collect().toSeq
     assert(a === b)
   }
+
+  test("persisted manifest: pruned read path never scans the table") {
+    import graft.sources.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune3").toString + "/t"
+    spark.range(0, 4000).selectExpr("id AS k", "id % 13 AS v")
+      .repartitionByRange(8, col("k")).write.parquet(dir)
+    // footer-built persisted stats must agree exactly with the scan-built ones
+    val scanStats = Sinks.statsManifest(spark, dir, Seq("k")).collect()
+      .map(r => (new java.io.File(r.getString(0).stripPrefix("file:")).getName,
+        r.getAs[Long]("n_rows"), r.getAs[Long]("min_k"), r.getAs[Long]("max_k"))).sorted.toSeq
+    Sinks.writeStatsManifest(spark, dir, Seq("k"))
+    val stored = Sinks.storedManifest(spark, dir).get
+    val storedStats = stored.collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("min_k"), r.getAs[Long]("max_k"))).sorted.toSeq
+    assert(storedStats === scanStats)
+    // THE point of persistence: every file the pruning plan reads lives
+    // under the _graft_stats sidecar — zero data files, i.e. no table scan
+    val pruningInputs = Sinks.prunedFiles(spark, dir, "k", 0L, 400L).inputFiles
+    assert(pruningInputs.nonEmpty && pruningInputs.forall(_.contains(Sinks.ManifestDir)),
+      s"pruning path read data files: ${pruningInputs.mkString(", ")}")
+    // result equality through the stored-manifest path
+    val a = Sinks.readPruned(spark, dir, "k", 0L, 400L).orderBy("k").collect().toSeq
+    val b = spark.read.parquet(dir).filter(col("k").between(0, 400)).orderBy("k").collect().toSeq
+    assert(a === b)
+    // and it actually skips: the pruned read plans fewer files than exist
+    assert(Sinks.readPruned(spark, dir, "k", 0L, 400L).inputFiles.length <
+      spark.read.parquet(dir).inputFiles.length)
+  }
+
+  test("stale persisted manifest fails loudly instead of mispruning") {
+    import graft.sources.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune4").toString + "/t"
+    spark.range(0, 1000).selectExpr("id AS k").repartitionByRange(4, col("k"))
+      .write.parquet(dir)
+    Sinks.writeStatsManifest(spark, dir, Seq("k"))
+    // new data lands without a manifest rewrite → the manifest is a lie
+    spark.range(5000, 6000).selectExpr("id AS k").coalesce(1)
+      .write.mode("append").parquet(dir)
+    val ex = intercept[IllegalStateException] {
+      Sinks.readPruned(spark, dir, "k", 0L, 400L).collect()
+    }
+    assert(ex.getMessage.contains("STALE"))
+    // rewriting the manifest heals it, and the new rows are visible
+    Sinks.writeStatsManifest(spark, dir, Seq("k"))
+    assert(Sinks.readPruned(spark, dir, "k", 5000L, 5100L).count() === 101L)
+  }
 }
