@@ -50,6 +50,12 @@ object AnnKernels {
   def pqEncode(vec: ArrayData, codebooks: Array[Array[Array[Double]]]): ArrayData = {
     val m = codebooks.length
     val sub = codebooks(0)(0).length
+    // UnsafeArrayData.getDouble does NOT bounds-check: a vector shorter
+    // than the codebook dimensionality would read out-of-bounds memory
+    // and emit silently wrong codes. Dimension mismatches must fail loud.
+    if (vec.numElements() < m * sub)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector has ${vec.numElements()} elements, codebooks need ${m * sub}")
     val out = new Array[Int](m)
     var s = 0
     while (s < m) {

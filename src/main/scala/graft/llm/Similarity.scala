@@ -416,11 +416,15 @@ object Similarity {
         ivfCell(col(vecCol), centroids).as("cell"))
       .select(col("nid"), col("cell"), pqEncode(col("__nv"), codebooks).as("codes"))
     val spark = queries.sparkSession
-    // one broadcast row per (query, probed cell): ADC table + normalized
-    // query vector ride along so the scan and the re-rank both join on it
-    val qRows = queries
-      .select(col(idCol).as("qid"), l2Normalize(col(vecCol)).as("qv"))
-      .collect().flatMap { r =>
+    // Driver-side per-query prep (bounded by the |Q|-is-small broadcast
+    // contract): ONE row per query carries the ADC table + normalized
+    // vector; a SEPARATE slim (qid, cell) list carries the probes. The
+    // m·kCents-double table is therefore broadcast once per query, not
+    // nProbe× (at production scale k≈1024, m=16 each copy is ~128 KiB —
+    // duplicating it per probed cell multiplied the broadcast for free).
+    val qData = queries
+      .select(col(idCol).cast("long").as("qid"), l2Normalize(col(vecCol)).as("qv"))
+      .collect().map { r =>
         val qid = r.getLong(0)
         val qv = r.getSeq[Double](1).toArray
         val tab = new Array[Double](m * kCents)
@@ -444,30 +448,36 @@ object Similarity {
           while (j < qv.length) { d += qv(j) * centroids(i)(j); j += 1 }
           (i, d)
         }.sortBy { case (i, d) => (-d, i) }.take(nProbe).map(_._1)
-        probed.map(cell => org.apache.spark.sql.Row(qid, cell, qv.toSeq, tab.toSeq))
+        (qid, qv, tab, probed)
       }
-    val qSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType, false),
-      org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType, false),
-      org.apache.spark.sql.types.StructField("qv",
-        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType), false),
-      org.apache.spark.sql.types.StructField("tab",
-        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType), false)))
-    val q = spark.createDataFrame(java.util.Arrays.asList(qRows: _*), qSchema)
+    import org.apache.spark.sql.types._
+    def df(rows: Seq[org.apache.spark.sql.Row], fields: (String, DataType)*) =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        StructType(fields.map { case (n, t) => StructField(n, t, nullable = false) }))
+    val probes = df(
+      qData.toIndexedSeq.flatMap { case (qid, _, _, probed) =>
+        probed.map(cell => org.apache.spark.sql.Row(qid, cell)) },
+      "qid" -> LongType, "cell" -> IntegerType)
+    val qTabs = df(
+      qData.toIndexedSeq.map { case (qid, qv, tab, _) =>
+        org.apache.spark.sql.Row(qid, qv.toSeq, tab.toSeq) },
+      "qid" -> LongType, "qv" -> ArrayType(DoubleType), "tab" -> ArrayType(DoubleType))
     val dist = (0 until m).map { s =>
       element_at(col("tab"), lit(s * kCents) + element_at(col("codes"), s + 1) + 1)
     }.reduce(_ + _)
     // probed-cells-only ADC scan: the broadcast hash join on cell drops
-    // every unprobed cell at the scan, no shuffle of the corpus
-    val scored = encoded.join(broadcast(q.select(col("cell"), col("qid"), col("tab"))), Seq("cell"))
+    // every unprobed cell at the scan, then the per-query table attaches
+    // by qid — two broadcasts, both minimal; no shuffle of the corpus
+    val scored = encoded.join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
+      .join(broadcast(qTabs.select(col("qid"), col("tab"))), Seq("qid"))
       .select(col("qid"), col("nid"), dist.as("adist"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid"))
     val short = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= math.max(k, rerank)).drop("rn")
     // exact-cosine re-rank over the shortlist's true vectors
     val nv = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nv"))
-    val qvOnly = q.select(col("qid"), col("qv")).dropDuplicates("qid")
+    val qvOnly = qTabs.select(col("qid"), col("qv"))
     val exact = short.select(col("qid"), col("nid"))
       .join(nv, "nid")
       .join(broadcast(qvOnly), "qid")

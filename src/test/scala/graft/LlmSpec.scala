@@ -718,12 +718,32 @@ class LlmSpec extends SparkSpec {
       k = 5, nProbe = 2, rerank = 20)
     out.write.format("noop").mode("overwrite").save()
     val plan = out.queryExecution.executedPlan.toString
-    // the probe join must broadcast the (cell, qid, tab) side; the encoded
-    // corpus must NOT be exchanged before it (scan -> project -> BHJ)
+    // the probe join must broadcast a SLIM (qid, cell) list — the per-query
+    // ADC table attaches by qid in a second broadcast, so it is shipped
+    // once per query, not once per probed cell; the encoded corpus must
+    // NOT be exchanged before the scan (scan -> project -> BHJ)
     assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
+    assert("LocalTableScan \\[qid#\\d+L?, cell#\\d+\\]".r.findFirstIn(plan).nonEmpty,
+      s"probe list is not the slim (qid, cell) relation:\n$plan")
     val corpusSide = plan.split("BroadcastHashJoin")(1).split("BroadcastExchange")(0)
     assert(!corpusSide.contains("Exchange hashpartitioning"),
       s"corpus shuffled before the ADC scan:\n$plan")
+  }
+
+  test("pqEncode: dimension mismatch fails loudly, not with garbage codes") {
+    import graft.llm.Similarity
+    import spark.implicits._
+    // codebooks trained for 8-dim vectors (m=4 subspaces x 2 dims each)
+    val codebooks = Array.fill(4)(Array.fill(2)(Array(0.1, 0.2)))
+    val short = Seq((1L, Array(1.0, 2.0, 3.0))).toDF("id", "vec")
+    val ex = intercept[Exception] {
+      short.select(Similarity.pqEncode(col("vec").cast("array<double>"), codebooks)).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => c.getMessage != null && c.getMessage.contains("pq_encode")),
+      s"expected the pq_encode dimension guard, got: $ex")
   }
 
   test("connectedComponents: driver fast path equals the distributed RDD loop") {
