@@ -365,7 +365,42 @@ object Dedup {
     * unique across the whole ingested corpus — a re-used id would
     * shadow the earlier doc's signatures and duplicate result rows.
     */
+  /** Lock-file name guarding the index lifecycle (single-writer). Leading
+    * `_` keeps it invisible to parquet directory reads.
+    */
+  val IndexLockFile = "_graft_lock"
+
+  /** Create-exclusive lease over `indexDir` for the duration of `body` —
+    * the single-writer contract made LOUD: an increment racing a
+    * compaction would otherwise read partitions mid-delete (silently
+    * wrong keep decisions), so the second writer must fail, not proceed.
+    * `fs.create(overwrite = false)` is the atomic primitive; the lease is
+    * released on every non-crash exit, and a crashed holder leaves a
+    * stale lock the error message tells the operator to remove (the
+    * at-rest content is crash-safe by construction either way).
+    */
+  private def withIndexLock[T](spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, op: String)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(indexDir.stripSuffix("/") + "/" + IndexLockFile)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lock.getParent)
+    val out = try fs.create(lock, false) catch {
+      case _: java.io.IOException => throw new IllegalStateException(
+        s"near-dedup index at $indexDir is locked by a concurrent writer — " +
+        s"index operations are single-writer; retry after it finishes, or delete " +
+        s"$lock if its holder crashed")
+    }
+    try out.write(op.getBytes("UTF-8")) finally out.close()
+    try body finally fs.delete(lock, false)
+  }
+
   def nearDedupIncrement(batch: DataFrame, idCol: String, textCol: String,
+      indexDir: String, threshold: Double, epoch: Long): DataFrame =
+    withIndexLock(batch.sparkSession, indexDir, s"increment epoch=$epoch") {
+      nearDedupIncrementLocked(batch, idCol, textCol, indexDir, threshold, epoch)
+    }
+
+  private def nearDedupIncrementLocked(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, threshold: Double, epoch: Long): DataFrame = {
     val spark = batch.sparkSession
     val state = portableState(batch, idCol, textCol).persist()
@@ -414,9 +449,18 @@ object Dedup {
       case Some(i) => state.select(col("id"), col("hs"))
         .unionByName(i.select(col("id"), col("hs")))
     }
-    val dropped = verifyPairs(cand, earlier, state.select(col("id"), col("hs")), threshold,
+    // materialized INSIDE the lease, as a LOCAL relation: the returned
+    // frame then reads only the batch and these rows, never the index
+    // files — so a compaction after this call returns cannot yank
+    // partitions out of a caller's still-lazy result plan (a persist()
+    // would not guarantee that: cache eviction recomputes from files).
+    // The collect is bounded by the batch (dropped ⊆ batch ids), the same
+    // increment ≪ index contract the broadcasts already enforce.
+    val droppedLazy = verifyPairs(cand, earlier, state.select(col("id"), col("hs")), threshold,
         hintBroadcast = true)
       .select(col("id2").as("id")).distinct()
+    val dropped = spark.createDataFrame(
+      java.util.Arrays.asList(droppedLazy.collect(): _*), droppedLazy.schema)
 
     // append THIS batch's state under its epoch partition (eager, before
     // the caller acts on the lazy result — safe under epoch isolation).
@@ -528,10 +572,11 @@ object Dedup {
     * redundant settled partitions deleted. At every intermediate point
     * the index content is a superset with duplicate rows — which the
     * increment path already tolerates and the next compaction cleans.
-    * Single writer: do not compact concurrently with an increment.
+    * Single writer, ENFORCED: the index lease makes a compaction racing
+    * an increment fail loudly instead of reading partitions mid-delete.
     */
   def nearDedupIndexCompact(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit = {
+      indexDir: String): Unit = withIndexLock(spark, indexDir, "compact") {
     val statePath = indexDir.stripSuffix("/") + "/state"
     val sp = new org.apache.hadoop.fs.Path(statePath)
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -127,6 +127,35 @@ class LlmSpec extends SparkSpec {
       "second compaction left duplicate ids")
   }
 
+  test("index lease: a second writer fails loudly instead of racing") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_lock_").toString
+    def inc(b: Int) = Dedup.nearDedupIncrement(
+      corpus.filter(pmod(col("doc_id"), lit(3)) === b), "doc_id", "text", dir, 0.5,
+      epoch = b).collect()
+    inc(0)
+    // a holder's lease (as left by a concurrent increment or compaction)
+    val lock = new org.apache.hadoop.fs.Path(dir + "/" + Dedup.IndexLockFile)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(lock), "lease not released after a successful increment")
+    fs.create(lock, false).close()
+    val e1 = intercept[IllegalStateException] { inc(1) }
+    assert(e1.getMessage.contains("locked"))
+    val e2 = intercept[IllegalStateException] { Dedup.nearDedupIndexCompact(spark, dir) }
+    assert(e2.getMessage.contains("locked"))
+    // releasing the lease unblocks both, and the lease releases again after
+    fs.delete(lock, false)
+    inc(1)
+    Dedup.nearDedupIndexCompact(spark, dir)
+    assert(!fs.exists(lock), "lease not released after compaction")
+    // an increment result must stay materializable after a LATER compaction
+    // (decisions are cached inside the lease; index files may be rewritten)
+    val r2 = Dedup.nearDedupIncrement(
+      corpus.filter(pmod(col("doc_id"), lit(3)) === 2), "doc_id", "text", dir, 0.5, epoch = 2)
+    Dedup.nearDedupIndexCompact(spark, dir)
+    assert(r2.collect().nonEmpty)
+  }
+
   test("streaming near-dedup equals the same-split batch increments") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
