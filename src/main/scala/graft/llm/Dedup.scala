@@ -174,9 +174,13 @@ object Dedup {
     // nested HOFs, 9 s with the loop inverted, 0.3 s as this kernel —
     // same signatures each time)
     val sig = toCol(graft.expressions.SimHashMd5(toExpr(col(textCol).cast("string"))))
+    // the zero-token exclusion must use the KERNEL's separator class
+    // [ \t\n\f\r] (= the oracle's RE2 \s), not Java \s — Java \s also
+    // eats \x0B, so a vertical-tab-only doc would be excluded here while
+    // the oracle signs it, a latent cell-exactness divergence
     df.select(col(idCol).as("id"), sig.as("sig"),
-        graft.llm.TextAnalysis.tokenCountWs(col(textCol)).as("__ntok"))
-      .filter(col("__ntok") > 0)
+        length(regexp_replace(col(textCol).cast("string"), "[ \t\n\f\r]", "")).as("__nchr"))
+      .filter(col("__nchr") > 0)
       .select(col("id"), col("sig"))
   }
 
@@ -816,12 +820,22 @@ object Dedup {
     // contract as the IVF training sample / ≤16 MiB bloom set): a
     // near-dup graph is usually SPARSE relative to its corpus — q113's
     // sf0.1 run is 1,319 edges — and the RDD loop pays ~rounds × stages
-    // of job overhead regardless of size. Under the limit (≤ ~16 MB of
-    // symmetric edges) a driver union-find answers in ONE job.
-    if (edgeCount <= smallGraphLimit) {
-      val es = pre.collect()
+    // of job overhead regardless of size. Under the limit a driver
+    // union-find answers in ONE job. Driver footprint is kept honest:
+    // edges land as PRIMITIVE long arrays (16 B per symmetric edge —
+    // 1 M edges ≈ 16 MB; boxed tuples would be 3-6×), the union-find is
+    // a LongMap (unboxed keys), and the caller's limit is additionally
+    // capped against driver heap (≤ maxMemory/64 edges keeps the whole
+    // path well under a quarter of the heap even with map overhead).
+    val effLimit = math.min(smallGraphLimit, Runtime.getRuntime.maxMemory() / 64L)
+    if (edgeCount <= effLimit) {
+      val packed = pre.mapPartitions { it =>
+        val as = Array.newBuilder[Long]; val bs = Array.newBuilder[Long]
+        it.foreach { case (a, b) => as += a; bs += b }
+        Iterator.single((as.result(), bs.result()))
+      }.collect()
       pre.unpersist(blocking = false)
-      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      val parent = new scala.collection.mutable.LongMap[Long]()
       def find(x: Long): Long = {
         var r = x
         while (parent(r) != r) r = parent(r)
@@ -829,20 +843,32 @@ object Dedup {
         while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      es.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) parent(ra) = rb
+      packed.foreach { case (as, bs) =>
+        var j = 0
+        while (j < as.length) {
+          val a = as(j); val b = bs(j)
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(ra) = rb
+          j += 1
+        }
       }
-      val minOf = scala.collection.mutable.HashMap[Long, Long]()
-      parent.keys.foreach { k =>
+      val ks = parent.keysIterator.toArray
+      val minOf = new scala.collection.mutable.LongMap[Long]()
+      ks.foreach { k =>
         val r = find(k)
         if (k < minOf.getOrElse(r, Long.MaxValue)) minOf(r) = k
       }
-      val rows = parent.keys.toSeq.map(k =>
-        org.apache.spark.sql.Row(k, minOf(find(k))))
-      return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 4),
+      val comps = new Array[Long](ks.length)
+      var j = 0
+      while (j < ks.length) { comps(j) = minOf(find(ks(j))); j += 1 }
+      // Row objects are built on EXECUTORS over broadcast primitive
+      // arrays — the driver never holds a boxed Row per node
+      val ksB = spark.sparkContext.broadcast(ks)
+      val compsB = spark.sparkContext.broadcast(comps)
+      val rowRdd = spark.sparkContext.range(0L, ks.length.toLong, 1L, numSlices = 4)
+        .map(j => org.apache.spark.sql.Row(ksB.value(j.toInt), compsB.value(j.toInt)))
+      return spark.createDataFrame(rowRdd,
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
           org.apache.spark.sql.types.StructField("component", org.apache.spark.sql.types.LongType, nullable = false))))
