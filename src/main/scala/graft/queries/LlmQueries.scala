@@ -129,8 +129,68 @@ object LlmQueries {
     },
 
     // SimHash signatures + rolling-hash fingerprints (custom codegen
-    // expressions) — engine-specific hashes, rows-only check.
-    QueryDef.noOracle("q33_simhash") { (s, d) =>
+    // expressions) — HASH-EXACT: both kernels are pure integer folds, so
+    // the oracle replays them digit-for-digit with HUGEINT arithmetic.
+    // Bytes come from hex(encode(...)) parsed two digits at a time (exact
+    // for all UTF-8); fnv1a's wrapping ×2^64 runs in int128 (product
+    // < 2^104), its xor touches only the low 8 bits so it reduces to
+    // BIGINT xor over h%256; the rolling hash's (acc·257+b) < 2^69 is
+    // int128-exact before % (2^61−1). Signature bits are extracted from
+    // 32-bit halves (f64-exact, the q34 convention), and the signed Long
+    // is rebuilt with an explicit 2^64 wrap. simHash64's separator set is
+    // [ \t\n\r] (no \f — unlike the md5 kernel), mirrored in the regex.
+    QueryDef.sql(
+      "q33_simhash",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '[ \t\n\r]'), t -> length(t) > 0)) AS t
+        |  FROM documents),
+        |tokbytes AS (
+        |  SELECT doc_id, t,
+        |    list_transform(range(0, CAST(strlen(t) AS INT)), i ->
+        |      CAST((strpos('0123456789abcdef', substr(lower(hex(encode(t))), 1 + 2*CAST(i AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789abcdef', substr(lower(hex(encode(t))), 2 + 2*CAST(i AS INT), 1)) - 1) AS HUGEINT)) AS bs
+        |  FROM tok),
+        |hv AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), bs),
+        |      (h, b) -> ((h // 256) * 256 + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT))
+        |                ) * 1099511628211 % CAST(18446744073709551616 AS HUGEINT)) AS h
+        |  FROM tokbytes),
+        |halves AS (
+        |  SELECT doc_id, CAST(h // 4294967296 AS BIGINT) AS hi, CAST(h % 4294967296 AS BIGINT) AS lo
+        |  FROM hv),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN b < 32
+        |      THEN CAST(floor(lo / pow(2.0, CAST(b AS DOUBLE))) AS BIGINT) % 2
+        |      ELSE CAST(floor(hi / pow(2.0, CAST(b - 32 AS DOUBLE))) AS BIGINT) % 2
+        |      END * 2 - 1) AS v
+        |  FROM halves CROSS JOIN range(0, 64) r(b) GROUP BY doc_id, b),
+        |sigparts AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN b < 32 AND v > 0 THEN CAST(pow(2.0, CAST(b AS DOUBLE)) AS BIGINT) ELSE 0 END) AS losig,
+        |    SUM(CASE WHEN b >= 32 AND v > 0 THEN CAST(pow(2.0, CAST(b - 32 AS DOUBLE)) AS BIGINT) ELSE 0 END) AS hisig
+        |  FROM votes GROUP BY doc_id),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(hisig AS HUGEINT) * 4294967296 + losig
+        |      - CASE WHEN hisig >= 2147483648 THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS simhash
+        |  FROM sigparts),
+        |docbytes AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, CAST(strlen(text) AS INT)), i ->
+        |      CAST((strpos('0123456789abcdef', substr(lower(hex(encode(text))), 1 + 2*CAST(i AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789abcdef', substr(lower(hex(encode(text))), 2 + 2*CAST(i AS INT), 1)) - 1) AS HUGEINT)) AS bs
+        |  FROM documents),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), bs),
+        |      (acc, b) -> (acc * 257 + b) % 2305843009213693951) AS BIGINT) AS fp64
+        |  FROM docbytes)
+        |SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash, f.fp64
+        |FROM documents d LEFT JOIN sigs s USING (doc_id) JOIN fp f USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
           Dedup.simHash(col("text")).as("simhash"),
