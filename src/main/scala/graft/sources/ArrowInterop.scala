@@ -180,4 +180,61 @@ object ArrowInterop {
     if (f.metadata.contains(StringWidthKey)) Some(f.metadata.getString(StringWidthKey))
     else None
   }
+
+  // ---------------------------------------------- table-level metadata map
+
+  /** Key under which the TABLE-level metadata map rides (the reference's
+    * `Table.metadata: BTreeMap<String, String>`, structs/table.rs:103 —
+    * feature `table_metadata`). Spark has no table-level slot: schemas
+    * carry metadata per FIELD only, so the map is attached to the first
+    * field under this reserved key. That carrier is preserved by every
+    * boundary this repo ships — parquet footers (Spark stores the full
+    * schema JSON in the footer key-value metadata and restores it on
+    * read), batch-dir `schema.json` sidecars, and the Arrow round trip —
+    * so the map survives at-rest and interchange like the reference's.
+    * Carrier-at-boundary semantics: attach right before a sink; a
+    * projection that drops or rebuilds the first column drops the map
+    * (same as any schema metadata in Spark).
+    */
+  val TableMetaKey = "graft.arrow.table_metadata"
+
+  private def metaToJson(meta: Map[String, String]): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        meta.toList.sortBy(_._1).foldLeft(org.json4s.JObject()) {
+          case (o, (k, v)) => o ~ (k -> v) }))
+  }
+
+  private def metaFromJson(json: String): Map[String, String] = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(json) match {
+      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** Attach a table-level metadata map (BTreeMap semantics: string→string,
+    * stored key-sorted). Merges over any existing map; an empty argument
+    * is a no-op that preserves what is already there.
+    */
+  def withTableMetadata(df: DataFrame, meta: Map[String, String]): DataFrame = {
+    require(df.schema.fields.nonEmpty, "cannot attach table metadata to a zero-column frame")
+    if (meta.isEmpty) return df
+    import org.apache.spark.sql.types.MetadataBuilder
+    import org.apache.spark.sql.functions.col
+    val merged = tableMetadata(df) ++ meta
+    val f0 = df.schema.fields.head
+    val md = new MetadataBuilder().withMetadata(f0.metadata)
+      .putString(TableMetaKey, metaToJson(merged)).build()
+    df.select((col(f0.name).as(f0.name, md) +:
+      df.schema.fields.tail.map(f => col(f.name))).toIndexedSeq: _*)
+  }
+
+  /** The table-level metadata map, empty when none was ever attached. */
+  def tableMetadata(df: DataFrame): Map[String, String] =
+    df.schema.fields.headOption
+      .filter(_.metadata.contains(TableMetaKey))
+      .map(f => metaFromJson(f.metadata.getString(TableMetaKey)))
+      .getOrElse(Map.empty)
 }

@@ -186,4 +186,35 @@ class ArrowSpec extends SparkSpec {
       ArrowInterop.withArrowStringWidth(df, Map("s_small" -> "bogus"))
     }
   }
+
+  test("table-level metadata map round-trips through parquet, batch dir, and Arrow") {
+    val meta = Map("source" -> "unit-test", "version" -> "6", "owner" -> "graft")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val tagged = ArrowInterop.withTableMetadata(df, meta)
+    assert(ArrowInterop.tableMetadata(tagged) === meta)
+    assert(ArrowInterop.tableMetadata(df) === Map.empty)
+
+    // parquet footer carries the full schema JSON and restores it on read
+    val pq = java.nio.file.Files.createTempDirectory("graft_tmeta_pq").toString + "/t"
+    tagged.write.parquet(pq)
+    assert(ArrowInterop.tableMetadata(spark.read.parquet(pq)) === meta)
+
+    // batch-dir sidecar (schema.json) path
+    val dir = java.nio.file.Files.createTempDirectory("graft_tmeta_bd").toString
+    ArrowInterop.writeBatchDir(tagged, dir)
+    assert(ArrowInterop.tableMetadata(ArrowInterop.readBatchDir(spark, dir)) === meta)
+
+    // Arrow record-batch round trip
+    assert(ArrowInterop.tableMetadata(ArrowInterop.roundTrip(spark, tagged)) === meta)
+
+    // merge semantics: later attach overrides same keys, keeps the rest
+    val merged = ArrowInterop.withTableMetadata(tagged, Map("version" -> "7", "extra" -> "x"))
+    assert(ArrowInterop.tableMetadata(merged) ===
+      Map("source" -> "unit-test", "version" -> "7", "owner" -> "graft", "extra" -> "x"))
+    // empty attach is a preserving no-op
+    assert(ArrowInterop.tableMetadata(ArrowInterop.withTableMetadata(tagged, Map.empty)) === meta)
+    // values survive untouched
+    assert(tagged.orderBy(col("id")).collect().map(_.toSeq).toSeq ===
+      df.orderBy(col("id")).collect().map(_.toSeq).toSeq)
+  }
 }
