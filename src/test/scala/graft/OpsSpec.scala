@@ -110,7 +110,8 @@ class OpsSpec extends SparkSpec {
     assert(Introspect.estimatedBytes(df) > 0)
     assert(Introspect.schemaTree(df).contains("id"))
     val rendered = Introspect.render(df, 5)
-    assert(rendered.contains("id | s") && rendered.contains("1 | a"))
+    assert(rendered.contains("id:Int64") && rendered.contains("s:String"))
+    assert(rendered.contains(" a ") && rendered.contains("[2 rows × 2 cols]"))
   }
 
   test("asOf plans agree on NULL keys (broadcast joins null-safe)") {
