@@ -209,6 +209,14 @@ object TextKernels {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** The ±1 SRP hyperplane component for (seed, bit, dim) — THE single
+    * source of the plane matrix: the srpSig kernel evaluates it per
+    * element, and q37's generated oracle SQL embeds the same values as
+    * constants, so Spark buckets and the DuckDB replay can't drift.
+    */
+  def srpPlaneSign(seed: Long, bit: Int, dim: Int): Double =
+    if ((splitmix64(seed ^ (bit.toLong << 32) ^ dim) & 1L) == 0L) 1.0 else -1.0
+
   def srpSig(vec: ArrayData, nBits: Int, seed: Long): Long = {
     var sig = 0L
     var p = 0
@@ -217,8 +225,7 @@ object TextKernels {
       var j = 0
       val n = vec.numElements()
       while (j < n) {
-        val sign = if ((splitmix64(seed ^ (p.toLong << 32) ^ j) & 1L) == 0L) 1.0 else -1.0
-        proj += vec.getDouble(j) * sign
+        proj += vec.getDouble(j) * srpPlaneSign(seed, p, j)
         j += 1
       }
       if (proj >= 0) sig |= (1L << p)

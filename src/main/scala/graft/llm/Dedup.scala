@@ -940,4 +940,32 @@ object Dedup {
     val drop = comp.filter(col("id") =!= col("component")).select(col("id"))
     ids.join(drop, Seq("id"), "left_anti")
   }
+
+  /** Engine-portable cluster labels for EVERY document: exact-fingerprint
+    * edges ∪ [[portableHashedPairs]] near-dup edges, closed into
+    * connected components; singletons label themselves. Unlike
+    * [[dedupCorpus]] (keep-list only, kernel hashes) this pins the full
+    * cluster STRUCTURE, and every edge is a deterministic integer
+    * function of the text — so the transitive closure itself is
+    * SQL-replayable and the component assignment can be checked
+    * hash-exact against an independent engine (q137's recursive-CTE
+    * oracle).
+    *
+    * Scale shape: both edge generators are bucketed (fingerprint
+    * groupBy; band join) — no all-pairs stage — and [[connectedComponents]]
+    * shuffles only (id, label) longs.
+    */
+  def dedupClustersPortable(df: DataFrame, idCol: String, textCol: String,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("id"))
+    val exactPairs = df.groupBy(TextAnalysis.md5Fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("id1"), collect_set(col(idCol)).as("all"))
+      .select(col("id1"), explode(col("all")).as("id2"))
+      .filter(col("id1") < col("id2"))
+    val nearPairs = portableHashedPairs(df, idCol, textCol, jaccardThreshold)
+      .select(col("id1"), col("id2"))
+    val comp = connectedComponents(exactPairs.union(nearPairs))
+    ids.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
 }

@@ -484,8 +484,62 @@ object LlmQueries {
         .orderBy(col("qid"), col("nid"))
     },
 
-    // Embedding-space near-duplicate pairs via SRP buckets.
-    QueryDef.noOracle("q37_embedding_neardup") { (s, d) =>
+    // Embedding-space near-duplicate pairs via SRP buckets — HASH-EXACT:
+    // the ±1 hyperplanes are a pure splitmix64 function of (seed, bit,
+    // dim), so the generated oracle embeds the SAME plane constants
+    // (single-sourced from TextKernels.srpPlaneSign) and replays the
+    // bucketing with explicit left-associated sums — bit-identical IEEE
+    // arithmetic to the kernel loop, so the candidate SET and the exact
+    // cosine verification both match digit-for-digit (the dense-vector
+    // sibling of q34's md5 SimHash proof).
+    QueryDef.sql(
+      "q37_embedding_neardup", {
+        val nBits = 32; val dim = 64; val seed = 7L; val bandBits = nBits / 4
+        import graft.expressions.TextKernels
+        val projCols = (0 until nBits).map { p =>
+          val terms = (0 until dim).map { j =>
+            if (TextKernels.srpPlaneSign(seed, p, j) > 0) s" + v[${j + 1}]" else s" - v[${j + 1}]"
+          }.mkString
+          s"    (0.0$terms) AS p$p"
+        }.mkString(",\n")
+        val chunkCols = (0 until 4).map { bd =>
+          val bits = (0 until bandBits).map { r =>
+            s"CASE WHEN p${bd * bandBits + r} >= 0 THEN ${1 << r} ELSE 0 END"
+          }.mkString(" + ")
+          s"    ($bits) AS c$bd"
+        }.mkString(",\n")
+        val bandRows = (0 until 4)
+          .map(bd => s"  SELECT id, $bd AS band, c$bd AS chunk FROM chunks")
+          .mkString("\n  UNION ALL\n")
+        def seqSum(f: Int => String): String = (0 until dim).map(f).mkString(" + ")
+        val dot = seqSum(j => s"a.v[${j + 1}]*b.v[${j + 1}]")
+        val na = seqSum(j => s"a.v[${j + 1}]*a.v[${j + 1}]")
+        val nb = seqSum(j => s"b.v[${j + 1}]*b.v[${j + 1}]")
+        s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |proj AS (
+           |  SELECT id, v,
+           |$projCols
+           |  FROM e),
+           |chunks AS (
+           |  SELECT id,
+           |$chunkCols
+           |  FROM proj),
+           |bands AS (
+           |$bandRows),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS id1, b.id AS id2
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id),
+           |scored AS (
+           |  SELECT id1, id2,
+           |    ($dot) AS dot, ($na) AS na, ($nb) AS nb
+           |  FROM cand JOIN e a ON a.id = id1 JOIN e b ON b.id = id2),
+           |cosv AS (
+           |  SELECT id1, id2,
+           |    CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+           |  FROM scored)
+           |SELECT id1, id2, ROUND(cos, 4) AS cos FROM cosv WHERE cos >= 0.35
+           |ORDER BY id1, id2""".stripMargin
+      }) { (s, d) =>
       Similarity.cosineNearDupPairs(
           Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
           threshold = 0.35)
@@ -737,6 +791,53 @@ object LlmQueries {
     // then the surviving keep-list. Engine-specific hashes -> rows-only.
     QueryDef.noOracle("q57_dedup_clusters") { (s, d) =>
       Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text", jaccardThreshold = 0.8)
+        .orderBy(col("id"))
+    },
+
+    // ENGINE-PORTABLE cluster labels (the oracle-exact twin of q57):
+    // exact-fingerprint edges ∪ portable hash-set-Jaccard near-dup edges,
+    // closed into connected components. The oracle replays the SAME edge
+    // set (q134/q135's portable machinery + the md5 fingerprint) and then
+    // the transitive closure itself via a recursive CTE — so the
+    // distributed label-propagation loop is checked against an
+    // independent engine's fixpoint, full cluster structure and all, not
+    // just the surviving keep-list.
+    QueryDef.sql(
+      "q137_dedup_clusters_portable", {
+        val recPrefix = portableOraclePrefix.replaceFirst("WITH ", "WITH RECURSIVE ")
+        s"""$recPrefix,
+           |hsets AS (
+           |  SELECT doc_id, list_distinct(list(h)) AS hset FROM hv GROUP BY doc_id),
+           |scored AS (
+           |  SELECT id1, id2,
+           |    CAST(len(list_intersect(ha.hset, hb.hset)) AS BIGINT) AS inter,
+           |    CAST(len(ha.hset) AS BIGINT) AS n1, CAST(len(hb.hset) AS BIGINT) AS n2
+           |  FROM cand JOIN hsets ha ON ha.doc_id = id1 JOIN hsets hb ON hb.doc_id = id2),
+           |near AS (
+           |  SELECT id1, id2 FROM scored
+           |  WHERE CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE) >= 0.5),
+           |fp AS (
+           |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+           |  FROM documents),
+           |exact_pairs AS (
+           |  SELECT a.doc_id AS id1, b.doc_id AS id2
+           |  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id),
+           |sym AS (
+           |  SELECT id1 AS a, id2 AS b FROM near
+           |  UNION SELECT id2, id1 FROM near
+           |  UNION SELECT id1, id2 FROM exact_pairs
+           |  UNION SELECT id2, id1 FROM exact_pairs),
+           |reach AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+           |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a)
+           |SELECT d.doc_id AS id, COALESCE(c.component, d.doc_id) AS component
+           |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+           |ORDER BY id""".stripMargin
+      }) { (s, d) =>
+      Dedup.dedupClustersPortable(Tables.documents(s, d), "doc_id", "text",
+        jaccardThreshold = 0.5)
         .orderBy(col("id"))
     },
 

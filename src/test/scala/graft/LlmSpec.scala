@@ -285,6 +285,22 @@ class LlmSpec extends SparkSpec {
     assert(!keep.contains(3L))      // exact dup removed
   }
 
+  test("dedupClustersPortable labels every doc; labels are the edge-closure fixpoint") {
+    val labeled = Dedup.dedupClustersPortable(docs, "doc_id", "text", jaccardThreshold = 0.5)
+    val comp = labeled.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.keySet === docs.collect().map(_.getLong(0)).toSet) // total labeling
+    // every portable edge's endpoints share a component
+    Dedup.portableHashedPairs(docs, "doc_id", "text", 0.5).collect().foreach { r =>
+      assert(comp(r.getLong(0)) === comp(r.getLong(1)))
+    }
+    // each component's label is the min id of its members (CC contract)
+    comp.groupBy(_._2).foreach { case (label, members) =>
+      assert(label === members.keys.min)
+    }
+    // keeping one doc per component reproduces a dedup keep-list shape
+    assert(comp.values.toSet.size < comp.size) // the fixture has real dups
+  }
+
   test("cosine: identity 1, orthogonal 0; brute-force topk ranks correctly") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),
