@@ -69,6 +69,51 @@ object LlmQueries {
        |    AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** Shared SRP-LSH oracle scaffolding (q36/q37): CTEs computing each
+    * embedding's 32 hyperplane projections, 4×8-bit signature chunks and
+    * band rows. The ±1 plane constants are generated from
+    * `TextKernels.srpPlaneSign` — the SAME function the SrpSig kernel
+    * evaluates — and the projections are explicit left-associated sums,
+    * bit-identical IEEE arithmetic to the kernel loop, so bucket
+    * membership replays exactly.
+    */
+  private def srpOracleCtes(nBits: Int = 32, dim: Int = 64, seed: Long = 7L): String = {
+    val bandBits = nBits / 4
+    val projCols = (0 until nBits).map { p =>
+      val terms = (0 until dim).map { j =>
+        if (graft.expressions.TextKernels.srpPlaneSign(seed, p, j) > 0) s" + v[${j + 1}]"
+        else s" - v[${j + 1}]"
+      }.mkString
+      s"    (0.0$terms) AS p$p"
+    }.mkString(",\n")
+    val chunkCols = (0 until 4).map { bd =>
+      val bits = (0 until bandBits).map { r =>
+        s"CASE WHEN p${bd * bandBits + r} >= 0 THEN ${1 << r} ELSE 0 END"
+      }.mkString(" + ")
+      s"    ($bits) AS c$bd"
+    }.mkString(",\n")
+    val bandRows = (0 until 4)
+      .map(bd => s"  SELECT id, $bd AS band, c$bd AS chunk FROM chunks")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |proj AS (
+       |  SELECT id, v,
+       |$projCols
+       |  FROM e),
+       |chunks AS (
+       |  SELECT id,
+       |$chunkCols
+       |  FROM proj),
+       |bands AS (
+       |$bandRows)""".stripMargin
+  }
+
+  /** Explicit left-associated Σ a[i]·b[i] — the CosineSim kernel's
+    * sequential fold, term for term.
+    */
+  private def srpCosTerm(a: String, b: String, dim: Int = 64): String =
+    (0 until dim).map(j => s"$a[${j + 1}]*$b[${j + 1}]").mkString(" + ")
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup via hash-groupBy (keep min id per key).
@@ -421,9 +466,34 @@ object LlmQueries {
         .orderBy(col("qid"), col("nid"))
     },
 
-    // SRP-LSH approximate neighbors, exact-cosine re-ranked (recall<1 →
-    // rows-only; the exact baseline is q35).
-    QueryDef.noOracle("q36_cosine_lsh_topk") { (s, d) =>
+    // SRP-LSH approximate neighbors, exact-cosine re-ranked — HASH-EXACT
+    // despite recall<1 (the exact baseline is q35): the output is a
+    // DETERMINISTIC function of the data, so the oracle replays bucket
+    // collisions (embedded plane constants, q37's machinery), the exact
+    // cosine, and the raw-cosine ranking with nid tie-break.
+    QueryDef.sql(
+      "q36_cosine_lsh_topk", {
+        s"""${srpOracleCtes()},
+           |cand AS (
+           |  SELECT DISTINCT a.id AS qid, b.id AS nid
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.chunk = b.chunk
+           |    AND a.id < 10 AND a.id <> b.id),
+           |scored AS (
+           |  SELECT qid, nid,
+           |    (${srpCosTerm("a.v", "b.v")}) AS dot,
+           |    (${srpCosTerm("a.v", "a.v")}) AS na, (${srpCosTerm("b.v", "b.v")}) AS nb
+           |  FROM cand JOIN e a ON a.id = qid JOIN e b ON b.id = nid),
+           |cosv AS (
+           |  SELECT qid, nid,
+           |    CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos
+           |  FROM scored),
+           |ranked AS (
+           |  SELECT qid, nid, cos,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+           |  FROM cosv)
+           |SELECT qid, nid, ROUND(cos, 4) AS cos FROM ranked WHERE rn <= 5
+           |ORDER BY qid, nid""".stripMargin
+      }) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(
           emb.filter(col("vec_id") < 10).select(col("vec_id").as("id"), col("embedding").as("vec")),
@@ -494,44 +564,14 @@ object LlmQueries {
     // sibling of q34's md5 SimHash proof).
     QueryDef.sql(
       "q37_embedding_neardup", {
-        val nBits = 32; val dim = 64; val seed = 7L; val bandBits = nBits / 4
-        import graft.expressions.TextKernels
-        val projCols = (0 until nBits).map { p =>
-          val terms = (0 until dim).map { j =>
-            if (TextKernels.srpPlaneSign(seed, p, j) > 0) s" + v[${j + 1}]" else s" - v[${j + 1}]"
-          }.mkString
-          s"    (0.0$terms) AS p$p"
-        }.mkString(",\n")
-        val chunkCols = (0 until 4).map { bd =>
-          val bits = (0 until bandBits).map { r =>
-            s"CASE WHEN p${bd * bandBits + r} >= 0 THEN ${1 << r} ELSE 0 END"
-          }.mkString(" + ")
-          s"    ($bits) AS c$bd"
-        }.mkString(",\n")
-        val bandRows = (0 until 4)
-          .map(bd => s"  SELECT id, $bd AS band, c$bd AS chunk FROM chunks")
-          .mkString("\n  UNION ALL\n")
-        def seqSum(f: Int => String): String = (0 until dim).map(f).mkString(" + ")
-        val dot = seqSum(j => s"a.v[${j + 1}]*b.v[${j + 1}]")
-        val na = seqSum(j => s"a.v[${j + 1}]*a.v[${j + 1}]")
-        val nb = seqSum(j => s"b.v[${j + 1}]*b.v[${j + 1}]")
-        s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |proj AS (
-           |  SELECT id, v,
-           |$projCols
-           |  FROM e),
-           |chunks AS (
-           |  SELECT id,
-           |$chunkCols
-           |  FROM proj),
-           |bands AS (
-           |$bandRows),
+        s"""${srpOracleCtes()},
            |cand AS (
            |  SELECT DISTINCT a.id AS id1, b.id AS id2
            |  FROM bands a JOIN bands b ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id),
            |scored AS (
            |  SELECT id1, id2,
-           |    ($dot) AS dot, ($na) AS na, ($nb) AS nb
+           |    (${srpCosTerm("a.v", "b.v")}) AS dot,
+           |    (${srpCosTerm("a.v", "a.v")}) AS na, (${srpCosTerm("b.v", "b.v")}) AS nb
            |  FROM cand JOIN e a ON a.id = id1 JOIN e b ON b.id = id2),
            |cosv AS (
            |  SELECT id1, id2,
