@@ -26,7 +26,11 @@ object Scratch {
     for (name <- names) {
       val fn = SparkEntry.queries(name)
       for (pass <- 1 to 3) {
-        time(s"$name pass $pass")(fn(spark, sfDir).count())
+        // noop sink, same as Bench: count() would let Catalyst prune the
+        // computed columns and under-report projection-heavy queries
+        time(s"$name pass $pass") {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); "-"
+        }
         graft.ops.CacheRegistry.releaseAll()
       }
     }

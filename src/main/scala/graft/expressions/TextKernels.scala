@@ -189,6 +189,72 @@ object TextKernels {
     n
   }
 
+  /** One byte pass computing the TextStats struct. Semantics pinned to
+    * the regexp chain it replaces:
+    *  - n_tok_ws: `size(split(trim(c), "\\s+"))` with the blank guard —
+    *    trim strips ' ' only; split keeps leading/trailing empties
+    *    (limit −1), so the count is (ws runs inside the trimmed span)+1.
+    *    \s is JAVA's class: [ \t\n\x0B\f\r].
+    *  - n_tok_bpe: `[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]` matches = letter
+    *    runs + single digits + single non-alnum-non-ws code points
+    *    (every non-ASCII code point lands in the last class).
+    *  - stop_cnt / n_az_tok: hits and total of the `[a-z]+`-over-lower
+    *    token stream (= case-folded ASCII letter runs, the tokenSpans
+    *    convention).
+    *  - punct_ratio: non-alnum-non-ws code points / total code points.
+    *  - quality: the Gopher-style composite, identical double-op order
+    *    to the Column formulation.
+    */
+  def textStats(s: UTF8String, stopSet: java.util.HashSet[String], maxStopLen: Int): InternalRow = {
+    val b = s.getBytes
+    val n = b.length
+    // trim bounds (' ' only — Spark trim semantics)
+    var ts = 0
+    while (ts < n && b(ts) == ' ') ts += 1
+    var te = n
+    while (te > ts && b(te - 1) == ' ') te -= 1
+    var totalChars = 0L; var punct = 0L; var digits = 0L
+    var letterRuns = 0L; var stopCnt = 0L; var wsRuns = 0L
+    var inWs = false
+    var runStart = -1
+    def endRun(end: Int): Unit = {
+      letterRuns += 1
+      if (end - runStart <= maxStopLen && stopSet.contains(lowerToken(b, runStart, end)))
+        stopCnt += 1
+      runStart = -1
+    }
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      val isCont = (c & 0xC0) == 0x80 // UTF-8 continuation byte: not a code point
+      val isLetter = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+      if (isLetter) { if (runStart < 0) runStart = i }
+      else if (runStart >= 0) endRun(i)
+      if (!isCont) {
+        totalChars += 1
+        val isWs = c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+        if (!isLetter && !isWs && !(c >= '0' && c <= '9')) punct += 1
+        if (c >= '0' && c <= '9') digits += 1
+        if (i >= ts && i < te) {
+          if (isWs) { if (!inWs) { wsRuns += 1; inWs = true } }
+          else inWs = false
+        }
+      }
+      i += 1
+    }
+    if (runStart >= 0) endRun(n)
+    val nTokWs = if (te == ts) 0L else wsRuns + 1L
+    val nTokBpe = letterRuns + digits + punct
+    val punctRatio = if (totalChars == 0L) 0.0 else punct.toDouble / totalChars.toDouble
+    val lenScore = math.min(totalChars.toDouble / 200.0, 1.0)
+    val stopRatio = if (letterRuns == 0L) 0.0 else stopCnt.toDouble / letterRuns.toDouble
+    val stopScore = math.min(stopRatio * 4.0, 1.0)
+    val quality = math.max(0.0, math.min(1.0,
+      lenScore * 0.4 + stopScore * 0.4 + (1.0 - punctRatio) * 0.2))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTokWs, nTokBpe, stopCnt, letterRuns, punctRatio, quality))
+  }
+
   private def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
     x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -271,4 +337,47 @@ case class StopwordCount(child: Expression, stopwords: Seq[String])
     defineCodeGen(ctx, ev, v => s"graft.expressions.TextKernels.stopwordCount($v, $setRef)")
   }
   override protected def withNewChildInternal(c: Expression): StopwordCount = copy(child = c)
+}
+
+/** The full per-document text-statistics battery in ONE byte pass —
+  * whitespace token count, BPE-ish token count, stopword hits, `[a-z]+`
+  * token count, punctuation ratio and the composite quality score. Each
+  * field is value-identical to the regexp formulation it replaces
+  * (`split(trim(c),"\\s+")`, `[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]`
+  * extraction, `[^A-Za-z0-9\\s]` removal, the Gopher-style score), so
+  * the pinned DuckDB oracles keep matching digit-for-digit; the regexp
+  * chain cost ~8 engine passes + array materialization per row and
+  * dominated q38/q76 at scale (measured 9.9× of the 10× data step —
+  * linear in compute, 12 s at sf1 — where this pass is bound by a single
+  * scan of the bytes).
+  */
+case class TextStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = TextStats.schema
+  override def prettyName: String = "text_stats"
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+  @transient private lazy val maxStopLen: Int =
+    if (stopwords.isEmpty) 0 else stopwords.map(_.length).max
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.textStats(v.asInstanceOf[UTF8String], set, maxStopLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopSet", set, "java.util.HashSet<String>")
+    defineCodeGen(ctx, ev,
+      v => s"graft.expressions.TextKernels.textStats($v, $setRef, $maxStopLen)")
+  }
+  override protected def withNewChildInternal(c: Expression): TextStats = copy(child = c)
+}
+
+object TextStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tok_ws", LongType, nullable = false),
+    StructField("n_tok_bpe", LongType, nullable = false),
+    StructField("stop_cnt", LongType, nullable = false),
+    StructField("n_az_tok", LongType, nullable = false),
+    StructField("punct_ratio", DoubleType, nullable = false),
+    StructField("quality", DoubleType, nullable = false)))
 }

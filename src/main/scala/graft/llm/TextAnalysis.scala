@@ -1,6 +1,6 @@
 package graft.llm
 
-import graft.expressions.{RollingHash, StopwordCount}
+import graft.expressions.{RollingHash, StopwordCount, TextStats}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
@@ -36,21 +36,30 @@ object TextAnalysis {
         size(array_distinct(bigrams)).cast("double") / (size(toks) - 1).cast("double"))
   }
 
-  /** Whitespace token count (0 for blank strings). */
-  def tokenCountWs(c: Column): Column =
-    when(length(trim(c)) === 0, lit(0L))
-      .otherwise(size(split(trim(c), "\\s+")).cast("long"))
+  /** The whole stats battery (ws/BPE token counts, stopword hits, [a-z]+
+    * token count, punct ratio, quality) as ONE single-pass codegen struct
+    * — the regexp formulations below each project a field of it, so a
+    * projection using several collapses to one byte scan under
+    * whole-stage-codegen common-subexpression elimination (measured: the
+    * 8-regexp chain was the suite's most compute-bound query at 10×
+    * scale).
+    */
+  def textStats(c: Column): Column = toCol(TextStats(toExpr(c.cast("string")), StopEn))
 
-  /** BPE-ish token count: word pieces + digits + individual punctuation. */
-  def tokenCountBpe(c: Column): Column =
-    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+  /** Whitespace token count (0 for blank strings) — value-identical to
+    * `size(split(trim(c), "\\s+"))` with the blank guard.
+    */
+  def tokenCountWs(c: Column): Column = textStats(c).getField("n_tok_ws")
 
-  /** Characters of punctuation / total characters. */
-  def punctRatio(c: Column): Column = {
-    val nonPunct = length(regexp_replace(c, "[^A-Za-z0-9\\s]", ""))
-    when(length(c) === 0, lit(0.0))
-      .otherwise((length(c) - nonPunct).cast("double") / length(c).cast("double"))
-  }
+  /** BPE-ish token count: word pieces + digits + individual punctuation
+    * (`[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]` match count).
+    */
+  def tokenCountBpe(c: Column): Column = textStats(c).getField("n_tok_bpe")
+
+  /** Characters of punctuation / total characters
+    * (`[^A-Za-z0-9\\s]` removal formulation).
+    */
+  def punctRatio(c: Column): Column = textStats(c).getField("punct_ratio")
 
   private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
@@ -69,15 +78,12 @@ object TextAnalysis {
   }
 
   /** Heuristic quality score ∈ [0,1]: length band + stopword presence −
-    * punctuation noise. Deterministic, SQL-expressible (oracle-checkable).
+    * punctuation noise. Deterministic, SQL-expressible (oracle-checkable):
+    * `greatest(0, least(1, least(len/200,1)·0.4 +
+    * least(stopRatio·4,1)·0.4 + (1−punctRatio)·0.2))`, evaluated in the
+    * kernel with the identical double-operation order.
     */
-  def qualityScore(c: Column): Column = {
-    val lenScore = least(length(c).cast("double") / lit(200.0), lit(1.0))
-    val stopScore = least(stopwordRatio(c) * 4.0, lit(1.0))
-    val punctPenalty = punctRatio(c)
-    greatest(lit(0.0), least(lit(1.0),
-      lenScore * 0.4 + stopScore * 0.4 + (lit(1.0) - punctPenalty) * 0.2))
-  }
+  def qualityScore(c: Column): Column = textStats(c).getField("quality")
 
   /** Per-language stopword hit tables for the n-gram/stopword language-ID
     * heuristic. Deterministic tie-break: en > es > de > fr > zh order.
