@@ -669,19 +669,54 @@ object LlmQueries {
 
     // Multimodal plumbing: binary payload + meta struct + per-partition
     // feature extraction (deterministic fake decode — codecs stubbed).
-    QueryDef.noOracle("q41_multimodal_features") { (s, d) =>
+    // HASH-EXACT despite the stubbed decoder: fakeDecode's features are
+    // integer byte arithmetic (sum/min/max over payload bytes), so the
+    // oracle replays byte values via the hex trick (q33's convention),
+    // the float narrowing via CAST(.. AS REAL) and the same ROUND — the
+    // mapPartitions plumbing is exercised AND the output is pinned.
+    QueryDef.sql(
+      "q41_multimodal_features",
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |s AS (
+        |  SELECT media_id, n_bytes,
+        |    COALESCE(list_sum(list_transform(range(0, CAST(n_bytes AS INT)), i ->
+        |      (strpos('0123456789abcdef', substr(hx, 1 + 2*CAST(i AS INT), 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(hx, 2 + 2*CAST(i AS INT), 1)) - 1))), 0) AS bsum
+        |  FROM b)
+        |SELECT media_id, n_bytes, CAST(8 AS INT) AS n_features,
+        |  ROUND(CAST(CAST(CAST(bsum AS DOUBLE) / GREATEST(n_bytes, 1) AS REAL) AS DOUBLE), 4) AS mean_byte
+        |FROM s ORDER BY media_id""".stripMargin) { (s, d) =>
       val media = Multimodal.asMediaTable(
         Tables.documents(s, d), "doc_id", "text", "text/plain")
       Multimodal.extractFeatures(s, media)
         .select(col("media_id"), col("n_bytes"),
           size(col("features")).as("n_features"),
-          round(element_at(col("features"), 2), 4).as("mean_byte"))
+          round(element_at(col("features"), 2).cast("double"), 4).as("mean_byte"))
         .orderBy(col("media_id"))
     },
 
     // Multimodal patch sampling (frame-sample analog): explode-based,
-    // fully distributed.
-    QueryDef.noOracle("q42_multimodal_patches") { (s, d) =>
+    // fully distributed. HASH-EXACT: only byte COUNTS surface, and the
+    // stride-decimate resize plus the 16-byte patch slicing are pure
+    // integer functions of the payload length — the oracle replays
+    // target/stride/ceil and the per-patch min(16, rl−16i) lengths.
+    QueryDef.sql(
+      "q42_multimodal_patches",
+      """WITH L AS (
+        |  SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS len
+        |  FROM documents),
+        |r1 AS (SELECT media_id, len, GREATEST(1, LEAST(len, 64)) AS target FROM L),
+        |r2 AS (SELECT media_id, len, target, GREATEST(1, len // target) AS stride FROM r1),
+        |r3 AS (SELECT media_id, LEAST(target, (len + stride - 1) // stride) AS rl FROM r2),
+        |p AS (SELECT media_id, rl, unnest([0, 1, 2, 3]) AS i FROM r3),
+        |pl AS (SELECT media_id, LEAST(16, rl - i * 16) AS plen FROM p WHERE rl - i * 16 > 0)
+        |SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_patches,
+        |  CAST(SUM(plen) AS BIGINT) AS patch_bytes,
+        |  CAST(16 AS INT) AS w, CAST(4 AS INT) AS h
+        |FROM pl GROUP BY media_id ORDER BY media_id""".stripMargin) { (s, d) =>
       val media = Multimodal.asMediaTable(
         Tables.documents(s, d), "doc_id", "text", "text/plain")
       // resize first (per-partition batch stub; stamps w×h into meta),
@@ -693,8 +728,7 @@ object LlmQueries {
           sum(length(col("patch"))).as("patch_bytes"),
           max(col("meta.width")).as("w"), max(col("meta.height")).as("h"))
         .orderBy(col("media_id"))
-    }
-,
+    },
 
     // Repetition quality filters (public Gopher/MassiveText rule family):
     // distinct-unigram ratio, duplicate-bigram fraction, and the dominant
