@@ -50,4 +50,66 @@ object Splits {
       acc.when(label === cls, b < (f * 65536).toLong)
     }.otherwise(b < (defaultFraction * 65536).toLong)
   }
+
+  /** Hard per-group cap — "at most `n` docs per domain/source", the
+    * domain-balancing verb (a quota, not a rate: [[stratifiedHashSample]]
+    * keeps a FRACTION per class; this keeps a COUNT). Selection is
+    * deterministic and engine-portable: each group keeps its `n` smallest
+    * rows by `(md5(id), id)`, so the kept set is stable across runs,
+    * engines and cluster sizes, and adding rows to a group never swaps in
+    * a row that a previous run rejected unless it hashes below the old
+    * boundary (hash-order stability, same contract as [[hashSample]]).
+    *
+    * Scale shape — the naive form (`row_number() OVER (PARTITION BY
+    * group ORDER BY md5(id))` then filter) sorts EVERY row of a group on
+    * one reducer, which dies on a skewed domain holding 10% of a 100 TB
+    * corpus. This does rank-by-hash-range instead:
+    *
+    *  1. count rows per (group, hash-bucket) — a map-side-combined
+    *     aggregate over two slim columns (the parquet scan prunes to
+    *     group + id);
+    *  2. per group, a cumulative sum over its ≤`buckets` counts finds
+    *     each bucket's decision: keep-all (quota not yet reached at the
+    *     bucket's end), drop-all (quota exhausted before it), or
+    *     boundary (exactly one bucket per group straddles the quota);
+    *  3. rows join the per-(group,bucket) decision table — `buckets` ×
+    *     |groups| rows, broadcast whenever it fits — and only the
+    *     BOUNDARY bucket's rows (≈ groupSize/`buckets`) are ranked.
+    *
+    * Because the bucket is a numeric prefix of the md5 hex key, ordering
+    * by (bucket, md5, id) IS ordering by (md5, id): the result is
+    * row-identical to the naive form (LlmSpec asserts equality), while
+    * the worst reducer sorts `buckets`× fewer rows and untouched columns
+    * ride along only for surviving buckets.
+    */
+  def capPerGroup(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      idCol: String, n: Int, buckets: Int = 256): org.apache.spark.sql.DataFrame = {
+    require(n > 0, s"cap must be positive: $n")
+    require(buckets >= 1 && buckets <= 256, s"buckets out of [1,256]: $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(col(idCol).cast("string"))
+    // numeric value of the first two hex digits, scaled to `buckets`
+    // ranges — a PREFIX of the lexicographic md5 order, so bucket order
+    // refines into md5 order
+    val bkt = (conv(substring(key, 1, 2), 16, 10).cast("int") * buckets / 256)
+    val slim = df.select(col(groupCol).as("__g"), bkt.as("__b"))
+    val counts = slim.groupBy(col("__g"), col("__b")).agg(count(lit(1)).as("__c"))
+    val wcum = Window.partitionBy(col("__g")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = counts
+      .withColumn("__cumBefore", sum(col("__c")).over(wcum) - col("__c"))
+      .filter(col("__cumBefore") < n) // drop-all buckets never join back
+      .select(col("__g").as("__dg"), col("__b").as("__db"),
+        (col("__cumBefore") + col("__c") <= n).as("__all"),
+        (lit(n.toLong) - col("__cumBefore")).as("__quota"))
+    val tagged = df.withColumn("__k", key).withColumn("__b", bkt)
+      .join(dec, col(groupCol) <=> col("__dg") && col("__b") === col("__db"))
+    val keepAll = tagged.filter(col("__all"))
+    val wrank = Window.partitionBy(col("__dg"), col("__db"))
+      .orderBy(col("__k"), col(idCol))
+    val boundary = tagged.filter(!col("__all"))
+      .withColumn("__rn", row_number().over(wrank))
+      .filter(col("__rn") <= col("__quota")).drop("__rn")
+    keepAll.unionByName(boundary).select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

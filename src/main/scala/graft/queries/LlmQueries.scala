@@ -860,6 +860,27 @@ object LlmQueries {
         .orderBy(col("lang"))
     },
 
+    // Hard per-domain cap — "at most 8 docs per source" (the quota verb;
+    // q83 keeps a per-class RATE, this keeps a COUNT). Selection is the
+    // n smallest (md5(id), id) per group, which the oracle replays with a
+    // plain windowed rank; the Spark side runs the rank-by-hash-range
+    // form (bucket counts -> keep-all/drop-all decisions -> rank ONLY the
+    // boundary bucket), so equality here proves the scale shape loses
+    // nothing. LlmSpec additionally pins it row-identical to the naive
+    // window at a skewed fixture.
+    QueryDef.sql(
+      "q138_domain_cap",
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 8 ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+      Splits.capPerGroup(Tables.documents(s, d), "source", "doc_id", n = 8)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+
     // Near-dup clusters: connected components over exact+MinHash pairs via
     // iterative min-label propagation (distributed union-find substitute),
     // then the surviving keep-list. Engine-specific hashes -> rows-only.

@@ -3,7 +3,7 @@ package graft
 import graft.expressions.{StrKernels, TextKernels}
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Prop, Properties}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 
 /** Property-based laws for the JVM-side kernels (SURVEY.md §5 — the
   * promotion/null/overflow law layer; ScalaCheck per build plan).
@@ -215,6 +215,61 @@ object KernelLaws extends Properties("graft.kernels") {
       val want = ds.indices.maxBy(i => (ds(i), -i)) // earliest max
       got == want
     }
+
+  // Mixed text exercising every class the fused stats kernel dispatches
+  // on: ASCII letters/digits/punct, the full Java-\s set (incl \x0B),
+  // leading/trailing spaces, BMP multibyte and supplementary code points.
+  private val statsText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaLowerChar.map(_.toString), 2 -> Gen.const(" "),
+      2 -> Gen.oneOf("the", "of", "and", "zzz"), 1 -> Gen.const("\t"),
+      1 -> Gen.oneOf("\n", "", "\f", "\r"), 1 -> Gen.numChar.map(_.toString),
+      1 -> Gen.oneOf(".", ",", "!", "#"), 1 -> Gen.oneOf("é", "中", "ß"),
+      1 -> Gen.const(new String(Character.toChars(0x1F600))))).map(_.mkString)
+
+  property("textStats equals the regexp-chain formulation it replaced") = {
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+    val stopSet = new java.util.HashSet[String](); stops.foreach(stopSet.add)
+    val maxLen = stops.map(_.length).max
+    val bpeRe = java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")
+    val azRe = java.util.regex.Pattern.compile("[A-Za-z]+")
+    val punctRe = java.util.regex.Pattern.compile("[^A-Za-z0-9\\s]")
+    forAll(statsText) { s =>
+      val row = TextKernels.textStats(u(s), stopSet, maxLen)
+      def count(p: java.util.regex.Pattern, in: String): Long = {
+        val m = p.matcher(in); var n = 0L; while (m.find()) n += 1; n
+      }
+      // n_tok_ws: size(split(trim(c), "\\s+")) with the blank guard;
+      // trim strips ' ' only, split limit -1 keeps leading/trailing empties
+      val trimmed = { var a = 0; var b = s.length
+        while (a < b && s.charAt(a) == ' ') a += 1
+        while (b > a && s.charAt(b - 1) == ' ') b -= 1
+        s.substring(a, b) }
+      val wantWs = if (trimmed.isEmpty) 0L else trimmed.split("\\s+", -1).length.toLong
+      // code points, not UTF-16 units — the oracle engine's length()
+      val total = s.codePointCount(0, s.length).toLong
+      val punct = count(punctRe, s)
+      val azToks = {
+        val m = azRe.matcher(s)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (m.find()) buf += m.group().toLowerCase(java.util.Locale.ROOT)
+        buf.toSeq
+      }
+      val stopCnt = azToks.count(stopSet.contains).toLong
+      val punctRatio = if (total == 0L) 0.0 else punct.toDouble / total.toDouble
+      val lenScore = math.min(total.toDouble / 200.0, 1.0)
+      val stopRatio = if (azToks.isEmpty) 0.0 else stopCnt.toDouble / azToks.length.toDouble
+      val quality = math.max(0.0, math.min(1.0,
+        lenScore * 0.4 + math.min(stopRatio * 4.0, 1.0) * 0.4 + (1.0 - punctRatio) * 0.2))
+      Prop.all(
+        (row.getLong(0) == wantWs) :| s"n_tok_ws ${row.getLong(0)} != $wantWs",
+        (row.getLong(1) == count(bpeRe, s)) :| s"n_tok_bpe ${row.getLong(1)} != ${count(bpeRe, s)}",
+        (row.getLong(2) == stopCnt) :| s"stop_cnt ${row.getLong(2)} != $stopCnt",
+        (row.getLong(3) == azToks.length.toLong) :| s"n_az_tok ${row.getLong(3)} != ${azToks.length}",
+        (row.getDouble(4) == punctRatio) :| "punct_ratio bits differ",
+        (row.getDouble(5) == quality) :| "quality bits differ")
+    }
+  }
 
   property("pqEncode equals the per-subspace reference argmin") =
     forAll(smallVec, Gen.oneOf(1, 2, 4)) { (v, m) =>

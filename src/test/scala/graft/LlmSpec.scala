@@ -850,4 +850,33 @@ class LlmSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [") && plan.contains("cell"))
   }
+
+  test("capPerGroup: rank-by-hash-range equals the naive window, respects the cap") {
+    import graft.llm.Splits
+    import org.apache.spark.sql.expressions.Window
+    // skewed fixture: one giant group, one exactly-at-cap, one under,
+    // one empty-after-null-keying (null group keys must cap too)
+    val rows = (0L until 500L).map(i => (i,
+      if (i < 400) "big" else if (i < 450) "atcap" else if (i < 460) "small" else null))
+    val df = rows.toDF("id", "grp")
+    val n = 50
+    val got = Splits.capPerGroup(df, "grp", "id", n)
+    val naive = {
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(md5(col("id").cast("string")), col("id"))
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= n).drop("__rn")
+    }
+    def keyed(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val gotSet = keyed(got)
+    assert(gotSet === keyed(naive), "bucketed form diverges from the naive window")
+    val perGroup = gotSet.groupBy(_._2).map { case (k, v) => k -> v.size }
+    assert(perGroup(Some("big")) === n)
+    assert(perGroup(Some("atcap")) === n)   // exactly at cap: all kept
+    assert(perGroup(Some("small")) === 10)  // under cap: untouched
+    assert(perGroup(None) === 40)           // null group: capped as its own group
+    // and with a single bucket the boundary path must carry every group alone
+    assert(keyed(Splits.capPerGroup(df, "grp", "id", n, buckets = 1)) === gotSet)
+  }
 }
