@@ -90,8 +90,10 @@ object Splits {
     val key = md5(col(idCol).cast("string"))
     // numeric value of the first two hex digits, scaled to `buckets`
     // ranges — a PREFIX of the lexicographic md5 order, so bucket order
-    // refines into md5 order
-    val bkt = (conv(substring(key, 1, 2), 16, 10).cast("int") * buckets / 256)
+    // refines into md5 order (Column `/` is double division; the cast
+    // floors it back — exact for these small ints — so joins and sorts
+    // run on an int, not a normalized float)
+    val bkt = (conv(substring(key, 1, 2), 16, 10).cast("int") * buckets / 256).cast("int")
     val slim = df.select(col(groupCol).as("__g"), bkt.as("__b"))
     val counts = slim.groupBy(col("__g"), col("__b")).agg(count(lit(1)).as("__c"))
     val wcum = Window.partitionBy(col("__g")).orderBy(col("__b"))
