@@ -114,4 +114,23 @@ object Splits {
       .filter(col("__rn") <= col("__quota")).drop("__rn")
     keepAll.unionByName(boundary).select(df.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** Reproducible global corpus shuffle — the training-order verb: every
+    * epoch's data order must be random-LOOKING but exactly replayable
+    * (resume-from-step, ablation reruns, multi-worker sharding all need
+    * position `i` to mean the same row everywhere). Position = rank of
+    * `(md5(seed || id), id)`: a pure function of (seed, id) — no RNG
+    * state, engine-portable, and a new seed is a fresh permutation.
+    *
+    * Scale shape: the rank comes from [[graft.ops.RowIndex.withRowIndex]]
+    * (one range shuffle + a partition-count-bounded offsets collect), not
+    * a global `row_number()` window, which would funnel 100 TB through a
+    * single task. Downstream sharding is then a filter on `pos % workers`
+    * or a range read of `pos` — both scan-prunable after a sort-by-pos
+    * write.
+    */
+  def shuffleDeterministic(df: org.apache.spark.sql.DataFrame, idCol: String,
+      seed: Long, posCol: String = "pos"): org.apache.spark.sql.DataFrame =
+    graft.ops.RowIndex.withRowIndex(df, posCol,
+      Seq(md5(concat(lit(seed.toString), col(idCol).cast("string"))), col(idCol)))
 }

@@ -881,6 +881,22 @@ object LlmQueries {
         .orderBy(col("source"), col("doc_id"))
     },
 
+    // Reproducible global corpus shuffle (training-order verb): position =
+    // rank of (md5(seed||id), id) — no RNG state, engine-portable, a new
+    // seed is a fresh permutation. Distributed rank via RowIndex (range
+    // shuffle + bounded offsets collect), never a one-task global window;
+    // the oracle replays the rank with a plain window. Checked end-to-end:
+    // every (doc_id, pos) pair hash-exact.
+    QueryDef.sql(
+      "q139_corpus_shuffle",
+      """SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY md5('42' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Splits.shuffleDeterministic(Tables.documents(s, d), "doc_id", seed = 42L)
+        .select(col("doc_id"), col("pos"))
+        .orderBy(col("doc_id"))
+    },
+
     // Near-dup clusters: connected components over exact+MinHash pairs via
     // iterative min-label propagation (distributed union-find substitute),
     // then the surviving keep-list. Engine-specific hashes -> rows-only.

@@ -879,4 +879,17 @@ class LlmSpec extends SparkSpec {
     // and with a single bucket the boundary path must carry every group alone
     assert(keyed(Splits.capPerGroup(df, "grp", "id", n, buckets = 1)) === gotSet)
   }
+
+  test("shuffleDeterministic: bijective, partitioning-invariant, seed-sensitive") {
+    import graft.llm.Splits
+    val df = (0L until 300L).toDF("id")
+    def posMap(d: org.apache.spark.sql.DataFrame, seed: Long) =
+      Splits.shuffleDeterministic(d, "id", seed).select(col("id"), col("pos"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = posMap(df, 7L)
+    assert(a.values.toSeq.sorted === (0L until 300L), "positions are not a permutation")
+    assert(posMap(df.repartition(13), 7L) === a, "order depends on physical partitioning")
+    assert(posMap(df, 8L) !== a, "a new seed must be a fresh permutation")
+    graft.ops.CacheRegistry.releaseAll()
+  }
 }
