@@ -31,6 +31,25 @@ case class ShingleTokens(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): ShingleTokens = copy(child = c)
 }
 
+/** The case-folded ASCII `[A-Za-z]+` token stream WITH multiplicity — the
+  * library's ONE tokenization convention (tokenSpans + ASCII lowering,
+  * shared with ShingleTokens/StopwordCount/TextStats). Replaces the
+  * `regexp_extract_all(lower(c), "[a-z]+")` formulation, whose unicode
+  * lower() could mint ASCII letters from exotic code points (U+212A
+  * KELVIN SIGN → 'k') and so diverge from both the kernels and the RE2
+  * oracles.
+  */
+case class AsciiTokens(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ascii_tokens"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.asciiTokens(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expressions.TextKernels.asciiTokens($v)")
+  override protected def withNewChildInternal(c: Expression): AsciiTokens = copy(child = c)
+}
+
 /** k-permutation MinHash signature of the document's n-shingle set, in one
   * pass: tokenize → shingle → FNV-1a hash → k universal-hash minima over
   * the 31-bit prime field. Permutation constants derive deterministically
@@ -101,6 +120,20 @@ object TextKernels {
   /** Distinct n-shingles, order of first occurrence. For < n tokens, one
     * shingle of all tokens (matching the declarative fallback).
     */
+  /** Lowercased ASCII letter-run tokens, multiplicity preserved. */
+  def asciiTokens(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val spans = tokenSpans(b)
+    val out = new Array[Any](spans.size())
+    var i = 0
+    while (i < spans.size()) {
+      val (st, en) = spans.get(i)
+      out(i) = UTF8String.fromString(lowerToken(b, st, en))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def shingles(s: UTF8String, n: Int): ArrayData = {
     val b = s.getBytes
     val spans = tokenSpans(b)
@@ -190,11 +223,14 @@ object TextKernels {
   }
 
   /** One byte pass computing the TextStats struct. Semantics pinned to
-    * the regexp chain it replaces:
-    *  - n_tok_ws: `size(split(trim(c), "\\s+"))` with the blank guard —
+    * the regexp chain it replaces, EXCEPT that the whitespace class is
+    * RE2's `\s` = [ \t\n\f\r] (the DuckDB oracle's class), not Java's
+    * [ \t\n\x0B\f\r]: the gate replays every consumer in RE2, so a
+    * \x0B-bearing doc must tokenize identically on both engines (same
+    * alignment as simHashMd5Sigs / md5Fingerprint).
+    *  - n_tok_ws: `size(split(trim(c), ws+))` with the blank guard —
     *    trim strips ' ' only; split keeps leading/trailing empties
     *    (limit −1), so the count is (ws runs inside the trimmed span)+1.
-    *    \s is JAVA's class: [ \t\n\x0B\f\r].
     *  - n_tok_bpe: `[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]` matches = letter
     *    runs + single digits + single non-alnum-non-ws code points
     *    (every non-ASCII code point lands in the last class).
@@ -232,7 +268,7 @@ object TextKernels {
       else if (runStart >= 0) endRun(i)
       if (!isCont) {
         totalChars += 1
-        val isWs = c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+        val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
         if (!isLetter && !isWs && !(c >= '0' && c <= '9')) punct += 1
         if (c >= '0' && c <= '9') digits += 1
         if (i >= ts && i < te) {

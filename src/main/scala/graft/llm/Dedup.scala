@@ -388,13 +388,34 @@ object Dedup {
     val lock = new org.apache.hadoop.fs.Path(indexDir.stripSuffix("/") + "/" + IndexLockFile)
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(lock.getParent)
-    val out = try fs.create(lock, false) catch {
-      case _: java.io.IOException => throw new IllegalStateException(
-        s"near-dedup index at $indexDir is locked by a concurrent writer — " +
-        s"index operations are single-writer; retry after it finishes, or delete " +
-        s"$lock if its holder crashed")
+    def locked() = new IllegalStateException(
+      s"near-dedup index at $indexDir is locked by a concurrent writer — " +
+      s"index operations are single-writer; retry after it finishes, or delete " +
+      s"$lock if its holder crashed")
+    // Acquisition must be ATOMIC create-exclusive. Hadoop's
+    // create(overwrite=false) is atomic on HDFS but RawLocal/Checksum
+    // filesystems implement it as exists()-then-create — two racers can
+    // both pass the check. For file:// paths use O_EXCL via NIO instead;
+    // only a genuine already-exists maps to the "locked" error, any other
+    // IO failure (permissions, disk full) propagates as itself.
+    val uri = lock.toUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      try java.nio.file.Files.createFile(java.nio.file.Paths.get(uri.getPath))
+      catch { case _: java.nio.file.FileAlreadyExistsException => throw locked() }
+      try java.nio.file.Files.write(java.nio.file.Paths.get(uri.getPath),
+        op.getBytes("UTF-8"))
+      catch { case e: Throwable => fs.delete(lock, false); throw e }
+    } else {
+      val out = try fs.create(lock, false) catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => throw locked()
+        case e: java.io.IOException if fs.exists(lock) => throw locked()
+      }
+      // a failed holder-tag write must not leak the acquired lock
+      try out.write(op.getBytes("UTF-8")) catch {
+        case e: Throwable => out.close(); fs.delete(lock, false); throw e
+      }
+      out.close()
     }
-    try out.write(op.getBytes("UTF-8")) finally out.close()
     try body finally fs.delete(lock, false)
   }
 
@@ -958,9 +979,13 @@ object Dedup {
   def dedupClustersPortable(df: DataFrame, idCol: String, textCol: String,
       jaccardThreshold: Double = 0.5): DataFrame = {
     val ids = df.select(col(idCol).cast("long").as("id"))
-    val exactPairs = df.groupBy(TextAnalysis.md5Fingerprint(col(textCol)).as("fp"))
-      .agg(min(col(idCol)).as("id1"), collect_set(col(idCol)).as("all"))
-      .select(col("id1"), explode(col("all")).as("id2"))
+    // star edges (min-id, id) per fingerprint via a window MIN — bounded
+    // per-group state; a collect_set here would buffer every id of a
+    // 10M-copy boilerplate group on one task (the q76 keep-min shape)
+    val wfp = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextAnalysis.md5Fingerprint(col(textCol)))
+    val exactPairs = df
+      .select(col(idCol).as("id2"), min(col(idCol)).over(wfp).as("id1"))
       .filter(col("id1") < col("id2"))
     val nearPairs = portableHashedPairs(df, idCol, textCol, jaccardThreshold)
       .select(col("id1"), col("id2"))

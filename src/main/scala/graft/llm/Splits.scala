@@ -78,9 +78,14 @@ object Splits {
     *
     * Because the bucket is a numeric prefix of the md5 hex key, ordering
     * by (bucket, md5, id) IS ordering by (md5, id): the result is
-    * row-identical to the naive form (LlmSpec asserts equality), while
-    * the worst reducer sorts `buckets`× fewer rows and untouched columns
-    * ride along only for surviving buckets.
+    * row-identical to the naive form over non-null-id rows (LlmSpec
+    * asserts equality), while the worst reducer sorts `buckets`× fewer
+    * rows and untouched columns ride along only for surviving buckets.
+    *
+    * NULL ids are EXCLUDED from the output (md5(null) has no bucket) —
+    * the library-wide hash-selection convention: [[hashSample]] /
+    * [[stratifiedHashSample]] likewise never keep a null id, because a
+    * null has no hash and so no deterministic fate. Spec-pinned.
     */
   def capPerGroup(df: org.apache.spark.sql.DataFrame, groupCol: String,
       idCol: String, n: Int, buckets: Int = 256): org.apache.spark.sql.DataFrame = {
@@ -94,7 +99,10 @@ object Splits {
     // floors it back — exact for these small ints — so joins and sorts
     // run on an int, not a normalized float)
     val bkt = (conv(substring(key, 1, 2), 16, 10).cast("int") * buckets / 256).cast("int")
-    val slim = df.select(col(groupCol).as("__g"), bkt.as("__b"))
+    // null ids are out of scope entirely — excluded here too, or the
+    // null bucket (sorting first) would silently consume quota slots
+    val slim = df.filter(col(idCol).isNotNull)
+      .select(col(groupCol).as("__g"), bkt.as("__b"))
     val counts = slim.groupBy(col("__g"), col("__b")).agg(count(lit(1)).as("__c"))
     val wcum = Window.partitionBy(col("__g")).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

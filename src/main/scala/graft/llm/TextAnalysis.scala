@@ -13,9 +13,14 @@ import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => t
   */
 object TextAnalysis {
 
-  /** Lowercase word tokens (letters only). */
+  /** Lowercase word tokens (letters only), multiplicity preserved — the
+    * library's single tokenization convention: case-folded ASCII
+    * `[A-Za-z]+` runs (AsciiTokens kernel, shared byte-pass machinery
+    * with ShingleTokens/StopwordCount/TextStats). Oracles replay it as
+    * `list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))`.
+    */
   def wordTokens(c: Column): Column =
-    regexp_extract_all(lower(c), lit("[a-z]+"), lit(0))
+    toCol(graft.expressions.AsciiTokens(toExpr(c.cast("string"))))
 
   /** Repetition filters (the public Gopher/MassiveText quality-rule family):
     * fraction of distinct unigrams and the duplicate-bigram fraction. High
@@ -112,10 +117,14 @@ object TextAnalysis {
   }
 
   /** Normalized-content MD5 fingerprint: whitespace-collapsed, lowercased,
-    * trimmed. Engine-portable (md5 is standard everywhere).
+    * trimmed. Engine-portable (md5 is standard everywhere) — which is why
+    * the collapse class is the EXPLICIT [ \t\n\f\r], not Java's \s: Java
+    * \s also eats \x0B, RE2 (the oracle engine) does not, and every
+    * oracle replays this fingerprint with RE2 '\s+'. Same alignment as
+    * simHashMd5Sigs' exclusion filter.
     */
   def md5Fingerprint(c: Column): Column =
-    md5(regexp_replace(lower(trim(c)), "\\s+", " ").cast("binary"))
+    md5(regexp_replace(lower(trim(c)), "[ \t\n\f\r]+", " ").cast("binary"))
 
   /** 64-bit rolling-hash fingerprint (custom RollingHash expression). */
   def hashFingerprint(c: Column): Column = toCol(RollingHash(toExpr(c.cast("string"))))

@@ -121,7 +121,9 @@ object Introspect {
     case t: java.time.LocalDateTime =>
       formatDatetimeMicros(t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000)
     case d: java.sql.Date =>
-      formatDatetimeMicros(Math.floorDiv(d.getTime, 86400000L) * 86400L * 1000000L)
+      // NOT getTime/86400000: collect() pins java.sql.Date to LOCAL
+      // midnight, so the millis division is off by one day east of UTC
+      formatDatetimeMicros(d.toLocalDate.toEpochDay * 86400L * 1000000L)
     case d: java.time.LocalDate => formatDatetimeMicros(d.toEpochDay * 86400L * 1000000L)
     case other => other.toString
   }

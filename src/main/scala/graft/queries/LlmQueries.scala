@@ -41,7 +41,7 @@ object LlmQueries {
       s"  SELECT doc_id, $t AS band, $vs FROM sigs"
     }.mkString("\n  UNION ALL\n")
     s"""WITH words AS (
-       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+       |  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)) AS ws FROM documents),
        |tok AS (
        |  SELECT doc_id,
        |    CASE WHEN len(ws) < 3 THEN [list_aggregate(ws, 'string_agg', ' ')]
@@ -133,7 +133,7 @@ object LlmQueries {
     QueryDef.sql(
       "q31_ngram_jaccard",
       """WITH words AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+        |  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)) AS ws FROM documents),
         |tok AS (
         |  SELECT doc_id,
         |    CASE WHEN len(ws) < 3 THEN [list_aggregate(ws, 'string_agg', ' ')]
@@ -612,16 +612,16 @@ object LlmQueries {
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
         |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok_ws,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok_bpe,
-        |  CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        |  CAST(len(list_filter(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)),
         |       x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS BIGINT) AS stop_cnt,
         |  CASE WHEN length(text) = 0 THEN 0.0
         |       ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text) END AS punct_ratio,
         |  GREATEST(0.0, LEAST(1.0,
         |    LEAST(length(text) / 200.0, 1.0) * 0.4 +
-        |    CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) = 0 THEN 0.0
-        |         ELSE LEAST(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        |    CASE WHEN len(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) = 0 THEN 0.0
+        |         ELSE LEAST(CAST(len(list_filter(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)),
         |          x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
-        |      / len(regexp_extract_all(lower(text), '[a-z]+')) * 4.0, 1.0) END * 0.4 +
+        |      / len(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) * 4.0, 1.0) END * 0.4 +
         |    (1.0 - CASE WHEN length(text) = 0 THEN 0.0
         |       ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text) END) * 0.2
         |  )) AS quality
@@ -639,7 +639,7 @@ object LlmQueries {
     // Language-ID heuristic (stopword-hit argmax, deterministic tie-break).
     QueryDef.sql(
       "q39_langid",
-      """WITH t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+      """WITH t AS (SELECT doc_id, lang, list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)) AS toks FROM documents),
         |sc AS (SELECT doc_id, lang,
         |  len(list_filter(toks, x -> x IN ('the','a','of','and','is','fast','slow','small'))) AS s_en,
         |  len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','los'))) AS s_es,
@@ -737,7 +737,7 @@ object LlmQueries {
     QueryDef.sql(
       "q82_repetition_stats",
       """WITH t AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+        |  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)) AS ws FROM documents),
         |base AS (
         |  SELECT doc_id,
         |    CAST(len(ws) AS BIGINT) AS n_tok,
@@ -802,10 +802,10 @@ object LlmQueries {
         |  SELECT doc_id, text,
         |    GREATEST(0.0, LEAST(1.0,
         |      LEAST(length(text) / 200.0, 1.0) * 0.4 +
-        |      CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) = 0 THEN 0.0
-        |           ELSE LEAST(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        |      CASE WHEN len(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) = 0 THEN 0.0
+        |           ELSE LEAST(CAST(len(list_filter(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)),
         |            x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
-        |        / len(regexp_extract_all(lower(text), '[a-z]+')) * 4.0, 1.0) END * 0.4 +
+        |        / len(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) * 4.0, 1.0) END * 0.4 +
         |      (1.0 - CASE WHEN length(text) = 0 THEN 0.0
         |         ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text) END) * 0.2
         |    )) AS quality
@@ -956,7 +956,7 @@ object LlmQueries {
     QueryDef.sql(
       "q58_tfidf",
       """WITH terms AS (
-        |  SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |  SELECT doc_id AS id, unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS term
         |  FROM documents),
         |tf AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS c FROM terms GROUP BY 1, 2),
         |dl AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS len FROM terms GROUP BY 1),
@@ -985,7 +985,7 @@ object LlmQueries {
     QueryDef.sql(
       "q110_tfidf_cosine",
       """WITH scope AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
-        |t AS (SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |t AS (SELECT doc_id AS id, unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS term
         |      FROM scope),
         |tf AS (SELECT id, term, COUNT(*) AS c FROM t GROUP BY 1, 2),
         |dl AS (SELECT id, SUM(c) AS len FROM tf GROUP BY 1),
@@ -1014,7 +1014,7 @@ object LlmQueries {
     QueryDef.sql(
       "q87_decontaminate",
       """WITH words AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+        |  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)) AS ws FROM documents),
         |tok AS (
         |  SELECT doc_id,
         |    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
@@ -1095,7 +1095,7 @@ object LlmQueries {
       "q89_sequence_packing",
       """WITH t AS (
         |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
+        |    CAST(len(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, n_tokens,
@@ -1121,7 +1121,7 @@ object LlmQueries {
       "q93_packed_bins",
       """WITH t AS (
         |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
+        |    CAST(len(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, n_tokens,
@@ -1154,7 +1154,7 @@ object LlmQueries {
       "q90_mixture_sampling",
       """WITH t AS (
         |  SELECT doc_id, source,
-        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
+        |    CAST(len(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS BIGINT) AS n_tokens
         |  FROM documents),
         |tot AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS source_tokens
         |        FROM t GROUP BY 1),
@@ -1185,7 +1185,7 @@ object LlmQueries {
     QueryDef.sql(
       "q94_heavy_hitters",
       """SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS n
-        |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |FROM (SELECT unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS w
         |      FROM documents)
         |GROUP BY w ORDER BY n DESC, term LIMIT 20""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
@@ -1260,7 +1260,7 @@ object LlmQueries {
     QueryDef.sql(
       "q105_chunk_dedup",
       """WITH t AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)) AS ws
         |  FROM documents WHERE doc_id < 200),
         |b AS (SELECT doc_id, ws, len(ws) AS n FROM t),
         |s AS (
@@ -1322,7 +1322,7 @@ object LlmQueries {
     QueryDef.sql(
       "q102_doc_chunking",
       """WITH t AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)) AS ws
         |  FROM documents WHERE doc_id < 200),
         |b AS (SELECT doc_id, ws, len(ws) AS n FROM t),
         |s AS (

@@ -87,7 +87,7 @@ object Sinks {
         spark.sparkContext.hadoopConfiguration))
     val colsB = spark.sparkContext.broadcast(cols)
     val nTasks = math.max(1, math.min(dataFiles.size, 32))
-    val rows = spark.sparkContext.parallelize(dataFiles, nTasks).map { name =>
+    val rows = spark.sparkContext.parallelize(dataFiles.map(_._1), nTasks).map { name =>
       val (n, stats) = footerStats(confB.value.value, s"$path/$name", colsB.value)
       org.apache.spark.sql.Row.fromSeq(
         name +: Long.box(n) +: stats.flatMap { case (mn, mx) =>
@@ -152,10 +152,14 @@ object Sinks {
     } finally reader.close()
   }
 
-  /** Non-hidden parquet data file names directly under `path` (basenames;
-    * relative storage makes the manifest survive a directory move).
+  /** Non-hidden parquet data files directly under `path` as
+    * (basename, length, modificationTime) — basenames so the manifest
+    * survives a directory move; length+mtime feed the fingerprint so an
+    * in-place rewrite that keeps names (distcp -overwrite, an external
+    * compactor with stable naming) still reads as a CHANGED layout.
     */
-  private def listDataFiles(spark: SparkSession, path: String): Seq[String] = {
+  private def listDataFiles(spark: SparkSession,
+      path: String): Seq[(String, Long, Long)] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(p).toIndexedSeq
@@ -163,14 +167,23 @@ object Sinks {
         val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet")
       })
-      .map(_.getPath.getName).sorted
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1)
   }
 
-  private def fingerprint(names: Seq[String]): String = {
+  /** Names + lengths + mtimes, NOT names alone: a same-name rewrite with
+    * different contents must invalidate the manifest, or readPruned would
+    * silently drop rows from stale stats — the one failure mode a
+    * skipping index must never have. (A byte-identical copy that only
+    * refreshes mtime reads as stale too — a false POSITIVE that fails
+    * loudly and heals with one writeStatsManifest, the safe direction.)
+    */
+  private def fingerprint(files: Seq[(String, Long, Long)]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(names.sorted.mkString("\n").getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    s"${names.size}\n$hex"
+    val payload = files.sortBy(_._1)
+      .map { case (n, len, mt) => n + ":" + len + ":" + mt }.mkString("\n")
+    val hex = md.digest(payload.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    s"${files.size}\n$hex"
   }
 
   private def writeText(spark: SparkSession, file: String, text: String): Unit = {

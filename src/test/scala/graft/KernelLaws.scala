@@ -217,8 +217,10 @@ object KernelLaws extends Properties("graft.kernels") {
     }
 
   // Mixed text exercising every class the fused stats kernel dispatches
-  // on: ASCII letters/digits/punct, the full Java-\s set (incl \x0B),
-  // leading/trailing spaces, BMP multibyte and supplementary code points.
+  // on: ASCII letters/digits/punct, whitespace INCLUDING a raw \x0B (in
+  // Java's \s but NOT in RE2's — the kernel is pinned to RE2, the oracle
+  // engine's class), leading/trailing spaces, BMP multibyte and
+  // supplementary code points.
   private val statsText: Gen[String] =
     Gen.listOf(Gen.frequency(
       8 -> Gen.alphaLowerChar.map(_.toString), 2 -> Gen.const(" "),
@@ -227,25 +229,28 @@ object KernelLaws extends Properties("graft.kernels") {
       1 -> Gen.oneOf(".", ",", "!", "#"), 1 -> Gen.oneOf("é", "中", "ß"),
       1 -> Gen.const(new String(Character.toChars(0x1F600))))).map(_.mkString)
 
-  property("textStats equals the regexp-chain formulation it replaced") = {
+  property("textStats equals the regexp-chain formulation (RE2 \\s class)") = {
     val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
     val stopSet = new java.util.HashSet[String](); stops.foreach(stopSet.add)
     val maxLen = stops.map(_.length).max
-    val bpeRe = java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")
+    // RE2's \s = [ \t\n\f\r]; spelled out so Java regex can't sneak \x0B in
+    val ws = " \\t\\n\\f\\r"
+    val bpeRe = java.util.regex.Pattern.compile(s"[A-Za-z]+|[0-9]|[^A-Za-z0-9$ws]")
     val azRe = java.util.regex.Pattern.compile("[A-Za-z]+")
-    val punctRe = java.util.regex.Pattern.compile("[^A-Za-z0-9\\s]")
+    val punctRe = java.util.regex.Pattern.compile(s"[^A-Za-z0-9$ws]")
     forAll(statsText) { s =>
       val row = TextKernels.textStats(u(s), stopSet, maxLen)
       def count(p: java.util.regex.Pattern, in: String): Long = {
         val m = p.matcher(in); var n = 0L; while (m.find()) n += 1; n
       }
-      // n_tok_ws: size(split(trim(c), "\\s+")) with the blank guard;
+      // n_tok_ws: size(split(trim(c), ws+)) with the blank guard;
       // trim strips ' ' only, split limit -1 keeps leading/trailing empties
       val trimmed = { var a = 0; var b = s.length
         while (a < b && s.charAt(a) == ' ') a += 1
         while (b > a && s.charAt(b - 1) == ' ') b -= 1
         s.substring(a, b) }
-      val wantWs = if (trimmed.isEmpty) 0L else trimmed.split("\\s+", -1).length.toLong
+      val wantWs = if (trimmed.isEmpty) 0L
+        else trimmed.split(s"[$ws]+", -1).length.toLong
       // code points, not UTF-16 units — the oracle engine's length()
       val total = s.codePointCount(0, s.length).toLong
       val punct = count(punctRe, s)
@@ -270,6 +275,18 @@ object KernelLaws extends Properties("graft.kernels") {
         (row.getDouble(5) == quality) :| "quality bits differ")
     }
   }
+
+  property("asciiTokens = lowered [A-Za-z]+ runs, multiplicity preserved") =
+    forAll(statsText) { s =>
+      val got = {
+        val a = TextKernels.asciiTokens(u(s))
+        (0 until a.numElements()).map(a.getUTF8String(_).toString)
+      }
+      val m = java.util.regex.Pattern.compile("[A-Za-z]+").matcher(s)
+      val ref = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find()) ref += m.group().toLowerCase(java.util.Locale.ROOT)
+      got == ref.toSeq
+    }
 
   property("pqEncode equals the per-subspace reference argmin") =
     forAll(smallVec, Gen.oneOf(1, 2, 4)) { (v, m) =>

@@ -878,6 +878,13 @@ class LlmSpec extends SparkSpec {
     assert(perGroup(None) === 40)           // null group: capped as its own group
     // and with a single bucket the boundary path must carry every group alone
     assert(keyed(Splits.capPerGroup(df, "grp", "id", n, buckets = 1)) === gotSet)
+    // null ids are EXCLUDED (library hash-selection convention: a null id
+    // has no hash, so no deterministic fate) — pinned, not accidental
+    val withNullId = Seq((Some(1L), "g"), (None, "g"), (Some(2L), "g"))
+      .toDF("id", "grp")
+    val keptIds = Splits.capPerGroup(withNullId, "grp", "id", 2)
+      .collect().map(r => Option(r.get(0))).toSet
+    assert(keptIds === Set[Option[Any]](Some(1L), Some(2L)))
   }
 
   test("shuffleDeterministic: bijective, partitioning-invariant, seed-sensitive") {

@@ -248,5 +248,14 @@ class SinkSpec extends SparkSpec {
     // rewriting the manifest heals it, and the new rows are visible
     Sinks.writeStatsManifest(spark, dir, Seq("k"))
     assert(Sinks.readPruned(spark, dir, "k", 5000L, 5100L).count() === 101L)
+    // an in-place rewrite that KEEPS file names must also invalidate:
+    // the fingerprint covers length+mtime, not names alone
+    val dataFile = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+    assert(dataFile.setLastModified(dataFile.lastModified() + 60000))
+    val ex2 = intercept[IllegalStateException] {
+      Sinks.readPruned(spark, dir, "k", 0L, 400L).collect()
+    }
+    assert(ex2.getMessage.contains("STALE"))
   }
 }
