@@ -288,6 +288,19 @@ object KernelLaws extends Properties("graft.kernels") {
       got == ref.toSeq
     }
 
+  property("shingles(1) = distinct asciiTokens — one tokenization convention") =
+    forAll(statsText) { s =>
+      val sh = {
+        val a = TextKernels.shingles(u(s), 1)
+        (0 until a.numElements()).map(a.getUTF8String(_).toString)
+      }
+      val toks = {
+        val a = TextKernels.asciiTokens(u(s))
+        (0 until a.numElements()).map(a.getUTF8String(_).toString)
+      }
+      sh == toks.distinct
+    }
+
   property("pqEncode equals the per-subspace reference argmin") =
     forAll(smallVec, Gen.oneOf(1, 2, 4)) { (v, m) =>
       val sub = 8 / m
