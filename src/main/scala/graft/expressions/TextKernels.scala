@@ -117,9 +117,6 @@ object TextKernels {
     new String(out)
   }
 
-  /** Distinct n-shingles, order of first occurrence. For < n tokens, one
-    * shingle of all tokens (matching the declarative fallback).
-    */
   /** Lowercased ASCII letter-run tokens, multiplicity preserved. */
   def asciiTokens(s: UTF8String): ArrayData = {
     val b = s.getBytes
@@ -134,6 +131,9 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Distinct n-shingles, order of first occurrence. For < n tokens, one
+    * shingle of all tokens (matching the declarative fallback).
+    */
   def shingles(s: UTF8String, n: Int): ArrayData = {
     val b = s.getBytes
     val spans = tokenSpans(b)

@@ -398,8 +398,11 @@ object Dedup {
     // both pass the check. For file:// paths use O_EXCL via NIO instead;
     // only a genuine already-exists maps to the "locked" error, any other
     // IO failure (permissions, disk full) propagates as itself.
-    val uri = lock.toUri
-    if (uri.getScheme == null || uri.getScheme == "file") {
+    // branch on the RESOLVED filesystem, not the raw URI: a scheme-less
+    // path under fs.defaultFS=hdfs:// must take the Hadoop branch — the
+    // raw scheme is null there and NIO would lock the driver's local disk
+    if (fs.getScheme == "file") {
+      val uri = fs.makeQualified(lock).toUri
       try java.nio.file.Files.createFile(java.nio.file.Paths.get(uri.getPath))
       catch { case _: java.nio.file.FileAlreadyExistsException => throw locked() }
       try java.nio.file.Files.write(java.nio.file.Paths.get(uri.getPath),
@@ -951,15 +954,31 @@ object Dedup {
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
       jaccardThreshold: Double = 0.8): DataFrame = {
     val ids = df.select(col(idCol).as("id"))
-    val exactPairs = df.groupBy(TextAnalysis.md5Fingerprint(col(textCol)).as("fp"))
-      .agg(min(col(idCol)).as("id1"), collect_set(col(idCol)).as("all"))
-      .select(col("id1"), explode(col("all")).as("id2"))
-      .filter(col("id1") < col("id2"))
     val nearPairs = minHashLshPairs(df, idCol, textCol, threshold = jaccardThreshold)
       .select(col("id1"), col("id2"))
-    val comp = connectedComponents(exactPairs.union(nearPairs))
+    val comp = connectedComponents(exactStarEdges(df, idCol, textCol).union(nearPairs))
     val drop = comp.filter(col("id") =!= col("component")).select(col("id"))
     ids.join(drop, Seq("id"), "left_anti")
+  }
+
+  /** Exact-duplicate star edges (min-id, id) per content fingerprint, on
+    * a SLIM (fp, id) projection: a map-side-combined MIN per fingerprint
+    * joined back on the 16-byte key. Per-group aggregation state is ONE
+    * id and the rows in motion are (fp, id) pairs — no task ever buffers
+    * a duplicate group, where a collect_set (or an unbounded-frame
+    * window, which spills the partition's full rows) would hold a
+    * 10M-copy boilerplate group on one task. Null-text docs emit no
+    * edges — SQL join semantics (NULL = NULL never matches), the exact
+    * shape the q137 oracle's `a.f = b.f` replay has.
+    */
+  private def exactStarEdges(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val slim = df.filter(col(textCol).isNotNull)
+      .select(TextAnalysis.md5Fingerprint(col(textCol)).as("__fp"),
+        col(idCol).as("__id"))
+    val fpMin = slim.groupBy(col("__fp")).agg(min(col("__id")).as("id1"))
+    slim.join(fpMin, "__fp")
+      .filter(col("id1") < col("__id"))
+      .select(col("id1"), col("__id").as("id2"))
   }
 
   /** Engine-portable cluster labels for EVERY document: exact-fingerprint
@@ -979,14 +998,7 @@ object Dedup {
   def dedupClustersPortable(df: DataFrame, idCol: String, textCol: String,
       jaccardThreshold: Double = 0.5): DataFrame = {
     val ids = df.select(col(idCol).cast("long").as("id"))
-    // star edges (min-id, id) per fingerprint via a window MIN — bounded
-    // per-group state; a collect_set here would buffer every id of a
-    // 10M-copy boilerplate group on one task (the q76 keep-min shape)
-    val wfp = org.apache.spark.sql.expressions.Window
-      .partitionBy(TextAnalysis.md5Fingerprint(col(textCol)))
-    val exactPairs = df
-      .select(col(idCol).as("id2"), min(col(idCol)).over(wfp).as("id1"))
-      .filter(col("id1") < col("id2"))
+    val exactPairs = exactStarEdges(df, idCol, textCol)
     val nearPairs = portableHashedPairs(df, idCol, textCol, jaccardThreshold)
       .select(col("id1"), col("id2"))
     val comp = connectedComponents(exactPairs.union(nearPairs))

@@ -381,7 +381,7 @@ object ExtrasQueries {
     QueryDef.sql(
       "q111_observed_metrics",
       """WITH t AS (
-        |  SELECT doc_id, len(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS n
+        |  SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+')) AS n
         |  FROM documents)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(n) AS BIGINT) AS total_tokens,

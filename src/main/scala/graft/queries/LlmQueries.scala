@@ -618,10 +618,10 @@ object LlmQueries {
         |       ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text) END AS punct_ratio,
         |  GREATEST(0.0, LEAST(1.0,
         |    LEAST(length(text) / 200.0, 1.0) * 0.4 +
-        |    CASE WHEN len(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) = 0 THEN 0.0
+        |    CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+')) = 0 THEN 0.0
         |         ELSE LEAST(CAST(len(list_filter(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)),
         |          x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
-        |      / len(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) * 4.0, 1.0) END * 0.4 +
+        |      / len(regexp_extract_all(text, '[A-Za-z]+')) * 4.0, 1.0) END * 0.4 +
         |    (1.0 - CASE WHEN length(text) = 0 THEN 0.0
         |       ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text) END) * 0.2
         |  )) AS quality
@@ -802,10 +802,10 @@ object LlmQueries {
         |  SELECT doc_id, text,
         |    GREATEST(0.0, LEAST(1.0,
         |      LEAST(length(text) / 200.0, 1.0) * 0.4 +
-        |      CASE WHEN len(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) = 0 THEN 0.0
+        |      CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+')) = 0 THEN 0.0
         |           ELSE LEAST(CAST(len(list_filter(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)),
         |            x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
-        |        / len(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) * 4.0, 1.0) END * 0.4 +
+        |        / len(regexp_extract_all(text, '[A-Za-z]+')) * 4.0, 1.0) END * 0.4 +
         |      (1.0 - CASE WHEN length(text) = 0 THEN 0.0
         |         ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0 / length(text) END) * 0.2
         |    )) AS quality
@@ -1095,7 +1095,7 @@ object LlmQueries {
       "q89_sequence_packing",
       """WITH t AS (
         |  SELECT doc_id,
-        |    CAST(len(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS BIGINT) AS n_tokens
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, n_tokens,
@@ -1121,7 +1121,7 @@ object LlmQueries {
       "q93_packed_bins",
       """WITH t AS (
         |  SELECT doc_id,
-        |    CAST(len(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS BIGINT) AS n_tokens
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, n_tokens,
@@ -1154,7 +1154,7 @@ object LlmQueries {
       "q90_mixture_sampling",
       """WITH t AS (
         |  SELECT doc_id, source,
-        |    CAST(len(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS BIGINT) AS n_tokens
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |tot AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS source_tokens
         |        FROM t GROUP BY 1),

@@ -225,7 +225,7 @@ object KernelLaws extends Properties("graft.kernels") {
     Gen.listOf(Gen.frequency(
       8 -> Gen.alphaLowerChar.map(_.toString), 2 -> Gen.const(" "),
       2 -> Gen.oneOf("the", "of", "and", "zzz"), 1 -> Gen.const("\t"),
-      1 -> Gen.oneOf("\n", "", "\f", "\r"), 1 -> Gen.numChar.map(_.toString),
+      1 -> Gen.oneOf("\n", "\u000B", "\f", "\r"), 1 -> Gen.numChar.map(_.toString),
       1 -> Gen.oneOf(".", ",", "!", "#"), 1 -> Gen.oneOf("é", "中", "ß"),
       1 -> Gen.const(new String(Character.toChars(0x1F600))))).map(_.mkString)
 
