@@ -90,4 +90,17 @@ class IntrospectGoldenSpec extends SparkSpec {
     assert(Introspect.formatDatetimeMicros(-1L) === "1969-12-31 23:59:59.999999 +00:00:00")
     assert(Introspect.formatDatetimeMicros(1500000L) === "1970-01-01 0:00:01.5 +00:00:00")
   }
+
+  test("date cells render the local date, not a UTC millis division") {
+    // collect() pins java.sql.Date to LOCAL midnight; in a +09:00 zone
+    // the old getTime/86400000 form printed the PREVIOUS day. Construct
+    // the Date under Tokyo time exactly as a collect() there would.
+    val old = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("Asia/Tokyo"))
+      val d = java.sql.Date.valueOf("2024-03-28")
+      assert(Introspect.valueToString(d, DateType)
+        .startsWith("2024-03-28 "), "date shifted by the JVM timezone")
+    } finally java.util.TimeZone.setDefault(old)
+  }
 }
