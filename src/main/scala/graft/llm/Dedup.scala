@@ -400,8 +400,10 @@ object Dedup {
     // IO failure (permissions, disk full) propagates as itself.
     // branch on the RESOLVED filesystem, not the raw URI: a scheme-less
     // path under fs.defaultFS=hdfs:// must take the Hadoop branch — the
-    // raw scheme is null there and NIO would lock the driver's local disk
-    if (fs.getScheme == "file") {
+    // raw scheme is null there and NIO would lock the driver's local
+    // disk. (fs.getUri, not fs.getScheme: the latter THROWS on
+    // FileSystem impls that never override it.)
+    if (fs.getUri.getScheme == "file") {
       val uri = fs.makeQualified(lock).toUri
       try java.nio.file.Files.createFile(java.nio.file.Paths.get(uri.getPath))
       catch { case _: java.nio.file.FileAlreadyExistsException => throw locked() }
