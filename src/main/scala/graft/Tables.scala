@@ -47,14 +47,30 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-    * With `nanosAsLong` it arrives as Long epoch-nanos; `ts DIV 1000`
-    * truncates to µs in exact integer math (epoch-ns ≈ 1.7e18 overflows
-    * double precision, so no float division) — the same truncation DuckDB
-    * applies reading NANOS, keeping values oracle-comparable.
+  /** Schema-adaptive `events.ts` ingest boundary. The fixture has shipped in
+    * two physical forms across driver generations, so we branch on the
+    * OBSERVED type rather than assuming a unit — the Spark twin of minarrow's
+    * per-unit `TimeUnit` normalization (src/enums/time_units.rs:42-57):
+    *   - Long (parquet TIMESTAMP(NANOS) under `nanosAsLong`): `ts DIV 1000`
+    *     truncates epoch-ns → µs in exact integer math (ns ≈ 1.7e18 overflows
+    *     double precision, so no float division) — the same truncation DuckDB
+    *     applies reading NANOS, keeping values oracle-comparable.
+    *   - TIMESTAMP_NTZ (parquet timestamp[us], isAdjustedToUTC=false): cast
+    *     to TimestampType; instant-preserving under the UTC session timezone
+    *     (GraftConf), and what DuckDB's naive TIMESTAMP compares equal to.
+    *   - TimestampType: already normalized, pass through.
     */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeTs(load(s, d, "events"))
 
   /** Register all tables as temp views so `spark.sql` mirrors the oracle.
     * `events` registers the NORMALIZED view (µs timestamps) — the raw

@@ -62,17 +62,17 @@ object Events {
   }
 
   /** File-stream source over the staged events parquet with the ts column
-    * normalized from epoch-nanos Long to a µs timestamp — the one subtle
-    * idiom every streaming entry point must share (a missed `DIV 1000` or
-    * wrong field order silently corrupts timestamps).
+    * normalized at the ingest boundary — schema-adaptive exactly like the
+    * batch path (Tables.normalizeTs): the reader schema is the RAW parquet
+    * schema (Long epoch-nanos under `nanosAsLong`, or TIMESTAMP_NTZ for a
+    * timestamp[us] fixture), and the same observed-type branch normalizes to
+    * a µs TimestampType. One shared idiom for every streaming entry point —
+    * a missed branch here silently corrupts timestamps.
     */
   private def streamEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    val batch = Tables.events(spark, sfDir)
-    spark.readStream
-      .schema(batch.schema.fields.filter(_.name != "ts")
-        .foldLeft(new org.apache.spark.sql.types.StructType().add("ts", "long"))((s, f) => s.add(f)))
-      .parquet(stageDir(sfDir))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = Tables.load(spark, sfDir, "events")
+    Tables.normalizeTs(
+      spark.readStream.schema(raw.schema).parquet(stageDir(sfDir)))
   }
 
   def windowedCountsStreaming(spark: SparkSession, sfDir: String, windowLen: String,

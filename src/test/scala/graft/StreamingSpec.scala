@@ -36,10 +36,8 @@ class StreamingSpec extends SparkSpec {
     // the reference's chunked-append model: each micro-batch appends a
     // chunk; consolidate == union of chunks. Verify the streamed append
     // reconstructs the batch table.
-    val schema = Tables.events(spark, sf).schema
     val raw = spark.readStream
-      .schema(schema.fields.filter(_.name != "ts")
-        .foldLeft(new org.apache.spark.sql.types.StructType().add("ts", "long"))((s, f) => s.add(f)))
+      .schema(Tables.load(spark, sf, "events").schema)  // RAW fixture schema, either form
       .parquet(Events.stageDir(sf))
     val chunks = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     val q = raw.writeStream.outputMode("append")
@@ -59,12 +57,10 @@ class StreamingSpec extends SparkSpec {
     // WRITE path (q97 covers the read leg). Then the maintenance op:
     // compaction rewrites the accreted small payloads without data loss.
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
-    val schema = Tables.events(spark, sf).schema
-    val raw = spark.readStream
-      .schema(schema.fields.filter(_.name != "ts")
-        .foldLeft(new org.apache.spark.sql.types.StructType().add("ts", "long"))((s, f) => s.add(f)))
-      .parquet(Events.stageDir(sf))
-      .withColumn("ts", expr("ts DIV 1000"))  // keep long; arrow path is type-agnostic
+    val raw = Tables.normalizeTs(spark.readStream
+        .schema(Tables.load(spark, sf, "events").schema)  // RAW fixture schema, either form
+        .parquet(Events.stageDir(sf)))
+      .withColumn("ts", unix_micros(col("ts")))  // long µs; arrow path is type-agnostic
     val q = raw.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         batch.write.format("graft.sources.arrowdir").mode("append").save(dir)
