@@ -528,6 +528,71 @@ object Similarity {
       .select(col("id"))
   }
 
+  /** Per-document guard for [[semanticDedup]]'s keep-list, emitted as a
+    * gate-checkable (id, guard_ok) frame: a KEPT doc must have NO kept
+    * within-cell neighbor at cos ≥ threshold (two kept docs sharing such
+    * an edge would be one cluster, and the keep rule retains exactly one
+    * id per cluster), and a DROPPED doc must have at least one within-cell
+    * neighbor at cos ≥ threshold (an isolated doc can never drop). Taking
+    * the keep-list as an INPUT keeps the guard independently testable — a
+    * tampered keep-list (extra kept dup, or a dropped isolated doc) flips
+    * rows (LlmSpec's negative test). Same single-exchange cell self-join
+    * shape as semanticDedup itself.
+    */
+  def semanticDedupGuard(corpus: DataFrame, centroids: Array[Array[Double]],
+      threshold: Double, keep: DataFrame,
+      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    val assigned = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"),
+      ivfCell(col(vecCol), centroids).as("cell"))
+    val self = assigned.select(col("cell"), col("id"), col("v"))
+    val pairs = self.as("l").join(self.as("r"),
+        col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+      .filter(cosine(col("l.v"), col("r.v")) >= threshold)
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+    val sym = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    val keptFlags = assigned.select(col("id"))
+      .join(keep.select(col("id"), lit(true).as("kept")), Seq("id"), "left")
+      .withColumn("kept", coalesce(col("kept"), lit(false)))
+    val neigh = sym
+      .join(keptFlags.select(col("id").as("id2"), col("kept").as("k2")), "id2")
+      .groupBy(col("id1").as("id"))
+      .agg(count(lit(1)).as("deg"), max(col("k2").cast("int")).as("kept_neigh"))
+    keptFlags.join(neigh, Seq("id"), "left")
+      .select(col("id"),
+        when(col("kept"), coalesce(col("kept_neigh"), lit(0)) === 0)
+          .otherwise(coalesce(col("deg"), lit(0)) > 0).as("guard_ok"))
+  }
+
+  /** One-row ANN guard frame for the gate: (n_queries, [identityCol],
+    * recall_ok). `approx`/`brute`/`exactTwin`/`twinBase` are (qid, nid)
+    * pair frames; recall_ok checks |approx ∩ brute| ≥ floor·|brute|, and
+    * when `exactTwin` is given, identityCol checks it equals `twinBase`
+    * (default: brute) as a SET — the full-probe-degenerates-to-exact
+    * identity. All comparisons stay distributed; the result is one row.
+    */
+  def annGuard(queries: DataFrame, brute: DataFrame, approx: DataFrame,
+      recallFloor: Double, exactTwin: Option[DataFrame] = None,
+      identityCol: String = "full_probe_exact",
+      twinBase: Option[DataFrame] = None): DataFrame = {
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    val hits = approx.join(brute, Seq("qid", "nid"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val tot = brute.agg(count(lit(1)).as("tot"))
+    val base = nq.crossJoin(tot).crossJoin(hits)
+      .withColumn("recall_ok", col("hits") >= col("tot") * lit(recallFloor))
+    exactTwin match {
+      case Some(t) =>
+        val ref = twinBase.getOrElse(brute)
+        val bad = t.exceptAll(ref).union(ref.exceptAll(t))
+          .agg(count(lit(1)).as("n_bad"))
+        base.crossJoin(bad)
+          .select(col("n_queries"), (col("n_bad") === 0).as(identityCol), col("recall_ok"))
+      case None =>
+        base.select(col("n_queries"), col("recall_ok"))
+    }
+  }
+
   /** Embedding-space near-duplicate pairs: corpus×corpus via LSH buckets,
     * kept when cosine >= threshold.
     */

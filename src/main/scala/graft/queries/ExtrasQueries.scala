@@ -249,8 +249,40 @@ object ExtrasQueries {
         .groupBy(col("snapshot"))
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
         .orderBy(col("snapshot"))
-    }
-,
+    },
+
+    // Matrix interop in the gate (minarrow `Matrix`, src/structs/matrix.rs:74,
+    // `TryFrom<Table>` :15-18): a bounded deterministic table slice promoted
+    // to the driver-side row-major matrix (Restructure.toLocalMatrix, the
+    // reference's single-node BLAS boundary), then emitted back COLUMN-MAJOR
+    // as (row_idx, col_idx, value) — the reference Matrix's physical layout
+    // order. The oracle replays the slice and the unpivot, so shape, cell
+    // addressing, and values are all hash-checked. Driver-side by contract
+    // (bounded 100 rows); at scale the path is MLlib distributed matrices.
+    QueryDef.sql(
+      "q140_matrix",
+      """WITH base AS (
+        |  SELECT l_quantity, l_extendedprice, l_discount,
+        |    CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS BIGINT) AS row_idx
+        |  FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100)
+        |SELECT row_idx, col_idx, value FROM (
+        |  SELECT row_idx, CAST(0 AS BIGINT) AS col_idx, CAST(l_quantity AS DOUBLE) AS value FROM base
+        |  UNION ALL SELECT row_idx, CAST(1 AS BIGINT), CAST(l_extendedprice AS DOUBLE) FROM base
+        |  UNION ALL SELECT row_idx, CAST(2 AS BIGINT), CAST(l_discount AS DOUBLE) FROM base)
+        |ORDER BY col_idx, row_idx""".stripMargin) { (s, d) =>
+      val matCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val base = Tables.lineitem(s, d)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+      val m = Restructure.toLocalMatrix(base, matCols, maxRows = 100)
+      import s.implicits._
+      val cells = for {
+        j <- matCols.indices          // column-major: column is the outer axis
+        i <- m.indices
+      } yield (i.toLong, j.toLong, m(i)(j))
+      cells.toDF("row_idx", "col_idx", "value")
+        .orderBy(col("col_idx"), col("row_idx"))
+    },
 
     // Arrow interchange in the gate: nation exported to serialized Arrow
     // record batches and re-imported (the reference's FFI loop, EP3 in

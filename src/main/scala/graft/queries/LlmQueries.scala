@@ -164,12 +164,43 @@ object LlmQueries {
     },
 
     // MinHash+LSH candidate pairs, exact-Jaccard verified. LSH recall is
-    // probabilistic by construction → rows-only check; q31 pins the exact
-    // metric.
-    QueryDef.noOracle("q32_minhash_lsh") { (s, d) =>
-      Dedup.minHashLshPairs(Tables.documents(s, d), "doc_id", "text",
+    // probabilistic in general, but at j ≥ 0.9 the 8-band × 4-row scheme
+    // misses a pair with P ≤ (1−0.9⁴)⁸ ≈ 2·10⁻⁴ — and the kernel's seeds
+    // are fixed, so on a given fixture the result is deterministic. The
+    // GATE row therefore lists every EXACT pair at Jaccard ≥ 0.9 (the
+    // oracle replays the shingle/Jaccard math, same CTEs as q31) with an
+    // `lsh_found` boolean the oracle expects literal-true: a broken
+    // signature kernel, banding, or verification join flips it.
+    QueryDef.sql(
+      "q32_minhash_lsh",
+      """WITH words AS (
+        |  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)) AS ws FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) < 3 THEN [list_aggregate(ws, 'string_agg', ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+        |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS toks
+        |  FROM words),
+        |inv AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+        |sizes AS (SELECT doc_id, len(toks) AS n FROM tok),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM inv a JOIN inv b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |  ROUND(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 4) AS jaccard,
+        |  true AS lsh_found
+        |FROM pairs JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.9
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text",
           bands = 8, rowsPerBand = 4, threshold = 0.5)
-        .withColumn("jaccard", round(col("jaccard"), 4))
+        .select(col("id1"), col("id2"), lit(true).as("hit"))
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9, maxDocFreq = 1.0)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+        .join(lsh, Seq("id1", "id2"), "left")
+        .withColumn("lsh_found", coalesce(col("hit"), lit(false))).drop("hit")
         .orderBy(col("id1"), col("id2"))
     },
 
@@ -505,53 +536,86 @@ object LlmQueries {
 
     // IVF ANN: driver-trained coarse quantizer (bounded sample, spherical
     // k-means), distributed codegen cell assignment, probe-pruned search.
-    // Recall engine-specific -> rows-only; LlmSpec pins the full-probe ==
-    // brute-force identity and a recall floor at gate parameters.
-    QueryDef.noOracle("q72_ivf_topk") { (s, d) =>
+    // Recall is engine-specific, so the GATE row checks the two spec
+    // invariants as oracle-expected literal-true booleans: (1) probing
+    // EVERY cell scores every vector, so full-probe == brute force
+    // EXACTLY (identity, not approximation); (2) the gate's partial probe
+    // (nProbe = nCells/4) keeps set recall ≥ 0.5. A broken quantizer,
+    // cell assignment, or probe join flips a boolean.
+    QueryDef.sql(
+      "q72_ivf_topk",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS full_probe_exact, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 10).select(col("vec_id").as("id"), col("embedding").as("vec"))
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val centroids = Similarity.ivfTrain(corpus, k = 16)
-      Similarity.ivfTopK(queries, corpus, centroids, k = 5, nProbe = 4)
-        .withColumn("cos", round(col("cos"), 4))
-        .orderBy(col("qid"), col("nid"))
+      val full = Similarity.ivfTopK(queries, corpus, centroids, k = 5, nProbe = 16)
+        .select(col("qid"), col("nid"))
+      val part = Similarity.ivfTopK(queries, corpus, centroids, k = 5, nProbe = 4)
+        .select(col("qid"), col("nid"))
+      val brute = Similarity.bruteForceTopK(queries, corpus, k = 5)
+        .select(col("qid"), col("nid"))
+      Similarity.annGuard(queries, brute, exactTwin = Some(full), approx = part,
+        recallFloor = 0.5)
     },
 
     // Product-quantization ANN (IVF-PQ's compression leg): corpus rows
     // carry only m=8 sub-codes after a one-pass codegen encode; the ADC
     // scan over codes builds a 100-deep shortlist whose true vectors are
     // exact-cosine re-ranked (the production IVF-PQ shape). Unit-sphere
-    // normalization makes PQ's L2 order equal cosine order, so q35 is
-    // the exact baseline. Approximate by construction → rows-only;
-    // LlmSpec pins recall vs brute force.
-    QueryDef.noOracle("q130_pq_topk") { (s, d) =>
+    // normalization makes PQ's L2 order equal cosine order, so brute-force
+    // cosine is the exact baseline. The GATE row checks the spec's recall
+    // floor as an oracle-expected literal-true boolean (a broken encoder,
+    // ADC table, or re-rank collapses recall and flips it); LlmSpec keeps
+    // the tighter recall@10 bound and the determinism check.
+    QueryDef.sql(
+      "q130_pq_topk",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val codebooks = Similarity.pqTrain(corpus, m = 8, k = 16)
-      Similarity.pqTopK(queries, corpus, codebooks, k = 5, rerank = 100)
-        .withColumn("cos", round(col("cos"), 4))
-        .orderBy(col("qid"), col("nid"))
+      val pq = Similarity.pqTopK(queries, corpus, codebooks, k = 5, rerank = 100)
+        .select(col("qid"), col("nid"))
+      val brute = Similarity.bruteForceTopK(queries, corpus, k = 5)
+        .select(col("qid"), col("nid"))
+      Similarity.annGuard(queries, brute, approx = pq, recallFloor = 0.6)
     },
 
     // IVF-PQ: the production ANN composition — coarse cells prune the
     // scan (only nProbe cells per query are touched), PQ codes compress
     // what remains (ADC scan over m=8 sub-codes), exact-cosine re-rank
-    // of the shortlist. Approximate by construction → rows-only; LlmSpec
-    // pins full-probe == flat-PQ identity and a recall floor vs brute
-    // force at the gate's partial-probe budget.
-    QueryDef.noOracle("q131_ivfpq_topk") { (s, d) =>
+    // of the shortlist. The GATE row checks both spec invariants as
+    // oracle-expected literal-true booleans: probing every cell makes
+    // IVF-PQ degenerate to flat PQ EXACTLY (identity), and the gate's
+    // partial-probe budget (nProbe=4, rerank=50) holds a recall floor vs
+    // brute force. A broken cell route, ADC, or re-rank flips one.
+    QueryDef.sql(
+      "q131_ivfpq_topk",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS full_eq_flat, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val centroids = Similarity.ivfTrain(corpus, k = 16)
       val codebooks = Similarity.pqTrain(corpus, m = 8, k = 16)
-      Similarity.ivfPqTopK(queries, corpus, centroids, codebooks,
+      val full = Similarity.ivfPqTopK(queries, corpus, centroids, codebooks,
+          k = 5, nProbe = 16, rerank = 100)
+        .select(col("qid"), col("nid"))
+      val flat = Similarity.pqTopK(queries, corpus, codebooks, k = 5, rerank = 100)
+        .select(col("qid"), col("nid"))
+      val part = Similarity.ivfPqTopK(queries, corpus, centroids, codebooks,
           k = 5, nProbe = 4, rerank = 50)
-        .withColumn("cos", round(col("cos"), 4))
-        .orderBy(col("qid"), col("nid"))
+        .select(col("qid"), col("nid"))
+      val brute = Similarity.bruteForceTopK(queries, corpus, k = 5)
+        .select(col("qid"), col("nid"))
+      Similarity.annGuard(queries, brute, approx = part, recallFloor = 0.5,
+        exactTwin = Some(full), identityCol = "full_eq_flat",
+        twinBase = Some(flat))
     },
 
     // Embedding-space near-duplicate pairs via SRP buckets — HASH-EXACT:
@@ -589,17 +653,25 @@ object LlmQueries {
 
     // Semantic dedup (SemDeDup): IVF-cluster the corpus, cosine pairs
     // within cells only, connected components, keep min id per group —
-    // the embedding-space sibling of q57's lexical dedupCorpus. Keep-list
-    // is deterministic (fixed quantizer init, exact cosine, min-label CC)
-    // but k-means isn't SQL-expressible → rows-only; LlmSpec pins
-    // equality with the brute-force keep-list on a clustered fixture.
-    QueryDef.noOracle("q113_semantic_dedup") { (s, d) =>
+    // the embedding-space sibling of q57's lexical dedupCorpus. k-means
+    // cells aren't SQL-expressible, so the GATE row checks the keep-list's
+    // defining invariants per document as an oracle-expected literal-true
+    // boolean: a KEPT doc has no kept within-cell neighbor at cos ≥ θ
+    // (else both would share a cluster and one must drop), and a DROPPED
+    // doc has at least one within-cell neighbor at cos ≥ θ (else nothing
+    // justified dropping it). A broken cell assignment, cosine, CC, or
+    // keep rule flips some row; LlmSpec keeps the brute-force keep-list
+    // equality on a clustered fixture plus a tamper negative test.
+    QueryDef.sql(
+      "q113_semantic_dedup",
+      """SELECT vec_id AS id, true AS guard_ok FROM embeddings ORDER BY id""".stripMargin) { (s, d) =>
       val corpus = Tables.embeddings(s, d)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val centroids = Similarity.ivfTrain(corpus, k = 8)
       // 0.35 matches this fixture's near-dup population (its densest
       // cosine band; same threshold as q37) — real corpora tune higher
-      Similarity.semanticDedup(corpus, centroids, threshold = 0.35)
+      val keep = Similarity.semanticDedup(corpus, centroids, threshold = 0.35)
+      Similarity.semanticDedupGuard(corpus, centroids, threshold = 0.35, keep)
         .orderBy(col("id"))
     },
 
@@ -899,8 +971,53 @@ object LlmQueries {
 
     // Near-dup clusters: connected components over exact+MinHash pairs via
     // iterative min-label propagation (distributed union-find substitute),
-    // then the surviving keep-list. Engine-specific hashes -> rows-only.
-    QueryDef.noOracle("q57_dedup_clusters") { (s, d) =>
+    // then the surviving keep-list. The MinHash banding is engine-specific
+    // but DETERMINISTIC (fixed seeds), and at this fixture's near-dup
+    // Jaccard (≥ 0.9; miss P ≤ 2·10⁻⁴ per pair under 8×4 banding, see q32)
+    // the verified edge set equals the exact one — so the oracle replays
+    // the keep-list independently: exact-Jaccard ≥ 0.8 edges ∪ md5
+    // fingerprint edges, transitive closure via recursive CTE, keep min-id
+    // per component. Checks the WHOLE pipeline (shingles, LSH recall,
+    // verification, CC, keep rule) hash-exact.
+    QueryDef.sql(
+      "q57_dedup_clusters",
+      """WITH RECURSIVE words AS (
+        |  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)) AS ws FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) < 3 THEN [list_aggregate(ws, 'string_agg', ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+        |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS toks
+        |  FROM words),
+        |inv AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+        |sizes AS (SELECT doc_id, len(toks) AS n FROM tok),
+        |jpairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM inv a JOIN inv b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |near AS (
+        |  SELECT id1, id2 FROM jpairs
+        |  JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8),
+        |fp AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM documents),
+        |exact_pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id),
+        |sym AS (
+        |  SELECT id1 AS a, id2 AS b FROM near
+        |  UNION SELECT id2, id1 FROM near
+        |  UNION SELECT id1, id2 FROM exact_pairs
+        |  UNION SELECT id2, id1 FROM exact_pairs),
+        |reach AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+        |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a)
+        |SELECT d.doc_id AS id FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        |WHERE c.component IS NULL OR c.component = d.doc_id
+        |ORDER BY id""".stripMargin) { (s, d) =>
       Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text", jaccardThreshold = 0.8)
         .orderBy(col("id"))
     },
@@ -1343,19 +1460,40 @@ object LlmQueries {
     // Aggregator: bounded ≤2k-entry state per task, shuffle carries ≤2k
     // entries per partition — the shape that survives unbounded
     // vocabularies (URLs, n-grams) where the exact form's per-distinct-term
-    // shuffle does not. Estimated counts are merge-order dependent →
-    // rows-only gate; ScaleSpec proves the N/(k+1) bounds vs exact counts.
-    // The rows-only contract (row COUNT) is stable: limit(10) over a
-    // corpus with ≥10 surviving terms always yields exactly 10 rows even
-    // if merge order perturbs est_count values.
-    QueryDef.noOracle("q95_heavy_hitters_approx") { (s, d) =>
+    // shuffle does not. Estimated counts are merge-order dependent, but the
+    // MG GUARANTEE is order-free: every term with true count > N/(k+1)
+    // survives, and est ≤ true ≤ est + N/(k+1). The GATE row lists exactly
+    // those guaranteed-heavy terms with their EXACT counts (oracle-
+    // replayable) plus two booleans the oracle expects literal-true — a
+    // broken summary or merge flips one. ScaleSpec keeps the adversarial
+    // merge-tree variant.
+    QueryDef.sql(
+      "q95_heavy_hitters_approx",
+      """WITH t AS (
+        |  SELECT unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS term
+        |  FROM documents),
+        |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_count FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(exact_count) AS BIGINT) AS total FROM c)
+        |SELECT term, exact_count, true AS found_by_mg, true AS bound_ok
+        |FROM c, tot WHERE exact_count > total // 33 + 1
+        |ORDER BY exact_count DESC, term""".stripMargin) { (s, d) =>
       val fi = udaf(new graft.functions.FrequentItems(32))
-      Tables.documents(s, d)
+      val terms = Tables.documents(s, d)
         .select(explode(TextAnalysis.wordTokens(col("text"))).as("term"))
-        .agg(fi(col("term")).as("hh"))
+      val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("exact_count"))
+      val est = terms.agg(fi(col("term")).as("hh"))
         .select(explode(col("hh")).as("e"))
         .select(col("e._1").as("term"), col("e._2").as("est_count"))
-        .orderBy(col("est_count").desc, col("term")).limit(10)
+      val tot = exact.agg(sum(col("exact_count")).as("total"))
+      exact.crossJoin(tot)                          // 1-row bound frame
+        .withColumn("bound", expr("total DIV 33") + lit(1))
+        .filter(col("exact_count") > col("bound"))
+        .join(est, Seq("term"), "left")
+        .select(col("term"), col("exact_count"),
+          col("est_count").isNotNull.as("found_by_mg"),
+          (col("est_count").isNotNull && col("est_count") <= col("exact_count") &&
+            col("exact_count") - col("est_count") <= col("bound")).as("bound_ok"))
+        .orderBy(col("exact_count").desc, col("term"))
     }
   )
 }

@@ -136,16 +136,32 @@ object SemanticsQueries {
     // `percentile` buffers every value per group (unbounded state, and the
     // slowest bench query); approx_percentile keeps a bounded sketch
     // (~accuracy*O(1) memory) and partial-aggregates map-side. Sketch
-    // results are engine-specific -> rows-only gate; SemanticsSpec pins
-    // accuracy against the exact battery at 1e-3 relative error.
-    QueryDef.noOracle("q70_percentiles_approx") { (s, d) =>
+    // values are engine-specific, so the GATE row checks the rank-error
+    // contract instead: accuracy=10000 bounds rank error by N/10000, so
+    // each approx value must lie between the EXACT interpolated
+    // percentiles at p∓0.001 (10× the bound). The oracle expects four
+    // literal-true booleans per group — a broken sketch flips one and the
+    // hash compare catches it.
+    QueryDef.sql(
+      "q70_percentiles_approx",
+      """SELECT l_returnflag, true AS ok_p25, true AS ok_p50, true AS ok_p90, true AS ok_p99
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val ps = Seq(0.25, 0.50, 0.90, 0.99)
+      val aggs = ps.flatMap { p =>
+        val tag = (p * 100).toInt
+        Seq(
+          expr(s"approx_percentile(l_extendedprice, $p, 10000)").as(s"a$tag"),
+          expr(s"percentile(l_extendedprice, ${math.max(0.0, p - 0.001)})").as(s"lo$tag"),
+          expr(s"percentile(l_extendedprice, ${math.min(1.0, p + 0.001)})").as(s"hi$tag"))
+      }
+      val oks = ps.map { p =>
+        val tag = (p * 100).toInt
+        col(s"a$tag").between(col(s"lo$tag"), col(s"hi$tag")).as(s"ok_p$tag")
+      }
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(
-          expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("p25"),
-          expr("approx_percentile(l_extendedprice, 0.50, 10000)").as("p50"),
-          expr("approx_percentile(l_extendedprice, 0.90, 10000)").as("p90"),
-          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("l_returnflag") +: oks: _*)
         .orderBy(col("l_returnflag"))
     }
   )

@@ -68,15 +68,29 @@ object GenScale {
       // stream — measured: 200k phantom cross-replica pairs)
       if (r == 0) df
       else {
-        val tag = "xq" + ('a' + r).toChar
+        // two base-26 letters: single ('a'+r) walks off 'z' at r=26 and
+        // the replica tag stops being a token the [A-Za-z]+ tokenizers see
+        val tag = "xq" + ('a' + r / 26).toChar + ('a' + r % 26).toChar
         df.withColumn("text", regexp_replace(col("text"), "([A-Za-z]+)", s"$tag$$1"))
       })
     replicate("embeddings", Seq("vec_id"), (df, r) =>
-      // circular rotation by r dims: norm-preserving, decorrelates
+      // circular rotation, norm-preserving, decorrelates replicas. The
+      // vectors are 64-dim, so a raw rotation by r degenerates to the
+      // IDENTITY at r ≥ 64 (slice(r+1,∞) empties out) — replica 64 would
+      // be a verbatim copy of replica 0 and manufacture a cross-replica
+      // near-dup blowup. Rotate by 1+((r−1) mod 63) ∈ [1,63] instead, and
+      // flip the sign on each 63-replica wrap: identical (rot, sign)
+      // pairs only recur at period 126 > any factor used here.
       if (r == 0) df
-      else df.withColumn("embedding",
-        concat(slice(col("embedding"), r + 1, 10000),
-          slice(col("embedding"), 1, r))))
+      else {
+        val rot = 1 + (r - 1) % 63
+        val flip = if (((r - 1) / 63) % 2 == 1) -1.0f else 1.0f
+        val rotated = concat(slice(col("embedding"), rot + 1, 10000),
+          slice(col("embedding"), 1, rot))
+        df.withColumn("embedding",
+          if (flip == 1.0f) rotated
+          else transform(rotated, x => x * lit(flip)))
+      })
     spark.stop()
   }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import graft.llm.Similarity
+import org.apache.spark.sql.functions._
+
+/** Negative tests for the gate's self-check guard columns (VERDICT r7 item
+  * #3): the rows-only queries now emit their spec invariants as boolean
+  * columns the oracle expects literal-true, so a deliberately broken input
+  * MUST flip the boolean — otherwise the guard is decoration, not a check.
+  */
+class GuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def annRow(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+    df.collect().head.toSeq
+
+  test("annGuard passes on faithful inputs and flips recall_ok on a tampered approx set") {
+    val queries = Seq(1L, 2L).toDF("id")
+    val brute = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L)).toDF("qid", "nid")
+    assert(annRow(Similarity.annGuard(queries, brute, approx = brute,
+      recallFloor = 0.5, exactTwin = Some(brute))) === Seq(2L, true, true))
+    // a collapsed ANN result (1 of 4 true neighbors) misses the 0.5 floor
+    val collapsed = Seq((1L, 10L), (1L, 99L), (2L, 98L), (2L, 97L)).toDF("qid", "nid")
+    assert(annRow(Similarity.annGuard(queries, brute, approx = collapsed,
+      recallFloor = 0.5)) === Seq(2L, false))
+  }
+
+  test("annGuard flips the identity column when the full-probe twin diverges") {
+    val queries = Seq(1L).toDF("id")
+    val brute = Seq((1L, 10L), (1L, 11L)).toDF("qid", "nid")
+    val skewed = Seq((1L, 10L), (1L, 12L)).toDF("qid", "nid")
+    assert(annRow(Similarity.annGuard(queries, brute, approx = brute,
+      recallFloor = 0.5, exactTwin = Some(skewed))) === Seq(1L, false, true))
+    // and against an explicit twinBase (the q131 full-IVF-PQ == flat-PQ shape)
+    assert(annRow(Similarity.annGuard(queries, brute, approx = brute,
+      recallFloor = 0.5, exactTwin = Some(skewed), twinBase = Some(skewed)))
+      === Seq(1L, true, true))
+  }
+
+  test("semanticDedupGuard flips rows when the keep-list is tampered") {
+    // one cell holds a perfect dup pair (1,2) plus an isolated doc 3
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0)),
+      (2L, Array(1.0, 0.0)),
+      (3L, Array(0.0, 1.0))).toDF("id", "vec")
+    val centroids = Array(Array(1.0, 0.0))
+    def guard(keepIds: Long*) = Similarity.semanticDedupGuard(
+        corpus, centroids, threshold = 0.9, keepIds.toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // faithful keep-list {1, 3}: every row true
+    assert(guard(1L, 3L) === Map(1L -> true, 2L -> true, 3L -> true))
+    // tamper A: keeping BOTH members of the dup pair flips both kept rows
+    val both = guard(1L, 2L, 3L)
+    assert(!both(1L) && !both(2L) && both(3L))
+    // tamper B: dropping the isolated doc flips its row (nothing justified it)
+    assert(guard(1L)(3L) === false)
+  }
+}
