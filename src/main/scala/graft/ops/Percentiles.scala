@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact interpolated per-group percentiles WITHOUT per-group value
@@ -9,13 +8,22 @@ import org.apache.spark.sql.functions._
   * holds every value of a group in one aggregation buffer — unbounded
   * state, the classic 100 TB scale-killer).
   *
-  * Two-pass distributed shape instead:
+  * Distributed shape (no per-key window — measured at sf0.1, a
+  * `Window.partitionBy(key)` over the distinct-value frame funnels ~600k
+  * rows into |groups| sort partitions, the exact skew the 100 TB brief
+  * forbids, and costs ~0.5 s of the query's 1.4 s):
   *
   *  1. `groupBy(key, value).count()` — a map-side-combining shuffle whose
   *     output is bounded by DISTINCT values per group, not rows;
-  *  2. cumulative counts over the distinct values (window per group — a
-  *     task holds |distinct values|, not |rows|);
-  *  3. per requested p, the target rank t = (n−1)·p is bracketed by the
+  *  2. GLOBAL running total of counts under (key, value) order via
+  *     [[RowIndex.withRunningTotal]] — one 32-way range shuffle + a
+  *     partition-count-bounded offsets collect, full parallelism at any
+  *     group skew;
+  *  3. per-key base/total from a tiny (|groups|-row) aggregate, broadcast
+  *     back: per-key cumulative = global cumulative − key base. The
+  *     broadcast is bounded by the GROUP COUNT — the same "the result fits
+  *     somewhere" contract any groupBy answer already assumes;
+  *  4. per requested p, the target rank t = (n−1)·p is bracketed by the
   *     two distinct values whose cumulative ranges straddle ⌊t⌋/⌈t⌉, and
   *     linearly interpolated (quantile_cont semantics).
   *
@@ -26,27 +34,34 @@ import org.apache.spark.sql.functions._
 object Percentiles {
 
   /** One row per group: key column plus one exact interpolated percentile
-    * column per entry of `ps`, named by `names`.
+    * column per entry of `ps`, named by `names`. Groups whose values are
+    * all NULL appear with NULL percentiles (builtin/quantile_cont parity).
     */
   def exactPercentiles(df: DataFrame, keyCol: String, valCol: String,
       ps: Seq[Double], names: Seq[String]): DataFrame = {
     require(ps.nonEmpty && ps.length == names.length)
-    // one scan: NULL values keep their group key alive in the same pass
-    // (a separate df.select(key).distinct() would rescan the base table
-    // just for the all-NULL-group edge). No persist — for a continuous
-    // measure the counts frame is ~table-sized; instead both consumers
-    // sit on the SAME aggregation subtree, so Catalyst's exchange reuse
-    // scans the base once and replays the shuffle output for the second
-    // branch.
+    // one scan; NULL values ride along so their group keys stay alive
+    // without a second scan of the base table
     val counts0 = df
       .groupBy(col(keyCol), col(valCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__c"))
-    val counts = counts0.filter(col("__v").isNotNull)
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
-    val cum = counts
-      .withColumn("__cumEnd", sum(col("__c")).over(w))
+    // global prefix sum under (key, value): NULLs range-sort FIRST within
+    // their key, so a non-NULL row's prefix already includes the key's
+    // NULL counts and the per-key base below subtracts them correctly
+    val cumG = RowIndex.withRunningTotal(
+      counts0, "__cumG", col("__c"), Seq(col(keyCol), col("__v")))
+    // per-key base (global prefix before the key's first non-NULL value)
+    // and non-NULL total — |groups| rows, the broadcast side
+    val keyStats = cumG.groupBy(col(keyCol)).agg(
+      min(when(col("__v").isNotNull, col("__cumG") - col("__c"))).as("__base"),
+      sum(when(col("__v").isNotNull, col("__c"))).as("__n"))
+    // joins below use <=> — a NULL group key is a real group (GROUP BY
+    // semantics on both engines)
+    val cum = cumG.filter(col("__v").isNotNull).as("cg")
+      .join(broadcast(keyStats.as("ks")), col(s"cg.$keyCol") <=> col(s"ks.$keyCol"))
+      .select(col(s"cg.$keyCol").as(keyCol), col("__v"), col("__c"),
+        (col("__cumG") - col("__base")).as("__cumEnd"), col("__n"))
       .withColumn("__cumStart", col("__cumEnd") - col("__c"))
-      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(keyCol))))
 
     // 0-based target rank t = (n-1)*p; value at 0-based rank k is the
     // distinct value v with cumStart <= k < cumEnd
@@ -56,17 +71,13 @@ object Percentiles {
       val hi = ceil(t)
       Seq(
         max(when(col("__cumStart") <= lo && lo < col("__cumEnd"), col("__v"))).as(s"__lo_$i"),
-        max(when(col("__cumStart") <= hi && hi < col("__cumEnd"), col("__v"))).as(s"__hi_$i"),
-        max(col("__n")).as(s"__n_$i"))
+        max(when(col("__cumStart") <= hi && hi < col("__cumEnd"), col("__v"))).as(s"__hi_$i"))
     }
-    // groups whose values are ALL NULL must still appear (with NULL
-    // percentiles) — the builtin and quantile_cont both emit them, and the
-    // isNotNull filter above would otherwise drop the key entirely
-    val allKeys = counts0.select(col(keyCol)).distinct()
-    val agged = allKeys.join(cum.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*),
-      Seq(keyCol), "left")
-    val outCols = col(keyCol) +: ps.zipWithIndex.map { case (p, i) =>
-      val t = (col(s"__n_$i") - 1) * lit(p)
+    val agged = cum.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    val joined = keyStats.as("ks").join(agged.as("ag"),
+        col(s"ks.$keyCol") <=> col(s"ag.$keyCol"), "left")
+    val outCols = col(s"ks.$keyCol").as(keyCol) +: ps.zipWithIndex.map { case (p, i) =>
+      val t = (col("__n") - 1) * lit(p)
       val frac = t - floor(t)
       // Spark Percentile's op order: lower*(ceil(t)-t) + higher*(t-floor(t))
       // when the bracket is split, else the exact value
@@ -74,6 +85,6 @@ object Percentiles {
         .otherwise(col(s"__lo_$i") * (lit(1.0) - frac) + col(s"__hi_$i") * frac)
         .as(names(i))
     }
-    agged.select(outCols: _*)
+    joined.select(outCols: _*)
   }
 }
