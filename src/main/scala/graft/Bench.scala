@@ -53,18 +53,23 @@ object Bench {
     // robust to a single spike, so round-over-round drift analysis has
     // both a floor and a central tendency to compare.
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
+    // optional comma-separated name filter (scaling-curve subset runs at
+    // sf1/sf10 time a budgeted query list instead of all 140)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val defs = SparkEntry.allDefs.filter(q => only.forall(_.contains(q.name)))
     val passes = (1 to nPasses).map { _ =>
-      SparkEntry.allDefs.map(q => q.name -> runOnce(q.name, q.fn)).toMap
+      defs.map(q => q.name -> runOnce(q.name, q.fn)).toMap
     }
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted
       if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
-    val results = SparkEntry.allDefs.map { q =>
+    val results = defs.map { q =>
       val ts = passes.map(_(q.name)).filter(_ >= 0)
       q.name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
-    val medians = SparkEntry.allDefs.map { q =>
+    val medians = defs.map { q =>
       val warm = passes.drop(1).map(_(q.name)).filter(_ >= 0)
       q.name -> (if (warm.isEmpty) -1.0 else median(warm))
     }

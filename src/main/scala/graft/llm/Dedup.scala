@@ -374,24 +374,56 @@ object Dedup {
     */
   val IndexLockFile = "_graft_lock"
 
+  /** Default lease TTL (ms): a holder older than this is presumed crashed
+    * and its lease may be stolen. Override per-session with the Spark conf
+    * `spark.graft.index.leaseTtlMs`.
+    */
+  val IndexLeaseTtlMsDefault: Long = 30L * 60 * 1000
+
   /** Create-exclusive lease over `indexDir` for the duration of `body` —
     * the single-writer contract made LOUD: an increment racing a
     * compaction would otherwise read partitions mid-delete (silently
     * wrong keep decisions), so the second writer must fail, not proceed.
     * `fs.create(overwrite = false)` is the atomic primitive; the lease is
-    * released on every non-crash exit, and a crashed holder leaves a
-    * stale lock the error message tells the operator to remove (the
-    * at-rest content is crash-safe by construction either way).
+    * released on every non-crash exit.
+    *
+    * Crashed holders self-heal: acquisition checks the held lock's age
+    * (its mtime — the holder stamps the tag at acquire time and never
+    * touches it again), and past the TTL the lease is STOLEN via atomic
+    * rename-to-tombstone — of N concurrent stealers exactly ONE wins the
+    * rename (HDFS/POSIX rename atomicity), re-acquires create-exclusive,
+    * and proceeds; the losers see their rename fail and report locked.
+    * Delete-then-create would instead let a slow loser delete the
+    * winner's FRESH lock. The at-rest content is crash-safe by
+    * construction either way (epoch isolation), so stealing only risks
+    * duplicated work, never corruption.
     */
-  private def withIndexLock[T](spark: org.apache.spark.sql.SparkSession,
+  private[graft] def withIndexLock[T](spark: org.apache.spark.sql.SparkSession,
       indexDir: String, op: String)(body: => T): T = {
     val lock = new org.apache.hadoop.fs.Path(indexDir.stripSuffix("/") + "/" + IndexLockFile)
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(lock.getParent)
+    val ttlMs = spark.conf.getOption("spark.graft.index.leaseTtlMs")
+      .map(_.toLong).getOrElse(IndexLeaseTtlMsDefault)
     def locked() = new IllegalStateException(
       s"near-dedup index at $indexDir is locked by a concurrent writer — " +
-      s"index operations are single-writer; retry after it finishes, or delete " +
-      s"$lock if its holder crashed")
+      s"index operations are single-writer; retry after it finishes (a " +
+      s"crashed holder's lease self-heals after ${ttlMs} ms)")
+    // TTL steal: returns true when THIS caller renamed the stale lock away
+    // and may retry the create-exclusive acquisition exactly once.
+    def stealIfStale(): Boolean = {
+      val age = try System.currentTimeMillis() -
+        fs.getFileStatus(lock).getModificationTime
+      catch { case _: java.io.FileNotFoundException => return true } // holder just released
+      if (age <= ttlMs) false
+      else {
+        val tomb = new org.apache.hadoop.fs.Path(
+          lock.getParent, IndexLockFile + ".stale." + java.util.UUID.randomUUID())
+        val won = try fs.rename(lock, tomb) catch { case _: java.io.IOException => false }
+        if (won) fs.delete(tomb, false)
+        won
+      }
+    }
     // Acquisition must be ATOMIC create-exclusive. Hadoop's
     // create(overwrite=false) is atomic on HDFS but RawLocal/Checksum
     // filesystems implement it as exists()-then-create — two racers can
@@ -403,24 +435,33 @@ object Dedup {
     // raw scheme is null there and NIO would lock the driver's local
     // disk. (fs.getUri, not fs.getScheme: the latter THROWS on
     // FileSystem impls that never override it.)
-    if (fs.getUri.getScheme == "file") {
-      val uri = fs.makeQualified(lock).toUri
-      try java.nio.file.Files.createFile(java.nio.file.Paths.get(uri.getPath))
-      catch { case _: java.nio.file.FileAlreadyExistsException => throw locked() }
-      try java.nio.file.Files.write(java.nio.file.Paths.get(uri.getPath),
-        op.getBytes("UTF-8"))
-      catch { case e: Throwable => fs.delete(lock, false); throw e }
-    } else {
-      val out = try fs.create(lock, false) catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => throw locked()
-        case e: java.io.IOException if fs.exists(lock) => throw locked()
+    // the tag records holder + acquire time (diagnostics; staleness itself
+    // reads the mtime, which this write stamps and nothing later touches)
+    val tag = s"$op acquired_ms=${System.currentTimeMillis()}"
+    def tryCreate(): Boolean =
+      if (fs.getUri.getScheme == "file") {
+        val uri = fs.makeQualified(lock).toUri
+        try java.nio.file.Files.createFile(java.nio.file.Paths.get(uri.getPath))
+        catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+        try java.nio.file.Files.write(java.nio.file.Paths.get(uri.getPath),
+          tag.getBytes("UTF-8"))
+        catch { case e: Throwable => fs.delete(lock, false); throw e }
+        true
+      } else {
+        val out = try fs.create(lock, false) catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+          case e: java.io.IOException if fs.exists(lock) => return false
+        }
+        // a failed holder-tag write must not leak the acquired lock
+        try out.write(tag.getBytes("UTF-8")) catch {
+          case e: Throwable => out.close(); fs.delete(lock, false); throw e
+        }
+        out.close()
+        true
       }
-      // a failed holder-tag write must not leak the acquired lock
-      try out.write(op.getBytes("UTF-8")) catch {
-        case e: Throwable => out.close(); fs.delete(lock, false); throw e
-      }
-      out.close()
-    }
+    // acquire, with at most ONE steal retry: a second already-exists after
+    // a won steal means a live third writer re-acquired first — locked.
+    if (!tryCreate() && !(stealIfStale() && tryCreate())) throw locked()
     try body finally fs.delete(lock, false)
   }
 

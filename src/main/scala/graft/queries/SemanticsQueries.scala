@@ -133,35 +133,49 @@ object SemanticsQueries {
     },
 
     // Approximate-percentile twin of q69 — THE 100 TB default. Exact
-    // `percentile` buffers every value per group (unbounded state, and the
-    // slowest bench query); approx_percentile keeps a bounded sketch
-    // (~accuracy*O(1) memory) and partial-aggregates map-side. Sketch
-    // values are engine-specific, so the GATE row checks the rank-error
-    // contract instead: accuracy=10000 bounds rank error by N/10000, so
-    // each approx value must lie between the EXACT interpolated
-    // percentiles at p∓0.001 (10× the bound). The oracle expects four
-    // literal-true booleans per group — a broken sketch flips one and the
-    // hash compare catches it.
+    // `percentile` buffers every value per group (unbounded state);
+    // approx_percentile keeps a bounded sketch (~accuracy*O(1) memory)
+    // and partial-aggregates map-side. Sketch values are engine-specific,
+    // so the GATE row checks the rank-error CONTRACT instead, without any
+    // buffering aggregate: accuracy=10000 bounds rank error by N/10000,
+    // and a returned value a occupies the 0-based rank interval
+    // [#{v<a}, #{v≤a}−1] of its group — the guard asserts that interval
+    // overlaps target ± 10×N/10000, computed from the same bounded
+    // (key, value, count) frame q69's machinery uses (one map-side-
+    // combined shuffle + a broadcast of the 4·|groups| probe values).
+    // The oracle expects four literal-true booleans per group — a broken
+    // sketch flips one and the hash compare catches it.
     QueryDef.sql(
       "q70_percentiles_approx",
       """SELECT l_returnflag, true AS ok_p25, true AS ok_p50, true AS ok_p90, true AS ok_p99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val ps = Seq(0.25, 0.50, 0.90, 0.99)
-      val aggs = ps.flatMap { p =>
-        val tag = (p * 100).toInt
-        Seq(
-          expr(s"approx_percentile(l_extendedprice, $p, 10000)").as(s"a$tag"),
-          expr(s"percentile(l_extendedprice, ${math.max(0.0, p - 0.001)})").as(s"lo$tag"),
-          expr(s"percentile(l_extendedprice, ${math.min(1.0, p + 0.001)})").as(s"hi$tag"))
-      }
-      val oks = ps.map { p =>
-        val tag = (p * 100).toInt
-        col(s"a$tag").between(col(s"lo$tag"), col(s"hi$tag")).as(s"ok_p$tag")
-      }
-      Tables.lineitem(s, d)
+      val li = Tables.lineitem(s, d)
+      val approx = li.groupBy(col("l_returnflag")).agg(
+        count(col("l_extendedprice")).as("__n"),
+        ps.map(p => expr(s"approx_percentile(l_extendedprice, $p, 10000)")
+          .as(s"__a${(p * 100).toInt}")): _*)
+      // melt to one probe row per (group, p): 4·|groups| rows, broadcast
+      val probes = approx.select(col("l_returnflag"), col("__n"),
+        explode(array(ps.map(p =>
+          struct(lit(p).as("p"), col(s"__a${(p * 100).toInt}").as("a"))): _*)).as("pr"))
+        .select(col("l_returnflag"), col("__n"), col("pr.p").as("__p"), col("pr.a").as("__a"))
+      val counts = li.filter(col("l_extendedprice").isNotNull)
+        .groupBy(col("l_returnflag"), col("l_extendedprice").as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      val ranks = counts.join(broadcast(probes), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("__p"), col("__a"), col("__n"))
+        .agg(
+          coalesce(sum(when(col("__v") < col("__a"), col("__c"))), lit(0L)).as("__cntLT"),
+          coalesce(sum(when(col("__v") <= col("__a"), col("__c"))), lit(0L)).as("__cntLE"))
+      val slack = greatest(lit(1.0), col("__n") * lit(10.0 / 10000))
+      val t = (col("__n") - 1) * col("__p")
+      val ok = col("__cntLT") <= t + slack && (col("__cntLE") - 1) >= t - slack
+      val okAggs = ps.map(p =>
+        max(when(col("__p") === p, col("__ok"))).as(s"ok_p${(p * 100).toInt}"))
+      ranks.withColumn("__ok", ok)
         .groupBy(col("l_returnflag"))
-        .agg(aggs.head, aggs.tail: _*)
-        .select(col("l_returnflag") +: oks: _*)
+        .agg(okAggs.head, okAggs.tail: _*)
         .orderBy(col("l_returnflag"))
     }
   )

@@ -156,6 +156,107 @@ class LlmSpec extends SparkSpec {
     assert(r2.collect().nonEmpty)
   }
 
+  test("index lease: a stale holder's lease is stolen by exactly one of two racers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_steal_").toString
+    // plant a lease from a "crashed" holder and age it past the TTL
+    val lock = new org.apache.hadoop.fs.Path(dir + "/" + Dedup.IndexLockFile)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lock.getParent)
+    fs.create(lock, false).close()
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(dir, Dedup.IndexLockFile),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    spark.conf.set("spark.graft.index.leaseTtlMs", "1000")
+    try {
+      // two racers hit the stale lease simultaneously. The winner's body
+      // BLOCKS on a latch until the loser's attempt has fully completed,
+      // so the loser provably raced a HELD lease — exactly one may steal
+      // (atomic rename-to-tombstone), the other must fail loudly.
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val futs = (1 to 2).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Either[Throwable, String]] {
+          def call() = {
+            barrier.await()
+            try Right(Dedup.withIndexLock(spark, dir, s"racer$i") {
+              latch.await(30, java.util.concurrent.TimeUnit.SECONDS); s"won$i"
+            }) catch { case e: Throwable => Left(e) }
+          }
+        })
+      }
+      // whichever attempt completes first MUST be the loser (the winner is
+      // latched inside the body); then release the winner
+      val done = new java.util.concurrent.CountDownLatch(1)
+      val watcher = new Thread(() => {
+        while (futs.count(_.isDone) == 0) Thread.sleep(5)
+        done.countDown()
+      })
+      watcher.start()
+      assert(done.await(20, java.util.concurrent.TimeUnit.SECONDS), "no racer finished")
+      latch.countDown()
+      val results = futs.map(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown(); watcher.join()
+      val (losers, winners) = results.partition(_.isLeft)
+      assert(winners.size === 1, s"expected exactly one steal winner, got $results")
+      assert(losers.size === 1)
+      losers.head.left.foreach { e =>
+        assert(e.isInstanceOf[IllegalStateException] && e.getMessage.contains("locked"),
+          s"loser failed with the wrong error: $e")
+      }
+      // the winner released; a fresh holder can acquire again
+      assert(!fs.exists(lock), "lease not released after the stolen run")
+      assert(Dedup.withIndexLock(spark, dir, "after") { 42 } === 42)
+    } finally spark.conf.unset("spark.graft.index.leaseTtlMs")
+  }
+
+  test("crash injection: re-running a failed increment epoch converges") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val crashed = Files.createTempDirectory("graft_inc_crash_").toString
+    val clean = Files.createTempDirectory("graft_inc_clean_").toString
+    def half(b: Int) = corpus.filter(pmod(col("doc_id"), lit(2)) === b)
+    def inc(dir: String, b: Int) = Dedup.nearDedupIncrement(
+        half(b), "doc_id", "text", dir, 0.5, epoch = b)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    inc(crashed, 0); inc(clean, 0)
+    // CRASH A — the holder dies after the state append but before the
+    // caller materializes the result: the append itself already ran
+    // (that's exactly what a completed-then-discarded increment leaves
+    // behind), and the crashed holder's lease stays planted.
+    inc(crashed, 1) // result discarded = caller never saw it
+    // CRASH B — a torn append: duplicate part files inside the epoch dir
+    // (a retried task's leftovers) plus a missing _SUCCESS marker.
+    val epochDir = Paths.get(crashed, "state", "epoch=1")
+    val parts = Files.list(epochDir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    assert(parts.nonEmpty, "epoch-1 append left no parquet parts")
+    Files.copy(parts.head, epochDir.resolve("part-torn-retry.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.deleteIfExists(Paths.get(crashed, "state", "_SUCCESS"))
+    val lock = Paths.get(crashed, Dedup.IndexLockFile)
+    Files.createFile(lock)
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    // RECOVERY: the re-run steals the stale lease (TTL) and must reach the
+    // same keep decisions as the clean twin — epoch isolation hides the
+    // crashed epoch's own rows from its re-run, and duplicate history rows
+    // are distinct'd out of candidate generation.
+    spark.conf.set("spark.graft.index.leaseTtlMs", "1000")
+    val rerun = try inc(crashed, 1) finally spark.conf.unset("spark.graft.index.leaseTtlMs")
+    val cleanRun = inc(clean, 1)
+    assert(rerun === cleanRun, "rerun diverged from the clean twin")
+    // and a LATER epoch sees identical decisions on both indexes even
+    // though the crashed one carries duplicate epoch-1 rows
+    val next = half(0).filter(col("doc_id") < 200)
+    val nextCrashed = Dedup.nearDedupIncrement(next, "doc_id", "text",
+      crashed, 0.5, epoch = 2).collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val nextClean = Dedup.nearDedupIncrement(next, "doc_id", "text",
+      clean, 0.5, epoch = 2).collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(nextCrashed === nextClean, "post-crash index diverged on a later epoch")
+  }
+
   test("streaming near-dedup equals the same-split batch increments") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
