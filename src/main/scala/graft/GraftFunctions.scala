@@ -32,6 +32,9 @@ object GraftFunctions {
     "int_floor_div" -> (es => IntFloorDiv(asL(es(0)), asL(es(1)))),
     "find_str0" -> (es => FindStr0(asS(es(0)), asS(es(1)))),
     "count_match" -> (es => CountMatch(asS(es(0)), asS(es(1)))),
+    "str_subtract" -> (es => StrSubtract(asS(es(0)), asS(es(1)))),
+    "str_divide" -> (es => StrDivide(asS(es(0)), asS(es(1)))),
+    "str_multiply" -> (es => StrMulLen(asS(es(0)), asS(es(1)))),
     "wrap_int8" -> (es => WrapInt(asL(es(0)), 8)),
     "wrap_int16" -> (es => WrapInt(asL(es(0)), 16)),
     "wrap_int32" -> (es => WrapInt(asL(es(0)), 32)),

@@ -130,7 +130,8 @@ case class FindStr0(left: Expression, right: Expression)
 
 /** Count of non-overlapping occurrences of literal `substr` in `str`.
   * Reference: minarrow `count_match_str`, src/kernels/string.rs:1388.
-  * Empty pattern counts 0.
+  * Empty pattern counts char boundaries (chars + 1), the Rust
+  * `str::matches("")` behavior the reference inherits.
   */
 case class CountMatch(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
@@ -141,6 +142,56 @@ case class CountMatch(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (l, r) => s"graft.expressions.StrKernels.countMatch($l, $r)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CountMatch =
+    copy(l, r)
+}
+
+/** str − str: remove the FIRST occurrence of `right` from `left` (minarrow
+  * apply_str_str Subtract, src/kernels/arithmetic/string.rs:740; pinned by
+  * test_subtract_str :1625 — "goodbye" − "bye" = "good").
+  */
+case class StrSubtract(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "str_subtract"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    StrKernels.subtractFirst(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.expressions.StrKernels.subtractFirst($l, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StrSubtract =
+    copy(l, r)
+}
+
+/** str ÷ str: split `left` on non-overlapping occurrences of `right` and
+  * rejoin with '|'; empty separator → unchanged (minarrow apply_str_str
+  * Divide, src/kernels/arithmetic/string.rs:757; test_divide_str :1689 —
+  * "a--b--c" ÷ "--" = "a|b|c").
+  */
+case class StrDivide(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "str_divide"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    StrKernels.divideSep(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.expressions.StrKernels.divideSep($l, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StrDivide =
+    copy(l, r)
+}
+
+/** str × str: `left` repeated by the BYTE length of `right`, capped at
+  * STRING_MULTIPLICATION_LIMIT = 1e6 (minarrow apply_str_str Multiply,
+  * src/kernels/arithmetic/string.rs:71,751; test_multiply_str :1654 —
+  * "x" × "123" = "xxx").
+  */
+case class StrMulLen(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "str_multiply"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    StrKernels.multiplyByLen(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.expressions.StrKernels.multiplyByLen($l, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StrMulLen =
     copy(l, r)
 }
 

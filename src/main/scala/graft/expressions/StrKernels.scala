@@ -43,11 +43,16 @@ object StrKernels {
     -1L
   }
 
-  /** Non-overlapping occurrence count; empty needle → 0. */
+  /** Non-overlapping occurrence count. Empty needle → char count + 1: the
+    * reference delegates to Rust `str::matches` (count_match_str,
+    * string.rs:1408), which yields an empty match at every char boundary
+    * including both ends — "abc".matches("").count() == 4.
+    */
   def countMatch(hay: UTF8String, needle: UTF8String): Long = {
     val h = hay.getBytes
     val n = needle.getBytes
-    if (n.length == 0 || n.length > h.length) return 0L
+    if (n.length == 0) return hay.numChars().toLong + 1L
+    if (n.length > h.length) return 0L
     var i = 0
     var count = 0L
     val limit = h.length - n.length
@@ -58,6 +63,78 @@ object StrKernels {
       else i += 1
     }
     count
+  }
+
+  /** First byte offset of `n` in `h` starting at `from`, -1 if absent. */
+  private def findBytes(h: Array[Byte], n: Array[Byte], from: Int): Int = {
+    var i = from
+    val limit = h.length - n.length
+    while (i <= limit) {
+      var j = 0
+      while (j < n.length && h(i + j) == n(j)) j += 1
+      if (j == n.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** String Subtract — remove the FIRST occurrence of `needle` (byte
+    * search; UTF-8 self-synchronization keeps the splice on char
+    * boundaries). Empty or absent needle → unchanged. Reference:
+    * apply_str_str Subtract, src/kernels/arithmetic/string.rs:740.
+    */
+  def subtractFirst(hay: UTF8String, needle: UTF8String): UTF8String = {
+    val h = hay.getBytes
+    val n = needle.getBytes
+    if (n.length == 0) return hay
+    val p = findBytes(h, n, 0)
+    if (p < 0) return hay
+    val out = new Array[Byte](h.length - n.length)
+    System.arraycopy(h, 0, out, 0, p)
+    System.arraycopy(h, p + n.length, out, p, h.length - p - n.length)
+    UTF8String.fromBytes(out)
+  }
+
+  /** String Divide — split on each non-overlapping occurrence of `sep`
+    * (left-to-right) and rejoin with '|'. Empty sep → unchanged.
+    * Reference: apply_str_str Divide, src/kernels/arithmetic/string.rs:757.
+    */
+  def divideSep(hay: UTF8String, sep: UTF8String): UTF8String = {
+    val h = hay.getBytes
+    val s = sep.getBytes
+    if (s.length == 0) return hay
+    val out = new java.io.ByteArrayOutputStream(h.length)
+    var start = 0
+    var p = findBytes(h, s, start)
+    while (p >= 0) {
+      out.write(h, start, p - start)
+      out.write('|')
+      start = p + s.length
+      p = findBytes(h, s, start)
+    }
+    out.write(h, start, h.length - start)
+    UTF8String.fromBytes(out.toByteArray)
+  }
+
+  /** Reference cap on string Multiply repetitions
+    * (STRING_MULTIPLICATION_LIMIT, src/kernels/arithmetic/string.rs:71).
+    */
+  final val StringMulLimit = 1000000
+
+  /** String Multiply — `a` repeated by the BYTE length of `b`, capped at
+    * [[StringMulLimit]]. Reference: apply_str_str Multiply,
+    * src/kernels/arithmetic/string.rs:751 (`a.len() * b.len().min(LIMIT)`).
+    */
+  def multiplyByLen(a: UTF8String, b: UTF8String): UTF8String = {
+    val bytes = a.getBytes
+    val times = math.min(b.numBytes(), StringMulLimit)
+    val out = new Array[Byte](bytes.length * times)
+    var i = 0
+    while (i < times) {
+      System.arraycopy(bytes, 0, out, i * bytes.length, bytes.length)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
   }
 
   private final val Mod = (1L << 61) - 1

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.expressions.{CountMatch, FindStr0, NfcNormalize, RollingHash, StripAccents}
+import graft.expressions.{CountMatch, FindStr0, NfcNormalize, RollingHash, StripAccents, StrDivide, StrMulLen, StrSubtract}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
@@ -18,13 +18,29 @@ object Strings {
   // concat_str_str / concat_dict_* family, string.rs:80-339
   def concatStr(a: Column, b: Column): Column = concat(a, b)
 
+  /** Empty-needle rule for the whole predicate family: the reference
+    * returns FALSE, never a vacuous true (`!needle.is_empty() && …`,
+    * string.rs:588; regex twin string.rs:633; pinned by
+    * test_contains_empty_pattern / test_regex_empty_pattern_always_false,
+    * string.rs:2474,2542). Spark's builtins return true here, so the empty
+    * case is rewritten to a null-preserving constant false (NULL input →
+    * NULL output, matching the reference's validity mask). The needle is a
+    * Scala literal at every call site, so the branch is plan-time.
+    */
+  private def emptyNeedleFalse(c: Column, needle: String)(p: => Column): Column =
+    if (needle.isEmpty) when(c.isNotNull, lit(false)) else p
+
   // contains/starts_with/ends_with ×{str,dict}², string.rs:376-615
-  def containsStr(c: Column, sub: String): Column = c.contains(sub)
-  def startsWithStr(c: Column, p: String): Column = c.startsWith(p)
-  def endsWithStr(c: Column, p: String): Column = c.endsWith(p)
+  def containsStr(c: Column, sub: String): Column =
+    emptyNeedleFalse(c, sub)(c.contains(sub))
+  def startsWithStr(c: Column, p: String): Column =
+    emptyNeedleFalse(c, p)(c.startsWith(p))
+  def endsWithStr(c: Column, p: String): Column =
+    emptyNeedleFalse(c, p)(c.endsWith(p))
 
   // regex_* (match → bool), string.rs:679-808
-  def regexMatch(c: Column, pattern: String): Column = c.rlike(pattern)
+  def regexMatch(c: Column, pattern: String): Column =
+    emptyNeedleFalse(c, pattern)(c.rlike(pattern))
 
   // len (char count) string.rs:840; byte_length string.rs:1256
   def lenChars(c: Column): Column = length(c)
@@ -52,6 +68,20 @@ object Strings {
     regexp_replace(c, java.util.regex.Pattern.quote(find),
       java.util.regex.Matcher.quoteReplacement(repl))
   def repeatStr(c: Column, n: Int): Column = repeat(c, n)
+
+  /** str⊕str arithmetic beyond Add (feature str_arithmetic, apply_str_str,
+    * src/kernels/arithmetic/string.rs:643-790): `−` removes the FIRST
+    * occurrence, `÷` splits on the separator and rejoins with '|', `×`
+    * repeats the left side by the BYTE length of the right (capped at
+    * STRING_MULTIPLICATION_LIMIT). Empty right side leaves `−`/`÷`
+    * unchanged. All three are byte-exact codegen kernels.
+    */
+  def strSubtract(l: Column, r: Column): Column =
+    toCol(StrSubtract(toExpr(l.cast("string")), toExpr(r.cast("string"))))
+  def strDivide(l: Column, r: Column): Column =
+    toCol(StrDivide(toExpr(l.cast("string")), toExpr(r.cast("string"))))
+  def strMultiply(l: Column, r: Column): Column =
+    toCol(StrMulLen(toExpr(l.cast("string")), toExpr(r.cast("string"))))
   def padLeft(c: Column, len: Int, pad: String): Column = lpad(c, len, pad)
   def padRight(c: Column, len: Int, pad: String): Column = rpad(c, len, pad)
 

@@ -77,14 +77,24 @@ object ExtrasQueries {
 
     // String arithmetic (feature str_arithmetic, minarrow
     // src/kernels/arithmetic/string.rs): `+` concatenates (incl. str+num
-    // with the numeric formatted), `*` repeats.
+    // with the numeric formatted), `*` repeats, `−` removes the FIRST
+    // occurrence (test_subtract_str :1625), `÷` splits on the separator
+    // and rejoins with '|' (test_divide_str :1689), and str×str repeats
+    // by the rhs BYTE length (:751). The oracle replays subtract with a
+    // strpos splice, divide with replace, and ×len with repeat+strlen
+    // (DuckDB strlen = bytes, matching the kernel).
     QueryDef.sql(
       "q46_string_arith",
       """SELECT p_partkey,
         |  p_name || '-' || p_brand AS add_str_str,
         |  p_name || CAST(p_size AS VARCHAR) AS add_str_int,
         |  p_name || CAST(p_retailprice AS VARCHAR) AS add_str_float,
-        |  repeat(p_brand, 3) AS mul_str
+        |  repeat(p_brand, 3) AS mul_str,
+        |  CASE WHEN strpos(p_name, 'a') > 0
+        |    THEN substr(p_name, 1, strpos(p_name, 'a') - 1) || substr(p_name, strpos(p_name, 'a') + 1)
+        |    ELSE p_name END AS sub_str,
+        |  replace(p_type, ' ', '|') AS div_str,
+        |  repeat('*', strlen(p_brand)) AS mul_len
         |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin) { (s, d) =>
       Tables.part(s, d).filter(col("p_partkey") < 300)
         .select(
@@ -92,7 +102,10 @@ object ExtrasQueries {
           Strings.concatStr(Strings.concatStr(col("p_name"), lit("-")), col("p_brand")).as("add_str_str"),
           Strings.concatStr(col("p_name"), col("p_size").cast("string")).as("add_str_int"),
           Strings.concatStr(col("p_name"), col("p_retailprice").cast("string")).as("add_str_float"),
-          Strings.repeatStr(col("p_brand"), 3).as("mul_str"))
+          Strings.repeatStr(col("p_brand"), 3).as("mul_str"),
+          Strings.strSubtract(col("p_name"), lit("a")).as("sub_str"),
+          Strings.strDivide(col("p_type"), lit(" ")).as("div_str"),
+          Strings.strMultiply(lit("*"), col("p_brand")).as("mul_len"))
         .orderBy(col("p_partkey"))
     },
 
@@ -263,16 +276,22 @@ object ExtrasQueries {
       "q140_matrix",
       """WITH base AS (
         |  SELECT l_quantity, l_extendedprice, l_discount,
-        |    CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS BIGINT) AS row_idx
-        |  FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100)
+        |    CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount) - 1 AS BIGINT) AS row_idx
+        |  FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount LIMIT 100)
         |SELECT row_idx, col_idx, value FROM (
         |  SELECT row_idx, CAST(0 AS BIGINT) AS col_idx, CAST(l_quantity AS DOUBLE) AS value FROM base
         |  UNION ALL SELECT row_idx, CAST(1 AS BIGINT), CAST(l_extendedprice AS DOUBLE) FROM base
         |  UNION ALL SELECT row_idx, CAST(2 AS BIGINT), CAST(l_discount AS DOUBLE) FROM base)
         |ORDER BY col_idx, row_idx""".stripMargin) { (s, d) =>
       val matCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      // the slice sort must be TOTAL over every emitted column: the fixture
+      // carries duplicate (l_orderkey, l_linenumber) pairs (seen at sf0.1),
+      // and a non-total sort makes the top-100 slice engine-dependent. With
+      // the value columns as tiebreakers, any remaining ties are full-row
+      // duplicates — interchangeable, so the emitted cells are identical.
       val base = Tables.lineitem(s, d)
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
         .limit(100)
       val m = Restructure.toLocalMatrix(base, matCols, maxRows = 100)
       import s.implicits._

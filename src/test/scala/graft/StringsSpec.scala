@@ -25,6 +25,54 @@ class StringsSpec extends SparkSpec {
       Seq(Some(3L), Some(0L), Some(0L), None))
     assert(col1[Long](df.select(Strings.countMatch(col("s"), lit("aa")))) ===
       Seq(Some(0L), Some(2L), Some(0L), None))
+    // empty needle = char boundaries (chars+1): the reference delegates to
+    // Rust str::matches (string.rs:1408) — "abc".matches("").count() == 4
+    assert(col1[Long](df.select(Strings.countMatch(col("s"), lit("")))) ===
+      Seq(Some(7L), Some(5L), Some(1L), None))
+  }
+
+  test("str arithmetic subtract/divide/multiply match the reference vectors (arithmetic/string.rs:1625-1716)") {
+    // test_subtract_str: remove the FIRST occurrence; no match → unchanged
+    val sub = strings("s", Seq(Some("hello"), Some("goodbye"), Some("test"), None))
+    assert(col1[String](sub.select(Strings.strSubtract(col("s"),
+        element_at(typedLit(Map("hello" -> "l", "goodbye" -> "bye", "test" -> "xyz")), col("s"))))) ===
+      Seq(Some("helo"), Some("good"), Some("test"), None))
+    // empty rhs → unchanged (string.rs:740)
+    assert(col1[String](sub.select(Strings.strSubtract(col("s"), lit("")))) ===
+      Seq(Some("hello"), Some("goodbye"), Some("test"), None))
+    // test_divide_str: split + rejoin with '|'; empty separator → unchanged
+    val div = strings("s", Seq(Some("a,b,c"), Some("a--b--c"), Some("abc")))
+    assert(col1[String](div.select(Strings.strDivide(col("s"), lit(",")))) ===
+      Seq(Some("a|b|c"), Some("a--b--c"), Some("abc")))
+    assert(col1[String](div.select(Strings.strDivide(col("s"), lit("--")))) ===
+      Seq(Some("a,b,c"), Some("a|b|c"), Some("abc")))
+    assert(col1[String](div.select(Strings.strDivide(col("s"), lit("")))) ===
+      Seq(Some("a,b,c"), Some("a--b--c"), Some("abc")))
+    // test_multiply_str: lhs repeated rhs.len() (BYTES) times
+    val mul = strings("s", Seq(Some("x"), Some("ab"), Some("c")))
+    assert(col1[String](mul.select(Strings.strMultiply(col("s"),
+        element_at(typedLit(Map("x" -> "123", "ab" -> "12", "c" -> "long_string")), col("s"))))) ===
+      Seq(Some("xxx"), Some("abab"), Some("c" * 11)))
+  }
+
+  test("predicate family is FALSE on an empty needle, null-preserving (string.rs:588,633)") {
+    // Spark's builtins return a vacuous TRUE for contains/startsWith/
+    // endsWith/rlike with an empty pattern; the reference pins FALSE
+    // (test_contains_empty_pattern string.rs:2474,
+    // test_regex_empty_pattern_always_false string.rs:2542) with the
+    // validity mask carried through (NULL in → NULL out).
+    val df = strings("s", Seq(Some("foo"), Some(""), None))
+    for (p <- Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        Strings.containsStr(_, ""), Strings.startsWithStr(_, ""),
+        Strings.endsWithStr(_, ""), Strings.regexMatch(_, ""))) {
+      assert(col1[Boolean](df.select(p(col("s")))) ===
+        Seq(Some(false), Some(false), None))
+    }
+    // non-empty needles still route to the builtins
+    assert(col1[Boolean](df.select(Strings.containsStr(col("s"), "o"))) ===
+      Seq(Some(true), Some(false), None))
+    assert(col1[Boolean](df.select(Strings.regexMatch(col("s"), "^f"))) ===
+      Seq(Some(true), Some(false), None))
   }
 
   test("transform kernels preserve null masks") {
