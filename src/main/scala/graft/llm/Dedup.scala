@@ -471,6 +471,73 @@ object Dedup {
       nearDedupIncrementLocked(batch, idCol, textCol, indexDir, threshold, epoch)
     }
 
+  /** Incremental EXACT dedup against a persistent fingerprint index — the
+    * exact-match complement of [[nearDedupIncrement]] for the continuous
+    * ingest loop: [[exact]]'s keep-min-per-key rule extended across
+    * batches with first-epoch-wins precedence. A batch document is
+    * dropped when its fingerprint appeared in ANY earlier epoch, or on a
+    * smaller id within its own batch. `fpCol` is the caller's content
+    * address (md5 of normalized text, a head fingerprint, a rolling
+    * hash — the [[exact]] contract that the key is a digest, never the
+    * document). NULL fingerprints mean "no content" and are never
+    * deduplicated (SQL join semantics).
+    *
+    * 100 TB shape: the index stores ONLY (fp, epoch) — ~16 bytes per
+    * unique document, partitioned by epoch; per increment the history is
+    * SCANNED with the batch's fingerprint set broadcast into it (nothing
+    * index-sized shuffles), and only fingerprints NEW to the index are
+    * appended, so the index holds one row per unique fingerprint ever
+    * seen. Crash re-runs converge by the same epoch isolation as the
+    * near-dup index: this epoch's own rows are invisible to its reads,
+    * and a duplicate append inside one epoch is harmless (membership
+    * semijoin). Same single-writer lease, same directory layout (a
+    * sibling `exact_state` next to the near-dup `state`).
+    *
+    * Returns (id: Long, kept: Boolean) — the result reads only the batch
+    * plus a batch-bounded local relation, never the index files, so a
+    * later compaction cannot invalidate a caller's lazy plan.
+    */
+  def exactDedupIncrement(batch: DataFrame, idCol: String, fpCol: Column,
+      indexDir: String, epoch: Long): DataFrame =
+    withIndexLock(batch.sparkSession, indexDir, s"exact-increment epoch=$epoch") {
+      val spark = batch.sparkSession
+      val statePath = indexDir.stripSuffix("/") + "/exact_state"
+      val fps = batch.select(col(idCol).cast("long").as("id"), fpCol.cast("string").as("fp"))
+        .persist()
+      graft.ops.CacheRegistry.register(fps)
+      val hasIndex = {
+        val p = new org.apache.hadoop.fs.Path(statePath)
+        graft.ops.Layout.hasParquetData(
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+      }
+      // history fingerprints hit by this batch: history scanned, the
+      // batch's (bounded) distinct fingerprint set broadcast
+      val batchFps = fps.select(col("fp")).filter(col("fp").isNotNull).distinct()
+      val seen = if (!hasIndex) batchFps.limit(0) else
+        spark.read.parquet(statePath).filter(col("epoch") < epoch)
+          .join(broadcast(batchFps), Seq("fp"), "left_semi")
+          .select(col("fp")).distinct()
+      val batchMin = fps.filter(col("fp").isNotNull)
+        .groupBy(col("fp")).agg(min(col("id")).as("keep_id"))
+      val droppedLazy = fps.join(batchMin, "fp")
+        .join(seen.withColumn("__hist", lit(true)), Seq("fp"), "left")
+        .filter(col("id") =!= col("keep_id") || col("__hist").isNotNull)
+        .select(col("id"))
+      // materialized INSIDE the lease as a LOCAL relation (bounded by the
+      // batch), and BEFORE the append — the result must not re-read index
+      // files a compaction could later rewrite
+      val dropped = spark.createDataFrame(
+        java.util.Arrays.asList(droppedLazy.collect(): _*), droppedLazy.schema)
+      val newFps = batchMin.select(col("fp")).join(seen, Seq("fp"), "left_anti").persist()
+      graft.ops.CacheRegistry.register(newFps)
+      val outFiles = graft.ops.Layout.sizedFileCount(newFps.count())
+      newFps.withColumn("epoch", lit(epoch)).coalesce(outFiles)
+        .write.mode("append").partitionBy("epoch").parquet(statePath)
+      batch.select(col(idCol).cast("long").as("id"))
+        .join(broadcast(dropped.withColumn("__dropped", lit(true))), Seq("id"), "left")
+        .select(col("id"), col("__dropped").isNull.as("kept"))
+    }
+
   private def nearDedupIncrementLocked(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, threshold: Double, epoch: Long): DataFrame = {
     val spark = batch.sparkSession

@@ -393,6 +393,43 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Incremental EXACT dedup against the persistent fingerprint index —
+    // the exact complement of q135: three doc_id%3 batches drained through
+    // Dedup.exactDedupIncrement with first-epoch-wins precedence. The
+    // fingerprint is a HEAD fingerprint (md5 of the first 8 lowercase
+    // tokens — the crawl-pipeline leading-content address; raw texts are
+    // collision-free at this sf, a head fingerprint has real duplicates),
+    // and the oracle replays the whole three-epoch run as one batch-free
+    // rule: kept iff no same-fingerprint doc precedes in (epoch, id)
+    // order. Index holds only (fp, epoch); batch fingerprints broadcast.
+    QueryDef.sql(
+      "q141_exact_dedup_incremental",
+      """WITH f AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS ep,
+        |    md5(coalesce(list_aggregate(list_transform(
+        |      regexp_extract_all(text, '[A-Za-z]+')[1:8], x -> lower(x)),
+        |      'string_agg', ' '), '')) AS fp
+        |  FROM documents)
+        |SELECT f.doc_id, f.ep,
+        |  NOT EXISTS (SELECT 1 FROM f f2 WHERE f2.fp = f.fp
+        |    AND (f2.ep < f.ep OR (f2.ep = f.ep AND f2.doc_id < f.doc_id))) AS kept
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text")).persist()
+      graft.ops.CacheRegistry.register(docs)
+      val dir = java.nio.file.Files.createTempDirectory("graft_exactdedup_idx_").toString
+      rotateRunDirs("q141", Seq(dir))
+      val fp = md5(concat_ws(" ", slice(
+        expr("transform(regexp_extract_all(text, '[A-Za-z]+', 0), x -> lower(x))"), 1, 8)))
+      val results = (0 until 3).map { b =>
+        Dedup.exactDedupIncrement(
+            docs.filter(pmod(col("doc_id"), lit(3)) === b), "doc_id", fp, dir, epoch = b)
+          .withColumn("ep", lit(b.toLong))
+      }
+      results.reduce(_.unionByName(_))
+        .select(col("id").as("doc_id"), col("ep"), col("kept"))
+        .orderBy(col("doc_id"))
+    },
+
     // STREAMING near-dup dedup as a REAL streaming query: documents
     // staged as two files (doc_id parity, mtime-ordered), drained
     // through foreachBatch increments against the persistent index.

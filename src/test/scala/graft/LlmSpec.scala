@@ -210,6 +210,37 @@ class LlmSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.index.leaseTtlMs")
   }
 
+  test("exactDedupIncrement: first-epoch-wins, null fps exempt, crash re-run converges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_exact_inc_").toString
+    val fp = md5(col("t"))
+    def run(df: org.apache.spark.sql.DataFrame, ep: Long): Map[Long, Boolean] =
+      Dedup.exactDedupIncrement(df, "id", fp, dir, ep).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // epoch 0: within-batch keep-min (1 beats 3 on "aa")
+    val b0 = Seq((1L, "aa"), (2L, "bb"), (3L, "aa")).toDF("id", "t")
+    assert(run(b0, 0L) === Map(1L -> true, 2L -> true, 3L -> false))
+    // epoch 1: "bb" seen in epoch 0 → dropped; "cc" new, 11 beats 12;
+    // a NULL fingerprint means no content — never deduplicated
+    val b1 = Seq((10L, Some("bb")), (11L, Some("cc")), (12L, Some("cc")),
+      (13L, Option.empty[String])).toDF("id", "t")
+    val r1 = run(b1, 1L)
+    assert(r1 === Map(10L -> false, 11L -> true, 12L -> false, 13L -> true))
+    // crash re-run of the SAME epoch: epoch isolation hides its own
+    // append, so decisions are identical
+    assert(run(b1, 1L) === r1)
+    // epoch 2 still sees epoch-0 history ("aa") across the gap
+    assert(run(Seq((20L, "aa"), (21L, "dd")).toDF("id", "t"), 2L) ===
+      Map(20L -> false, 21L -> true))
+    // index stores (fp, epoch) once per unique fingerprint per first-seen
+    // epoch; the crash re-run's duplicate rows are bounded to its own
+    // epoch and collapse under DISTINCT (membership semantics)
+    val st = spark.read.parquet(s"$dir/exact_state")
+    assert(st.select("fp").distinct().count() === 4L) // aa bb cc dd
+    assert(st.count() === 5L) // +1 duplicate "cc" row from the re-run
+    graft.ops.Layout.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("crash injection: re-running a failed increment epoch converges") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
