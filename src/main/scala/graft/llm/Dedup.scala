@@ -647,7 +647,34 @@ object Dedup {
   def nearDedupStreaming(spark: org.apache.spark.sql.SparkSession, stagedDir: String,
       schema: org.apache.spark.sql.types.StructType, idCol: String, textCol: String,
       indexDir: String, outDir: String, threshold: Double,
-      checkpointDir: Option[String] = None, shufflePartitions: Int = 4): DataFrame = {
+      checkpointDir: Option[String] = None, shufflePartitions: Int = 4): DataFrame =
+    dedupStreaming(spark, stagedDir, schema, idCol, outDir, checkpointDir,
+      shufflePartitions) { (batch, batchId) =>
+      nearDedupIncrement(batch, idCol, textCol, indexDir, threshold, epoch = batchId)
+    }
+
+  /** STREAMING exact dedup — [[exactDedupIncrement]] drained one
+    * micro-batch at a time, the exact complement of [[nearDedupStreaming]]
+    * with the identical restart/idempotence contract (dynamic-overwrite
+    * result partitions; epoch isolation makes at-least-once re-runs
+    * converge; compacted history must not be replayed from scratch).
+    * Distinct from `dropDuplicatesWithinWatermark` (q73): state lives in
+    * the at-rest fingerprint index, unbounded by design — an exact copy
+    * of a document seen a month ago must still be dropped.
+    */
+  def exactDedupStreaming(spark: org.apache.spark.sql.SparkSession, stagedDir: String,
+      schema: org.apache.spark.sql.types.StructType, idCol: String, fpCol: Column,
+      indexDir: String, outDir: String,
+      checkpointDir: Option[String] = None, shufflePartitions: Int = 4): DataFrame =
+    dedupStreaming(spark, stagedDir, schema, idCol, outDir, checkpointDir,
+      shufflePartitions) { (batch, batchId) =>
+      exactDedupIncrement(batch, idCol, fpCol, indexDir, epoch = batchId)
+    }
+
+  private def dedupStreaming(spark: org.apache.spark.sql.SparkSession, stagedDir: String,
+      schema: org.apache.spark.sql.types.StructType, idCol: String, outDir: String,
+      checkpointDir: Option[String], shufflePartitions: Int)(
+      increment: (DataFrame, Long) => DataFrame): DataFrame = {
     // AQE is disabled inside streaming queries, so foreachBatch's
     // aggregates would run at the session's full shuffle parallelism
     // with no runtime coalesce — size partitions to the increment on a
@@ -664,7 +691,7 @@ object Dedup {
       .parquet(stagedDir)
     val writer = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        nearDedupIncrement(batch, idCol, textCol, indexDir, threshold, epoch = batchId)
+        increment(batch, batchId)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -715,7 +742,15 @@ object Dedup {
     */
   def nearDedupIndexCompact(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit = withIndexLock(spark, indexDir, "compact") {
-    val statePath = indexDir.stripSuffix("/") + "/state"
+    // both state families share the epoch-partition lifecycle; each
+    // folds settled epochs under its own duplicate key (near-dup rows
+    // are keyed by doc id, exact rows by the fingerprint itself)
+    compactState(spark, indexDir.stripSuffix("/") + "/state", Seq("id"))
+    compactState(spark, indexDir.stripSuffix("/") + "/exact_state", Seq("fp"))
+  }
+
+  private def compactState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, dedupCols: Seq[String]): Unit = {
     val sp = new org.apache.hadoop.fs.Path(statePath)
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!graft.ops.Layout.hasParquetData(fs, sp)) return
@@ -727,9 +762,9 @@ object Dedup {
     val all = spark.read.parquet(statePath)
     val maxEpoch = epochs.last
     val sentinel = math.min(-1L, epochs.head - 1L)
-    // duplicate ids (crash leftovers) carry identical hash sets — keep any
+    // duplicate keys (crash leftovers) carry identical payloads — keep any
     val settled = all.filter(col("epoch") < maxEpoch)
-      .dropDuplicates("id")
+      .dropDuplicates(dedupCols)
       .withColumn("epoch", lit(sentinel))
       .persist()
     graft.ops.CacheRegistry.register(settled)

@@ -347,6 +347,70 @@ class LlmSpec extends SparkSpec {
     assert(b2.nonEmpty && b2.forall(!_._2), "re-ingested docs must all drop")
   }
 
+  test("streaming exact dedup equals batch increments; compaction preserves exact decisions") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    // a deliberately coarse fingerprint (length mod 10) so the tiny
+    // corpus has real cross- and within-batch collisions — the operator
+    // contract is indifferent to what the content address is
+    val fp = md5((length(col("text")) % 10).cast("string"))
+    val base = Files.createTempDirectory("graft_stream_exact_").toString
+    val staged = Paths.get(base, "staged"); Files.createDirectories(staged)
+    def stage(cond: org.apache.spark.sql.Column, name: String, mtimeSec: Long): Unit = {
+      val tmp = Paths.get(base, "tmp_" + name).toString
+      corpus.filter(cond).coalesce(1).write.parquet(tmp)
+      val part = scala.util.Using.resource(Files.list(Paths.get(tmp))) { s =>
+        s.toArray.map(_.toString)
+          .find(f => f.endsWith(".parquet") && !f.contains("_SUCCESS")).get
+      }
+      val dest = staged.resolve(name)
+      Files.copy(Paths.get(part), dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeSec * 1000))
+    }
+    stage(col("doc_id") % 2 === 0, "a_even.parquet", 1000000000L)
+    stage(col("doc_id") % 2 === 1, "b_odd.parquet", 1000000100L)
+    val streamed = Dedup.exactDedupStreaming(spark, staged.toString, corpus.schema,
+        "doc_id", fp, base + "/idx_stream", base + "/out")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+    val manual = Seq(col("doc_id") % 2 === 0, col("doc_id") % 2 === 1).zipWithIndex
+      .flatMap { case (cond, i) =>
+        Dedup.exactDedupIncrement(corpus.filter(cond), "doc_id", fp,
+            base + "/idx_manual", epoch = i.toLong)
+          .collect().map(r => (r.getLong(0), r.getBoolean(1), i.toLong))
+      }.toSet
+    assert(streamed === manual)
+    assert(streamed.exists(!_._2) && streamed.exists(_._2), "expected both outcomes")
+
+    // compaction folds the SETTLED exact_state epochs into the sentinel
+    // without changing membership: controlled batches so every epoch
+    // contributes new fingerprints (epoch 2 stays newest/unfolded)
+    import spark.implicits._
+    val idxC = base + "/idx_compact"
+    val fpT = md5(col("t"))
+    Dedup.exactDedupIncrement(Seq((1L, "a"), (2L, "b")).toDF("id", "t"), "id", fpT, idxC, 0L)
+    Dedup.exactDedupIncrement(Seq((3L, "b"), (4L, "c")).toDF("id", "t"), "id", fpT, idxC, 1L)
+    Dedup.exactDedupIncrement(Seq((5L, "d")).toDF("id", "t"), "id", fpT, idxC, 2L)
+    val statePath = idxC + "/exact_state"
+    val fpsBefore = spark.read.parquet(statePath)
+      .select("fp").distinct().collect().map(_.getString(0)).toSet
+    Dedup.nearDedupIndexCompact(spark, idxC)
+    val after = spark.read.parquet(statePath)
+    assert(after.select("fp").distinct().collect().map(_.getString(0)).toSet === fpsBefore)
+    // partition-column inference narrows epoch to int on read-back
+    val epochsAfter = after.select(col("epoch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(epochsAfter === Set(-1L, 2L), s"settled epochs not folded: $epochsAfter")
+    // post-compaction history still drops every exact re-ingest
+    val reingest = Dedup.exactDedupIncrement(
+      Seq((10L, "a"), (11L, "b"), (12L, "c"), (13L, "d")).toDF("id", "t"),
+      "id", fpT, idxC, epoch = 3L)
+    assert(reingest.filter(col("kept")).count() === 0L,
+      "post-compaction history must still drop exact re-ingests")
+    graft.ops.Layout.deleteRecursively(Paths.get(base))
+  }
+
   test("simhash: identical -> hamming 0; near-dup < far pair") {
     val sigs = docs.select(Dedup.simHash(col("text"))).collect().map(_.getLong(0))
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
