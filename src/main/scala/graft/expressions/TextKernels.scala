@@ -291,6 +291,58 @@ object TextKernels {
       Array[Any](nTokWs, nTokBpe, stopCnt, letterRuns, punctRatio, quality))
   }
 
+  /** Runtime for [[RepetitionStats]]: whitespace-run split of the
+    * space-trimmed byte span into the raw token stream (empty edge
+    * tokens kept — regexp-split semantics), counted into per-doc word
+    * and adjacent-bigram maps. Word identity is the UTF-8 byte string;
+    * the bigram key joins the pair on U+0001 (the oracle's chr(1)).
+    */
+  def repetitionStats(s: UTF8String): InternalRow = {
+    val b = s.getBytes
+    val n = b.length
+    var ts = 0
+    while (ts < n && b(ts) == ' ') ts += 1
+    var te = n
+    while (te > ts && b(te - 1) == ' ') te -= 1
+    val words = new java.util.HashMap[String, java.lang.Long]()
+    val bigrams = new java.util.HashMap[String, java.lang.Long]()
+    var nWords = 0L; var topWord = 0L; var topBigram = 0L
+    var prev: String = null
+    def bump(m: java.util.HashMap[String, java.lang.Long], k: String): Long = {
+      val c = m.get(k)
+      val nc = if (c == null) 1L else c.longValue() + 1L
+      m.put(k, nc)
+      nc
+    }
+    def endWord(st: Int, en: Int): Unit = {
+      val w = new String(b, st, en - st, java.nio.charset.StandardCharsets.UTF_8)
+      nWords += 1
+      val wc = bump(words, w)
+      if (wc > topWord) topWord = wc
+      if (prev != null) {
+        val bc = bump(bigrams, prev + "\u0001" + w)
+        if (bc > topBigram) topBigram = bc
+      }
+      prev = w
+    }
+    var i = ts
+    var wordStart = ts
+    while (i < te) {
+      val c = b(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r') {
+        endWord(wordStart, i)
+        i += 1
+        while (i < te && {
+          val d = b(i); d == ' ' || d == '\t' || d == '\n' || d == '\f' || d == '\r'
+        }) i += 1
+        wordStart = i
+      } else i += 1
+    }
+    endWord(wordStart, te)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, words.size.toLong, topWord, topBigram))
+  }
+
   private def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
     x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -416,4 +468,46 @@ object TextStats {
     StructField("n_az_tok", LongType, nullable = false),
     StructField("punct_ratio", DoubleType, nullable = false),
     StructField("quality", DoubleType, nullable = false)))
+}
+
+/** One-pass word-level repetition signals — the Gopher repetition-filter
+  * family (duplicate-word ratio, most-common-word fraction, most-common
+  * adjacent-bigram fraction) a pretraining pipeline runs over every
+  * document. The reference's fused single-pass string-kernel shape
+  * (src/kernels/string.rs macros) applied to the whitespace-token stream:
+  * one byte pass builds per-doc word and adjacent-bigram frequency maps,
+  * so there is no explode, no per-doc shuffle, and no array
+  * materialization — the alternative Column formulation (split + explode +
+  * two groupBys + window) shuffles every token of every document.
+  *
+  * Tokenization is pinned to the gate oracle's
+  * `regexp_split_to_array(trim(text), '\s+')`: trim strips ' ' only, the
+  * whitespace class is RE2's `\s` = [ \t\n\f\r] (same alignment note as
+  * textStats), and split keeps leading/trailing empty segments produced
+  * by non-space whitespace at the trimmed span's edges — an empty or
+  * all-space document yields the single empty token, exactly like the
+  * regexp split of ''.
+  *
+  * Emits COUNTS only (n_words, n_distinct_words, top_word_cnt,
+  * top_bigram_cnt); ratio arithmetic stays in Column space so Spark and
+  * the DuckDB oracle form the doubles with the identical IEEE op
+  * sequence.
+  */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = RepetitionStats.schema
+  override def prettyName: String = "repetition_stats"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.repetitionStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expressions.TextKernels.repetitionStats($v)")
+  override protected def withNewChildInternal(c: Expression): RepetitionStats = copy(child = c)
+}
+
+object RepetitionStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_distinct_words", LongType, nullable = false),
+    StructField("top_word_cnt", LongType, nullable = false),
+    StructField("top_bigram_cnt", LongType, nullable = false)))
 }

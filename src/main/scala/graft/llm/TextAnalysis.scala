@@ -41,6 +41,20 @@ object TextAnalysis {
         size(array_distinct(bigrams)).cast("double") / (size(toks) - 1).cast("double"))
   }
 
+  /** Most-common-element repetition signals — the other half of the
+    * Gopher/MassiveText repetition-rule family: the fraction of the
+    * document taken by its single most frequent word and by its most
+    * frequent adjacent word bigram. Unlike the distinct-ratio rules
+    * above, these need a per-doc FREQUENCY map (argmax of counts), which
+    * the higher-order-function formulation cannot express without
+    * explode + two groupBys + a window — a shuffle of every token of
+    * every document. The RepetitionStats kernel builds both maps in the
+    * same one byte pass instead (struct: n_words, n_distinct_words,
+    * top_word_cnt, top_bigram_cnt over the whitespace-token stream).
+    */
+  def repetitionStats(c: Column): Column =
+    toCol(graft.expressions.RepetitionStats(toExpr(c.cast("string"))))
+
   /** The whole stats battery (ws/BPE token counts, stopword hits, [a-z]+
     * token count, punct ratio, quality) as ONE single-pass codegen struct
     * — the regexp formulations below each project a field of it, so a

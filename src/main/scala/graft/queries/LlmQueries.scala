@@ -430,6 +430,52 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Most-common-element repetition signals (the argmax half of the
+    // Gopher repetition-rule family, complementing q39/q40's
+    // distinct-ratio half): per-doc word and adjacent-bigram frequency
+    // maps fused into ONE byte pass (RepetitionStats kernel — no
+    // explode, no token shuffle; the oracle replays the same counts via
+    // unnest + group-by). Ratio doubles are formed by the identical IEEE
+    // op sequence on both sides, so the gate compare is exact.
+    QueryDef.sql(
+      "q142_repetition_signals",
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l FROM documents),
+        |w AS (
+        |  SELECT doc_id, l[pos] AS word, pos
+        |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(l))) AS pos)),
+        |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |             CAST(count(DISTINCT word) AS BIGINT) AS n_distinct_words
+        |      FROM w GROUP BY 1),
+        |twc AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_word_cnt
+        |        FROM (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2) GROUP BY 1),
+        |bgc AS (SELECT doc_id, word || chr(1) || next_word AS bigram, count(*) AS cnt
+        |        FROM (SELECT doc_id, l[pos] AS word, l[pos + 1] AS next_word
+        |              FROM d, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS pos))
+        |        GROUP BY 1, 2),
+        |tbc AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_bigram_cnt FROM bgc GROUP BY 1)
+        |SELECT c.doc_id, c.n_words, c.n_distinct_words, twc.top_word_cnt,
+        |  CAST(coalesce(tbc.top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+        |  1.0 - c.n_distinct_words * 1.0 / c.n_words AS dup_word_ratio,
+        |  twc.top_word_cnt * 1.0 / c.n_words AS top_word_frac,
+        |  CASE WHEN c.n_words < 2 THEN 0.0
+        |       ELSE coalesce(tbc.top_bigram_cnt, 0) * 1.0 / (c.n_words - 1) END AS top_bigram_frac
+        |FROM c JOIN twc USING (doc_id) LEFT JOIN tbc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.repetitionStats(col("text")).as("rs"))
+        .select(col("doc_id"), col("rs.n_words").as("n_words"),
+          col("rs.n_distinct_words").as("n_distinct_words"),
+          col("rs.top_word_cnt").as("top_word_cnt"),
+          col("rs.top_bigram_cnt").as("top_bigram_cnt"))
+        .withColumn("dup_word_ratio",
+          lit(1.0) - col("n_distinct_words") * lit(1.0) / col("n_words"))
+        .withColumn("top_word_frac", col("top_word_cnt") * lit(1.0) / col("n_words"))
+        .withColumn("top_bigram_frac",
+          when(col("n_words") < 2, lit(0.0))
+            .otherwise(col("top_bigram_cnt") * lit(1.0) / (col("n_words") - lit(1))))
+        .orderBy(col("doc_id"))
+    },
+
     // STREAMING near-dup dedup as a REAL streaming query: documents
     // staged as two files (doc_id parity, mtime-ordered), drained
     // through foreachBatch increments against the persistent index.

@@ -317,4 +317,47 @@ object KernelLaws extends Properties("graft.kernels") {
       }
       got == want
     }
+
+  // ---- RepetitionStats: one-pass word/bigram maps vs the split model ----
+
+  /** Text that exercises the regexp-split contract: words, multi-space
+    * runs, tab/newline whitespace (→ empty edge tokens after the
+    * space-only trim), and repeated vocabulary so top counts exceed 1.
+    */
+  private val repText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      6 -> Gen.oneOf("ab", "b", "dup", "dup", "x", "yz"),
+      4 -> Gen.const(" "), 1 -> Gen.const("  "),
+      1 -> Gen.const("\t"), 1 -> Gen.const("\n"))).map(_.mkString)
+
+  property("repetitionStats equals the regexp-split frequency model") =
+    forAll(repText) { s =>
+      val row = TextKernels.repetitionStats(u(s))
+      // space-only trim, then split on the pinned RE2 \s class with
+      // trailing empties kept — regexp_split_to_array semantics
+      var a = 0; var b = s.length
+      while (a < b && s.charAt(a) == ' ') a += 1
+      while (b > a && s.charAt(b - 1) == ' ') b -= 1
+      val words = s.substring(a, b).split("[ \t\n\f\r]+", -1)
+      val wc = words.groupBy(identity).map(_._2.length.toLong)
+      val bc = words.sliding(2).filter(_.length == 2)
+        .map(p => p(0) + "\u0001" + p(1)).toSeq
+        .groupBy(identity).map(_._2.length.toLong)
+      Prop.all(
+        (row.getLong(0) == words.length.toLong) :| s"n_words ${row.getLong(0)} != ${words.length}",
+        (row.getLong(1) == wc.size.toLong) :| s"n_distinct ${row.getLong(1)} != ${wc.size}",
+        (row.getLong(2) == wc.max) :| s"top_word ${row.getLong(2)} != ${wc.max}",
+        (row.getLong(3) == (if (bc.isEmpty) 0L else bc.max)) :| s"top_bigram ${row.getLong(3)}")
+    }
+
+  property("repetitionStats pins the empty/blank/edge-token contract") = Prop.all(
+    { val r = TextKernels.repetitionStats(u(""))
+      (r.getLong(0) == 1L && r.getLong(1) == 1L && r.getLong(2) == 1L && r.getLong(3) == 0L) :| "empty" },
+    { val r = TextKernels.repetitionStats(u("   "))
+      (r.getLong(0) == 1L && r.getLong(2) == 1L) :| "all-space collapses to one empty token" },
+    { val r = TextKernels.repetitionStats(u("\ta b\t"))
+      // space trim keeps the tabs -> ["", "a", "b", ""]: 4 words, 3 distinct
+      (r.getLong(0) == 4L && r.getLong(1) == 3L && r.getLong(2) == 2L) :| "tab edges" },
+    { val r = TextKernels.repetitionStats(u("x y x y x"))
+      (r.getLong(0) == 5L && r.getLong(1) == 2L && r.getLong(2) == 3L && r.getLong(3) == 2L) :| "alternation" })
 }
