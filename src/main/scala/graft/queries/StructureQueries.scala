@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{GraftTable, Restructure}
+import graft.ops.{GraftTable, Restructure, Skew}
 import org.apache.spark.sql.functions._
 
 /** Selection / restructuring / numeric-aggregation queries
@@ -249,6 +249,75 @@ object StructureQueries {
           min_by(col("l_returnflag"), col("l_orderkey") * 10 + col("l_linenumber")).as("first_flag"),
           max_by(col("l_returnflag"), col("l_orderkey") * 10 + col("l_linenumber")).as("last_flag"))
         .orderBy(col("l_linestatus"))
+    },
+
+    // Salted skew join (§2.9 #71, previously spec-only): the explicit-plan
+    // skew mitigation — the big side's hot keys split across `factor`
+    // deterministic sub-keys, the small side replicated factor× — must be
+    // RESULT-identical to the plain join, which is exactly what the plain
+    // SQL oracle replays. One shuffle on (key, salt); no single reducer
+    // sees a whole hot key.
+    QueryDef.sql(
+      "q143_salted_join",
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      Skew.saltedJoin(li, ord, Seq("o_orderkey"), factor = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // TableV::to_table materialization (§2.7 #55, previously spec-only):
+    // slice a 500-row window under total order, materialize it (persist +
+    // force — the reference's view→owned-table copy), then aggregate FROM
+    // the materialized form. The oracle replays the slice as
+    // ORDER BY/LIMIT/OFFSET, so a materialization that altered content or
+    // double-counted rows breaks the hash.
+    QueryDef.sql(
+      "q144_materialize_slice",
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 500 OFFSET 100)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val sliced = GraftTable(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))
+        .r(100, 600, col("o_orderkey"))
+        .materialize()
+      graft.ops.CacheRegistry.register(sliced.toDF)
+      sliced.toDF
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // rechunkByKey + consolidate (§2.8 #59, previously spec-only):
+    // re-partitioning by the grouping key is content-neutral AND
+    // co-locates the following groupBy — Catalyst reuses the hash
+    // partitioning, so the aggregate runs with NO second exchange
+    // (PlansSpec asserts the single-shuffle shape); consolidate folds the
+    // per-group results to one chunk. The oracle is the plain aggregate.
+    QueryDef.sql(
+      "q145_rechunk_agg",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(AVG(l_extendedprice), 4) AS avg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val rechunked = Restructure.rechunkByKey(
+        Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")),
+        8, col("l_returnflag"))
+      Restructure.consolidate(
+        rechunked.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(avg(col("l_extendedprice")), 4).as("avg_price")))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

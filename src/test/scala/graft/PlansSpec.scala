@@ -200,4 +200,14 @@ class PlansSpec extends SparkSpec {
     assert(out.filter(ColumnBridge.column(rp.output.find(_.name == "price").get).isNotNull)
       .count() === 1)
   }
+
+  test("rechunkByKey partitioning is reused by the following groupBy (one exchange)") {
+    val df = (1 to 400).map(i => (s"k${i % 7}", i.toDouble)).toDF("k", "v")
+    val agg = graft.ops.Restructure.rechunkByKey(df, 8, col("k"))
+      .groupBy(col("k")).agg(sum(col("v")).as("s"))
+    val physical = agg.queryExecution.executedPlan.toString
+    val exchanges = physical.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size === 1, s"expected the repartition to be the ONLY shuffle:\n$physical")
+    assert(exchanges.head.contains("hashpartitioning(k"))
+  }
 }
