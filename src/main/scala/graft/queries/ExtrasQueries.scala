@@ -554,8 +554,76 @@ object ExtrasQueries {
           array_contains(col("arr"), 5).as("has5"),
           array_join(slice(col("arr"), 1, 3), "-").as("head3"))
         .orderBy(col("l_orderkey"))
+    },
+
+    // Table-level metadata map (#91, previously spec-only — the
+    // reference's Table.metadata BTreeMap, structs/table.rs:103): the map
+    // must survive BOTH at-rest forms, the parquet footer (schema-JSON
+    // key-value) and the arrow batch-dir sidecar. The oracle states the
+    // expected (k, v) pairs with literal-TRUE survival flags; a dropped
+    // or corrupted map flips a boolean and fails the hash.
+    QueryDef.sql(
+      "q146_table_metadata",
+      """SELECT * FROM (VALUES
+        |  ('owner', 'graft', TRUE, TRUE),
+        |  ('round', '8', TRUE, TRUE),
+        |  ('source', 'gate', TRUE, TRUE))
+        |  AS t(k, v, survived_parquet, survived_arrowdir)
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val meta = Map("owner" -> "graft", "round" -> "8", "source" -> "gate")
+      val tagged = graft.sources.ArrowInterop.withTableMetadata(
+        Tables.nation(s, d).select(col("n_nationkey"), col("n_name")), meta)
+      val stem = d.replaceAll("[^A-Za-z0-9]", "_")
+      val pdir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_meta_parquet_" + stem).toString
+      tagged.write.mode("overwrite").parquet(pdir)
+      val fromParquet = graft.sources.ArrowInterop.tableMetadata(s.read.parquet(pdir))
+      val adir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_meta_arrowdir_" + stem).toString
+      graft.sources.ArrowInterop.writeBatchDir(tagged, adir)
+      val fromArrow = graft.sources.ArrowInterop.tableMetadata(
+        graft.sources.ArrowInterop.readBatchDir(s, adir))
+      meta.toSeq.sortBy(_._1)
+        .map { case (k, v) =>
+          (k, v, fromParquet.get(k).contains(v), fromArrow.get(k).contains(v)) }
+        .toDF("k", "v", "survived_parquet", "survived_arrowdir")
+        .orderBy(col("k"))
+    },
+
+    // Display golden parity (#83/#92, previously spec-only): the
+    // reference Print-format renderer (Display for Table,
+    // table.rs:934-1006) over a FIXTURE-INDEPENDENT literal table (range
+    // + derived cols, 30 rows > MAX_PREVIEW so the first-10/…/last-10
+    // ellipsis path runs, plus a nullable column). The oracle pins the
+    // headline line, the line count, and the md5 of the full rendering —
+    // any drift in box layout, width fitting, null display, or the
+    // ellipsis row changes the digest.
+    QueryDef.sql(
+      "q147_render_golden",
+      renderGoldenOracle) { (s, d) =>
+      import s.implicits._
+      val demo = s.range(0, 30).select(col("id"),
+        (col("id") * 2).cast("int").as("v"),
+        concat(lit("s"), col("id")).as("name"),
+        when(pmod(col("id"), lit(3)) === 0, col("id").cast("double") / lit(4.0)).as("frac"))
+      val rendered = graft.ops.Introspect.render(demo, "demo")
+      val lines = rendered.split("\n", -1)
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(rendered.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Seq((lines(0), lines.length.toLong, md5hex))
+        .toDF("first_line", "n_lines", "render_md5")
     }
   )
+
+  /** Expected q147 constants — regenerate by running the query and
+    * reading the three cells (they are a pure function of the renderer
+    * and the literal demo table, never of fixture data).
+    */
+  private def renderGoldenOracle: String =
+    """SELECT 'Table "demo" [30 rows × 4 cols]' AS first_line,
+      |  CAST(36 AS BIGINT) AS n_lines,
+      |  'a649de757e8564c5e8932e3e4fdbf788' AS render_md5""".stripMargin
 
   /** DuckDB replay of ZOrder.zValue(Seq(p_size, p_partkey % 256), 8):
     * bit j of dim i → output position 2j + i, as explicit shift/mask
