@@ -430,6 +430,53 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Index-lifecycle gate row (#89, previously spec-only): compaction is
+    // DECISION-NEUTRAL. Two identical three-epoch exact-dedup runs, one
+    // with nearDedupIndexCompact between epochs 1 and 2 (folds the
+    // settled epoch 0 into the sentinel generation while epoch 1 stays) —
+    // the oracle replays the batch-free first-epoch-wins rule and expects
+    // `agree` (compacted run ≡ uncompacted run) literal-true. A
+    // compaction that dropped, duplicated-with-effect, or re-epoched
+    // state visibly flips decisions in epoch 2.
+    QueryDef.sql(
+      "q148_compaction_neutral",
+      """WITH f AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS ep,
+        |    md5(coalesce(list_aggregate(list_transform(
+        |      regexp_extract_all(text, '[A-Za-z]+')[1:8], x -> lower(x)),
+        |      'string_agg', ' '), '')) AS fp
+        |  FROM documents)
+        |SELECT f.doc_id, f.ep,
+        |  NOT EXISTS (SELECT 1 FROM f f2 WHERE f2.fp = f.fp
+        |    AND (f2.ep < f.ep OR (f2.ep = f.ep AND f2.doc_id < f.doc_id))) AS kept,
+        |  TRUE AS agree
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text")).persist()
+      graft.ops.CacheRegistry.register(docs)
+      val dirA = java.nio.file.Files.createTempDirectory("graft_compactneutral_a_").toString
+      val dirB = java.nio.file.Files.createTempDirectory("graft_compactneutral_b_").toString
+      rotateRunDirs("q148", Seq(dirA, dirB))
+      val fp = md5(concat_ws(" ", slice(
+        expr("transform(regexp_extract_all(text, '[A-Za-z]+', 0), x -> lower(x))"), 1, 8)))
+      def run(dir: String, compactAfterEpoch: Option[Int]) = {
+        val parts = (0 until 3).map { b =>
+          val r = Dedup.exactDedupIncrement(
+              docs.filter(pmod(col("doc_id"), lit(3)) === b), "doc_id", fp, dir, epoch = b)
+            .withColumn("ep", lit(b.toLong))
+          if (compactAfterEpoch.contains(b)) Dedup.nearDedupIndexCompact(s, dir)
+          r
+        }
+        parts.reduce(_.unionByName(_))
+      }
+      val plain = run(dirA, None)
+      val compacted = run(dirB, Some(1))
+      compacted.select(col("id").as("doc_id"), col("ep"), col("kept"))
+        .join(plain.select(col("id").as("doc_id"), col("kept").as("kept_plain")), Seq("doc_id"))
+        .withColumn("agree", col("kept") === col("kept_plain"))
+        .select(col("doc_id"), col("ep"), col("kept"), col("agree"))
+        .orderBy(col("doc_id"))
+    },
+
     // Most-common-element repetition signals (the argmax half of the
     // Gopher repetition-rule family, complementing q39/q40's
     // distinct-ratio half): per-doc word and adjacent-bigram frequency
