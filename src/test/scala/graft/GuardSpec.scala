@@ -55,4 +55,21 @@ class GuardSpec extends SparkSpec {
     // tamper B: dropping the isolated doc flips its row (nothing justified it)
     assert(guard(1L)(3L) === false)
   }
+
+  test("OPERATORS.md names only registry queries, and every registry query is documented") {
+    val registry = graft.queries.Registry.all.map(_.name).toSet
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("OPERATORS.md")), "UTF-8")
+    val mentioned = "q\\d+[a-z_]*".r.findAllIn(doc).toSet
+      .filter(_.matches("q\\d+_[a-z_]+")) // full names; bare qNN are prefixes
+    val unknown = mentioned.filterNot(m => registry.contains(m))
+    assert(unknown.isEmpty, s"OPERATORS.md names unknown queries: $unknown")
+    // bare qNN references (e.g. "q43, q44") must be prefixes of real names
+    val bare = "q\\d+".r.findAllIn(doc).toSet
+    val barePrefixes = bare.filterNot(b => registry.exists(_.startsWith(b + "_")))
+    assert(barePrefixes.isEmpty, s"OPERATORS.md references nonexistent query ids: $barePrefixes")
+    // coverage: every registered query id appears somewhere in the doc
+    val undocumented = registry.map(_.split("_")(0)).filterNot(bare.contains)
+    assert(undocumented.isEmpty, s"registry queries missing from OPERATORS.md: $undocumented")
+  }
 }
