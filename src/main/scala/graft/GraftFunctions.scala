@@ -46,6 +46,8 @@ object GraftFunctions {
     "srp_sig" -> (es => SrpSig(asAD(es(0)), 16, 7L)),
     "nfc_normalize" -> (es => NfcNormalize(asS(es(0)))),
     "strip_accents" -> (es => StripAccents(asS(es(0)))),
+    "text_stats" -> (es => TextStats(asS(es(0)), graft.llm.TextAnalysis.StopEn)),
+    "repetition_stats" -> (es => RepetitionStats(asS(es(0)))),
     // table-generating (UDTF): SELECT shingle_explode(text) — LATERAL VIEW
     // compatible; fixed 3-gram width on the SQL surface like shingle_tokens
     "shingle_explode" -> (es => ShingleExplode(asS(es(0)), 3)))

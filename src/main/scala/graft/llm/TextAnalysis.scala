@@ -80,7 +80,7 @@ object TextAnalysis {
     */
   def punctRatio(c: Column): Column = textStats(c).getField("punct_ratio")
 
-  private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private[graft] val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
   /** Count of tokens appearing in a stopword list (with multiplicity) —
     * single-pass StopwordCount kernel, value-identical to filtering the

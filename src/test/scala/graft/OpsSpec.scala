@@ -84,6 +84,14 @@ class OpsSpec extends SparkSpec {
     assert(r.getLong(3) === 3L)
     assert(r.getLong(4) === -56L)
     assert(r.getBoolean(5))
+    // struct-returning kernels on the SQL surface (constant-folded too)
+    val st = spark.sql(
+      "SELECT repetition_stats('x y x y x').top_word_cnt, " +
+      "repetition_stats('x y x y x').top_bigram_cnt, " +
+      "text_stats('the small cat').n_tok_ws").head()
+    assert(st.getLong(0) === 3L)
+    assert(st.getLong(1) === 2L)
+    assert(st.getLong(2) === 3L)
   }
 
   test("Observe: metrics ride the pipeline action and match direct aggregation") {
