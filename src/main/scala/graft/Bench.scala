@@ -54,9 +54,17 @@ object Bench {
     // both a floor and a central tendency to compare.
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
     // optional comma-separated name filter (scaling-curve subset runs at
-    // sf1/sf10 time a budgeted query list instead of all 140)
+    // sf1/sf10 time a budgeted query list instead of all 140); accepted
+    // as the env var or as the first CLI arg — a filter passed where the
+    // tool doesn't look must not silently time the whole suite
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .orElse(args.headOption)
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { names =>
+      val unknown = names.filterNot(n => SparkEntry.allDefs.exists(_.name == n))
+      require(unknown.isEmpty, s"unknown bench query names: ${unknown.mkString(", ")}")
+    }
     val defs = SparkEntry.allDefs.filter(q => only.forall(_.contains(q.name)))
     val passes = (1 to nPasses).map { _ =>
       defs.map(q => q.name -> runOnce(q.name, q.fn)).toMap
