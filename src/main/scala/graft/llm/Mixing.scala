@@ -45,8 +45,49 @@ object Mixing {
       sourceCol: String, weights: Map[String, Double], targetTokens: Long): DataFrame = {
     val rates = mixtureRates(df, tokenCol, sourceCol, weights, targetTokens)
       .select(col(sourceCol), col("rate"))
+    sampleAtRates(df, idCol, rates, sourceCol)
+  }
+
+  /** Temperature-flattened mixture weights — the multilingual sampling
+    * rule (mC4 / XLM-R style): source weight ∝ (source tokens)^alpha,
+    * alpha ∈ (0, 1]. alpha = 1 keeps the corpus's natural distribution;
+    * alpha → 0 approaches uniform-over-sources, boosting small domains.
+    * Unlike [[mixtureRates]] the weights derive FROM the corpus, so no
+    * hand-tuned map is needed as sources appear/disappear upstream.
+    *
+    * Shape: one per-source aggregate (|sources| rows), one 1-row total
+    * joined back as a provably-scalar cross (Catalyst maxRows = 1 —
+    * PlanSweep-clean); the corpus is never touched here. The rate is
+    * round(·, 6)-quantized so the oracle's libm pow and the JVM's agree
+    * on the downstream bucket threshold.
+    */
+  def temperatureRates(df: DataFrame, tokenCol: String, sourceCol: String,
+      alpha: Double, targetTokens: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"temperature alpha must be in (0,1]: $alpha")
+    require(targetTokens > 0, s"token budget must be positive: $targetTokens")
+    val tot = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokenCol)).cast("long").as("source_tokens"))
+    val wsum = tot.agg(sum(pow(col("source_tokens"), lit(alpha))).as("wsum"))
+    tot.crossJoin(broadcast(wsum))
+      .withColumn("weight", pow(col("source_tokens"), lit(alpha)) / col("wsum"))
+      .withColumn("rate", least(lit(1.0),
+        round(col("weight") * lit(targetTokens.toDouble) / col("source_tokens"), 6)))
+      .drop("wsum")
+  }
+
+  /** Kept rows under the temperature mixture (same stable-bucket keep rule
+    * as [[sampleToMixture]]).
+    */
+  def sampleToTemperature(df: DataFrame, idCol: String, tokenCol: String,
+      sourceCol: String, alpha: Double, targetTokens: Long): DataFrame =
+    sampleAtRates(df, idCol,
+      temperatureRates(df, tokenCol, sourceCol, alpha, targetTokens)
+        .select(col(sourceCol), col("rate")),
+      sourceCol)
+
+  private def sampleAtRates(df: DataFrame, idCol: String, rates: DataFrame,
+      sourceCol: String): DataFrame =
     df.join(broadcast(rates), Seq(sourceCol))
       .filter(Splits.splitBucket(col(idCol), 65536) < (col("rate") * 65536).cast("long"))
       .drop("rate")
-  }
 }

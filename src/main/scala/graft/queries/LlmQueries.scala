@@ -1427,6 +1427,50 @@ object LlmQueries {
         .orderBy(col("source"))
     },
 
+    // Temperature-flattened mixture (the mC4/XLM-R multilingual sampling
+    // rule): source weight ∝ tokens^0.5 derived FROM the corpus — no
+    // hand-tuned map — then the same capped-rate stable-bucket sampling
+    // as q90. alpha = 0.5 at a 6000-token budget visibly boosts the
+    // smallest source relative to natural sampling. The rate is
+    // round(·,6)-quantized on both engines so JVM and libm pow agree on
+    // the bucket threshold; weights are emitted rounded for the compare.
+    QueryDef.sql(
+      "q149_temperature_mixture",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tot AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS source_tokens
+        |        FROM t GROUP BY 1),
+        |ws AS (SELECT SUM(pow(source_tokens, 0.5)) AS wsum FROM tot),
+        |r AS (SELECT source, source_tokens,
+        |        pow(source_tokens, 0.5) / wsum AS weight,
+        |        least(1.0, round(pow(source_tokens, 0.5) / wsum * 6000 / source_tokens, 6)) AS rate
+        |      FROM tot, ws),
+        |kept AS (
+        |  SELECT t.source, t.doc_id, t.n_tokens FROM t JOIN r USING (source)
+        |  WHERE CAST(('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 65536
+        |        < CAST(floor(rate * 65536) AS BIGINT))
+        |SELECT r.source, r.source_tokens, round(r.weight, 6) AS weight, r.rate,
+        |  CAST(COUNT(kept.doc_id) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(SUM(kept.n_tokens), 0) AS BIGINT) AS tokens_kept
+        |FROM r LEFT JOIN kept ON kept.source = r.source
+        |GROUP BY r.source, r.source_tokens, r.weight, r.rate
+        |ORDER BY r.source""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(TextAnalysis.wordTokens(col("text"))).cast("long").as("n_tokens"))
+      val rates = graft.llm.Mixing.temperatureRates(toks, "n_tokens", "source", 0.5, 6000L)
+      val kept = graft.llm.Mixing.sampleToTemperature(toks, "doc_id", "n_tokens", "source", 0.5, 6000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
+      rates.join(kept, Seq("source"), "left")
+        .select(col("source"), col("source_tokens"),
+          round(col("weight"), 6).as("weight"), col("rate"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+        .orderBy(col("source"))
+    },
+
     // Exact corpus heavy hitters: top-20 word terms by count. One
     // (term)-keyed shuffle with map-side combine; documents are never
     // shuffled whole. Tie-break term ASC makes the LIMIT deterministic.

@@ -1095,4 +1095,35 @@ class LlmSpec extends SparkSpec {
     assert(posMap(df, 8L) !== a, "a new seed must be a fresh permutation")
     graft.ops.CacheRegistry.releaseAll()
   }
+
+  test("temperatureRates: alpha=1 is the natural mixture; smaller alpha boosts small sources") {
+    import graft.llm.Mixing
+    // three sources with 1000 / 100 / 10 tokens
+    val rows = (1 to 100).map(i => (i.toLong, "big", 10L)) ++
+      (101 to 110).map(i => (i.toLong, "mid", 10L)) ++
+      Seq((111L, "tiny", 10L))
+    val df = rows.toDF("id", "source", "n_tok")
+    def rates(alpha: Double, budget: Long): Map[String, (Double, Double)] =
+      Mixing.temperatureRates(df, "n_tok", "source", alpha, budget).collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Double]("weight"), r.getAs[Double]("rate"))).toMap
+    // alpha=1: weight_s = tokens_s / total, so rate = budget/total for ALL
+    // sources (the natural distribution — temperature is a no-op)
+    val nat = rates(1.0, 555L)
+    val natRates = nat.values.map(_._2).toSeq
+    assert(natRates.distinct.size === 1, s"alpha=1 rates must be uniform: $nat")
+    assert(math.abs(natRates.head - 0.5) < 1e-6) // 555/1110
+    // alpha=0.5: the tiny source's weight rises above its natural share,
+    // the big source's falls below — the flattening direction
+    val flat = rates(0.5, 555L)
+    assert(flat("tiny")._1 > 10.0 / 1110.0, s"tiny must be boosted: $flat")
+    assert(flat("big")._1 < 1000.0 / 1110.0, s"big must shrink: $flat")
+    // weights are a distribution
+    assert(math.abs(flat.values.map(_._1).sum - 1.0) < 1e-9)
+    // rates cap at 1: a huge budget can't upsample
+    assert(rates(0.5, 1000000L).values.forall(_._2 === 1.0))
+    // the sampler keeps a subset consistent with per-source rates
+    val kept = Mixing.sampleToTemperature(df, "id", "n_tok", "source", 0.5, 555L)
+    assert(kept.count() > 0 && kept.count() < df.count())
+  }
 }
