@@ -242,4 +242,71 @@ object TextAnalysis {
         round(col("dot") / (col("n1") * col("n2")), 6).as("cos"))
       .filter(col("cos") >= minCos)
   }
+
+  /** Corpus-derived unigram language-model score per document — the
+    * perplexity-style LM quality filter of web-corpus curation (CCNet /
+    * Gopher family), with the corpus itself as the model so no external
+    * LM artifact is needed: avg_logp(d) = Σ_t c_t·ln(count(t)/T) / len(d).
+    * Lower (more negative) = rarer vocabulary = further from the corpus
+    * distribution; a pipeline thresholds or quantile-buckets this score.
+    *
+    * Distributed shape: ONE pass over text produces per-(doc,term) counts;
+    * the corpus model (term totals + the scalar grand total) re-aggregates
+    * those counts — text is tokenized once and documents never shuffle
+    * whole, only (id,term,c) triplets do. The grand total joins as a
+    * provably-one-row broadcast (same shape as q149's weight-sum). MLE
+    * probabilities need no smoothing: the vocabulary is derived from the
+    * scored corpus, so OOV is impossible by construction. Zero-token
+    * documents surface as (n_tok=0, avg_logp=NULL) via the left join —
+    * a quality filter must see them, not silently drop them.
+    */
+  def unigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val terms = df.select(col(idCol).as("id"), explode(wordTokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("id"), col("term")).agg(count(lit(1)).as("c"))
+      .persist() // model totals re-aggregate the counts; never re-tokenize
+    graft.ops.CacheRegistry.register(tf)
+    val model = tf.groupBy(col("term")).agg(sum(col("c")).as("ct"))
+    val total = tf.agg(sum(col("c")).cast("double").as("t"))
+    val scored = tf.join(model, "term").crossJoin(total)
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_tok"),
+        (sum(col("c") * log(col("ct").cast("double") / col("t"))) / sum(col("c")))
+          .as("lp"))
+    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        round(col("lp"), 6).as("avg_logp"))
+  }
+
+  /** Per-source token-distribution divergence from the whole corpus:
+    * KL(p_source ‖ p_corpus) over word unigrams — the mixture-drift
+    * diagnostic of multi-source pretraining corpora (which slice's
+    * vocabulary is furthest from the blend it feeds). KL is finite by
+    * construction: every source term is a corpus term, so q(t) > 0
+    * wherever p_s(t) > 0.
+    *
+    * Distributed shape: one tokenization pass to (source, term) counts;
+    * the corpus marginal and the per-source totals both re-aggregate
+    * those counts (term-keyed and source-keyed respectively), so text is
+    * read once and only count triplets shuffle. Per-source totals are
+    * |sources| rows — broadcast into the final join. Output is one row
+    * per source.
+    */
+  def sourceTokenKL(df: org.apache.spark.sql.DataFrame, srcCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val st = df.select(col(srcCol).as("source"), explode(wordTokens(col(textCol))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .persist() // the marginal and the totals both re-aggregate these counts
+    graft.ops.CacheRegistry.register(st)
+    val corpus = st.groupBy(col("term")).agg(sum(col("c")).as("ct"))
+    val bySource = st.groupBy(col("source")).agg(sum(col("c")).as("ts"))
+    val total = st.agg(sum(col("c")).cast("double").as("t"))
+    st.join(corpus, "term")
+      .join(broadcast(bySource), "source").crossJoin(total)
+      .withColumn("p", col("c").cast("double") / col("ts"))
+      .withColumn("q", col("ct").cast("double") / col("t"))
+      .groupBy(col("source"))
+      .agg(max(col("ts")).as("n_tok"),
+        round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl"))
+  }
 }

@@ -1471,6 +1471,55 @@ object LlmQueries {
         .orderBy(col("source"))
     },
 
+    // Corpus-derived unigram LM quality score (CCNet-style perplexity
+    // filtering with the corpus as its own model). One tokenization pass;
+    // the model (term totals + scalar grand total) re-aggregates the
+    // per-(doc,term) counts, so only count triplets shuffle. The oracle
+    // replays the identical MLE model; round(·,6) absorbs summation-order
+    // float drift, as in q58/q110. Zero-token docs emit (0, NULL).
+    QueryDef.sql(
+      "q150_unigram_logprob",
+      """WITH terms AS (
+        |  SELECT doc_id AS id, unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS term
+        |  FROM documents),
+        |tf AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS c FROM terms GROUP BY 1, 2),
+        |model AS (SELECT term, CAST(SUM(c) AS BIGINT) AS ct FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM tf),
+        |doc AS (
+        |  SELECT id, CAST(SUM(c) AS BIGINT) AS n_tok,
+        |    SUM(c * ln(CAST(ct AS DOUBLE) / t)) / SUM(c) AS lp
+        |  FROM tf JOIN model USING (term) CROSS JOIN tot GROUP BY id)
+        |SELECT d.doc_id AS id, COALESCE(doc.n_tok, 0) AS n_tok,
+        |  ROUND(doc.lp, 6) AS avg_logp
+        |FROM documents d LEFT JOIN doc ON doc.id = d.doc_id
+        |ORDER BY id""".stripMargin) { (s, d) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("id"))
+    },
+
+    // Per-source unigram KL divergence vs the corpus blend — the
+    // mixture-drift diagnostic beside q149's temperature mixing: which
+    // source's vocabulary sits furthest from the distribution it feeds.
+    // One tokenization pass; corpus marginal and source totals both
+    // re-aggregate the (source, term) counts. Output = one row/source.
+    QueryDef.sql(
+      "q151_source_kl",
+      """WITH st AS (
+        |  SELECT source, unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS term
+        |  FROM documents),
+        |c AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c FROM st GROUP BY 1, 2),
+        |corpus AS (SELECT term, CAST(SUM(c) AS BIGINT) AS ct FROM c GROUP BY 1),
+        |bysrc AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ts FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM c)
+        |SELECT c.source, MAX(ts) AS n_tok,
+        |  ROUND(SUM((CAST(c AS DOUBLE) / ts) *
+        |            ln((CAST(c AS DOUBLE) / ts) / (CAST(ct AS DOUBLE) / t))), 6) AS kl
+        |FROM c JOIN corpus USING (term) JOIN bysrc USING (source) CROSS JOIN tot
+        |GROUP BY c.source ORDER BY c.source""".stripMargin) { (s, d) =>
+      TextAnalysis.sourceTokenKL(Tables.documents(s, d), "source", "text")
+        .orderBy(col("source"))
+    },
+
     // Exact corpus heavy hitters: top-20 word terms by count. One
     // (term)-keyed shuffle with map-side combine; documents are never
     // shuffled whole. Tie-break term ASC makes the LIMIT deterministic.

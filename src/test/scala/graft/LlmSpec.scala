@@ -541,6 +541,35 @@ class LlmSpec extends SparkSpec {
     q.flatten.foreach(v => assert(v >= 0.0 && v <= 1.0))
   }
 
+  test("unigram LM score: hand-computed MLE model, zero-token doc emits NULL") {
+    // corpus: a×2, b×2, T=4 ⇒ p(a)=p(b)=0.5; every token scores ln(0.5)
+    val df = Seq((0L, "a a b"), (1L, "b"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .orderBy(col("id")).collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(3L, 1L, 0L))
+    assert(out(0).getDouble(2) === math.rint(math.log(0.5) * 1e6) / 1e6)
+    assert(out(1).getDouble(2) === out(0).getDouble(2))
+    assert(out(2).isNullAt(2))
+    // rarer vocabulary ⇒ strictly lower score than corpus-typical text
+    val df2 = Seq((0L, "common common common"), (1L, "common rare")).toDF("doc_id", "text")
+    val s = TextAnalysis.unigramLogProb(df2, "doc_id", "text")
+      .orderBy(col("id")).collect().map(_.getDouble(2))
+    assert(s(1) < s(0))
+  }
+
+  test("sourceTokenKL: disjoint vocabularies give ln 2; identical blends give 0") {
+    // A={a,a}, B={b,b}: corpus q(a)=q(b)=0.5, each source is a point mass
+    val disj = Seq(("A", "a a"), ("B", "b b")).toDF("source", "text")
+    val kl = TextAnalysis.sourceTokenKL(disj, "source", "text")
+      .orderBy(col("source")).collect()
+    val ln2 = math.rint(math.log(2.0) * 1e6) / 1e6
+    assert(kl.map(_.getLong(1)).toSeq === Seq(2L, 2L))
+    assert(kl.map(_.getDouble(2)).toSeq === Seq(ln2, ln2))
+    val same = Seq(("A", "a b"), ("B", "a b")).toDF("source", "text")
+    TextAnalysis.sourceTokenKL(same, "source", "text").collect()
+      .foreach(r => assert(r.getDouble(2) === 0.0))
+  }
+
   test("langId picks the stopword-dominant language") {
     val df = strings("t", Seq(
       Some("the cat and the dog is fast"),
