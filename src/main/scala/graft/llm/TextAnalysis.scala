@@ -309,4 +309,45 @@ object TextAnalysis {
       .agg(max(col("ts")).as("n_tok"),
         round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl"))
   }
+
+  /** The Gopher document-quality rule bundle (Rae et al. 2021 §A1.1.2, the
+    * published heuristic filter battery): word-count bounds, mean-word-length
+    * band, symbol-to-word ratio (# and ellipsis), alphabetic-word fraction,
+    * and minimum stop-word hits — one boolean per rule plus the conjunctive
+    * keep decision, so a pipeline can audit WHICH rule rejected a document,
+    * not just that one did.
+    *
+    * Whitespace words (trim + \s+ split, same contract as the fused
+    * TextStats n_tok_ws) for the length/symbol/alpha rules; letter tokens
+    * for stop-word hits, as in the quality score. Everything is per-row
+    * column arithmetic over higher-order functions — codegen-friendly,
+    * shuffle-free, trivially 100 TB-safe. Zero-word documents fail every
+    * ratio rule (NULL-safe via coalesce) rather than erroring.
+    */
+  def gopherRules(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
+      minStopHits: Int = 2): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol).cast("string")
+    val ws = filter(split(trim(t), "\\s+"), x => x =!= lit(""))
+    val n = size(ws).cast("long")
+    val meanLen = aggregate(ws, lit(0L), (a, x) => a + length(x)).cast("double") / n
+    val symRatio = (length(t) - length(regexp_replace(t, "#", "")) +
+      regexp_count(t, lit("\\.\\.\\."))).cast("double") / n
+    val alphaRatio = size(filter(ws, x => x.rlike("[A-Za-z]"))).cast("double") / n
+    val okWords = col("n_words").between(minWords, maxWords)
+    val okMean = coalesce(col("mean_len").between(minMeanLen, maxMeanLen), lit(false))
+    val okSym = coalesce(col("sym_ratio") <= maxSymbolRatio, lit(false))
+    val okAlpha = coalesce(col("alpha_ratio") >= minAlphaRatio, lit(false))
+    val okStop = stopwordCount(t) >= minStopHits
+    df.select(col(idCol), t.as(textCol), size(ws).cast("long").as("n_words"),
+        when(n > 0, meanLen).as("mean_len"),
+        when(n > 0, symRatio).as("sym_ratio"),
+        when(n > 0, alphaRatio).as("alpha_ratio"))
+      .select(col(idCol), col("n_words"),
+        okWords.as("ok_words"), okMean.as("ok_mean_len"), okSym.as("ok_symbol"),
+        okAlpha.as("ok_alpha"), okStop.as("ok_stop"),
+        (okWords && okMean && okSym && okAlpha && okStop).as("kept"))
+  }
 }

@@ -570,6 +570,27 @@ class LlmSpec extends SparkSpec {
       .foreach(r => assert(r.getDouble(2) === 0.0))
   }
 
+  test("gopherRules: each rule rejects its own violation; clean doc passes") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs with pace"), // clean
+      (1L, "the a of"),                                     // too few words
+      (2L, "the supercalifragilisticexpialidocious of extraordinarily " +
+           "incomprehensibilities and unquestionably a characteristically"), // mean len > 10
+      (3L, "the ### #### ##### of ## and a ### it is"),     // symbols + alpha
+      (4L, "x y z w v u t s r q"),                          // no stopword hits
+      (5L, "")                                              // zero words
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text", minWords = 5)
+      .orderBy(col("doc_id")).collect()
+    assert(out(0).getBoolean(7))                            // kept
+    assert(!out(1).getBoolean(2) && !out(1).getBoolean(7))  // ok_words fails
+    assert(!out(2).getBoolean(3))                           // ok_mean_len fails
+    assert(!out(3).getBoolean(4) && !out(3).getBoolean(5))  // symbol + alpha fail
+    assert(!out(4).getBoolean(6))                           // ok_stop fails
+    assert(out(5).getLong(1) === 0L &&
+      (2 to 6).forall(i => !out(5).getBoolean(i)))          // empty fails all
+  }
+
   test("langId picks the stopword-dominant language") {
     val df = strings("t", Seq(
       Some("the cat and the dog is fast"),
