@@ -90,4 +90,53 @@ object Mixing {
     df.join(broadcast(rates), Seq(sourceCol))
       .filter(Splits.splitBucket(col(idCol), 65536) < (col("rate") * 65536).cast("long"))
       .drop("rate")
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much its hashed-unigram feature distribution resembles a TARGET
+    * slice versus the whole corpus —
+    * dsir_logw(d) = Σ_b c_db · ln(p_target(b) / p_corpus(b)) / n_d,
+    * over `buckets` hashed feature buckets with add-α smoothing on both
+    * distributions (so buckets absent from the target stay finite). A
+    * selection pass keeps the top-weighted documents; emitting the raw
+    * per-doc log-weight keeps that policy (threshold, quantile, gumbel
+    * top-k) out of the scoring operator.
+    *
+    * The bucket hash is the portable md5-prefix rule ([[Splits.splitBucket]]
+    * semantics, applied to the token), so weights are reproducible across
+    * engines, runs, and cluster sizes. Distributed shape: one tokenization
+    * pass to (doc, bucket) count triplets; both distributions re-aggregate
+    * those counts into `buckets`-row frames that broadcast into the scoring
+    * join — documents never shuffle whole. Zero-token docs emit
+    * (n_tok=0, NULL); an empty target slice yields NULL weights everywhere
+    * (there is no distribution to resample toward).
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String, targetPred: Column,
+      buckets: Int = 64, alpha: Double = 0.5): DataFrame = {
+    require(buckets > 0, s"bucket count must be positive: $buckets")
+    require(alpha > 0, s"smoothing alpha must be positive: $alpha")
+    val toks = df.select(col(idCol).as("id"), targetPred.as("is_target"),
+      explode(TextAnalysis.wordTokens(col(textCol))).as("term"))
+    val bc = toks
+      .select(col("id"), col("is_target"),
+        (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("long") % buckets).as("bucket"))
+      .groupBy(col("id"), col("is_target"), col("bucket")).agg(count(lit(1)).as("c"))
+      .persist() // both distributions and the scoring pass reuse the counts
+    graft.ops.CacheRegistry.register(bc)
+    val tgt = bc.filter(col("is_target")).groupBy(col("bucket")).agg(sum(col("c")).as("tc"))
+    val cor = bc.groupBy(col("bucket")).agg(sum(col("c")).as("cc"))
+    val tTot = bc.filter(col("is_target")).agg(sum(col("c")).cast("double").as("tt"))
+    val cTot = bc.agg(sum(col("c")).cast("double").as("ct"))
+    val aB = alpha * buckets
+    val pT = (coalesce(col("tc"), lit(0L)) + alpha) / (col("tt") + aB)
+    val pC = (col("cc") + alpha) / (col("ct") + aB)
+    val scored = bc.join(broadcast(cor), "bucket").join(broadcast(tgt), Seq("bucket"), "left")
+      .crossJoin(tTot).crossJoin(cTot)
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_tok"),
+        (sum(col("c") * log(pT / pC)) / sum(col("c"))).as("w"))
+    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        round(col("w"), 6).as("dsir_logw"))
+  }
 }

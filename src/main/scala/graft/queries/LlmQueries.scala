@@ -1560,6 +1560,42 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // DSIR importance weights: score each doc by ln(p_target/p_corpus)
+    // over 64 portable md5-hashed unigram buckets (add-0.5 smoothing),
+    // with the 'src0' slice standing in for the high-quality target. The
+    // oracle replays the identical hash, smoothing, and model; round(·,6)
+    // absorbs summation-order drift. Zero-token docs emit (0, NULL).
+    QueryDef.sql(
+      "q153_dsir_weights",
+      """WITH toks AS (
+        |  SELECT doc_id AS id, source = 'src0' AS is_target,
+        |    unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS term
+        |  FROM documents),
+        |bc AS (
+        |  SELECT id, is_target,
+        |    CAST(('0x' || substring(md5(term), 1, 4)) AS BIGINT) % 64 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2, 3),
+        |tgt AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS tc FROM bc WHERE is_target GROUP BY 1),
+        |cor AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS cc FROM bc GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(c) AS DOUBLE) AS tt FROM bc WHERE is_target),
+        |ct AS (SELECT CAST(SUM(c) AS DOUBLE) AS ct FROM bc),
+        |doc AS (
+        |  SELECT id, CAST(SUM(c) AS BIGINT) AS n_tok,
+        |    SUM(c * ln(((COALESCE(tc, 0) + 0.5) / (tt + 32.0)) /
+        |               ((cc + 0.5) / (ct + 32.0)))) / SUM(c) AS w
+        |  FROM bc JOIN cor USING (bucket) LEFT JOIN tgt USING (bucket)
+        |       CROSS JOIN tt CROSS JOIN ct
+        |  GROUP BY id)
+        |SELECT d.doc_id AS id, COALESCE(doc.n_tok, 0) AS n_tok,
+        |  ROUND(doc.w, 6) AS dsir_logw
+        |FROM documents d LEFT JOIN doc ON doc.id = d.doc_id
+        |ORDER BY id""".stripMargin) { (s, d) =>
+      graft.llm.Mixing.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+          col("source") === "src0", buckets = 64, alpha = 0.5)
+        .orderBy(col("id"))
+    },
+
     // Exact corpus heavy hitters: top-20 word terms by count. One
     // (term)-keyed shuffle with map-side combine; documents are never
     // shuffled whole. Tie-break term ASC makes the LIMIT deterministic.

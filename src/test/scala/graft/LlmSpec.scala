@@ -591,6 +591,20 @@ class LlmSpec extends SparkSpec {
       (2 to 6).forall(i => !out(5).getBoolean(i)))          // empty fails all
   }
 
+  test("dsirWeights: target-like vocabulary outranks off-target; empty doc is NULL") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta", true),    // the target slice
+      (1L, "alpha beta gamma delta", false),   // identical to the target dist
+      (2L, "zulu yankee xray whiskey", false), // disjoint vocabulary
+      (3L, "", false)
+    ).toDF("doc_id", "text", "tgt")
+    val w = graft.llm.Mixing.dsirWeights(df, "doc_id", "text", col("tgt"))
+      .orderBy(col("id")).collect()
+    assert(w(0).getDouble(2) === w(1).getDouble(2)) // same text ⇒ same weight
+    assert(w(1).getDouble(2) > w(2).getDouble(2))   // target-like ranks higher
+    assert(w(3).getLong(1) === 0L && w(3).isNullAt(2))
+  }
+
   test("langId picks the stopword-dominant language") {
     val df = strings("t", Seq(
       Some("the cat and the dog is fast"),
