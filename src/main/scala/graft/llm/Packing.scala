@@ -41,4 +41,26 @@ object Packing {
           .otherwise(expr(s"start_off div ${budget}L")))
       .drop("__cum")
   }
+
+  /** Sequence-length histogram: fixed-width token-count bins with document
+    * count, token mass, and the fraction of documents per bin — the
+    * distribution a pipeline inspects to pick max_seq_len before packing
+    * (what share of documents fit; where the token mass actually lives).
+    * Bin edges are INTEGER arithmetic (`n DIV width * width`) so both
+    * engines bucket identically with no float floor-at-a-power edge cases.
+    * One map-side-combined shuffle of (bin, count, mass) pairs; the scalar
+    * doc total joins back as a provably-one-row broadcast.
+    */
+  def lengthHistogram(df: DataFrame, tokenCol: String, binWidth: Int = 16): DataFrame = {
+    require(binWidth > 0, s"bin width must be positive: $binWidth")
+    val binned = df.select(
+      (expr(s"$tokenCol DIV ${binWidth}L") * binWidth).cast("long").as("bin_lo"),
+      col(tokenCol).cast("long").as("n"))
+    val total = binned.agg(count(lit(1)).cast("double").as("total"))
+    binned.groupBy(col("bin_lo"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens"))
+      .crossJoin(total)
+      .select(col("bin_lo"), col("n_docs"), col("tokens"),
+        round(col("n_docs") / col("total"), 6).as("doc_frac"))
+  }
 }

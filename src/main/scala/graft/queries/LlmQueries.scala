@@ -1596,6 +1596,29 @@ object LlmQueries {
         .orderBy(col("id"))
     },
 
+    // Sequence-length histogram over word-token counts — the
+    // max_seq_len-planning diagnostic before packing (q93): doc count,
+    // token mass, and doc fraction per fixed 16-token bin. Integer bin
+    // edges (DIV) bucket identically on both engines; only the tiny
+    // (bin, count, mass) aggregate ever shuffles.
+    QueryDef.sql(
+      "q154_length_histogram",
+      """WITH t AS (
+        |  SELECT CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n
+        |  FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM t)
+        |SELECT (n // 16) * 16 AS bin_lo,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS tokens,
+        |  ROUND(COUNT(*) / total, 6) AS doc_frac
+        |FROM t CROSS JOIN tot
+        |GROUP BY bin_lo, total ORDER BY bin_lo""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(size(TextAnalysis.wordTokens(col("text"))).cast("long").as("n_tokens"))
+      graft.llm.Packing.lengthHistogram(toks, "n_tokens", binWidth = 16)
+        .orderBy(col("bin_lo"))
+    },
+
     // Exact corpus heavy hitters: top-20 word terms by count. One
     // (term)-keyed shuffle with map-side combine; documents are never
     // shuffled whole. Tie-break term ASC makes the LIMIT deterministic.

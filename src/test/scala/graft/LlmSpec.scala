@@ -605,6 +605,15 @@ class LlmSpec extends SparkSpec {
     assert(w(3).getLong(1) === 0L && w(3).isNullAt(2))
   }
 
+  test("lengthHistogram: integer bin edges, doc/token mass, fractions sum to 1") {
+    val df = Seq(0L, 5L, 16L, 17L, 31L, 40L).toDF("n_tokens")
+    val h = graft.llm.Packing.lengthHistogram(df, "n_tokens", binWidth = 16)
+      .orderBy(col("bin_lo")).collect()
+    assert(h.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 2L, 5L), (16L, 3L, 64L), (32L, 1L, 40L)))
+    assert(math.abs(h.map(_.getDouble(3)).sum - 1.0) < 1e-6)
+  }
+
   test("langId picks the stopword-dominant language") {
     val df = strings("t", Seq(
       Some("the cat and the dog is fast"),
