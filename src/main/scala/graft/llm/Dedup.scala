@@ -471,6 +471,33 @@ object Dedup {
       nearDedupIncrementLocked(batch, idCol, textCol, indexDir, threshold, epoch)
     }
 
+  /** Durably materialize a batch-derived lazy frame under the index's
+    * scratch area and return a reader over the written files. This is the
+    * compaction-isolation mechanism for the increment results: the
+    * returned plan reads ONLY these scratch files (plus the batch), never
+    * the live `state`/`exact_state` partitions a later compaction
+    * rewrites — so a caller's still-lazy result cannot have partitions
+    * yanked from under it. Storage-backed instead of driver-backed on
+    * purpose: a `collect()` into a local relation has the same isolation
+    * property but puts a batch-sized value in driver RAM — at a 100 TB
+    * daily increment with a high dup rate that is hundreds of millions of
+    * ids, the exact bottleneck class a distributed pipeline must avoid.
+    *
+    * Epoch-scoped overwrite keeps at-least-once re-runs idempotent (a
+    * crashed epoch's re-run replaces its own scratch, not appends).
+    * Scratch epochs are retained until the caller retires the index dir —
+    * compaction must NOT reclaim them, since an arbitrarily old result
+    * plan may still be reading its epoch (same lifetime contract as a
+    * Spark checkpoint directory). Read-back pins the writer's schema
+    * explicitly so an all-empty write (dup-free batch) is still readable.
+    */
+  private def materializeScratch(indexDir: String, family: String,
+      epoch: Long, lazyDf: DataFrame): DataFrame = {
+    val path = indexDir.stripSuffix("/") + s"/scratch/$family/epoch=$epoch"
+    lazyDf.write.mode("overwrite").parquet(path)
+    lazyDf.sparkSession.read.schema(lazyDf.schema).parquet(path)
+  }
+
   /** Incremental EXACT dedup against a persistent fingerprint index — the
     * exact-match complement of [[nearDedupIncrement]] for the continuous
     * ingest loop: [[exact]]'s keep-min-per-key rule extended across
@@ -494,8 +521,9 @@ object Dedup {
     * sibling `exact_state` next to the near-dup `state`).
     *
     * Returns (id: Long, kept: Boolean) — the result reads only the batch
-    * plus a batch-bounded local relation, never the index files, so a
-    * later compaction cannot invalidate a caller's lazy plan.
+    * plus an epoch-scoped scratch parquet of dropped ids (see
+    * [[materializeScratch]]), never the index files, so a later
+    * compaction cannot invalidate a caller's lazy plan.
     */
   def exactDedupIncrement(batch: DataFrame, idCol: String, fpCol: Column,
       indexDir: String, epoch: Long): DataFrame =
@@ -523,11 +551,11 @@ object Dedup {
         .join(seen.withColumn("__hist", lit(true)), Seq("fp"), "left")
         .filter(col("id") =!= col("keep_id") || col("__hist").isNotNull)
         .select(col("id"))
-      // materialized INSIDE the lease as a LOCAL relation (bounded by the
-      // batch), and BEFORE the append — the result must not re-read index
-      // files a compaction could later rewrite
-      val dropped = spark.createDataFrame(
-        java.util.Arrays.asList(droppedLazy.collect(): _*), droppedLazy.schema)
+      // materialized INSIDE the lease to epoch-scoped scratch parquet
+      // (bounded by the batch, but storage-backed — nothing data-sized
+      // crosses to the driver), and BEFORE the append — the result must
+      // not re-read index files a compaction could later rewrite
+      val dropped = materializeScratch(indexDir, "exact_dropped", epoch, droppedLazy)
       val newFps = batchMin.select(col("fp")).join(seen, Seq("fp"), "left_anti").persist()
       graft.ops.CacheRegistry.register(newFps)
       val outFiles = graft.ops.Layout.sizedFileCount(newFps.count())
@@ -587,18 +615,16 @@ object Dedup {
       case Some(i) => state.select(col("id"), col("hs"))
         .unionByName(i.select(col("id"), col("hs")))
     }
-    // materialized INSIDE the lease, as a LOCAL relation: the returned
-    // frame then reads only the batch and these rows, never the index
-    // files — so a compaction after this call returns cannot yank
+    // materialized INSIDE the lease to epoch-scoped scratch parquet: the
+    // returned frame then reads only the batch and these files, never the
+    // index files — so a compaction after this call returns cannot yank
     // partitions out of a caller's still-lazy result plan (a persist()
-    // would not guarantee that: cache eviction recomputes from files).
-    // The collect is bounded by the batch (dropped ⊆ batch ids), the same
-    // increment ≪ index contract the broadcasts already enforce.
+    // would not guarantee that: cache eviction recomputes from files;
+    // a collect() would but puts the batch-sized set in driver RAM).
     val droppedLazy = verifyPairs(cand, earlier, state.select(col("id"), col("hs")), threshold,
         hintBroadcast = true)
       .select(col("id2").as("id")).distinct()
-    val dropped = spark.createDataFrame(
-      java.util.Arrays.asList(droppedLazy.collect(): _*), droppedLazy.schema)
+    val dropped = materializeScratch(indexDir, "near_dropped", epoch, droppedLazy)
 
     // append THIS batch's state under its epoch partition (eager, before
     // the caller acts on the lazy result — safe under epoch isolation).

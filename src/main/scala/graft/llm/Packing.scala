@@ -53,9 +53,13 @@ object Packing {
     */
   def lengthHistogram(df: DataFrame, tokenCol: String, binWidth: Int = 16): DataFrame = {
     require(binWidth > 0, s"bin width must be positive: $binWidth")
+    // Column-API bin edge (n - n mod width == n DIV width * width for
+    // non-negative counts) — no raw identifier interpolation, so column
+    // names that would need backticks (spaces, dots) work like everywhere
+    // else in this file
+    val n = col(tokenCol).cast("long")
     val binned = df.select(
-      (expr(s"$tokenCol DIV ${binWidth}L") * binWidth).cast("long").as("bin_lo"),
-      col(tokenCol).cast("long").as("n"))
+      (n - pmod(n, lit(binWidth.toLong))).as("bin_lo"), n.as("n"))
     val total = binned.agg(count(lit(1)).cast("double").as("total"))
     binned.groupBy(col("bin_lo"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens"))

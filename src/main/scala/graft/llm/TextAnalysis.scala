@@ -336,11 +336,14 @@ object TextAnalysis {
     val symRatio = (length(t) - length(regexp_replace(t, "#", "")) +
       regexp_count(t, lit("\\.\\.\\."))).cast("double") / n
     val alphaRatio = size(filter(ws, x => x.rlike("[A-Za-z]"))).cast("double") / n
-    val okWords = col("n_words").between(minWords, maxWords)
+    // EVERY rule coalesces to false so NULL-text documents get an explicit
+    // all-false verdict (like zero-word documents) instead of NULL audit
+    // columns that a filter(col("kept")) would silently treat as rejected
+    val okWords = coalesce(col("n_words").between(minWords, maxWords), lit(false))
     val okMean = coalesce(col("mean_len").between(minMeanLen, maxMeanLen), lit(false))
     val okSym = coalesce(col("sym_ratio") <= maxSymbolRatio, lit(false))
     val okAlpha = coalesce(col("alpha_ratio") >= minAlphaRatio, lit(false))
-    val okStop = stopwordCount(t) >= minStopHits
+    val okStop = coalesce(stopwordCount(t) >= minStopHits, lit(false))
     df.select(col(idCol), t.as(textCol), size(ws).cast("long").as("n_words"),
         when(n > 0, meanLen).as("mean_len"),
         when(n > 0, symRatio).as("sym_ratio"),

@@ -1524,37 +1524,41 @@ object LlmQueries {
     // booleans for word-count bounds, mean-word-length band, symbol ratio,
     // alphabetic-word fraction, stop-word hits, plus the conjunctive keep —
     // auditable rule-by-rule, pure per-row column arithmetic (no shuffle).
-    // Ratios compare as identical doubles on both engines (same ints in,
-    // same division), so the booleans are deterministic without rounding.
+    // Both sides filter EMPTY split tokens (a leading tab/newline survives
+    // Spark's space-only trim and would otherwise give the oracle an extra
+    // empty "word"), and the oracle ratios are computed in DOUBLE (not the
+    // DECIMAL that `* 1.0 /` would give) so the boundary comparisons use
+    // the same arithmetic as the Spark side. NULL-text documents get an
+    // explicit all-false verdict via COALESCE on every rule.
     QueryDef.sql(
       "q152_gopher_rules",
       """WITH t AS (
         |  SELECT doc_id, text,
         |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE string_split_regex(trim(text), '\s+') END AS ws
+        |         ELSE list_filter(string_split_regex(trim(text), '\s+'), w -> length(w) > 0) END AS ws
         |  FROM documents),
         |m AS (
-        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  SELECT doc_id, text, CAST(len(ws) AS BIGINT) AS n_words,
         |    CASE WHEN len(ws) = 0 THEN NULL
-        |         ELSE list_aggregate(list_transform(ws, x -> length(x)), 'sum') * 1.0 / len(ws) END AS mean_len,
+        |         ELSE CAST(list_aggregate(list_transform(ws, x -> length(x)), 'sum') AS DOUBLE) / len(ws) END AS mean_len,
         |    CASE WHEN len(ws) = 0 THEN NULL
-        |         ELSE (length(text) - length(replace(text, '#', '')) + len(regexp_extract_all(text, '\.\.\.'))) * 1.0 / len(ws) END AS sym_ratio,
+        |         ELSE CAST(length(text) - length(replace(text, '#', '')) + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) / len(ws) END AS sym_ratio,
         |    CASE WHEN len(ws) = 0 THEN NULL
-        |         ELSE len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(ws) END AS alpha_ratio,
+        |         ELSE CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ws) END AS alpha_ratio,
         |    CAST(len(list_filter(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)),
         |         x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS BIGINT) AS stop_cnt
         |  FROM t)
         |SELECT doc_id, n_words,
-        |  n_words BETWEEN 50 AND 100000 AS ok_words,
+        |  COALESCE(n_words BETWEEN 50 AND 100000, false) AS ok_words,
         |  COALESCE(mean_len BETWEEN 3.0 AND 10.0, false) AS ok_mean_len,
         |  COALESCE(sym_ratio <= 0.1, false) AS ok_symbol,
         |  COALESCE(alpha_ratio >= 0.8, false) AS ok_alpha,
-        |  stop_cnt >= 2 AS ok_stop,
-        |  (n_words BETWEEN 50 AND 100000)
+        |  COALESCE(stop_cnt >= 2, false) AS ok_stop,
+        |  COALESCE(n_words BETWEEN 50 AND 100000, false)
         |    AND COALESCE(mean_len BETWEEN 3.0 AND 10.0, false)
         |    AND COALESCE(sym_ratio <= 0.1, false)
         |    AND COALESCE(alpha_ratio >= 0.8, false)
-        |    AND stop_cnt >= 2 AS kept
+        |    AND COALESCE(stop_cnt >= 2, false) AS kept
         |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
       TextAnalysis.gopherRules(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))

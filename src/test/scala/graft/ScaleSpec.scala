@@ -558,5 +558,12 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"index side pays a shuffle it must not:\n$plan")
+    // the dropped-id set must be STORAGE-backed (epoch-scoped scratch
+    // parquet), never a driver local relation sized by the batch — the one
+    // place a data-sized value could otherwise cross to the driver
+    assert(!plan.contains("LocalTableScan"),
+      s"increment result reads a driver-materialized local relation:\n$plan")
+    assert(plan.contains("scratch"),
+      s"increment result should read the scratch parquet:\n$plan")
   }
 }
