@@ -31,6 +31,29 @@ case class ShingleTokens(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): ShingleTokens = copy(child = c)
 }
 
+/** POSITIONAL k-gram fingerprints of the lowercased `[a-z]+` token stream:
+  * element i = FNV-1a 64 hash of tokens i..i+n-1 joined by one space —
+  * every alignment, multiplicity preserved (unlike [[ShingleTokens]],
+  * which is the DISTINCT shingle set). Fewer than n tokens → EMPTY array
+  * (a document that cannot hold an n-token span emits no grams). The
+  * corpus-scope exact-substring machinery (suffix-array-family dedup,
+  * reference anchor `src/kernels/string.rs:1388` count_match /
+  * `string.rs:1322` find lifted to cross-document scope) hashes in-kernel
+  * so downstream tables carry 8-byte fingerprints, never gram strings —
+  * the 100 TB shuffle-width choice.
+  */
+case class GramHashes(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+  require(n >= 1, "gram width >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = s"gram_hashes$n"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.gramHashes(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expressions.TextKernels.gramHashes($v, $n)")
+  override protected def withNewChildInternal(c: Expression): GramHashes = copy(child = c)
+}
+
 /** The case-folded ASCII `[A-Za-z]+` token stream WITH multiplicity — the
   * library's ONE tokenization convention (tokenSpans + ASCII lowering,
   * shared with ShingleTokens/StopwordCount/TextStats). Replaces the
@@ -164,6 +187,44 @@ object TextKernels {
     val it = seen.iterator()
     var idx = 0
     while (it.hasNext) { out(idx) = UTF8String.fromString(it.next()); idx += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** All-alignment n-gram FNV-1a 64 fingerprints (hash of the gram string
+    * "tok_i tok_i+1 … tok_i+n-1"), identical to fnv1aStr of the joined
+    * gram but computed without building the string. < n tokens → empty.
+    */
+  def gramHashes(s: UTF8String, n: Int): ArrayData = {
+    val b = s.getBytes
+    val spans = tokenSpans(b)
+    val m = spans.size()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      val (st, en) = spans.get(i)
+      toks(i) = lowerToken(b, st, en)
+      i += 1
+    }
+    val out = new Array[Any](m - n + 1)
+    var j = 0
+    while (j + n <= m) {
+      var h = 0xcbf29ce484222325L
+      var q = 0
+      while (q < n) {
+        if (q > 0) { h ^= (' ' & 0xffffL); h *= 0x100000001b3L }
+        val t = toks(j + q)
+        var ci = 0
+        while (ci < t.length) {
+          h ^= (t.charAt(ci) & 0xffffL)
+          h *= 0x100000001b3L
+          ci += 1
+        }
+        q += 1
+      }
+      out(j) = h
+      j += 1
+    }
     new GenericArrayData(out)
   }
 

@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+
+/** Exact-substring duplicate detection at ARBITRARY token alignment — the
+  * suffix-array-family dedup (Lee et al. 2022, "Deduplicating Training
+  * Data Makes Language Models Better") re-expressed as a k-gram
+  * fingerprint pipeline: a verbatim run of ≥ k tokens shared by two
+  * documents is exactly a run of consecutive positions whose k-gram
+  * fingerprints each occur in more than one document. This closes the gap
+  * [[Chunking]]-grain dedup leaves open: a duplicate span straddling a
+  * chunk boundary changes BOTH chunks' texts and is invisible to
+  * chunk-fingerprint dedup, but every k-gram inside the span still
+  * matches here (reference anchor: the §2.3 substring kernels
+  * `src/kernels/string.rs:1388` count_match / `string.rs:1322` find,
+  * lifted from within-array to cross-document scope).
+  *
+  * Shape at 100 TB: the gram table is (id, pos, fp) — the fused
+  * [[graft.expressions.GramHashes]] kernel hashes in one byte pass so the
+  * exploded rows carry 8-byte fingerprints, never gram strings. Three
+  * narrow shuffles total: (1) fp → algebraic min/max doc aggregate
+  * (map-side combined; `min ≠ max` IS "appears in ≥ 2 docs" without a
+  * count-distinct expansion), (2) the left-semi probe of grams against
+  * the duplicated-fp set on the same fp key, (3) positions → per-document
+  * islands (Window partitioned BY DOCUMENT — bounded by doc length, never
+  * single-task). Documents' text itself never shuffles.
+  */
+object Substrings {
+
+  /** All-alignment k-gram fingerprints with position: one row per
+    * (document, token position), `fp` = FNV-1a 64 of the k-token gram.
+    */
+  def gramFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(toCol(graft.expressions.GramHashes(
+          toExpr(col(textCol).cast("string")), k))).as(Seq("pos", "fp")))
+
+  /** Maximal cross-document duplicate spans ≥ `minSpan` tokens (default:
+    * the gram width `k` — every detectable span). A token position is
+    * DUPLICATED when its k-gram occurs in at least two distinct documents;
+    * maximal runs of consecutive duplicated positions merge into one span
+    * (gaps-and-islands on `pos − row_number`), covering [span_start,
+    * span_end] = [first pos, last pos + k − 1] in token coordinates. Runs
+    * merge regardless of WHICH other document each position matches — the
+    * span is "verbatim text that exists elsewhere in the corpus", the
+    * remove-or-keep unit of suffix-array dedup.
+    *
+    * Output: idCol, span_start, span_end, span_len (all LONG, token
+    * coordinates into the [[TextAnalysis.wordTokens]] stream).
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minSpan: Int = 0): DataFrame = {
+    require(k >= 1, s"gram width must be positive: $k")
+    // one tokenize+hash pass feeds both the dup-fp aggregate and the
+    // probe side (q105 persist pattern)
+    val grams = gramFingerprints(df, idCol, textCol, k).persist()
+    graft.ops.CacheRegistry.register(grams)
+    val dupFps = grams.groupBy(col("fp"))
+      .agg(min(col("id")).as("__mn"), max(col("id")).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select(col("fp"))
+    val dupPos = grams.join(dupFps, Seq("fp"), "left_semi")
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("__grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (k - 1)).cast("long").as("span_end"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"))
+      .filter(col("span_len") >= math.max(minSpan, k).toLong)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.llm.{Chunking, Dedup, Multimodal, Similarity, Splits, TextAnalysis}
+import graft.llm.{Chunking, Dedup, Multimodal, Similarity, Splits, Substrings, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1821,6 +1821,37 @@ object LlmQueries {
           (col("est_count").isNotNull && col("est_count") <= col("exact_count") &&
             col("exact_count") - col("est_count") <= col("bound")).as("bound_ok"))
         .orderBy(col("exact_count").desc, col("term"))
+    },
+
+    // Exact-substring dedup at ARBITRARY alignment (suffix-array family):
+    // maximal cross-document verbatim spans ≥ k tokens, found as runs of
+    // consecutive positions whose k-gram occurs in ≥ 2 distinct documents.
+    // The oracle replays the fingerprint + gaps-and-islands span-merge
+    // rule on md5-of-gram-string keys; the Spark side hashes in-kernel
+    // (FNV-1a 64, 8-byte shuffle rows — the 100 TB width) — identical dup
+    // sets, since both keys are injective on the fixture's gram universe
+    // and only the SPANS are compared. "≥ 2 docs" is MIN(doc)≠MAX(doc) on
+    // both engines: two algebraic aggregates, no count-distinct expansion.
+    QueryDef.sql(
+      "q155_duplicate_spans",
+      """WITH t AS (
+        |  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)) AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(range(0, len(ws) - 8 + 1)) AS pos, ws
+        |  FROM t WHERE len(ws) >= 8),
+        |grams AS (
+        |  SELECT doc_id, pos, md5(array_to_string(ws[pos+1:pos+8], ' ')) AS fp FROM g),
+        |dup AS (SELECT fp FROM grams GROUP BY fp HAVING MIN(doc_id) <> MAX(doc_id)),
+        |d AS (SELECT doc_id, pos FROM grams JOIN dup USING (fp)),
+        |runs AS (SELECT doc_id, pos,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM d)
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        |  CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+        |  CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_len
+        |FROM runs GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      Substrings.duplicateSpans(Tables.documents(s, d), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"), col("span_start"))
     }
   )
 }
