@@ -113,7 +113,7 @@ object TextKernels {
     * non-letter bytes are separators — same outcome as regexp `[a-z]+`
     * over `lower(text)`).
     */
-  private def tokenSpans(b: Array[Byte]): java.util.ArrayList[(Int, Int)] = {
+  private[expressions] def tokenSpans(b: Array[Byte]): java.util.ArrayList[(Int, Int)] = {
     val spans = new java.util.ArrayList[(Int, Int)]()
     var i = 0
     var start = -1
@@ -129,7 +129,7 @@ object TextKernels {
     spans
   }
 
-  private def lowerToken(b: Array[Byte], s: Int, e: Int): String = {
+  private[expressions] def lowerToken(b: Array[Byte], s: Int, e: Int): String = {
     val out = new Array[Char](e - s)
     var i = s
     while (i < e) {

@@ -17,6 +17,18 @@ object LlmQueries {
     * then the sequential harness (Verify, Bench passes) has materialized
     * the earlier result.
     */
+  /** The frozen BPE artifact rendered as SQL literals, so the q156/q157
+    * oracles carry the exact merge table and vocabulary the kernels use
+    * (tokens are [a-z]+ by construction — no quoting hazards).
+    */
+  private lazy val bpeMergesValues: String =
+    graft.llm.Bpe.frozenMerges.zipWithIndex
+      .map { case ((a, b), i) => s"($i, '$a', '$b')" }.mkString(", ")
+  private lazy val bpeVocabValues: String =
+    graft.llm.Bpe.vocab().zipWithIndex
+      .map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+  private lazy val bpeNumMerges: Int = graft.llm.Bpe.frozenMerges.length
+
   private val lastRunDirs =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
@@ -1852,6 +1864,92 @@ object LlmQueries {
         |FROM runs GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
       Substrings.duplicateSpans(Tables.documents(s, d), "doc_id", "text", k = 8)
         .orderBy(col("doc_id"), col("span_start"))
+    },
+
+    // Deterministic byte-level BPE ENCODE identity, per distinct corpus
+    // word: subword split, count, and vocabulary ids. The oracle carries
+    // the frozen merge table and vocabulary as literal VALUES and replays
+    // encode as a recursive rank-ordered left-fold (list_reduce) — the
+    // merge loop itself, re-run cell-for-cell by the second engine. The
+    // Spark side is the fused BpeEncode kernel (merge table as a codegen
+    // reference object). Distinct words, not word instances: encode is a
+    // pure word function, so the vocabulary IS its full domain here.
+    QueryDef.sql(
+      "q156_bpe_encode",
+      s"""WITH RECURSIVE
+         |merges(rank, a, b) AS (VALUES $bpeMergesValues),
+         |vocab(tok, id) AS (VALUES $bpeVocabValues),
+         |vw AS (SELECT DISTINCT unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS w FROM documents),
+         |enc AS (
+         |  SELECT w, 0 AS r, list_transform(split(w, ''), z -> [z]) AS syms FROM vw
+         |  UNION ALL
+         |  SELECT enc.w, enc.r + 1,
+         |    list_transform(
+         |      list_reduce(enc.syms, (acc, x) ->
+         |        CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND x[1] = m.b
+         |             THEN list_append(acc[:len(acc)-1], m.a || m.b)
+         |             ELSE list_append(acc, x[1]) END),
+         |      z -> [z]) AS syms
+         |  FROM enc JOIN merges m ON m.rank = enc.r),
+         |fin AS (SELECT w, list_transform(syms, s -> s[1]) AS toks FROM enc WHERE r = $bpeNumMerges),
+         |u AS (SELECT w, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i FROM fin)
+         |SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sub,
+         |  string_agg(u.tok, '|' ORDER BY u.i) AS toks,
+         |  string_agg(CAST(v.id AS VARCHAR), ',' ORDER BY u.i) AS ids
+         |FROM u JOIN vocab v ON u.tok = v.tok
+         |GROUP BY w ORDER BY w""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextAnalysis.wordTokens(col("text"))).as("w")).distinct()
+        .select(col("w"), graft.llm.Bpe.encode(col("w")).as("tk"))
+        .select(col("w"), size(col("tk")).cast("long").as("n_sub"),
+          array_join(col("tk"), "|").as("toks"),
+          array_join(transform(graft.llm.Bpe.tokenIds(col("tk")),
+            i => i.cast("string")), ",").as("ids"))
+        .orderBy(col("w"))
+    },
+
+    // q89's sequence packing re-priced in REAL subword tokens: the same
+    // greedy running-total placement, but n_tokens = the frozen-BPE count
+    // (BpeCount kernel — one byte pass per doc). The oracle re-derives
+    // each document's count from the per-WORD encode replay (word
+    // multiplicity preserved via the instance join; zero-word docs keep
+    // count 0 through the LEFT join) and then replays the q89 prefix-sum
+    // placement on those counts.
+    QueryDef.sql(
+      "q157_bpe_packing",
+      s"""WITH RECURSIVE
+         |merges(rank, a, b) AS (VALUES $bpeMergesValues),
+         |vw AS (SELECT DISTINCT unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS w FROM documents),
+         |enc AS (
+         |  SELECT w, 0 AS r, list_transform(split(w, ''), z -> [z]) AS syms FROM vw
+         |  UNION ALL
+         |  SELECT enc.w, enc.r + 1,
+         |    list_transform(
+         |      list_reduce(enc.syms, (acc, x) ->
+         |        CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND x[1] = m.b
+         |             THEN list_append(acc[:len(acc)-1], m.a || m.b)
+         |             ELSE list_append(acc, x[1]) END),
+         |      z -> [z]) AS syms
+         |  FROM enc JOIN merges m ON m.rank = enc.r),
+         |wl AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM enc WHERE r = $bpeNumMerges),
+         |dw AS (SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS w FROM documents),
+         |sums AS (SELECT doc_id, SUM(n_sub) AS s FROM dw JOIN wl USING (w) GROUP BY doc_id),
+         |t AS (SELECT d.doc_id, CAST(COALESCE(s.s, 0) AS BIGINT) AS n_tokens
+         |      FROM documents d LEFT JOIN sums s USING (doc_id)),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT doc_id, n_tokens, cum - n_tokens AS start_off,
+         |  (cum - n_tokens) // 512 AS bin,
+         |  (cum - n_tokens) % 512 AS bin_off,
+         |  CASE WHEN n_tokens > 0 THEN (cum - 1) // 512
+         |       ELSE (cum - n_tokens) // 512 END AS end_bin
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        graft.llm.Bpe.countTokens(col("text")).as("n_tokens"))
+      graft.llm.Packing.packSequences(toks, "n_tokens", 512L, Seq(col("doc_id")))
+        .orderBy(col("doc_id"))
     }
   )
 }
