@@ -1,7 +1,8 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
 import org.apache.spark.sql.types._
 
 /** Multimodal column handling for training-data pipelines: media payloads
@@ -9,11 +10,15 @@ import org.apache.spark.sql.types._
   * decode / feature-extract plumbing shaped the way a real pipeline runs it
   * (per-partition batch processing over binary columns).
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode step is a clearly-marked deterministic fake (`fakeDecode`) —
-  * the Spark-side plumbing (schema, partitioning, per-partition batching,
-  * output shape) is real and tested. Swap `fakeDecode` for a JNI/process
-  * call (or `mapInArrow` to a Python worker) in production.
+  * IMAGE decode is REAL: `javax.imageio` (pure JVM, no new dependency)
+  * decodes PNG/BMP/GIF payloads to pixels — [[imageFeatures]],
+  * [[resizeNearest]] and the q41/q42 gate rows compute on actual pixel
+  * values, oracle-pinned via deterministic synthetic images whose pixel
+  * formula the DuckDB side replays in closed form. Audio/video stay
+  * raw-layout contracts (PCM16 / frame-major rawvideo — real layouts, no
+  * codec needed), and [[fakeDecode]]/[[fakeResize]] remain as the
+  * clearly-marked byte-level fallbacks for formats with no JVM decoder
+  * (swap for a JNI/process call or `mapInArrow` in production).
   */
 object Multimodal {
 
@@ -142,8 +147,174 @@ object Multimodal {
           col("__fb").cast("int")).as("frame"))
   }
 
+  /** Unsigned byte sum of a binary payload (ByteSum kernel) — the
+    * checksum/mass statistic for raw media planes.
+    */
+  def byteSum(c: Column): Column =
+    toCol(graft.expressions.ByteSum(toExpr(c.cast("binary"))))
+
+  /** REAL image decode (javax.imageio — PNG/BMP/GIF, pure JVM): returns
+    * (width, height, row-major gray pixels) where gray = (r+g+b)/3 per
+    * pixel (exact for the grayscale images the pipeline round-trips:
+    * r=g=b ⇒ gray = the channel value). None for undecodable payloads —
+    * the caller decides quarantine-vs-null, never an executor crash.
+    */
+  def decodeGray(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (payload == null || payload.isEmpty) return None
+    val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val px = new Array[Int](w * h)
+      var y = 0
+      var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          px(i) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          i += 1
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, px))
+    }
+  }
+
+  /** Encode row-major gray pixels as a real PNG (lossless — decode gives
+    * the same values back, which is what makes the pixel path
+    * oracle-pinnable).
+    */
+  def encodeGrayPng(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+    require(px.length == w * h, s"pixel count ${px.length} != $w x $h")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = px(i) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic synthetic gray value — the gate fixture's pixel
+    * formula, replayed in closed form by the DuckDB oracle: v(id, x, y) =
+    * (id·31 + x·7 + y·13) mod 256.
+    */
+  def synthGray(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Media table of REAL synthetic PNGs, one per input id: dimensions
+    * (8 + id mod 5) × (6 + id mod 4), pixels from [[synthGray]] — encoded
+    * per-partition (the codec-batch shape), decoded downstream by
+    * [[imageFeatures]]/[[resizeNearest]] through the actual ImageIO path.
+    */
+  def syntheticImageTable(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (8 + (id % 5)).toInt
+        val h = (6 + (id % 4)).toInt
+        val px = Array.tabulate(w * h)(i => synthGray(id, i % w, i / w))
+        val png = encodeGrayPng(w, h, px)
+        Row(id, png, Row("image/png", w, h, png.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  private val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_px", LongType, nullable = true),
+    StructField("mean_gray", DoubleType, nullable = true),
+    StructField("min_gray", IntegerType, nullable = true),
+    StructField("max_gray", IntegerType, nullable = true),
+    StructField("n_bright", LongType, nullable = true)))
+
+  /** REAL pixel statistics per image: decode via ImageIO in a
+    * per-partition batch loop, then width/height/pixel-count, exact mean
+    * gray (integer sum ÷ count in double), min/max, and the count of
+    * bright (> 127) pixels. Undecodable payloads keep their row with NULL
+    * stats (auditable, never dropped silently).
+    */
+  def imageFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val rdd = media.select(col("media_id"), col("payload")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        decodeGray(r.getAs[Array[Byte]](1)) match {
+          case Some((w, h, px)) =>
+            var sum = 0L; var mn = 255; var mx = 0; var bright = 0L
+            var i = 0
+            while (i < px.length) {
+              val v = px(i)
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              if (v > 127) bright += 1
+              i += 1
+            }
+            val n = px.length.toLong
+            Row(id, w, h, n, sum.toDouble / n, mn, mx, bright)
+          case None => Row(id, null, null, null, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, imageFeatureSchema)
+  }
+
+  /** REAL nearest-neighbor resize: decode, resample pixel (x, y) from
+    * source (x·w0 ÷ w, y·h0 ÷ h) — integer floor, the deterministic
+    * resampling every engine can replay bit-for-bit (area/bilinear
+    * filters vary by library) — and emit the RAW gray plane as the
+    * payload (format `gray8`, n_bytes = w·h), the decoded-buffer shape a
+    * patch/feature stage consumes directly. Undecodable → empty payload.
+    */
+  def resizeNearest(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0, s"target dims must be positive: $w x $h")
+    val rdd = media.select(col("media_id"), col("payload")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        decodeGray(r.getAs[Array[Byte]](1)) match {
+          case Some((w0, h0, px)) =>
+            val out = new Array[Byte](w * h)
+            var y = 0
+            var i = 0
+            while (y < h) {
+              val sy = y * h0 / h
+              var x = 0
+              while (x < w) {
+                out(i) = px(sy * w0 + x * w0 / w).toByte
+                i += 1
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, out, Row("gray8", w, h, out.length.toLong))
+          case None =>
+            Row(id, Array.emptyByteArray, Row("gray8", w, h, 0L))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   /** STUB — deterministic fake "decode + feature-extract" of a media
-    * payload: 8 float features from byte statistics. A real deployment
+    * payload: 8 float features from byte statistics. The byte-level
+    * fallback for formats with no JVM decoder; a real deployment
     * replaces this body with the codec call; signature and batch shape stay.
     */
   def fakeDecode(payload: Array[Byte]): Array[Float] = {

@@ -882,65 +882,72 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
-    // Multimodal plumbing: binary payload + meta struct + per-partition
-    // feature extraction (deterministic fake decode — codecs stubbed).
-    // HASH-EXACT despite the stubbed decoder: fakeDecode's features are
-    // integer byte arithmetic (sum/min/max over payload bytes), so the
-    // oracle replays byte values via the hex trick (q33's convention),
-    // the float narrowing via CAST(.. AS REAL) and the same ROUND — the
-    // mapPartitions plumbing is exercised AND the output is pinned.
+    // Multimodal features on REAL pixels: one deterministic synthetic PNG
+    // per document (dimensions and gray values are closed-form functions
+    // of the id — Multimodal.synthGray), ENCODED with ImageIO on the
+    // executors, then DECODED back through the actual javax.imageio path
+    // in a per-partition batch loop, with pixel statistics computed from
+    // the decoded buffer. The oracle never decodes: PNG is lossless, so
+    // it replays the pixel formula in closed form — any codec defect on
+    // the Spark side breaks the hash. Exact mean: integer pixel sum ÷
+    // count in double, same ROUND both sides.
     QueryDef.sql(
       "q41_multimodal_features",
       """WITH b AS (
-        |  SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  SELECT doc_id AS media_id, CAST(8 + doc_id % 5 AS INT) AS width,
+        |    CAST(6 + doc_id % 4 AS INT) AS height
         |  FROM documents),
-        |s AS (
-        |  SELECT media_id, n_bytes,
-        |    COALESCE(list_sum(list_transform(range(0, CAST(n_bytes AS INT)), i ->
-        |      (strpos('0123456789abcdef', substr(hx, 1 + 2*CAST(i AS INT), 1)) - 1) * 16
-        |      + (strpos('0123456789abcdef', substr(hx, 2 + 2*CAST(i AS INT), 1)) - 1))), 0) AS bsum
+        |p AS (
+        |  SELECT media_id, width, height,
+        |    list_transform(range(0, width*height), i ->
+        |      (media_id*31 + (i % width)*7 + (i // width)*13) % 256) AS px
         |  FROM b)
-        |SELECT media_id, n_bytes, CAST(8 AS INT) AS n_features,
-        |  ROUND(CAST(CAST(CAST(bsum AS DOUBLE) / GREATEST(n_bytes, 1) AS REAL) AS DOUBLE), 4) AS mean_byte
-        |FROM s ORDER BY media_id""".stripMargin) { (s, d) =>
-      val media = Multimodal.asMediaTable(
-        Tables.documents(s, d), "doc_id", "text", "text/plain")
-      Multimodal.extractFeatures(s, media)
-        .select(col("media_id"), col("n_bytes"),
-          size(col("features")).as("n_features"),
-          round(element_at(col("features"), 2).cast("double"), 4).as("mean_byte"))
+        |SELECT media_id, width, height, CAST(width*height AS BIGINT) AS n_px,
+        |  ROUND(CAST(list_sum(px) AS DOUBLE) / (width*height), 4) AS mean_gray,
+        |  CAST(list_min(px) AS INT) AS min_gray,
+        |  CAST(list_max(px) AS INT) AS max_gray,
+        |  CAST(len(list_filter(px, v -> v > 127)) AS BIGINT) AS n_bright
+        |FROM p ORDER BY media_id""".stripMargin) { (s, d) =>
+      val media = Multimodal.syntheticImageTable(s, Tables.documents(s, d), "doc_id")
+      Multimodal.imageFeatures(s, media)
+        .select(col("media_id"), col("width"), col("height"), col("n_px"),
+          round(col("mean_gray"), 4).as("mean_gray"),
+          col("min_gray"), col("max_gray"), col("n_bright"))
         .orderBy(col("media_id"))
     },
 
-    // Multimodal patch sampling (frame-sample analog): explode-based,
-    // fully distributed. HASH-EXACT: only byte COUNTS surface, and the
-    // stride-decimate resize plus the 16-byte patch slicing are pure
-    // integer functions of the payload length — the oracle replays
-    // target/stride/ceil and the per-patch min(16, rl−16i) lengths.
+    // Multimodal resize + patch sampling on REAL pixels: synthetic PNG →
+    // ImageIO decode → nearest-neighbor resample to a fixed 6×4 gray
+    // plane (integer source mapping x·w0÷6, y·h0÷4 — the one resampling
+    // rule both engines can replay bit-for-bit) → byte-slice patches over
+    // the RAW pixel buffer. The oracle replays decode∘NN in closed form
+    // and the slicing arithmetic symbolically; gray_sum pins every
+    // resampled pixel value through the patch path (ByteSum kernel).
     QueryDef.sql(
       "q42_multimodal_patches",
-      """WITH L AS (
-        |  SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS len
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, CAST(8 + doc_id % 5 AS INT) AS w0,
+        |    CAST(6 + doc_id % 4 AS INT) AS h0
         |  FROM documents),
-        |r1 AS (SELECT media_id, len, GREATEST(1, LEAST(len, 64)) AS target FROM L),
-        |r2 AS (SELECT media_id, len, target, GREATEST(1, len // target) AS stride FROM r1),
-        |r3 AS (SELECT media_id, LEAST(target, (len + stride - 1) // stride) AS rl FROM r2),
-        |p AS (SELECT media_id, rl, unnest([0, 1, 2, 3]) AS i FROM r3),
-        |pl AS (SELECT media_id, LEAST(16, rl - i * 16) AS plen FROM p WHERE rl - i * 16 > 0)
-        |SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_patches,
-        |  CAST(SUM(plen) AS BIGINT) AS patch_bytes,
-        |  CAST(16 AS INT) AS w, CAST(4 AS INT) AS h
-        |FROM pl GROUP BY media_id ORDER BY media_id""".stripMargin) { (s, d) =>
-      val media = Multimodal.asMediaTable(
-        Tables.documents(s, d), "doc_id", "text", "text/plain")
-      // resize first (per-partition batch stub; stamps w×h into meta),
-      // then frame/patch-sample the resized payloads
-      val resized = Multimodal.resize(s, media, w = 16, h = 4)
-      Multimodal.samplePatches(resized, n = 4, patchBytes = 16)
+        |r AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 24), i ->
+        |      (media_id*31 + (((i % 6) * w0) // 6)*7 + (((i // 6) * h0) // 4)*13) % 256) AS px
+        |  FROM b)
+        |SELECT media_id,
+        |  CAST(len(list_filter([0, 1, 2, 3], i -> 24 - i*8 > 0)) AS BIGINT) AS n_patches,
+        |  CAST(list_sum(list_transform(list_filter([0, 1, 2, 3], i -> 24 - i*8 > 0),
+        |    i -> LEAST(8, 24 - i*8))) AS BIGINT) AS patch_bytes,
+        |  CAST(list_sum(px) AS BIGINT) AS gray_sum,
+        |  CAST(6 AS INT) AS w, CAST(4 AS INT) AS h
+        |FROM r ORDER BY media_id""".stripMargin) { (s, d) =>
+      val media = Multimodal.syntheticImageTable(s, Tables.documents(s, d), "doc_id")
+      val resized = Multimodal.resizeNearest(s, media, w = 6, h = 4)
+      Multimodal.samplePatches(resized, n = 4, patchBytes = 8)
         .groupBy(col("media_id"))
         .agg(count(lit(1)).as("n_patches"),
           sum(length(col("patch"))).as("patch_bytes"),
+          sum(Multimodal.byteSum(col("patch"))).as("gray_sum"),
           max(col("meta.width")).as("w"), max(col("meta.height")).as("h"))
         .orderBy(col("media_id"))
     },

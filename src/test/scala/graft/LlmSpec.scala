@@ -640,6 +640,82 @@ class LlmSpec extends SparkSpec {
     assert(patches.groupBy(col("media_id")).count().collect().forall(_.getLong(1) <= 3))
   }
 
+  test("image: PNG encode/decode round trip is pixel-exact") {
+    val w = 7; val h = 5
+    val px = Array.tabulate(w * h)(i => (i * 37 + 11) % 256)
+    val png = Multimodal.encodeGrayPng(w, h, px)
+    val Some((w2, h2, back)) = Multimodal.decodeGray(png)
+    assert((w2, h2) === (w, h))
+    assert(back.toSeq === px.toSeq)
+  }
+
+  test("image: BMP decodes through the same path (multi-format ImageIO)") {
+    val w = 4; val h = 3
+    val px = Array.tabulate(w * h)(i => (i * 19) % 256)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = px(y * w + x)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    val Some((w2, h2, back)) = Multimodal.decodeGray(out.toByteArray)
+    assert((w2, h2) === (w, h))
+    assert(back.toSeq === px.toSeq)
+  }
+
+  test("image: nearest-neighbor resize picks source pixel (x*w0/w, y*h0/h)") {
+    // 4x2 source, resize to 2x1: expect pixels from (0,0) and (2,0)
+    val src = Array(10, 20, 30, 40, 50, 60, 70, 80)
+    val png = Multimodal.encodeGrayPng(4, 2, src)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, png,
+          org.apache.spark.sql.Row("image/png", 4, 2, png.length.toLong)))),
+      Multimodal.mediaSchema)
+    val r = Multimodal.resizeNearest(spark, media, w = 2, h = 1).head
+    assert(r.getAs[Array[Byte]](1).map(_ & 0xff).toSeq === Seq(10, 30))
+    assert(r.getStruct(2).getString(0) === "gray8")
+    assert(r.getStruct(2).getLong(3) === 2L)
+  }
+
+  test("image: undecodable payload yields NULL stats and empty resize, never a crash") {
+    val junk = Array[Byte](1, 2, 3, 4)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(9L, junk,
+          org.apache.spark.sql.Row("image/png", null, null, 4L)))),
+      Multimodal.mediaSchema)
+    val f = Multimodal.imageFeatures(spark, media).head
+    assert(f.getLong(0) === 9L && f.isNullAt(1) && f.isNullAt(4))
+    val rz = Multimodal.resizeNearest(spark, media, 6, 4).head
+    assert(rz.getAs[Array[Byte]](1).isEmpty)
+  }
+
+  test("image: synthetic table features equal the closed-form pixel stats") {
+    val ids = Seq(0L, 3L, 7L, 14L).toDF("doc_id")
+    val feats = Multimodal.imageFeatures(spark,
+        Multimodal.syntheticImageTable(spark, ids, "doc_id"))
+      .orderBy(col("media_id")).collect()
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      val w = (8 + id % 5).toInt; val h = (6 + id % 4).toInt
+      val px = for (y <- 0 until h; x <- 0 until w) yield Multimodal.synthGray(id, x, y)
+      assert(r.getInt(1) === w && r.getInt(2) === h)
+      assert(r.getLong(3) === (w * h).toLong)
+      assert(math.abs(r.getDouble(4) - px.sum.toDouble / (w * h)) < 1e-12)
+      assert(r.getInt(5) === px.min && r.getInt(6) === px.max)
+      assert(r.getLong(7) === px.count(_ > 127).toLong)
+    }
+  }
+
+  test("byteSum treats bytes as unsigned") {
+    val df = Seq(Tuple1(Array[Byte](0, 1, -1, -128, 127))).toDF("b")
+    assert(df.select(Multimodal.byteSum(col("b"))).head.getLong(0)
+      === (0 + 1 + 255 + 128 + 127).toLong)
+  }
+
   test("repetition stats: repeated text scores high, varied text low") {
     import graft.llm.TextAnalysis
     val df = Seq((1L, "spam spam spam spam"), (2L, "one two three four"), (3L, ""))
