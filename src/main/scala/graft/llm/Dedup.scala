@@ -829,19 +829,33 @@ object Dedup {
     val tok = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("toks"))
       .persist()
     graft.ops.CacheRegistry.register(tok)
+    ngramJaccardPairsFromToks(tok, threshold, maxDocFreq)
+  }
+
+  /** [[ngramJaccardPairs]] over a PRE-TOKENIZED `(id, toks)` table whose
+    * lifetime the CALLER owns (persist it) — consumers that need the same
+    * shingle table more than once (q31's pruned index and q32's lossless
+    * truth side run the identical tokenize+shingle chain) pay the kernel
+    * pass a single time. The doc total for the doc-frequency guard comes
+    * from `tok` itself (one row per document, usually already cached).
+    */
+  def ngramJaccardPairsFromToks(tok: DataFrame, threshold: Double,
+      maxDocFreq: Double = 1.0): DataFrame = {
     val inv0 = tok.select(col("id"), explode(col("toks")).as("w"))
-    val inv = if (maxDocFreq >= 1.0) inv0 else {
-      val total = df.count()
-      // the doc-freq guard join exists anyway — ride it to DICTIONARY-
-      // ENCODE the surviving shingles, so the expensive self-join below
-      // shuffles and compares 8-byte ints instead of n-gram strings.
-      // Ids come from the deterministic RowIndex primitive (rank in
-      // shingle order): a recompute after cache eviction reproduces the
-      // SAME encoding, so the self-join's two sides can never diverge
+    val inv = {
+      // DICTIONARY-ENCODE the shingles on BOTH paths, so the expensive
+      // self-join below shuffles and compares 8-byte ints instead of
+      // n-gram strings (measured worthwhile even without the doc-freq
+      // guard: the distinct+rank pass costs one narrow shuffle, the
+      // self-join's fan-out pays it back). Ids come from the
+      // deterministic RowIndex primitive (rank in shingle order): a
+      // recompute after cache eviction reproduces the SAME encoding, so
+      // the self-join's two sides can never diverge
       // (monotonically_increasing_id would be partition-dependent here)
-      val keep = inv0.groupBy(col("w")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDocFreq * total)
-        .select(col("w"))
+      val freq = inv0.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val keep =
+        if (maxDocFreq >= 1.0) freq.select(col("w"))
+        else freq.filter(col("df") <= maxDocFreq * tok.count()).select(col("w"))
       val dict = graft.ops.RowIndex.withRowIndex(keep, "__wid", Seq(col("w")))
         .persist()
       graft.ops.CacheRegistry.register(dict)

@@ -29,6 +29,25 @@ object LlmQueries {
       .map { case (t, i) => s"('$t', $i)" }.mkString(", ")
   private lazy val bpeNumMerges: Int = graft.llm.Bpe.frozenMerges.length
 
+  /** One shingle table per (session, sfDir), shared by the gate queries
+    * that replay the identical tokenize+shingle chain (q31's pruned
+    * inverted index and q32's lossless exact-Jaccard truth side).
+    * Deliberately NOT in CacheRegistry: the registry's LRU could evict it
+    * between the two consumers, re-paying exactly the pass this exists to
+    * share; the pin is bounded by the harness's one-or-two data dirs and
+    * dies with the session (the app-id key guards against a stale frame
+    * from a stopped test session).
+    */
+  private val sharedShingles =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def shingleTok(s: org.apache.spark.sql.SparkSession, d: String) =
+    sharedShingles.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
+      val tok = Tables.documents(s, d).select(col("doc_id").as("id"),
+        Dedup.shingles(col("text"), 3).as("toks")).persist()
+      tok.count() // materialize eagerly so every consumer hits the cache
+      tok
+    })
+
   private val lastRunDirs =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
@@ -168,8 +187,9 @@ object LlmQueries {
         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
       // maxDocFreq = 0.01 keeps the boilerplate guard LIVE in the gate
       // (fixture max shingle doc-frequency is 1.4%, so the 1% cutoff
-      // actually drops shingles); the oracle applies the same cutoff
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 0.6, maxDocFreq = 0.01)
+      // actually drops shingles); the oracle applies the same cutoff.
+      // Shingle table shared with q32 (same chain, one kernel pass).
+      Dedup.ngramJaccardPairsFromToks(shingleTok(s, d), 0.6, maxDocFreq = 0.01)
         .select(col("id1"), col("id2"), col("inter"),
           col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"), col("jaccard"))
         .orderBy(col("id1"), col("id2"))
@@ -209,7 +229,9 @@ object LlmQueries {
       val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text",
           bands = 8, rowsPerBand = 4, threshold = 0.5)
         .select(col("id1"), col("id2"), lit(true).as("hit"))
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9, maxDocFreq = 1.0)
+      // truth side MUST stay lossless (maxDocFreq = 1.0); its shingle
+      // table is the q31-shared one, so the chain runs once per gate run
+      Dedup.ngramJaccardPairsFromToks(shingleTok(s, d), 0.9, maxDocFreq = 1.0)
         .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
         .join(lsh, Seq("id1", "id2"), "left")
         .withColumn("lsh_found", coalesce(col("hit"), lit(false))).drop("hit")
