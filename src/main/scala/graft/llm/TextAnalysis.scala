@@ -298,6 +298,17 @@ object TextAnalysis {
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
       .persist() // the marginal and the totals both re-aggregate these counts
     graft.ops.CacheRegistry.register(st)
+    sourceTokenKLFromCounts(st)
+  }
+
+  /** [[sourceTokenKL]] from a pre-aggregated `(source, term, c)` count
+    * table (the caller owns its materialization — three consumers below).
+    * This is the reusable half that makes the statistic INCREMENTAL: a
+    * streaming monitor merges per-batch count triplets into a cumulative
+    * table and re-derives the drift from counts alone — text is never
+    * re-read ([[graft.streaming]] leg, q158).
+    */
+  def sourceTokenKLFromCounts(st: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val corpus = st.groupBy(col("term")).agg(sum(col("c")).as("ct"))
     val bySource = st.groupBy(col("source")).agg(sum(col("c")).as("ts"))
     val total = st.agg(sum(col("c")).cast("double").as("t"))
@@ -308,6 +319,71 @@ object TextAnalysis {
       .groupBy(col("source"))
       .agg(max(col("ts")).as("n_tok"),
         round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl"))
+  }
+
+  /** STREAMING unigram-drift monitor — the operational leg of
+    * [[sourceTokenKL]]: a document file-stream drained one micro-batch at
+    * a time; each batch's `(source, term)` count triplets are appended to
+    * a persistent count-triplet state table under an epoch partition, and
+    * the per-source KL vs the CUMULATIVE corpus blend is emitted per
+    * batch — the drift time series an ingest pipeline alerts on.
+    *
+    * Exactly the q136 proof pattern: state reads are epoch-isolated
+    * (`epoch < batchId` plus this batch's in-memory triplets), the state
+    * append and the snapshot write are dynamic-partition overwrites, so
+    * at-least-once re-runs converge; the FINAL snapshot equals the batch
+    * [[sourceTokenKL]] over everything streamed (oracle-pinned by q158).
+    * At scale only count triplets ever land in state — text is read once
+    * in its arrival batch and never again.
+    *
+    * Returns the drift snapshots read back from `outDir`:
+    * (batch_id, source, n_tok, kl).
+    */
+  def unigramDriftStreaming(spark: org.apache.spark.sql.SparkSession, stagedDir: String,
+      schema: org.apache.spark.sql.types.StructType, srcCol: String, textCol: String,
+      stateDir: String, outDir: String,
+      checkpointDir: Option[String] = None,
+      shufflePartitions: Int = 4): org.apache.spark.sql.DataFrame = {
+    // session clone: AQE is off inside streaming, so size the shuffle to
+    // the increment (Events.withStateParts convention), re-applying the
+    // runtime semantics confs newSession() drops
+    val s2 = spark.newSession()
+    graft.GraftConf.tune(s2)
+    s2.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    val stream = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stagedDir)
+    val writer = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val bt = batch.select(col(srcCol).as("source"),
+            explode(wordTokens(col(textCol))).as("term"))
+          .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+          .persist()
+        graft.ops.CacheRegistry.register(bt)
+        // idempotent state append: a re-run replaces its own epoch
+        bt.withColumn("epoch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("epoch").parquet(stateDir)
+        val sp = new org.apache.hadoop.fs.Path(stateDir)
+        val hasState = graft.ops.Layout.hasParquetData(
+          sp.getFileSystem(bt.sparkSession.sparkContext.hadoopConfiguration), sp)
+        val hist =
+          if (!hasState) bt.select(col("source"), col("term"), col("c")).limit(0)
+          else bt.sparkSession.read.parquet(stateDir)
+            .filter(col("epoch") < batchId)
+            .select(col("source"), col("term"), col("c"))
+        val cum = hist.unionByName(bt.select(col("source"), col("term"), col("c")))
+          .groupBy(col("source"), col("term")).agg(sum(col("c")).as("c"))
+          .persist()
+        graft.ops.CacheRegistry.register(cum)
+        sourceTokenKLFromCounts(cum)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+      }
+    val q = checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir)
   }
 
   /** The Gopher document-quality rule bundle (Rae et al. 2021 §A1.1.2, the

@@ -48,6 +48,52 @@ object LlmQueries {
       tok
     })
 
+  /** Stage `corpus` as two parity-split parquet files (batch 0 = even
+    * doc_ids, batch 1 = odd) with FORGED mtimes, so a
+    * maxFilesPerTrigger=1 file stream replays deterministic micro-batch
+    * boundaries. The split files are a pure function of the source table:
+    * staged once per (tag, sfDir) and reused while a marker matches the
+    * source's mtime; any mismatch restages BOTH atomically (comparing
+    * forged per-file mtimes against the source could reuse one stale
+    * half or invert the batch order). Shared by the streaming gate rows
+    * (q136 near-dedup, q158 drift monitor).
+    */
+  private def stageParitySplits(corpus: org.apache.spark.sql.DataFrame, d: String,
+      tag: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val staged = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_${tag}_staged_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    Files.createDirectories(staged)
+    val srcMtime = Files.getLastModifiedTime(
+      Paths.get(d, "documents.parquet")).toMillis
+    val marker = staged.resolve("_src_mtime")
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker)).trim == srcMtime.toString &&
+      Files.exists(staged.resolve("a_even.parquet")) &&
+      Files.exists(staged.resolve("b_odd.parquet"))
+    def stage(parity: Int, name: String, mtimeSec: Long): Unit = {
+      val tmpDir = Files.createTempDirectory(s"graft_${tag}_tmp_")
+      val tmp = tmpDir.toString + "/p"
+      corpus.filter(pmod(col("doc_id"), lit(2)) === parity).coalesce(1).write.parquet(tmp)
+      val part = scala.util.Using.resource(Files.list(Paths.get(tmp))) { st =>
+        st.toArray.map(_.toString)
+          .find(f => f.endsWith(".parquet") && !f.contains("_SUCCESS")).get
+      }
+      Files.copy(Paths.get(part), staged.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      // fixed forged mtimes: the file-stream orders batches by them
+      Files.setLastModifiedTime(staged.resolve(name), FileTime.fromMillis(mtimeSec * 1000))
+      graft.ops.Layout.deleteRecursively(tmpDir)
+    }
+    if (!fresh) {
+      Files.deleteIfExists(marker)
+      stage(0, "a_even.parquet", 1000000000L)
+      stage(1, "b_odd.parquet", 1000000100L)
+      Files.write(marker, srcMtime.toString.getBytes)
+    }
+    staged.toString
+  }
+
   private val lastRunDirs =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
@@ -578,49 +624,11 @@ object LlmQueries {
            |WHERE doc_id NOT IN (SELECT did FROM dropped)
            |ORDER BY doc_id""".stripMargin
       }) { (s, d) =>
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      import java.nio.file.attribute.FileTime
       val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      // the parity SPLIT files are a pure function of the source table —
-      // stage them once per sfDir and reuse while the source is older
-      // (re-generated data re-stages); index/out dirs stay unique per
-      // invocation because the stream appends to them
-      val staged = Paths.get(sys.props("java.io.tmpdir"),
-        "graft_q136_staged_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-      Files.createDirectories(staged)
-      val srcMtime = Files.getLastModifiedTime(
-        Paths.get(d, "documents.parquet")).toMillis
-      // the pair of split files is staged ATOMICALLY: a marker records
-      // the exact source mtime they were derived from, and any mismatch
-      // restages BOTH (comparing forged per-file mtimes against the
-      // source could reuse one stale half or invert the batch order)
-      val marker = staged.resolve("_src_mtime")
-      val fresh = Files.exists(marker) &&
-        new String(Files.readAllBytes(marker)).trim == srcMtime.toString &&
-        Files.exists(staged.resolve("a_even.parquet")) &&
-        Files.exists(staged.resolve("b_odd.parquet"))
-      def stage(parity: Int, name: String, mtimeSec: Long): Unit = {
-        val tmpDir = Files.createTempDirectory("graft_q136_tmp_")
-        val tmp = tmpDir.toString + "/p"
-        corpus.filter(pmod(col("doc_id"), lit(2)) === parity).coalesce(1).write.parquet(tmp)
-        val part = scala.util.Using.resource(Files.list(Paths.get(tmp))) { st =>
-          st.toArray.map(_.toString)
-            .find(f => f.endsWith(".parquet") && !f.contains("_SUCCESS")).get
-        }
-        Files.copy(Paths.get(part), staged.resolve(name), StandardCopyOption.REPLACE_EXISTING)
-        // fixed forged mtimes: the file-stream orders batches by them
-        Files.setLastModifiedTime(staged.resolve(name), FileTime.fromMillis(mtimeSec * 1000))
-        graft.ops.Layout.deleteRecursively(tmpDir)
-      }
-      if (!fresh) {
-        Files.deleteIfExists(marker)
-        stage(0, "a_even.parquet", 1000000000L)
-        stage(1, "b_odd.parquet", 1000000100L)
-        Files.write(marker, srcMtime.toString.getBytes)
-      }
-      val base = Files.createTempDirectory("graft_q136_").toString
+      val staged = stageParitySplits(corpus, d, "q136")
+      val base = java.nio.file.Files.createTempDirectory("graft_q136_").toString
       rotateRunDirs("q136", Seq(base))
-      Dedup.nearDedupStreaming(s, staged.toString, corpus.schema,
+      Dedup.nearDedupStreaming(s, staged, corpus.schema,
           "doc_id", "text", base + "/idx", base + "/out", 0.5)
         .filter(col("kept"))
         .select(col("id").cast("long").as("doc_id"))
@@ -1979,6 +1987,48 @@ object LlmQueries {
         graft.llm.Bpe.countTokens(col("text")).as("n_tokens"))
       graft.llm.Packing.packSequences(toks, "n_tokens", 512L, Seq(col("doc_id")))
         .orderBy(col("doc_id"))
+    },
+
+    // STREAMING unigram-drift monitor (the operational leg of q151): the
+    // corpus streamed as two deterministic micro-batches; each batch
+    // merges its (source, term) count triplets into persistent state and
+    // emits the per-source KL vs the CUMULATIVE blend. The oracle replays
+    // BOTH snapshots from scratch — batch 0 over the even-doc_id half,
+    // batch 1 over the full corpus (so the final streamed state provably
+    // equals the batch q151 answer, the q136 proof pattern) — pinning
+    // the incremental count-merge path cell-for-cell.
+    QueryDef.sql(
+      "q158_stream_source_kl", {
+        def kl(sfx: String, batchId: Int, where: String) =
+          s"""st$sfx AS (
+             |  SELECT source, unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS term
+             |  FROM documents $where),
+             |c$sfx AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c FROM st$sfx GROUP BY 1, 2),
+             |corpus$sfx AS (SELECT term, CAST(SUM(c) AS BIGINT) AS ct FROM c$sfx GROUP BY 1),
+             |bysrc$sfx AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ts FROM c$sfx GROUP BY 1),
+             |tot$sfx AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM c$sfx),
+             |k$sfx AS (
+             |  SELECT CAST($batchId AS BIGINT) AS batch_id, c$sfx.source, MAX(ts) AS n_tok,
+             |    ROUND(SUM((CAST(c AS DOUBLE) / ts) *
+             |              ln((CAST(c AS DOUBLE) / ts) / (CAST(ct AS DOUBLE) / t))), 6) AS kl
+             |  FROM c$sfx JOIN corpus$sfx USING (term) JOIN bysrc$sfx USING (source) CROSS JOIN tot$sfx
+             |  GROUP BY c$sfx.source)""".stripMargin
+        s"""WITH
+           |${kl("0", 0, "WHERE doc_id % 2 = 0")},
+           |${kl("1", 1, "")}
+           |SELECT * FROM k0 UNION ALL SELECT * FROM k1
+           |ORDER BY batch_id, source""".stripMargin
+      }) { (s, d) =>
+      val corpus = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      val staged = stageParitySplits(corpus, d, "q158")
+      val base = java.nio.file.Files.createTempDirectory("graft_q158_").toString
+      rotateRunDirs("q158", Seq(base))
+      TextAnalysis.unigramDriftStreaming(s, staged, corpus.schema, "source", "text",
+          base + "/state", base + "/out")
+        .select(col("batch_id").cast("long").as("batch_id"), col("source"),
+          col("n_tok"), col("kl"))
+        .orderBy(col("batch_id"), col("source"))
     }
   )
 }

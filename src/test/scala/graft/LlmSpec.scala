@@ -288,6 +288,48 @@ class LlmSpec extends SparkSpec {
     assert(nextCrashed === nextClean, "post-crash index diverged on a later epoch")
   }
 
+  test("streaming unigram drift: final snapshot equals batch KL; replay converges") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"), col("text"))
+    val base = Files.createTempDirectory("graft_stream_drift_").toString
+    val staged = Paths.get(base, "staged"); Files.createDirectories(staged)
+    def stage(cond: org.apache.spark.sql.Column, name: String, mtimeSec: Long): Unit = {
+      val tmp = Paths.get(base, "tmp_" + name).toString
+      corpus.filter(cond).coalesce(1).write.parquet(tmp)
+      val part = scala.util.Using.resource(Files.list(Paths.get(tmp))) { s =>
+        s.toArray.map(_.toString)
+          .find(f => f.endsWith(".parquet") && !f.contains("_SUCCESS")).get
+      }
+      val dest = staged.resolve(name)
+      Files.copy(Paths.get(part), dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeSec * 1000))
+    }
+    stage(col("doc_id") % 2 === 0, "a_even.parquet", 1000000000L)
+    stage(col("doc_id") % 2 === 1, "b_odd.parquet", 1000000100L)
+    def snap(outDir: String) = TextAnalysis.unigramDriftStreaming(spark,
+        staged.toString, corpus.schema, "source", "text", base + "/state", outDir)
+      .collect()
+      .map(r => (r.getAs[Number]("batch_id").longValue(), r.getAs[String]("source"),
+        r.getAs[Long]("n_tok"), r.getAs[Double]("kl"))).toSet
+    val streamed = snap(base + "/out")
+    // batch 1 (cumulative over everything) must equal the batch operator
+    val batchAnswer = TextAnalysis.sourceTokenKL(corpus, "source", "text")
+      .collect().map(r => (1L, r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.filter(_._1 == 1L) === batchAnswer)
+    // batch 0 must equal the batch operator over the even half
+    val evenAnswer = TextAnalysis.sourceTokenKL(
+        corpus.filter(col("doc_id") % 2 === 0), "source", "text")
+      .collect().map(r => (0L, r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.filter(_._1 == 0L) === evenAnswer)
+    // uncheckpointed FULL REPLAY into the same state dir (the worst-case
+    // at-least-once re-run: every epoch re-appended) converges to the
+    // identical snapshots — dynamic-overwrite state + epoch isolation
+    assert(snap(base + "/out2") === streamed)
+    graft.ops.Layout.deleteRecursively(Paths.get(base))
+  }
+
   test("streaming near-dedup equals the same-split batch increments") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
