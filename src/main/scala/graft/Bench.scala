@@ -66,8 +66,25 @@ object Bench {
       require(unknown.isEmpty, s"unknown bench query names: ${unknown.mkString(", ")}")
     }
     val defs = SparkEntry.allDefs.filter(q => only.forall(_.contains(q.name)))
+    // ISOLATION mode (SPARK_GRAFT_BENCH_ISOLATE=gc, default none): before
+    // each query, drop every cached relation (operator-internal persists
+    // AND cross-query shared tables) and run a GC barrier, so a query's
+    // number reflects ITS OWN cost — not page-cache/heap pollution from
+    // the index-lifecycle neighbors (the q69 2.34-vs-1.01 s effect) and
+    // not a warm cache a predecessor happened to leave behind. The
+    // recorded JSON names the mode, so round-over-round comparisons never
+    // mix isolated and shared-session numbers.
+    val isolate = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE", "none")
+    require(isolate == "none" || isolate == "gc",
+      s"SPARK_GRAFT_BENCH_ISOLATE must be none|gc, got: $isolate")
+    def barrier(): Unit = if (isolate == "gc") {
+      graft.ops.CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+      System.gc(); System.gc()
+      Thread.sleep(100)
+    }
     val passes = (1 to nPasses).map { _ =>
-      defs.map(q => q.name -> runOnce(q.name, q.fn)).toMap
+      defs.map { q => barrier(); q.name -> runOnce(q.name, q.fn) }.toMap
     }
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted
@@ -121,7 +138,7 @@ object Bench {
     // stdout: the driver contract line, sized to fit the 2000-char tail cap
     val stdoutLine =
       s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,""" +
-      s""""calibration_sec":$calJson,"passes":$nPasses,"sf":"$sfDir",""" +
+      s""""calibration_sec":$calJson,"passes":$nPasses,"isolation":"$isolate","sf":"$sfDir",""" +
       s""""queries":${mapJson(results, short = true)}}"""
     if (stdoutLine.length > 1950)
       System.err.println(s"[bench] WARNING stdout line ${stdoutLine.length} chars — may clip at the driver's 2000-char tail")
@@ -130,7 +147,7 @@ object Bench {
     // goes to the committed file
     val fileLine =
       s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,""" +
-      s""""calibration_sec":$calJson,"passes":$nPasses,""" +
+      s""""calibration_sec":$calJson,"passes":$nPasses,"isolation":"$isolate",""" +
       s""""queries":${mapJson(results, short = false)},""" +
       s""""medians":${mapJson(medians, short = false)},""" +
       s""""micro":$micro,"sf":"$sfDir"}"""
