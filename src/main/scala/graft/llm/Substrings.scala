@@ -52,6 +52,59 @@ object Substrings {
     * Output: idCol, span_start, span_end, span_len (all LONG, token
     * coordinates into the [[TextAnalysis.wordTokens]] stream).
     */
+  /** The OPERATIONAL half of suffix-array dedup (Lee et al. 2022 apply
+    * step): rewrite each document with its cross-document duplicate text
+    * REMOVED, one canonical copy surviving. Keep-first-owner rule, fully
+    * deterministic and oracle-replayable: each duplicated k-gram's owner
+    * is the SMALLEST doc_id containing it; a token is removed from doc d
+    * iff it is covered by (within k tokens after) a duplicated gram whose
+    * owner is not d. The owner doc keeps its copy; every other doc loses
+    * exactly the covered tokens — partial spans resolve at TOKEN
+    * granularity, so overlapping matches against different owners
+    * compose correctly.
+    *
+    * Output: idCol, clean_text (kept tokens joined by one space — the
+    * tokenized-normalized form, same convention as chunk_text),
+    * n_kept, n_removed. Every input document appears, even if fully
+    * deduplicated (clean_text = '').
+    *
+    * Scale shape: gram fingerprints + two narrow shuffles as
+    * [[duplicateSpans]], plus a token-position anti-join per doc and one
+    * per-doc sort-aggregate for the rebuild — text shuffles once, as
+    * (pos, token) pairs.
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 1, s"gram width must be positive: $k")
+    val grams = gramFingerprints(df, idCol, textCol, k).persist()
+    graft.ops.CacheRegistry.register(grams)
+    // duplicated fp (>= 2 docs) with its canonical owner = min doc_id
+    val owners = grams.groupBy(col("fp"))
+      .agg(min(col("id")).as("owner"), max(col("id")).as("__mx"))
+      .filter(col("owner") =!= col("__mx"))
+      .select(col("fp"), col("owner"))
+    // gram occurrences losing their text: dup fp, not the owner doc
+    val losing = grams.join(owners, "fp").filter(col("id") =!= col("owner"))
+    val covered = losing
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("t"))
+      .distinct()
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(TextAnalysis.wordTokens(col(textCol))).as(Seq("t", "tok")))
+    val kept = toks.join(covered, Seq("id", "t"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("t"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"))
+    val totals = df.select(col(idCol).as("id"),
+      size(coalesce(TextAnalysis.wordTokens(col(textCol)),
+        array().cast("array<string>"))).cast("long").as("__n"))
+    totals.join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minSpan: Int = 0): DataFrame = {
     require(k >= 1, s"gram width must be positive: $k")

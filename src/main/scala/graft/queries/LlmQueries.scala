@@ -840,7 +840,12 @@ object LlmQueries {
       """SELECT vec_id AS id, true AS guard_ok FROM embeddings ORDER BY id""".stripMargin) { (s, d) =>
       val corpus = Tables.embeddings(s, d)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val centroids = Similarity.ivfTrain(corpus, k = 8)
+      // cell count scales with the corpus (fixed target cell size) so the
+      // within-cell pair work stays LINEAR — k=8 at 100x data measured a
+      // 62x decade factor; the guard semantics are cell-count-agnostic
+      val k = Similarity.scaledCellCount(corpus.count())
+      val centroids = Similarity.ivfTrain(corpus, k = k,
+        sampleSize = math.max(4096, 8 * k))
       // 0.35 matches this fixture's near-dup population (its densest
       // cosine band; same threshold as q37) — real corpora tune higher
       val keep = Similarity.semanticDedup(corpus, centroids, threshold = 0.35)
@@ -2029,6 +2034,42 @@ object LlmQueries {
         .select(col("batch_id").cast("long").as("batch_id"), col("source"),
           col("n_tok"), col("kl"))
         .orderBy(col("batch_id"), col("source"))
+    },
+
+    // The APPLY step of suffix-array dedup (q155's find step made
+    // operational): rewrite every document with cross-document duplicate
+    // text removed under the keep-first-owner rule — each duplicated
+    // k-gram's owner is the smallest doc_id containing it; tokens covered
+    // by a gram owned elsewhere are cut, the owner keeps its copy. The
+    // oracle replays fingerprints, ownership, token coverage and the
+    // rebuild — clean_text is compared verbatim, so the whole remove
+    // pipeline is pinned cell-for-cell, including fully-emptied docs.
+    QueryDef.sql(
+      "q159_remove_dup_spans",
+      """WITH t AS (
+        |  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)) AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(range(0, len(ws) - 8 + 1)) AS pos, ws FROM t WHERE len(ws) >= 8),
+        |grams AS (SELECT doc_id, pos, md5(array_to_string(ws[pos+1:pos+8], ' ')) AS fp FROM g),
+        |owners AS (SELECT fp, MIN(doc_id) AS owner FROM grams GROUP BY fp HAVING MIN(doc_id) <> MAX(doc_id)),
+        |losing AS (SELECT g.doc_id, g.pos FROM grams g JOIN owners o USING (fp) WHERE g.doc_id <> o.owner),
+        |covered AS (SELECT DISTINCT doc_id, pos + u.u AS tt FROM losing, (SELECT unnest(range(0, 8)) AS u) u),
+        |toks AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) - 1 AS tt FROM t),
+        |keptrows AS (
+        |  SELECT k.doc_id, k.tt, k.tok FROM toks k
+        |  LEFT JOIN covered c ON c.doc_id = k.doc_id AND c.tt = k.tt
+        |  WHERE c.doc_id IS NULL),
+        |kept AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY tt) AS clean_text
+        |  FROM keptrows GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(k.clean_text, '') AS clean_text,
+        |  COALESCE(k.n_kept, 0) AS n_kept,
+        |  CAST(COALESCE(len(t.ws), 0) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM documents d JOIN t USING (doc_id) LEFT JOIN kept k ON k.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Substrings.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -10,8 +10,12 @@ import org.apache.spark.sql.functions._
 class SubstringSpec extends SparkSpec {
   import spark.implicits._
 
+  // letter-only distinct words: the [A-Za-z]+ tokenizer treats digits as
+  // separators, so a digit suffix would collapse every filler word to the
+  // same token
   private def words(prefix: String, n: Int): String =
-    (0 until n).map(i => s"$prefix$i").mkString(" ")
+    (0 until n).map(i =>
+      s"$prefix${('a' + i % 26).toChar}${('a' + i / 26).toChar}").mkString(" ")
 
   test("finds a cross-document span at arbitrary alignment, maximal extent") {
     // doc 0 carries a 20-token quote at offset 7; doc 1 the same quote at
@@ -88,6 +92,50 @@ class SubstringSpec extends SparkSpec {
     assert(Substrings.gramFingerprints(df, "doc_id", "text", 8)
       .groupBy(col("id")).count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       === Map(3L -> 13L))
+  }
+
+  test("removeDuplicateSpans: owner keeps its copy, others lose exactly the span") {
+    val quote = words("quote", 20)
+    val head1 = words("aone", 3)
+    val tail1 = words("bone", 5)
+    val df = Seq(
+      (0L, words("azero", 7) + " " + quote + " " + words("bzero", 9)),
+      (1L, head1 + " " + quote + " " + tail1)
+    ).toDF("doc_id", "text")
+    val out = Substrings.removeDuplicateSpans(df, "doc_id", "text", k = 8)
+      .orderBy(col("doc_id")).collect()
+    // doc 0 is the owner (min doc_id) — untouched
+    assert(out(0).getLong(3) === 0L)
+    assert(out(0).getString(1).split(" ").length === 36)
+    // doc 1 loses exactly the 20 quote tokens, filler survives in order
+    assert(out(1).getLong(2) === 8L && out(1).getLong(3) === 20L)
+    assert(out(1).getString(1) === head1 + " " + tail1)
+  }
+
+  test("removeDuplicateSpans: a verbatim-subset doc empties; within-doc repeats survive") {
+    val run = words("copy", 12)
+    val rep = words("echo", 9)
+    val df = Seq(
+      (0L, words("ctx", 4) + " " + run + " " + words("more", 6)),
+      (1L, run),                                    // pure subset of doc 0's text
+      (2L, rep + " " + words("mid", 3) + " " + rep) // repeats only internally
+    ).toDF("doc_id", "text")
+    val out = Substrings.removeDuplicateSpans(df, "doc_id", "text", k = 8)
+      .orderBy(col("doc_id")).collect()
+    assert(out(0).getLong(3) === 0L)                 // owner untouched
+    assert(out(1).getString(1) === "" && out(1).getLong(2) === 0L
+      && out(1).getLong(3) === 12L)                  // fully deduplicated
+    assert(out(2).getLong(3) === 0L)                 // within-doc only: kept
+  }
+
+  test("removeDuplicateSpans keeps every input doc, including null/empty text") {
+    val df = Seq((0L, words("x", 20)), (1L, ""), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Substrings.removeDuplicateSpans(df, "doc_id", "text", k = 8)
+      .orderBy(col("doc_id")).collect()
+    assert(out.length === 3)
+    assert(out.forall(_.getLong(3) == 0L))
+    assert(out(1).getString(1) === "" && out(2).getString(1) === "")
   }
 
   test("in-kernel FNV fingerprints decide dups exactly like gram strings") {
