@@ -350,6 +350,57 @@ object KernelLaws extends Properties("graft.kernels") {
         (row.getLong(3) == (if (bc.isEmpty) 0L else bc.max)) :| s"top_bigram ${row.getLong(3)}")
     }
 
+  property("gramHashes: length/alignment law and FNV agreement with joined grams") =
+    forAll(asciiText, Gen.choose(1, 4)) { (s, k) =>
+      val out = TextKernels.gramHashes(u(s), k)
+      val toks = "[a-zA-Z]+".r.findAllIn(s).map(_.toLowerCase).toArray
+      val expectN = math.max(0, toks.length - k + 1)
+      val lenOk = out.numElements() == (if (toks.length < k) 0 else expectN)
+      // spot-check: every position's hash is injective-consistent with
+      // the gram string (equal grams <-> equal hashes within this text)
+      val grams = (0 until out.numElements()).map(i => toks.slice(i, i + k).mkString(" "))
+      val hashOk = (0 until out.numElements()).forall { i =>
+        (0 until out.numElements()).forall { j =>
+          (grams(i) == grams(j)) == (out.getLong(i) == out.getLong(j))
+        }
+      }
+      lenOk && hashOk
+    }
+
+  private val bpeMerges: Gen[Array[Array[String]]] =
+    Gen.listOf(Gen.zip(Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(3)),
+      Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(3))))
+      .map(_.take(8).map(p => Array(p._1, p._2)).toArray)
+
+  property("bpe encodeWord is LOSSLESS: subwords concatenate back to the word") =
+    forAll(Gen.alphaLowerStr.map(_.take(16)), bpeMerges) { (w, merges) =>
+      w.isEmpty || {
+        val syms = graft.expressions.BpeKernels.encodeWord(w, merges)
+        (0 until syms.size).map(syms.get).mkString("") == w
+      }
+    }
+
+  property("bpe count equals token-array length over whole text") =
+    forAll(asciiText, bpeMerges) { (s, merges) =>
+      val toks = graft.expressions.BpeKernels.bpeTokens(u(s), merges)
+      graft.expressions.BpeKernels.bpeCount(u(s), merges) == toks.numElements().toLong
+    }
+
+  property("bpe single merge applies leftmost non-overlapping (fold law)") =
+    forAll(Gen.listOf(Gen.oneOf("a", "b")).map(_.mkString), Gen.const(())) { (w, _) =>
+      w.isEmpty || {
+        val syms = graft.expressions.BpeKernels.encodeWord(w, Array(Array("a", "b")))
+        // fold reference: scan chars, merge a+b when adjacent, never overlap
+        val ref = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < w.length) {
+          if (i + 1 < w.length && w(i) == 'a' && w(i + 1) == 'b') { ref += "ab"; i += 2 }
+          else { ref += w(i).toString; i += 1 }
+        }
+        (0 until syms.size).map(syms.get).toList == ref.toList
+      }
+    }
+
   property("repetitionStats pins the empty/blank/edge-token contract") = Prop.all(
     { val r = TextKernels.repetitionStats(u(""))
       (r.getLong(0) == 1L && r.getLong(1) == 1L && r.getLong(2) == 1L && r.getLong(3) == 0L) :| "empty" },
