@@ -312,6 +312,65 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  private val tileSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("tile_x", IntegerType, nullable = false),
+    StructField("tile_y", IntegerType, nullable = false),
+    StructField("tw", IntegerType, nullable = false),
+    StructField("th", IntegerType, nullable = false),
+    StructField("mean_gray", DoubleType, nullable = false),
+    StructField("min_gray", IntegerType, nullable = false),
+    StructField("max_gray", IntegerType, nullable = false)))
+
+  /** ViT-style NON-OVERLAPPING 2-D tile grid over REAL decoded pixels:
+    * each image splits into ⌈w/tileW⌉ × ⌈h/tileH⌉ tiles (ragged edge
+    * tiles keep their clamped true dimensions — no padding, so the tile
+    * stats are statistics of actual pixels only), with per-tile mean /
+    * min / max gray. The 2-D sibling of [[samplePatches]]' 1-D byte
+    * slices — what a patch-embedding front end consumes. One decode per
+    * image in the per-partition batch loop, one output row per tile
+    * (flat-map shape, shuffle-free). Undecodable payloads emit no tiles
+    * (quarantine-by-absence; [[imageFeatures]] is the keep-every-row
+    * audit view).
+    */
+  def imageTiles(spark: SparkSession, media: DataFrame,
+      tileW: Int, tileH: Int): DataFrame = {
+    require(tileW > 0 && tileH > 0, s"tile dims must be positive: $tileW x $tileH")
+    val rdd = media.select(col("media_id"), col("payload")).rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        decodeGray(r.getAs[Array[Byte]](1)) match {
+          case None => Iterator.empty
+          case Some((w, h, px)) =>
+            for {
+              ty <- Iterator.range(0, (h + tileH - 1) / tileH)
+              tx <- Iterator.range(0, (w + tileW - 1) / tileW)
+            } yield {
+              val x0 = tx * tileW; val y0 = ty * tileH
+              val tw = math.min(tileW, w - x0)
+              val th = math.min(tileH, h - y0)
+              var sum = 0L; var mn = 255; var mx = 0
+              var dy = 0
+              while (dy < th) {
+                var dx = 0
+                val base = (y0 + dy) * w + x0
+                while (dx < tw) {
+                  val v = px(base + dx)
+                  sum += v
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  dx += 1
+                }
+                dy += 1
+              }
+              Row(id, tx, ty, tw, th, sum.toDouble / (tw * th), mn, mx)
+            }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, tileSchema)
+  }
+
   /** STUB — deterministic fake "decode + feature-extract" of a media
     * payload: 8 float features from byte statistics. The byte-level
     * fallback for formats with no JVM decoder; a real deployment

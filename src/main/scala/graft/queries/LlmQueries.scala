@@ -2070,6 +2070,43 @@ object LlmQueries {
         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       Substrings.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text", k = 8)
         .orderBy(col("doc_id"))
+    },
+
+    // ViT-style 2-D tile grid on REAL decoded pixels (the 2-D sibling of
+    // q42's byte slices): synthetic PNG → ImageIO decode → non-overlapping
+    // 4×3 tiles with ragged edges kept at their true clamped dimensions,
+    // per-tile mean/min/max gray. The oracle enumerates the tile grid and
+    // replays every tile's pixel statistics from the closed-form formula —
+    // so decode + 2-D indexing + clamping are all pinned per tile.
+    QueryDef.sql(
+      "q160_image_tiles",
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, CAST(8 + doc_id % 5 AS INT) AS w0,
+        |    CAST(6 + doc_id % 4 AS INT) AS h0
+        |  FROM documents),
+        |tiles AS (
+        |  SELECT media_id, w0, h0, CAST(tx.x AS INT) AS tile_x, CAST(ty.y AS INT) AS tile_y
+        |  FROM b, (SELECT unnest(range(0, 3)) AS x) tx, (SELECT unnest(range(0, 3)) AS y) ty
+        |  WHERE tx.x * 4 < w0 AND ty.y * 3 < h0),
+        |t2 AS (
+        |  SELECT media_id, tile_x, tile_y,
+        |    CAST(LEAST(4, w0 - tile_x*4) AS INT) AS tw,
+        |    CAST(LEAST(3, h0 - tile_y*3) AS INT) AS th
+        |  FROM tiles),
+        |p AS (
+        |  SELECT media_id, tile_x, tile_y, tw, th,
+        |    list_transform(range(0, tw*th), i ->
+        |      (media_id*31 + (tile_x*4 + i % tw)*7 + (tile_y*3 + i // tw)*13) % 256) AS px
+        |  FROM t2)
+        |SELECT media_id, tile_x, tile_y, tw, th,
+        |  ROUND(CAST(list_sum(px) AS DOUBLE) / (tw*th), 4) AS mean_gray,
+        |  CAST(list_min(px) AS INT) AS min_gray, CAST(list_max(px) AS INT) AS max_gray
+        |FROM p ORDER BY media_id, tile_y, tile_x""".stripMargin) { (s, d) =>
+      val media = Multimodal.syntheticImageTable(s, Tables.documents(s, d), "doc_id")
+      Multimodal.imageTiles(s, media, tileW = 4, tileH = 3)
+        .select(col("media_id"), col("tile_x"), col("tile_y"), col("tw"), col("th"),
+          round(col("mean_gray"), 4).as("mean_gray"), col("min_gray"), col("max_gray"))
+        .orderBy(col("media_id"), col("tile_y"), col("tile_x"))
     }
   )
 }

@@ -752,6 +752,36 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("image tiles: grid partitions every pixel exactly once, ragged edges clamped") {
+    val ids = Seq(0L, 3L, 14L).toDF("doc_id")
+    val media = Multimodal.syntheticImageTable(spark, ids, "doc_id")
+    val tiles = Multimodal.imageTiles(spark, media, tileW = 4, tileH = 3)
+      .collect().groupBy(_.getLong(0))
+    val feats = Multimodal.imageFeatures(spark, media)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    tiles.foreach { case (id, ts) =>
+      val f = feats(id)
+      val (w, h) = (f.getInt(1), f.getInt(2))
+      // tile areas partition the image
+      assert(ts.map(t => t.getInt(3).toLong * t.getInt(4)).sum === (w.toLong * h))
+      // tile mean*area sums reproduce the whole-image mean exactly
+      val sum = ts.map(t => t.getDouble(5) * t.getInt(3) * t.getInt(4)).sum
+      assert(math.abs(sum - f.getDouble(4) * w * h) < 1e-6)
+      // min/max of tiles == image min/max
+      assert(ts.map(_.getInt(6)).min === f.getInt(5))
+      assert(ts.map(_.getInt(7)).max === f.getInt(6))
+      // ragged edges: every tile dimension clamped, none zero or oversized
+      assert(ts.forall(t => t.getInt(3) >= 1 && t.getInt(3) <= 4
+        && t.getInt(4) >= 1 && t.getInt(4) <= 3))
+    }
+    // undecodable payload emits no tiles
+    val junk = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        9L, Array[Byte](1, 2, 3), org.apache.spark.sql.Row("image/png", null, null, 3L)))),
+      Multimodal.mediaSchema)
+    assert(Multimodal.imageTiles(spark, junk, 4, 3).count() === 0L)
+  }
+
   test("byteSum treats bytes as unsigned") {
     val df = Seq(Tuple1(Array[Byte](0, 1, -1, -128, 127))).toDF("b")
     assert(df.select(Multimodal.byteSum(col("b"))).head.getLong(0)
