@@ -1113,6 +1113,17 @@ class LlmSpec extends SparkSpec {
     assert(mean > 0.6, s"mean recall@10 $mean too low for nProbe=4/$nCells")
   }
 
+  test("scaledCellCount keeps within-cell pair work linear in the corpus") {
+    import graft.llm.Similarity.scaledCellCount
+    assert(scaledCellCount(0L) === 8)         // floor
+    assert(scaledCellCount(2000L) === 8)      // small corpora keep the min
+    assert(scaledCellCount(200000L) === 196)  // ~1 cell per 1024 vectors
+    // pair work N*target stays linear: factor over a decade ~10, not 100
+    val p1 = 20000L * 20000L / scaledCellCount(20000L)
+    val p10 = 200000L * 200000L / scaledCellCount(200000L)
+    assert(p10.toDouble / p1 < 12.0, s"pair work superlinear: $p1 -> $p10")
+  }
+
   test("semanticDedup equals the brute-force keep-list when groups are cluster-tight") {
     import spark.implicits._
     import graft.llm.{Dedup, Similarity}
