@@ -27,9 +27,12 @@ object Chunking {
     * one space), n_tokens (LONG tokens in the chunk).
     */
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
-      size: Int, stride: Int): DataFrame = {
+      size: Int, stride: Int,
+      tokenize: Column => Column = TextAnalysis.wordTokens): DataFrame = {
     require(size > 0 && stride > 0, s"size/stride must be positive: $size/$stride")
-    val toks = df.select(col(idCol), TextAnalysis.wordTokens(col(textCol)).as("__toks"))
+    // `tokenize` plugs the token convention: word tokens by default,
+    // Bpe.encode for context windows budgeted in real subword tokens
+    val toks = df.select(col(idCol), tokenize(col(textCol)).as("__toks"))
       .withColumn("__n", org.apache.spark.sql.functions.size(col("__toks")))
     // last start = the largest multiple of stride strictly below n (so a
     // window never starts past the end); docs with n <= size get start 0

@@ -2107,6 +2107,112 @@ object LlmQueries {
         .select(col("media_id"), col("tile_x"), col("tile_y"), col("tw"), col("th"),
           round(col("mean_gray"), 4).as("mean_gray"), col("min_gray"), col("max_gray"))
         .orderBy(col("media_id"), col("tile_y"), col("tile_x"))
+    },
+
+    // q149's temperature-flattened mixture re-priced in REAL subword
+    // tokens (the mixing leg of the BPE wiring, beside q157's packing
+    // leg): per-source token mass, α-flattened weights, capped rates and
+    // the stable-bucket keep decisions all derive from frozen-BPE counts.
+    // The oracle re-derives every document's count from the per-word
+    // merge-loop replay, then replays the identical mixture math.
+    QueryDef.sql(
+      "q161_bpe_temperature_mixture",
+      s"""WITH RECURSIVE
+         |merges(rank, a, b) AS (VALUES $bpeMergesValues),
+         |vw AS (SELECT DISTINCT unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS w FROM documents),
+         |enc AS (
+         |  SELECT w, 0 AS r, list_transform(split(w, ''), z -> [z]) AS syms FROM vw
+         |  UNION ALL
+         |  SELECT enc.w, enc.r + 1,
+         |    list_transform(
+         |      list_reduce(enc.syms, (acc, x) ->
+         |        CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND x[1] = m.b
+         |             THEN list_append(acc[:len(acc)-1], m.a || m.b)
+         |             ELSE list_append(acc, x[1]) END),
+         |      z -> [z]) AS syms
+         |  FROM enc JOIN merges m ON m.rank = enc.r),
+         |wl AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM enc WHERE r = $bpeNumMerges),
+         |dw AS (SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS w FROM documents),
+         |sums AS (SELECT doc_id, SUM(n_sub) AS s FROM dw JOIN wl USING (w) GROUP BY doc_id),
+         |t AS (SELECT d.doc_id, d.source, CAST(COALESCE(s.s, 0) AS BIGINT) AS n_tokens
+         |      FROM documents d LEFT JOIN sums s USING (doc_id)),
+         |tot AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS source_tokens
+         |        FROM t GROUP BY 1),
+         |ws AS (SELECT SUM(pow(source_tokens, 0.5)) AS wsum FROM tot),
+         |r AS (SELECT source, source_tokens,
+         |        pow(source_tokens, 0.5) / wsum AS weight,
+         |        least(1.0, round(pow(source_tokens, 0.5) / wsum * 15000 / source_tokens, 6)) AS rate
+         |      FROM tot, ws),
+         |kept AS (
+         |  SELECT t.source, t.doc_id, t.n_tokens FROM t JOIN r USING (source)
+         |  WHERE CAST(('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 65536
+         |        < CAST(floor(rate * 65536) AS BIGINT))
+         |SELECT r.source, r.source_tokens, round(r.weight, 6) AS weight, r.rate,
+         |  CAST(COUNT(kept.doc_id) AS BIGINT) AS n_kept,
+         |  CAST(COALESCE(SUM(kept.n_tokens), 0) AS BIGINT) AS tokens_kept
+         |FROM r LEFT JOIN kept ON kept.source = r.source
+         |GROUP BY r.source, r.source_tokens, r.weight, r.rate
+         |ORDER BY r.source""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        graft.llm.Bpe.countTokens(col("text")).as("n_tokens"))
+      val rates = graft.llm.Mixing.temperatureRates(toks, "n_tokens", "source", 0.5, 15000L)
+      val kept = graft.llm.Mixing.sampleToTemperature(toks, "doc_id", "n_tokens", "source", 0.5, 15000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
+      rates.join(kept, Seq("source"), "left")
+        .select(col("source"), col("source_tokens"),
+          round(col("weight"), 6).as("weight"), col("rate"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+        .orderBy(col("source"))
+    },
+
+    // q102's document chunking on the REAL subword stream (the chunking
+    // leg of the BPE wiring, closing the packing/chunking/mixing triple):
+    // context windows of 24 subword tokens at stride 16, cut from each
+    // document's ordered BPE token sequence. The oracle rebuilds that
+    // sequence — per-word merge-loop replay, flattened in (word, subword)
+    // order — and replays the window arithmetic; chunk_text is compared
+    // verbatim, so tokenization order and window cuts are both pinned.
+    QueryDef.sql(
+      "q162_bpe_chunking",
+      s"""WITH RECURSIVE
+         |merges(rank, a, b) AS (VALUES $bpeMergesValues),
+         |vw AS (SELECT DISTINCT unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS w FROM documents),
+         |enc AS (
+         |  SELECT w, 0 AS r, list_transform(split(w, ''), z -> [z]) AS syms FROM vw
+         |  UNION ALL
+         |  SELECT enc.w, enc.r + 1,
+         |    list_transform(
+         |      list_reduce(enc.syms, (acc, x) ->
+         |        CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND x[1] = m.b
+         |             THEN list_append(acc[:len(acc)-1], m.a || m.b)
+         |             ELSE list_append(acc, x[1]) END),
+         |      z -> [z]) AS syms
+         |  FROM enc JOIN merges m ON m.rank = enc.r),
+         |fin AS (SELECT w, list_transform(syms, s -> s[1]) AS toks FROM enc WHERE r = $bpeNumMerges),
+         |dw AS (
+         |  SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS w,
+         |    generate_subscripts(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)), 1) AS wpos
+         |  FROM documents),
+         |flat AS (
+         |  SELECT dw.doc_id, dw.wpos, unnest(fin.toks) AS tok, generate_subscripts(fin.toks, 1) AS spos
+         |  FROM dw JOIN fin USING (w)),
+         |arr0 AS (SELECT doc_id, list(tok ORDER BY wpos, spos) AS ws FROM flat GROUP BY doc_id),
+         |t AS (SELECT d.doc_id, COALESCE(a.ws, CAST([] AS VARCHAR[])) AS ws
+         |      FROM documents d LEFT JOIN arr0 a USING (doc_id)),
+         |b AS (SELECT doc_id, ws, len(ws) AS n FROM t),
+         |s AS (
+         |  SELECT doc_id, ws,
+         |    unnest(range(0, CASE WHEN n <= 24 THEN 1 ELSE ((n-1)//16)*16 + 1 END, 16)) AS st
+         |  FROM b)
+         |SELECT doc_id, CAST(st // 16 AS BIGINT) AS chunk_id,
+         |  array_to_string(ws[st+1:st+24], ' ') AS chunk_text,
+         |  CAST(len(ws[st+1:st+24]) AS BIGINT) AS n_tokens
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      Chunking.chunkByTokens(Tables.documents(s, d), "doc_id", "text",
+          size = 24, stride = 16, tokenize = graft.llm.Bpe.encode(_))
+        .orderBy(col("doc_id"), col("chunk_id"))
     }
   )
 }

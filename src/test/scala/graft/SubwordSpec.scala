@@ -72,6 +72,25 @@ class SubwordSpec extends SparkSpec {
     assert(got === Map(0L -> -1L, 1L -> 0L, 2L -> 0L))
   }
 
+  test("BPE chunking windows tile the subword stream (stride reassembly)") {
+    val df = Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
+    val chunks = graft.llm.Chunking.chunkByTokens(df, "doc_id", "text",
+        size = 24, stride = 16, tokenize = Bpe.encode(_))
+      .collect().groupBy(_.getLong(0))
+    val streams = df.select(col("doc_id"), Bpe.encode(col("text")).as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    chunks.foreach { case (id, cs) =>
+      val stream = streams(id)
+      cs.sortBy(_.getLong(1)).foreach { c =>
+        val start = c.getLong(1).toInt * 16
+        val expect = stream.slice(start, start + 24)
+        assert(c.getString(2) === expect.mkString(" "),
+          s"doc $id chunk ${c.getLong(1)} mismatched")
+        assert(c.getLong(3) === expect.length.toLong)
+      }
+    }
+  }
+
   test("training is deterministic under repartition (order-independent argmax)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = Bpe.trainMerges(docs.repartition(7), "text", 10)
