@@ -278,6 +278,29 @@ object TextAnalysis {
         round(col("lp"), 6).as("avg_logp"))
   }
 
+  /** Quality-quantile selection — the "train on the top slice by LM
+    * quality" policy (CCNet's perplexity-bucket selection reduced to its
+    * deterministic core): keep documents whose corpus-derived unigram-LM
+    * score ([[unigramLogProb]]) is at or above the q-th percentile of
+    * the scored corpus. The cutoff is computed over the ROUNDED at-rest
+    * scores (engine-portable) with the exact-percentile prefix-sum
+    * machinery and reduced to a provably-one-row frame that broadcasts
+    * back — documents never shuffle for the decision. NULL scores
+    * (zero-token docs) get an explicit kept=false.
+    */
+  def selectByQualityQuantile(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, q: Double): org.apache.spark.sql.DataFrame = {
+    require(q > 0 && q < 1, s"quantile must be in (0,1): $q")
+    val scored = unigramLogProb(df, idCol, textCol)
+    val cut = graft.ops.Percentiles.exactPercentiles(
+        scored.filter(col("avg_logp").isNotNull).withColumn("__g", lit(1)),
+        "__g", "avg_logp", Seq(q), Seq("c"))
+      .agg(max(col("c")).as("cutoff")) // global agg: maxRows=1, sweep-provable
+    scored.crossJoin(broadcast(cut))
+      .select(col("id"), col("n_tok"), col("avg_logp"),
+        coalesce(col("avg_logp") >= col("cutoff"), lit(false)).as("kept"))
+  }
+
   /** Per-source token-distribution divergence from the whole corpus:
     * KL(p_source ‖ p_corpus) over word unigrams — the mixture-drift
     * diagnostic of multi-source pretraining corpora (which slice's

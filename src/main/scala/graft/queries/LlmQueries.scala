@@ -2213,6 +2213,34 @@ object LlmQueries {
       Chunking.chunkByTokens(Tables.documents(s, d), "doc_id", "text",
           size = 24, stride = 16, tokenize = graft.llm.Bpe.encode(_))
         .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // Quality-quantile selection (q150 composed with the exact-percentile
+    // machinery): keep documents at or above the corpus' p40 unigram-LM
+    // score — the CCNet "train on the top slice by LM quality" policy.
+    // Both engines compute the cutoff over the ROUNDED scores with
+    // interpolated (quantile_cont) semantics on identical inputs, so the
+    // kept boolean is deterministic; zero-token docs are explicit false.
+    QueryDef.sql(
+      "q163_quality_select",
+      """WITH terms AS (
+        |  SELECT doc_id AS id, unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS term
+        |  FROM documents),
+        |tf AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS c FROM terms GROUP BY 1, 2),
+        |model AS (SELECT term, CAST(SUM(c) AS BIGINT) AS ct FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM tf),
+        |doc AS (
+        |  SELECT id, CAST(SUM(c) AS BIGINT) AS n_tok,
+        |    SUM(c * ln(CAST(ct AS DOUBLE) / t)) / SUM(c) AS lp
+        |  FROM tf JOIN model USING (term) CROSS JOIN tot GROUP BY id),
+        |scored AS (
+        |  SELECT d.doc_id AS id, COALESCE(doc.n_tok, 0) AS n_tok, ROUND(doc.lp, 6) AS avg_logp
+        |  FROM documents d LEFT JOIN doc ON doc.id = d.doc_id),
+        |cut AS (SELECT quantile_cont(avg_logp, 0.4) AS cutoff FROM scored WHERE avg_logp IS NOT NULL)
+        |SELECT id, n_tok, avg_logp, COALESCE(avg_logp >= cutoff, false) AS kept
+        |FROM scored CROSS JOIN cut ORDER BY id""".stripMargin) { (s, d) =>
+      TextAnalysis.selectByQualityQuantile(Tables.documents(s, d), "doc_id", "text", 0.4)
+        .orderBy(col("id"))
     }
   )
 }

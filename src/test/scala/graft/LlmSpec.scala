@@ -1113,6 +1113,24 @@ class LlmSpec extends SparkSpec {
     assert(mean > 0.6, s"mean recall@10 $mean too low for nProbe=4/$nCells")
   }
 
+  test("quality-quantile selection: keep fraction tracks q, nulls explicit false") {
+    import graft.llm.TextAnalysis
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.selectByQualityQuantile(corpus, "doc_id", "text", 0.4)
+      .collect()
+    val scoredN = out.count(!_.isNullAt(2))
+    val keptN = out.count(_.getBoolean(3))
+    // at q=0.4 about 60% of SCORED docs survive (ties can wobble slightly)
+    assert(keptN >= (scoredN * 0.55).toInt && keptN <= (scoredN * 0.65).toInt + 1,
+      s"kept $keptN of $scoredN at q=0.4")
+    // null scores are never kept
+    assert(out.filter(_.isNullAt(2)).forall(!_.getBoolean(3)))
+    // tighter quantile keeps fewer
+    val strict = TextAnalysis.selectByQualityQuantile(corpus, "doc_id", "text", 0.8)
+      .filter(col("kept")).count()
+    assert(strict < keptN)
+  }
+
   test("scaledCellCount keeps within-cell pair work linear in the corpus") {
     import graft.llm.Similarity.scaledCellCount
     assert(scaledCellCount(0L) === 8)         // floor
