@@ -93,12 +93,14 @@ object Decontaminate {
     */
   def fuzzyOverlapFromToks(train: DataFrame, bench: DataFrame,
       threshold: Double): DataFrame = {
+    // NULL toks (a null-text doc) must report n_grams = 0, not size(null) = -1
+    val nToks = size(coalesce(col("toks"), array()))
     val bInv = bench.select(col("id").as("bench_id"), explode(col("toks")).as("g"))
-    val bSizes = bench.select(col("id").as("bench_id"), size(col("toks")).cast("long").as("nb"))
+    val bSizes = bench.select(col("id").as("bench_id"), nToks.cast("long").as("nb"))
     // size carried through the explode so the hit-count aggregate needs no
     // second join back to a sizes table for the training side
     val tGrams = train.select(col("id").as("doc_id"),
-      size(col("toks")).cast("long").as("n_grams"), explode(col("toks")).as("g"))
+      nToks.cast("long").as("n_grams"), explode(col("toks")).as("g"))
     // toks are SETS (ShingleTokens dedups), so plain count = |intersection|
     val hits = tGrams.join(broadcast(bInv), Seq("g"))
       .groupBy(col("doc_id"), col("n_grams"), col("bench_id"))
@@ -112,7 +114,7 @@ object Decontaminate {
       .partitionBy(col("doc_id")).orderBy(col("j").desc, col("bench_id"))
     val best = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("doc_id"), col("bench_id").as("best_bench"), col("j"))
-    train.select(col("id").as("doc_id"), size(col("toks")).cast("long").as("n_grams"))
+    train.select(col("id").as("doc_id"), nToks.cast("long").as("n_grams"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"), col("best_bench"),
         coalesce(col("j"), lit(0.0)).as("max_jaccard"),

@@ -483,8 +483,9 @@ object Dedup {
     * daily increment with a high dup rate that is hundreds of millions of
     * ids, the exact bottleneck class a distributed pipeline must avoid.
     *
-    * Epoch-scoped overwrite keeps at-least-once re-runs idempotent (a
-    * crashed epoch's re-run replaces its own scratch, not appends).
+    * Attempt-scoped writes keep at-least-once re-runs idempotent AND
+    * race-free: a crashed (or re-run) epoch writes a fresh attempt subdir,
+    * never touching files an earlier attempt's reader may still be on.
     * Scratch epochs are retained until the caller retires the index dir —
     * compaction must NOT reclaim them, since an arbitrarily old result
     * plan may still be reading its epoch (same lifetime contract as a
@@ -493,7 +494,13 @@ object Dedup {
     */
   private def materializeScratch(indexDir: String, family: String,
       epoch: Long, lazyDf: DataFrame): DataFrame = {
-    val path = indexDir.stripSuffix("/") + s"/scratch/$family/epoch=$epoch"
+    // unique attempt subdir per call: an at-least-once RE-RUN of the same
+    // epoch writes a fresh attempt instead of overwriting files an earlier
+    // caller's still-lazy plan may be mid-read (each returned reader pins
+    // its own attempt; orphaned attempts share the scratch-area lifetime —
+    // retained until the caller retires the index dir)
+    val path = indexDir.stripSuffix("/") +
+      s"/scratch/$family/epoch=$epoch/attempt_${java.util.UUID.randomUUID()}"
     lazyDf.write.mode("overwrite").parquet(path)
     lazyDf.sparkSession.read.schema(lazyDf.schema).parquet(path)
   }

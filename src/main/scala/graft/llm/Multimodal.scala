@@ -168,8 +168,12 @@ object Multimodal {
 
   def decodeGray(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (payload == null || payload.isEmpty) return None
+    // NonFatal, not just IOException: ImageIO plugins throw runtime
+    // exceptions (IllegalArgument/IndexOutOfBounds/CMMException) on
+    // corrupt payloads, and the contract is "undecodable -> None", never
+    // an executor crash
     val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-    catch { case _: java.io.IOException => null }
+    catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None
     else {
       val w = img.getWidth

@@ -40,13 +40,19 @@ object LlmQueries {
     */
   private val sharedShingles =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
-  private def shingleTok(s: org.apache.spark.sql.SparkSession, d: String) =
+  private def shingleTok(s: org.apache.spark.sql.SparkSession, d: String) = {
+    // evict frames pinned by a PREVIOUS session (sbt test, repeated
+    // harness runs share one JVM): stale appId keys reference dead-session
+    // DataFrames invisible to CacheRegistry accounting
+    sharedShingles.keySet.removeIf(k =>
+      !k.startsWith(s.sparkContext.applicationId + "|"))
     sharedShingles.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
       val tok = Tables.documents(s, d).select(col("doc_id").as("id"),
         Dedup.shingles(col("text"), 3).as("toks")).persist()
       tok.count() // materialize eagerly so every consumer hits the cache
       tok
     })
+  }
 
   /** Stage `corpus` as two parity-split parquet files (batch 0 = even
     * doc_ids, batch 1 = odd) with FORGED mtimes, so a
@@ -2241,6 +2247,46 @@ object LlmQueries {
         |FROM scored CROSS JOIN cut ORDER BY id""".stripMargin) { (s, d) =>
       TextAnalysis.selectByQualityQuantile(Tables.documents(s, d), "doc_id", "text", 0.4)
         .orderBy(col("id"))
+    },
+
+    // Near-duplicate decontamination (q87's fuzzy companion): per training
+    // doc, the max 3-gram-Jaccard against ANY benchmark doc (doc_id % 50 =
+    // 0 stands in for the eval suite) with argmax bench id and a 0.5
+    // verdict. Blocking is LOSSLESS (a Jaccard>0 pair shares a shingle),
+    // so a plain SQL replay of the inverted-index join is exact; the
+    // int/int Jaccard quotient is bit-identical across engines, making
+    // the (j DESC, bench_id) argmax deterministic without rounding. Both
+    // sides reuse the q31/q32 shared shingle pass.
+    QueryDef.sql(
+      "q164_fuzzy_decontaminate",
+      """WITH words AS (
+        |  SELECT doc_id, list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)) AS ws FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN len(ws) < 3 THEN [list_aggregate(ws, 'string_agg', ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+        |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS toks
+        |  FROM words),
+        |binv AS (SELECT doc_id AS bench_id, unnest(toks) AS g FROM tok WHERE doc_id % 50 = 0),
+        |bsz AS (SELECT doc_id AS bench_id, CAST(len(toks) AS BIGINT) AS nb FROM tok WHERE doc_id % 50 = 0),
+        |tg AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_grams, unnest(toks) AS g FROM tok),
+        |hits AS (SELECT doc_id, n_grams, bench_id, CAST(COUNT(*) AS BIGINT) AS inter
+        |         FROM tg JOIN binv USING (g) GROUP BY 1, 2, 3),
+        |scored AS (SELECT doc_id, bench_id,
+        |             CAST(inter AS DOUBLE) / (n_grams + nb - inter) AS j
+        |           FROM hits JOIN bsz USING (bench_id)),
+        |best AS (SELECT doc_id, bench_id, j,
+        |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j DESC, bench_id) AS rn
+        |         FROM scored)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_grams, b.bench_id AS best_bench,
+        |  COALESCE(b.j, 0.0) AS max_jaccard, COALESCE(b.j >= 0.5, false) AS contaminated
+        |FROM tok t LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val tok = shingleTok(s, d)
+      graft.llm.Decontaminate.fuzzyOverlapFromToks(
+          tok, tok.filter(col("id") % 50 === 0), threshold = 0.5)
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -865,6 +865,27 @@ class LlmSpec extends SparkSpec {
     assert(kept === Seq(1L, 2L, 3L))
   }
 
+  test("fuzzyOverlap: max-Jaccard argmax, row-preserving, null text reports 0 grams") {
+    import graft.llm.Decontaminate
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),   // near-copy of bench 100
+      (1L, "totally unrelated words in this doc ok"),
+      (2L, null.asInstanceOf[String]),                // null text: n_grams must be 0, not -1
+      (3L, "")                                        // letterless: zero shingles
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "omega psi chi phi upsilon")).toDF("doc_id", "text")
+    val rep = Decontaminate.fuzzyOverlap(train, bench, "doc_id", "text", n = 3, threshold = 0.5)
+      .orderBy(col("doc_id")).collect()
+    assert(rep.length === 4) // every training row exactly once
+    // doc 0: shares 3 of its 4 shingles with bench 100 (3 shared, union 4+3-3=4)
+    assert(rep(0).getLong(2) === 100L && rep(0).getDouble(3) === 0.75 && rep(0).getBoolean(4))
+    assert(rep(1).isNullAt(2) && rep(1).getDouble(3) === 0.0 && !rep(1).getBoolean(4))
+    assert(rep(2).getLong(1) === 0L && rep(2).getDouble(3) === 0.0) // null text -> 0 grams
+    assert(rep(3).getLong(1) === 0L && !rep(3).getBoolean(4))
+  }
+
   test("shingle_explode generator equals explode(shingle_tokens), SQL LATERAL VIEW works") {
     val viaGen = docs.select(col("doc_id"), Dedup.shingleRows(col("text")))
       .select(col("doc_id"), col("pos"), col("shingle"))
