@@ -6,35 +6,98 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Deterministic byte-level BPE over the library's `[a-z]+` token stream
-  * (case-folded ASCII — byte == code point by construction, so byte-level
-  * and char-level coincide). The merge table is a frozen, fixture-trained
-  * artifact ([[graft.llm.Bpe]]); ENCODE semantics are defined to be
-  * SQL-replayable: merges apply in RANK ORDER, each rank exhaustively
-  * left-to-right non-overlapping (a single forward scan — provably equal
-  * to the left-fold formulation the DuckDB oracle uses, since a merged
-  * token `a+b` can never equal its own left side `a`). This is also
-  * exactly how training applied them, so encode ∘ train is consistent.
-  * Extends the reference's byte-level string surface
-  * (`src/kernels/string.rs` tokenize-adjacent kernels) with the subword
-  * vocabulary a token-budgeted pipeline prices in.
+/** Deterministic FULL-BYTE BPE (GPT-2-style byte-level alphabet): every
+  * one of the 256 byte values is a base symbol, rendered through the
+  * published byte-to-printable mapping so merge tables and token strings
+  * stay printable, quotable SQL literals. Digits, punctuation, whitespace
+  * structure, and non-Latin scripts (every UTF-8 byte) are all priced —
+  * the property the reference's byte-offset string layout
+  * (`src/structs/variants/string.rs:106-115`) makes the ground truth.
+  *
+  * PRE-TOKENIZATION is a total partition of the byte stream into maximal
+  * single-class runs — ASCII letters, ASCII digits, ASCII whitespace
+  * ([ \t\n\f\r]), and everything else (all remaining bytes, including the
+  * whole >= 0x80 range, so multibyte UTF-8 characters never split across
+  * pre-tokens: their bytes share one class). Merges apply only WITHIN a
+  * pre-token (the GPT-2 boundary rule), and the four classes are disjoint,
+  * so the equivalent RE2 alternation
+  * `[A-Za-z]+|[0-9]+|[ \t\n\f\r]+|[^A-Za-z0-9 \t\n\f\r]+` replays the
+  * split unambiguously on any regex engine — the oracle's formulation.
+  *
+  * ENCODE semantics are defined to be SQL-replayable: merges apply in
+  * RANK ORDER, each rank exhaustively left-to-right non-overlapping (a
+  * single forward scan — provably equal to the left-fold formulation the
+  * DuckDB oracle uses, since a merged token `a+b` can never equal its own
+  * left side `a`). This is also exactly how training applied them, so
+  * encode ∘ train is consistent.
   */
 object BpeKernels {
 
-  /** Apply the merge table to one word (rank order, leftmost
-    * non-overlapping per rank). Returns the subword symbol list.
+  /** The GPT-2 byte-to-printable mapping: bytes that are printable in
+    * latin-1 ('!'..'~', '¡'..'¬', '®'..'ÿ') map to their own code point;
+    * the remaining 68 (controls, space, DEL, 0x80-0xA0, 0xAD) map to
+    * U+0100 + n in increasing byte order. Injective, all single-char,
+    * no quote/backslash/control output for the remapped set — which is
+    * what keeps the merge artifact TSV-safe and SQL-quotable.
     */
-  def encodeWord(w: String, merges: Array[Array[String]]): java.util.ArrayList[String] = {
-    var syms = new java.util.ArrayList[String](w.length)
+  val ByteSym: Array[String] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val out = new Array[String](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (keep(b)) out(b) = String.valueOf(b.toChar)
+      else { out(b) = String.valueOf((256 + n).toChar); n += 1 }
+      b += 1
+    }
+    out
+  }
+
+  // byte-class codes for the pre-tokenizer
+  private def byteClass(c: Byte): Int = {
+    if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) 0      // letter
+    else if (c >= '0' && c <= '9') 1                             // digit
+    else if (c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r') 2 // ws
+    else 3                                                       // other
+  }
+
+  /** Maximal same-class byte runs — a TOTAL partition (spans concatenate
+    * back to the input).
+    */
+  def preTokenSpans(b: Array[Byte]): java.util.ArrayList[(Int, Int)] = {
+    val spans = new java.util.ArrayList[(Int, Int)]()
     var i = 0
-    while (i < w.length) { syms.add(String.valueOf(w.charAt(i))); i += 1 }
+    while (i < b.length) {
+      val cls = byteClass(b(i))
+      var j = i + 1
+      while (j < b.length && byteClass(b(j)) == cls) j += 1
+      spans.add((i, j))
+      i = j
+    }
+    spans
+  }
+
+  /** Mapped base symbols of one span, one per byte. */
+  def byteSymbols(b: Array[Byte], s: Int, e: Int): java.util.ArrayList[String] = {
+    val syms = new java.util.ArrayList[String](e - s)
+    var i = s
+    while (i < e) { syms.add(ByteSym(b(i) & 0xff)); i += 1 }
+    syms
+  }
+
+  /** Apply the merge table to one pre-token's symbol list (rank order,
+    * leftmost non-overlapping per rank). Mutates and returns.
+    */
+  def encodeSyms(syms0: java.util.ArrayList[String],
+      merges: Array[Array[String]]): java.util.ArrayList[String] = {
+    var syms = syms0
     var r = 0
     while (r < merges.length && syms.size > 1) {
       val a = merges(r)(0)
       val b = merges(r)(1)
       var j = 0
       var changed = false
-      // cheap pre-scan: most ranks don't occur in most words
+      // cheap pre-scan: most ranks don't occur in most pre-tokens
       while (j + 1 < syms.size && !changed) {
         changed = syms.get(j) == a && syms.get(j + 1) == b
         j += 1
@@ -54,17 +117,18 @@ object BpeKernels {
     syms
   }
 
-  /** Subword tokens of the whole text: tokenize, encode each word,
-    * concatenate in order. One byte pass + per-word merge scans.
+  /** Subword tokens of the whole text: pre-tokenize, encode each
+    * pre-token, concatenate in order. One byte pass + per-token merge
+    * scans. Token strings are in MAPPED (printable) space.
     */
   def bpeTokens(s: UTF8String, merges: Array[Array[String]]): ArrayData = {
     val b = s.getBytes
-    val spans = TextKernels.tokenSpans(b)
+    val spans = preTokenSpans(b)
     val out = new java.util.ArrayList[Any]()
     var i = 0
     while (i < spans.size()) {
       val (st, en) = spans.get(i)
-      val syms = encodeWord(TextKernels.lowerToken(b, st, en), merges)
+      val syms = encodeSyms(byteSymbols(b, st, en), merges)
       var j = 0
       while (j < syms.size) { out.add(UTF8String.fromString(syms.get(j))); j += 1 }
       i += 1
@@ -78,15 +142,43 @@ object BpeKernels {
     */
   def bpeCount(s: UTF8String, merges: Array[Array[String]]): Long = {
     val b = s.getBytes
-    val spans = TextKernels.tokenSpans(b)
+    val spans = preTokenSpans(b)
     var n = 0L
     var i = 0
     while (i < spans.size()) {
       val (st, en) = spans.get(i)
-      n += encodeWord(TextKernels.lowerToken(b, st, en), merges).size
+      n += encodeSyms(byteSymbols(b, st, en), merges).size
       i += 1
     }
     n
+  }
+
+  /** Raw pre-token substrings, in order (the training/oracle word stream).
+    * Zero-copy per span: each is a byte-range view of the input.
+    */
+  def preTokens(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val spans = preTokenSpans(b)
+    val out = new Array[Any](spans.size())
+    var i = 0
+    while (i < spans.size()) {
+      val (st, en) = spans.get(i)
+      out(i) = UTF8String.fromBytes(b, st, en - st)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Mapped base-symbol list of an entire string (one symbol per byte) —
+    * the initial state of the training fold, where the merge table is
+    * still growing and encode must run declaratively.
+    */
+  def byteSymbolsAll(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val out = new Array[Any](b.length)
+    var i = 0
+    while (i < b.length) { out(i) = UTF8String.fromString(ByteSym(b(i) & 0xff)); i += 1 }
+    new GenericArrayData(out)
   }
 }
 
@@ -120,4 +212,28 @@ case class BpeCount(child: Expression, merges: Seq[(String, String)])
     defineCodeGen(ctx, ev, v => s"graft.expressions.BpeKernels.bpeCount($v, $ref)")
   }
   override protected def withNewChildInternal(c: Expression): BpeCount = copy(child = c)
+}
+
+/** array<string> raw pre-tokens of `child` (total byte-run partition). */
+case class BpePreTokens(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_pre_tokens"
+  override protected def nullSafeEval(v: Any): Any =
+    BpeKernels.preTokens(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expressions.BpeKernels.preTokens($v)")
+  override protected def withNewChildInternal(c: Expression): BpePreTokens = copy(child = c)
+}
+
+/** array<string> mapped base symbols of `child`, one per UTF-8 byte. */
+case class BpeByteSymbols(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_byte_symbols"
+  override protected def nullSafeEval(v: Any): Any =
+    BpeKernels.byteSymbolsAll(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expressions.BpeKernels.byteSymbolsAll($v)")
+  override protected def withNewChildInternal(c: Expression): BpeByteSymbols = copy(child = c)
 }

@@ -4,12 +4,16 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
 
-/** Deterministic byte-level BPE tokenizer (frozen, fixture-trained merge
+/** Deterministic FULL-BYTE BPE tokenizer (frozen, fixture-trained merge
   * table): makes every token-denominated operator (packing, chunking,
   * mixing, DSIR) price in real subword tokens instead of whole-word
-  * proxies. Over the library's case-folded `[a-z]+` token stream bytes ==
-  * code points, so byte-level and char-level coincide; the base alphabet
-  * is the 26 letters and merge i mints symbol 26+i.
+  * proxies. The base alphabet is the GPT-2-style 256-byte set (every
+  * UTF-8 byte is a base symbol, rendered through the printable
+  * byte-to-unicode mapping — [[graft.expressions.BpeKernels.ByteSym]]),
+  * and text splits on a total letter/digit/whitespace/other byte-run
+  * pre-tokenizer — so digits, punctuation, whitespace structure, and
+  * non-Latin scripts all carry token mass, the property multilingual
+  * mixture corpora (mC4/XLM-R family, q149/q161) require.
   *
   * DETERMINISM is the design axis, not tokenization quality: training
   * picks the globally most frequent adjacent symbol pair each round with
@@ -17,12 +21,13 @@ import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => t
   * applies merges in rank order, each exhaustively leftmost — so the
   * frozen artifact is byte-reproducible from the fixture (SubwordSpec
   * retrains and compares) and the DuckDB oracle can replay encode as a
-  * recursive fold over the literal merge table.
+  * recursive fold over the literal merge table, with the byte→symbol
+  * mapping replayed from `hex(encode(w))` against a 256-entry literal.
   *
-  * Shape at scale: training runs on the (word, count) VOCABULARY table —
-  * Heaps-law-bounded, not corpus-sized — one pair-count shuffle per
-  * merge, argmax-only (one row) to the driver per round; documents never
-  * shuffle. Encoding is a fused per-row kernel
+  * Shape at scale: training runs on the (pre-token, count) VOCABULARY
+  * table — Heaps-law-bounded, not corpus-sized — one pair-count shuffle
+  * per merge, argmax-only (one row) to the driver per round; documents
+  * never shuffle. Encoding is a fused per-row kernel
   * ([[graft.expressions.BpeKernels]]) carrying the merge table as a
   * codegen reference object, exactly the IVF codebook pattern.
   */
@@ -30,7 +35,8 @@ object Bpe {
 
   /** The checked-in merge table (trained on the sf0.001 documents fixture
     * by [[graft.tools.GenBpe]]; regenerate with that main and diff —
-    * SubwordSpec asserts reproducibility).
+    * SubwordSpec asserts reproducibility). Symbols are in MAPPED
+    * (printable) space, so the TSV is line/tab-safe by construction.
     */
   lazy val frozenMerges: Seq[(String, String)] = {
     val in = getClass.getResourceAsStream("/graft/bpe_merges.tsv")
@@ -44,19 +50,27 @@ object Bpe {
     finally in.close()
   }
 
-  /** First-occurrence-deduplicated vocabulary: the 26 base letters, then
-    * each merge's concatenation. Token id = index in this list — a pure
-    * string lookup, so ids are oracle-replayable even if two merge paths
-    * ever minted the same string.
+  /** First-occurrence-deduplicated vocabulary: the 256 base byte symbols
+    * (id = byte value), then each merge's concatenation. Token id = index
+    * in this list — a pure string lookup, so ids are oracle-replayable
+    * even if two merge paths ever minted the same string.
     */
   def vocab(merges: Seq[(String, String)] = frozenMerges): Seq[String] = {
     val out = scala.collection.mutable.LinkedHashSet.empty[String]
-    ('a' to 'z').foreach(c => out += c.toString)
+    graft.expressions.BpeKernels.ByteSym.foreach(out += _)
     merges.foreach { case (a, b) => out += (a + b) }
     out.toList
   }
 
-  /** array<string> subword tokens of `text` (all words, in order). */
+  /** The raw pre-token stream (total letter/digit/whitespace/other
+    * byte-run partition; concatenates back to the text).
+    */
+  def preTokens(text: Column): Column =
+    toCol(graft.expressions.BpePreTokens(toExpr(text.cast("string"))))
+
+  /** array<string> subword tokens of `text` (all pre-tokens, in order;
+    * token strings are in mapped printable space).
+    */
   def encode(text: Column, merges: Seq[(String, String)] = frozenMerges): Column =
     toCol(graft.expressions.BpeEncode(toExpr(text.cast("string")), merges))
 
@@ -73,6 +87,16 @@ object Bpe {
     transform(tokens, t => element_at(m, t))
   }
 
+  /** Driver-side byte→printable mapping of a string (test/debug utility —
+    * the exact image `encode` concatenates back to).
+    */
+  def mapToPrintable(s: String): String = {
+    val b = s.getBytes("UTF-8")
+    val sb = new java.lang.StringBuilder(b.length)
+    b.foreach(x => sb.append(graft.expressions.BpeKernels.ByteSym(x & 0xff)))
+    sb.toString
+  }
+
   /** Leftmost non-overlapping single application of merge (a,b) to a
     * symbol array — the declarative twin of the kernel's per-rank scan
     * (used by training, where the table is still growing).
@@ -84,16 +108,16 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
-  /** Train `numMerges` merges on the corpus' word-frequency table.
+  /** Train `numMerges` merges on the corpus' pre-token-frequency table.
     * Stops early when the best remaining pair occurs fewer than
     * `minPairCount` times. Deterministic: ties break on the
-    * lexicographically smallest (a, b).
+    * lexicographically smallest (a, b) in mapped-symbol space.
     */
   def trainMerges(df: DataFrame, textCol: String, numMerges: Int,
       minPairCount: Long = 2L): Seq[(String, String)] = {
     require(numMerges >= 0)
     val words = df
-      .select(explode(TextAnalysis.wordTokens(col(textCol))).as("w"))
+      .select(explode(preTokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     // localCheckpoint each round: the symbol table is re-derived ~numMerges
     // times, and WITHOUT lineage truncation every round re-analyzes the
@@ -102,7 +126,8 @@ object Bpe {
     // one projection deep over a materialized vocabulary table (which is
     // Heaps-law bounded, never corpus-sized).
     var cur = words
-      .select(filter(split(col("w"), ""), x => x =!= lit("")).as("syms"), col("cnt"))
+      .select(toCol(graft.expressions.BpeByteSymbols(toExpr(col("w")))).as("syms"),
+        col("cnt"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
     var done = false

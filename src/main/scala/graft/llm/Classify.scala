@@ -1,0 +1,100 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed linear text classification (north-star extension): the
+  * trained counterpart of the heuristic quality/lang-ID ladder. A
+  * count-based MULTINOMIAL NAIVE BAYES over hashed word-unigram features
+  * — the fastText-style hashed linear classifier family reduced to its
+  * deterministic core, which is what makes it oracle-replayable: training
+  * is pure counting (no SGD order-dependence), the feature hash is the
+  * portable md5-prefix bucket the DSIR machinery already uses
+  * ([[Mixing.dsirWeights]]), and scoring is one broadcast join + one
+  * count-triplet aggregation. This is the production shape of both
+  * language-ID (labels = languages) and the CCNet/GPT-3
+  * "looks-like-reference-corpus" quality filter (labels = ref/other).
+  *
+  * 100 TB shape: TRAINING is one tokenization pass to (label, bucket)
+  * count triplets — documents never shuffle, and the model is a dense
+  * (labels × buckets) table, a true constant (|labels| ≤ dozens,
+  * buckets ≤ thousands). SCORING aggregates per-doc bucket counts (one
+  * count-triplet shuffle), joins the BROADCAST model, and argmaxes over
+  * a per-doc window — no corpus-sized state anywhere.
+  *
+  * Determinism/oracle contract: per-(label,bucket) log-likelihood weights
+  * and log-priors are round(·, 9)-quantized so both engines sum identical
+  * doubles; per-doc scores are round(·, 6)-quantized BEFORE the argmax,
+  * whose tie-break is label ascending — so predictions and margins are
+  * cell-exact under DuckDB replay.
+  */
+object Classify {
+
+  /** Portable feature bucket: md5-prefix 16 bits mod `buckets` (the
+    * [[Mixing.dsirWeights]] / Splits.splitBucket hashing convention).
+    */
+  def featureBucket(term: Column, buckets: Int): Column =
+    conv(substring(md5(term), 1, 4), 16, 10).cast("long") % buckets
+
+  /** Train a multinomial NB model on `(labelCol, textCol)` rows: returns
+    * the DENSE (label, bucket, w, prior) weight table —
+    * w = round(ln((c_lb + α) / (N_l + αB)), 9) with add-α smoothing
+    * (every bucket of every label present, so scoring needs no
+    * missing-key handling), prior = round(ln(docs_l / docs), 9).
+    * One tokenization pass; everything after aggregates count triplets.
+    */
+  def nbTrain(df: DataFrame, labelCol: String, textCol: String,
+      buckets: Int = 64, alpha: Double = 0.5): DataFrame = {
+    require(buckets > 0, s"bucket count must be positive: $buckets")
+    require(alpha > 0, s"smoothing alpha must be positive: $alpha")
+    val toks = df.select(col(labelCol).as("label"),
+      explode(TextAnalysis.wordTokens(col(textCol))).as("term"))
+    val counts = toks
+      .select(col("label"), featureBucket(col("term"), buckets).as("bucket"))
+      .groupBy(col("label"), col("bucket")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("label")).agg(sum(col("c")).as("n"))
+    val docs = df.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("nd"))
+    val docsTot = df.agg(count(lit(1)).cast("double").as("ndt")) // maxRows = 1
+    // dense grid WITHOUT a cross join: explode the bucket range under each
+    // label row (|labels| × buckets rows, a constant-bounded frame)
+    val grid = totals.join(docs, "label").crossJoin(broadcast(docsTot))
+      .select(col("label"), col("n"), col("nd"), col("ndt"),
+        explode(sequence(lit(0), lit(buckets - 1))).as("bucket"))
+    grid.join(counts, Seq("label", "bucket"), "left")
+      .select(col("label"), col("bucket").cast("long").as("bucket"),
+        round(log((coalesce(col("c"), lit(0L)) + alpha) /
+          (col("n") + alpha * buckets)), 9).as("w"),
+        round(log(col("nd") / col("ndt")), 9).as("prior"))
+  }
+
+  /** Score + classify `df` under a trained model: per document the
+    * round-6 per-label score ln p(l) + Σ_t c_t·w(l, bucket(t)), the
+    * argmax label (tie-break label ascending), and the margin to the
+    * runner-up. Zero-token documents carry NULL prediction/score/margin
+    * (no features — a selection pass must see them, not silently call
+    * them any class). `buckets` must match training (the model is dense,
+    * so a mismatch fails loudly in the join, not silently).
+    */
+  def nbClassify(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, buckets: Int = 64): DataFrame = {
+    val docBuckets = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.wordTokens(col(textCol))).as("term"))
+      .select(col("id"), featureBucket(col("term"), buckets).as("bucket"))
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("c"))
+    val scored = docBuckets.join(broadcast(model), Seq("bucket"))
+      .groupBy(col("id"), col("label"))
+      .agg(sum(col("c")).as("n_tok"),
+        round(max(col("prior")) + sum(col("c") * col("w")), 6).as("score"))
+    val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("label"))
+    val best = scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("runner_up", lead(col("score"), 1).over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("n_tok"), col("label").as("predicted"), col("score"),
+        round(col("score") - col("runner_up"), 6).as("margin"))
+    df.select(col(idCol).as("id")).join(best, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        col("predicted"), col("score"), col("margin"))
+  }
+}

@@ -783,7 +783,20 @@ object Dedup {
   }
 
   private def compactState(spark: org.apache.spark.sql.SparkSession,
-      statePath: String, dedupCols: Seq[String]): Unit = {
+      statePath: String, dedupCols: Seq[String]): Unit =
+    compactEpochPartitions(spark, statePath)(_.dropDuplicates(dedupCols))
+
+  /** The shared fold-settled-epochs-into-a-generation machinery: every
+    * epoch partition strictly below the current maximum is rewritten —
+    * through the caller's `foldSettled` (duplicate-key drop for dedup
+    * indexes, additive count re-aggregation for the drift monitor's
+    * triplet state) — into one negative sentinel generation visible to
+    * every `epoch < current` reader; the newest epoch stays live for
+    * at-least-once re-runs. Same staged-rename-then-delete crash ordering
+    * for every state family (see [[nearDedupIndexCompact]]).
+    */
+  private[llm] def compactEpochPartitions(spark: org.apache.spark.sql.SparkSession,
+      statePath: String)(foldSettled: DataFrame => DataFrame): Unit = {
     val sp = new org.apache.hadoop.fs.Path(statePath)
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!graft.ops.Layout.hasParquetData(fs, sp)) return
@@ -795,9 +808,7 @@ object Dedup {
     val all = spark.read.parquet(statePath)
     val maxEpoch = epochs.last
     val sentinel = math.min(-1L, epochs.head - 1L)
-    // duplicate keys (crash leftovers) carry identical payloads — keep any
-    val settled = all.filter(col("epoch") < maxEpoch)
-      .dropDuplicates(dedupCols)
+    val settled = foldSettled(all.filter(col("epoch") < maxEpoch).drop("epoch"))
       .withColumn("epoch", lit(sentinel))
       .persist()
     graft.ops.CacheRegistry.register(settled)

@@ -357,16 +357,42 @@ object TextAnalysis {
     * at-least-once re-runs converge; the FINAL snapshot equals the batch
     * [[sourceTokenKL]] over everything streamed (oracle-pinned by q158).
     * At scale only count triplets ever land in state — text is read once
-    * in its arrival batch and never again.
+    * in its arrival batch and never again — and `compactEvery` bounds the
+    * STATE LIFECYCLE too: every N batches the settled epochs fold into
+    * one summed generation ([[driftStateCompact]]), so the per-trigger
+    * state read is generations + live epochs, not one partition per
+    * micro-batch ever streamed.
     *
     * Returns the drift snapshots read back from `outDir`:
     * (batch_id, source, n_tok, kl).
     */
+  /** Fold the drift monitor's SETTLED count-triplet epochs (everything
+    * strictly below the newest) into one summed sentinel generation — the
+    * lifecycle verb that keeps [[unigramDriftStreaming]]'s per-batch state
+    * read bounded by generations + live epochs instead of growing one
+    * partition per micro-batch forever (a year of hourly batches would
+    * otherwise rescan ~8,760 vocabulary-sized partitions every trigger).
+    * Counts are ADDITIVE, so the fold (GROUP BY source, term, SUM(c)) is
+    * decision-neutral by construction: every cumulative blend computed
+    * over compacted state equals the raw-epoch sum cell-for-cell (LlmSpec
+    * proves snapshot equality across two generations). The newest epoch
+    * stays live — an at-least-once re-run replaces its own partition, and
+    * folding it would double-count that batch after the re-run. Shares
+    * [[Dedup.compactEpochPartitions]]'s staged-rename-then-delete crash
+    * ordering: at every intermediate point the state is a superset whose
+    * re-aggregation gives the same sums.
+    */
+  def driftStateCompact(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Unit =
+    Dedup.compactEpochPartitions(spark, stateDir)(
+      _.groupBy(col("source"), col("term")).agg(sum(col("c")).as("c")))
+
   def unigramDriftStreaming(spark: org.apache.spark.sql.SparkSession, stagedDir: String,
       schema: org.apache.spark.sql.types.StructType, srcCol: String, textCol: String,
       stateDir: String, outDir: String,
       checkpointDir: Option[String] = None,
-      shufflePartitions: Int = 4): org.apache.spark.sql.DataFrame = {
+      shufflePartitions: Int = 4,
+      compactEvery: Int = 0): org.apache.spark.sql.DataFrame = {
     // session clone: AQE is off inside streaming, so size the shuffle to
     // the increment (Events.withStateParts convention), re-applying the
     // runtime semantics confs newSession() drops
@@ -403,6 +429,12 @@ object TextAnalysis {
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(outDir)
+        // periodic state compaction AFTER the snapshot write: folds only
+        // epochs strictly below this one (the live epoch must survive an
+        // at-least-once re-run of this batch), and the fold is additive,
+        // so every later batch's cumulative read is value-identical
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          driftStateCompact(bt.sparkSession, stateDir)
       }
     val q = checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c)).start()
     try q.processAllAvailable() finally q.stop()

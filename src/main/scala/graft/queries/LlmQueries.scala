@@ -17,17 +17,62 @@ object LlmQueries {
     * then the sequential harness (Verify, Bench passes) has materialized
     * the earlier result.
     */
-  /** The frozen BPE artifact rendered as SQL literals, so the q156/q157
-    * oracles carry the exact merge table and vocabulary the kernels use
-    * (tokens are [a-z]+ by construction — no quoting hazards).
+  /** The frozen BPE artifact rendered as SQL literals, so the
+    * q156/q157/q161/q162 oracles carry the exact merge table, vocabulary,
+    * and 256-entry byte→printable map the kernels use. Symbols are in
+    * mapped printable space (no control characters), but CAN contain a
+    * single quote (byte 0x27 maps to itself) — hence sqlQuote.
     */
+  private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
   private lazy val bpeMergesValues: String =
     graft.llm.Bpe.frozenMerges.zipWithIndex
-      .map { case ((a, b), i) => s"($i, '$a', '$b')" }.mkString(", ")
+      .map { case ((a, b), i) => s"($i, ${sqlQuote(a)}, ${sqlQuote(b)})" }.mkString(", ")
   private lazy val bpeVocabValues: String =
     graft.llm.Bpe.vocab().zipWithIndex
-      .map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+      .map { case (t, i) => s"(${sqlQuote(t)}, $i)" }.mkString(", ")
   private lazy val bpeNumMerges: Int = graft.llm.Bpe.frozenMerges.length
+
+  /** RE2 replay of the kernel's total byte-run pre-tokenizer. The four
+    * classes are DISJOINT and every byte falls in exactly one, so the
+    * alternation is unambiguous (leftmost-first == leftmost-longest) and
+    * the matches concatenate back to the text; multibyte UTF-8 bytes are
+    * all >= 0x80, i.e. in the last class, so code-point-level RE2 and
+    * byte-level kernel agree on every boundary.
+    */
+  private val bpePreTokRe: String =
+    "[A-Za-z]+|[0-9]+|[ \\t\\n\\f\\r]+|[^A-Za-z0-9 \\t\\n\\f\\r]+"
+
+  /** Shared CTE prefix for the byte-level BPE oracles (use after a
+    * `WITH RECURSIVE`): the merge table and byte map as literals, the
+    * distinct pre-token vocabulary, initial symbols recovered byte-by-byte
+    * from hex(encode(w)) against the 256-entry map literal, and the
+    * rank-ordered recursive merge fold (the merge loop itself, re-run
+    * cell-for-cell by the second engine). Exposes `merges(rank,a,b)`,
+    * `vw(w)`, and `enc(w, r, syms)`; consumers read `enc` at
+    * r = numMerges.
+    */
+  private lazy val bpeOraclePrefix: String = {
+    val ms = graft.expressions.BpeKernels.ByteSym.map(sqlQuote).mkString("[", ", ", "]")
+    s"""merges(rank, a, b) AS (VALUES $bpeMergesValues),
+       |bm AS (SELECT $ms AS ms),
+       |vw AS (SELECT DISTINCT unnest(regexp_extract_all(text, '$bpePreTokRe')) AS w FROM documents),
+       |vwh AS (SELECT w, hex(encode(w)) AS h, octet_length(encode(w)) AS n FROM vw),
+       |enc AS (
+       |  SELECT w, 0 AS r,
+       |    list_transform(list_transform(range(1, n + 1), i ->
+       |      ms[(strpos('0123456789ABCDEF', substr(h, 2*i-1, 1))-1)*16
+       |         + strpos('0123456789ABCDEF', substr(h, 2*i, 1))]), z -> [z]) AS syms
+       |  FROM vwh CROSS JOIN bm
+       |  UNION ALL
+       |  SELECT enc.w, enc.r + 1,
+       |    list_transform(
+       |      list_reduce(enc.syms, (acc, x) ->
+       |        CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND x[1] = m.b
+       |             THEN list_append(acc[:len(acc)-1], m.a || m.b)
+       |             ELSE list_append(acc, x[1]) END),
+       |      z -> [z]) AS syms
+       |  FROM enc JOIN merges m ON m.rank = enc.r)""".stripMargin
+  }
 
   /** One shingle table per (session, sfDir), shared by the gate queries
     * that replay the identical tokenize+shingle chain (q31's pruned
@@ -1914,31 +1959,23 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("span_start"))
     },
 
-    // Deterministic byte-level BPE ENCODE identity, per distinct corpus
-    // word: subword split, count, and vocabulary ids. The oracle carries
-    // the frozen merge table and vocabulary as literal VALUES and replays
-    // encode as a recursive rank-ordered left-fold (list_reduce) — the
-    // merge loop itself, re-run cell-for-cell by the second engine. The
-    // Spark side is the fused BpeEncode kernel (merge table as a codegen
-    // reference object). Distinct words, not word instances: encode is a
-    // pure word function, so the vocabulary IS its full domain here.
+    // Deterministic FULL-BYTE BPE ENCODE identity, per distinct corpus
+    // pre-token (letters, digits, whitespace runs, punctuation — the
+    // total byte-run partition): subword split, count, and vocabulary
+    // ids. The oracle carries the frozen merge table, the 256-entry
+    // byte→printable map, and the vocabulary as literal VALUES, recovers
+    // each pre-token's initial symbols byte-by-byte from hex(encode(w)),
+    // and replays encode as a recursive rank-ordered left-fold
+    // (list_reduce) — the merge loop itself, re-run cell-for-cell by the
+    // second engine. The Spark side is the fused BpeEncode kernel (merge
+    // table as a codegen reference object). Distinct pre-tokens, not
+    // instances: encode is a pure pre-token function, so the vocabulary
+    // IS its full domain here.
     QueryDef.sql(
       "q156_bpe_encode",
       s"""WITH RECURSIVE
-         |merges(rank, a, b) AS (VALUES $bpeMergesValues),
+         |$bpeOraclePrefix,
          |vocab(tok, id) AS (VALUES $bpeVocabValues),
-         |vw AS (SELECT DISTINCT unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS w FROM documents),
-         |enc AS (
-         |  SELECT w, 0 AS r, list_transform(split(w, ''), z -> [z]) AS syms FROM vw
-         |  UNION ALL
-         |  SELECT enc.w, enc.r + 1,
-         |    list_transform(
-         |      list_reduce(enc.syms, (acc, x) ->
-         |        CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND x[1] = m.b
-         |             THEN list_append(acc[:len(acc)-1], m.a || m.b)
-         |             ELSE list_append(acc, x[1]) END),
-         |      z -> [z]) AS syms
-         |  FROM enc JOIN merges m ON m.rank = enc.r),
          |fin AS (SELECT w, list_transform(syms, s -> s[1]) AS toks FROM enc WHERE r = $bpeNumMerges),
          |u AS (SELECT w, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i FROM fin)
          |SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sub,
@@ -1947,7 +1984,7 @@ object LlmQueries {
          |FROM u JOIN vocab v ON u.tok = v.tok
          |GROUP BY w ORDER BY w""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
-        .select(explode(TextAnalysis.wordTokens(col("text"))).as("w")).distinct()
+        .select(explode(graft.llm.Bpe.preTokens(col("text"))).as("w")).distinct()
         .select(col("w"), graft.llm.Bpe.encode(col("w")).as("tk"))
         .select(col("w"), size(col("tk")).cast("long").as("n_sub"),
           array_join(col("tk"), "|").as("toks"),
@@ -1958,29 +1995,18 @@ object LlmQueries {
 
     // q89's sequence packing re-priced in REAL subword tokens: the same
     // greedy running-total placement, but n_tokens = the frozen-BPE count
-    // (BpeCount kernel — one byte pass per doc). The oracle re-derives
-    // each document's count from the per-WORD encode replay (word
-    // multiplicity preserved via the instance join; zero-word docs keep
-    // count 0 through the LEFT join) and then replays the q89 prefix-sum
-    // placement on those counts.
+    // (BpeCount kernel — one byte pass per doc, pricing EVERY byte:
+    // words, digits, punctuation, whitespace, non-Latin). The oracle
+    // re-derives each document's count from the per-PRE-TOKEN encode
+    // replay (multiplicity preserved via the instance join; empty-text
+    // docs keep count 0 through the LEFT join) and then replays the q89
+    // prefix-sum placement on those counts.
     QueryDef.sql(
       "q157_bpe_packing",
       s"""WITH RECURSIVE
-         |merges(rank, a, b) AS (VALUES $bpeMergesValues),
-         |vw AS (SELECT DISTINCT unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS w FROM documents),
-         |enc AS (
-         |  SELECT w, 0 AS r, list_transform(split(w, ''), z -> [z]) AS syms FROM vw
-         |  UNION ALL
-         |  SELECT enc.w, enc.r + 1,
-         |    list_transform(
-         |      list_reduce(enc.syms, (acc, x) ->
-         |        CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND x[1] = m.b
-         |             THEN list_append(acc[:len(acc)-1], m.a || m.b)
-         |             ELSE list_append(acc, x[1]) END),
-         |      z -> [z]) AS syms
-         |  FROM enc JOIN merges m ON m.rank = enc.r),
+         |$bpeOraclePrefix,
          |wl AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM enc WHERE r = $bpeNumMerges),
-         |dw AS (SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS w FROM documents),
+         |dw AS (SELECT doc_id, unnest(regexp_extract_all(text, '$bpePreTokRe')) AS w FROM documents),
          |sums AS (SELECT doc_id, SUM(n_sub) AS s FROM dw JOIN wl USING (w) GROUP BY doc_id),
          |t AS (SELECT d.doc_id, CAST(COALESCE(s.s, 0) AS BIGINT) AS n_tokens
          |      FROM documents d LEFT JOIN sums s USING (doc_id)),
@@ -2036,7 +2062,7 @@ object LlmQueries {
       val base = java.nio.file.Files.createTempDirectory("graft_q158_").toString
       rotateRunDirs("q158", Seq(base))
       TextAnalysis.unigramDriftStreaming(s, staged, corpus.schema, "source", "text",
-          base + "/state", base + "/out")
+          base + "/state", base + "/out", compactEvery = 1)
         .select(col("batch_id").cast("long").as("batch_id"), col("source"),
           col("n_tok"), col("kl"))
         .orderBy(col("batch_id"), col("source"))
@@ -2118,27 +2144,16 @@ object LlmQueries {
     // q149's temperature-flattened mixture re-priced in REAL subword
     // tokens (the mixing leg of the BPE wiring, beside q157's packing
     // leg): per-source token mass, α-flattened weights, capped rates and
-    // the stable-bucket keep decisions all derive from frozen-BPE counts.
-    // The oracle re-derives every document's count from the per-word
-    // merge-loop replay, then replays the identical mixture math.
+    // the stable-bucket keep decisions all derive from frozen full-byte
+    // BPE counts. The oracle re-derives every document's count from the
+    // per-pre-token merge-loop replay, then replays the identical
+    // mixture math.
     QueryDef.sql(
       "q161_bpe_temperature_mixture",
       s"""WITH RECURSIVE
-         |merges(rank, a, b) AS (VALUES $bpeMergesValues),
-         |vw AS (SELECT DISTINCT unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS w FROM documents),
-         |enc AS (
-         |  SELECT w, 0 AS r, list_transform(split(w, ''), z -> [z]) AS syms FROM vw
-         |  UNION ALL
-         |  SELECT enc.w, enc.r + 1,
-         |    list_transform(
-         |      list_reduce(enc.syms, (acc, x) ->
-         |        CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND x[1] = m.b
-         |             THEN list_append(acc[:len(acc)-1], m.a || m.b)
-         |             ELSE list_append(acc, x[1]) END),
-         |      z -> [z]) AS syms
-         |  FROM enc JOIN merges m ON m.rank = enc.r),
+         |$bpeOraclePrefix,
          |wl AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM enc WHERE r = $bpeNumMerges),
-         |dw AS (SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS w FROM documents),
+         |dw AS (SELECT doc_id, unnest(regexp_extract_all(text, '$bpePreTokRe')) AS w FROM documents),
          |sums AS (SELECT doc_id, SUM(n_sub) AS s FROM dw JOIN wl USING (w) GROUP BY doc_id),
          |t AS (SELECT d.doc_id, d.source, CAST(COALESCE(s.s, 0) AS BIGINT) AS n_tokens
          |      FROM documents d LEFT JOIN sums s USING (doc_id)),
@@ -2176,30 +2191,19 @@ object LlmQueries {
     // q102's document chunking on the REAL subword stream (the chunking
     // leg of the BPE wiring, closing the packing/chunking/mixing triple):
     // context windows of 24 subword tokens at stride 16, cut from each
-    // document's ordered BPE token sequence. The oracle rebuilds that
-    // sequence — per-word merge-loop replay, flattened in (word, subword)
-    // order — and replays the window arithmetic; chunk_text is compared
-    // verbatim, so tokenization order and window cuts are both pinned.
+    // document's ordered full-byte BPE token sequence. The oracle
+    // rebuilds that sequence — per-pre-token merge-loop replay, flattened
+    // in (pre-token, subword) order — and replays the window arithmetic;
+    // chunk_text is compared verbatim, so tokenization order and window
+    // cuts are both pinned.
     QueryDef.sql(
       "q162_bpe_chunking",
       s"""WITH RECURSIVE
-         |merges(rank, a, b) AS (VALUES $bpeMergesValues),
-         |vw AS (SELECT DISTINCT unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS w FROM documents),
-         |enc AS (
-         |  SELECT w, 0 AS r, list_transform(split(w, ''), z -> [z]) AS syms FROM vw
-         |  UNION ALL
-         |  SELECT enc.w, enc.r + 1,
-         |    list_transform(
-         |      list_reduce(enc.syms, (acc, x) ->
-         |        CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND x[1] = m.b
-         |             THEN list_append(acc[:len(acc)-1], m.a || m.b)
-         |             ELSE list_append(acc, x[1]) END),
-         |      z -> [z]) AS syms
-         |  FROM enc JOIN merges m ON m.rank = enc.r),
+         |$bpeOraclePrefix,
          |fin AS (SELECT w, list_transform(syms, s -> s[1]) AS toks FROM enc WHERE r = $bpeNumMerges),
          |dw AS (
-         |  SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS w,
-         |    generate_subscripts(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)), 1) AS wpos
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '$bpePreTokRe')) AS w,
+         |    generate_subscripts(regexp_extract_all(text, '$bpePreTokRe'), 1) AS wpos
          |  FROM documents),
          |flat AS (
          |  SELECT dw.doc_id, dw.wpos, unnest(fin.toks) AS tok, generate_subscripts(fin.toks, 1) AS spos
@@ -2286,6 +2290,160 @@ object LlmQueries {
       val tok = shingleTok(s, d)
       graft.llm.Decontaminate.fuzzyOverlapFromToks(
           tok, tok.filter(col("id") % 50 === 0), threshold = 0.5)
+        .orderBy(col("doc_id"))
+    },
+
+    // TRAINED language-ID: a count-based multinomial Naive Bayes over
+    // hashed word-unigram buckets (the fastText-style hashed linear
+    // classifier reduced to its deterministic core), trained distributed
+    // on a deterministic 4-language labeled corpus (language marker words
+    // appended by doc_id % 4 — same synthetic-augmentation idiom as
+    // q88's PII) with doc_id % 5 = 0 HELD OUT, then scoring every doc.
+    // The oracle retrains the model cell-for-cell — counts, smoothed
+    // round-9 log-weights, round-9 log-priors — and replays scoring,
+    // round-6 scores, argmax (label-asc tie-break) and runner-up margin.
+    QueryDef.sql(
+      "q165_nb_langid",
+      """WITH lang(lid, lang, marker) AS (VALUES
+        |  (0, 'en', ' the and of house water friend'),
+        |  (1, 'es', ' el la casa agua amigo que'),
+        |  (2, 'de', ' der und das haus wasser freund'),
+        |  (3, 'fr', ' le et la maison eau ami')),
+        |aug AS (SELECT d.doc_id, l.lang, d.text || l.marker AS t
+        |        FROM documents d JOIN lang l ON d.doc_id % 4 = l.lid),
+        |train AS (SELECT * FROM aug WHERE doc_id % 5 <> 0),
+        |ttok AS (SELECT lang AS label,
+        |           unnest(list_transform(regexp_extract_all(t, '[A-Za-z]+'), x -> lower(x))) AS term
+        |         FROM train),
+        |tcnt AS (SELECT label,
+        |           CAST(('0x' || substring(md5(term), 1, 4)) AS BIGINT) % 64 AS bucket,
+        |           CAST(COUNT(*) AS BIGINT) AS c
+        |         FROM ttok GROUP BY 1, 2),
+        |tot AS (SELECT label, CAST(SUM(c) AS BIGINT) AS n FROM tcnt GROUP BY 1),
+        |docs AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS nd FROM train GROUP BY 1),
+        |ndt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ndt FROM train),
+        |grid AS (SELECT t.label, b.bucket, t.n, d.nd
+        |         FROM tot t JOIN docs d USING (label)
+        |         CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) b),
+        |wts AS (SELECT g.label, CAST(g.bucket AS BIGINT) AS bucket,
+        |          ROUND(ln((COALESCE(c.c, 0) + 0.5) / (g.n + 0.5 * 64)), 9) AS w,
+        |          ROUND(ln(g.nd / ndt.ndt), 9) AS prior
+        |        FROM grid g LEFT JOIN tcnt c ON c.label = g.label AND c.bucket = g.bucket
+        |        CROSS JOIN ndt),
+        |dtok AS (SELECT doc_id,
+        |           unnest(list_transform(regexp_extract_all(t, '[A-Za-z]+'), x -> lower(x))) AS term
+        |         FROM aug),
+        |db AS (SELECT doc_id,
+        |         CAST(('0x' || substring(md5(term), 1, 4)) AS BIGINT) % 64 AS bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM dtok GROUP BY 1, 2),
+        |sc AS (SELECT db.doc_id, w.label, CAST(SUM(db.c) AS BIGINT) AS n_tok,
+        |         ROUND(MAX(w.prior) + SUM(db.c * w.w), 6) AS score
+        |       FROM db JOIN wts w USING (bucket) GROUP BY 1, 2),
+        |rk AS (SELECT *,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn,
+        |         LEAD(score) OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS ru
+        |       FROM sc)
+        |SELECT a.doc_id, a.lang AS true_lang, COALESCE(r.n_tok, 0) AS n_tok,
+        |  r.label AS predicted, r.score, ROUND(r.score - r.ru, 6) AS margin,
+        |  COALESCE(r.label = a.lang, false) AS correct
+        |FROM aug a LEFT JOIN (SELECT * FROM rk WHERE rn = 1) r USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      val markers = Map(0 -> ("en", " the and of house water friend"),
+        1 -> ("es", " el la casa agua amigo que"),
+        2 -> ("de", " der und das haus wasser freund"),
+        3 -> ("fr", " le et la maison eau ami"))
+      val lang = markers.foldLeft(when(lit(false), lit(""))) { case (acc, (k, (l, _))) =>
+        acc.when(pmod(col("doc_id"), lit(4)) === k, lit(l)) }
+      val marker = markers.foldLeft(when(lit(false), lit(""))) { case (acc, (k, (_, m))) =>
+        acc.when(pmod(col("doc_id"), lit(4)) === k, lit(m)) }
+      val aug = Tables.documents(s, d)
+        .select(col("doc_id"), lang.as("lang"), concat(col("text"), marker).as("t"))
+      val model = graft.llm.Classify.nbTrain(
+        aug.filter(pmod(col("doc_id"), lit(5)) =!= 0), "lang", "t",
+        buckets = 64, alpha = 0.5)
+      graft.llm.Classify.nbClassify(aug, "doc_id", "t", model, buckets = 64)
+        .join(aug.select(col("doc_id").as("id"), col("lang").as("true_lang")), Seq("id"))
+        .select(col("id").as("doc_id"), col("true_lang"), col("n_tok"),
+          col("predicted"), col("score"), col("margin"),
+          coalesce(col("predicted") === col("true_lang"), lit(false)).as("correct"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Model-based QUALITY classifier (the CCNet/GPT-3
+    // "looks-like-reference-corpus" filter): the same NB machinery with a
+    // binary head — sources src0-src3 stand in for the curated reference
+    // slice, everything else for raw crawl; trained on doc_id % 3 <> 0,
+    // scored over every document with the kept verdict = classified as
+    // reference. Reference-register vocabulary is planted on only HALF
+    // the reference docs (doc_id % 2 = 0), so the learned head must beat
+    // the 4:1 'other' prior where the signal exists and fall back to it
+    // where it doesn't — a nontrivial, deterministically-replayable
+    // prediction mix (an argmax stuck on the prior-max label fails the
+    // hash). Complements the rule-based (q152), perplexity (q150, q163)
+    // and trained-langid (q165) quality legs.
+    QueryDef.sql(
+      "q166_nb_quality",
+      """WITH lab AS (SELECT doc_id,
+        |    text || CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+        |                      AND doc_id % 2 = 0
+        |                 THEN ' encyclopedia citation reference archive curated'
+        |                 ELSE '' END AS text,
+        |    CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+        |         THEN 'ref' ELSE 'other' END AS label
+        |  FROM documents),
+        |train AS (SELECT * FROM lab WHERE doc_id % 3 <> 0),
+        |ttok AS (SELECT label,
+        |           unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS term
+        |         FROM train),
+        |tcnt AS (SELECT label,
+        |           CAST(('0x' || substring(md5(term), 1, 4)) AS BIGINT) % 128 AS bucket,
+        |           CAST(COUNT(*) AS BIGINT) AS c
+        |         FROM ttok GROUP BY 1, 2),
+        |tot AS (SELECT label, CAST(SUM(c) AS BIGINT) AS n FROM tcnt GROUP BY 1),
+        |docs AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS nd FROM train GROUP BY 1),
+        |ndt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ndt FROM train),
+        |grid AS (SELECT t.label, b.bucket, t.n, d.nd
+        |         FROM tot t JOIN docs d USING (label)
+        |         CROSS JOIN (SELECT unnest(range(0, 128)) AS bucket) b),
+        |wts AS (SELECT g.label, CAST(g.bucket AS BIGINT) AS bucket,
+        |          ROUND(ln((COALESCE(c.c, 0) + 0.5) / (g.n + 0.5 * 128)), 9) AS w,
+        |          ROUND(ln(g.nd / ndt.ndt), 9) AS prior
+        |        FROM grid g LEFT JOIN tcnt c ON c.label = g.label AND c.bucket = g.bucket
+        |        CROSS JOIN ndt),
+        |dtok AS (SELECT doc_id,
+        |           unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS term
+        |         FROM lab),
+        |db AS (SELECT doc_id,
+        |         CAST(('0x' || substring(md5(term), 1, 4)) AS BIGINT) % 128 AS bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM dtok GROUP BY 1, 2),
+        |sc AS (SELECT db.doc_id, w.label, CAST(SUM(db.c) AS BIGINT) AS n_tok,
+        |         ROUND(MAX(w.prior) + SUM(db.c * w.w), 6) AS score
+        |       FROM db JOIN wts w USING (bucket) GROUP BY 1, 2),
+        |rk AS (SELECT *,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn,
+        |         LEAD(score) OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS ru
+        |       FROM sc)
+        |SELECT l.doc_id, COALESCE(r.n_tok, 0) AS n_tok, r.label AS predicted,
+        |  r.score, ROUND(r.score - r.ru, 6) AS margin,
+        |  COALESCE(r.label = 'ref', false) AS kept
+        |FROM lab l LEFT JOIN (SELECT * FROM rk WHERE rn = 1) r USING (doc_id)
+        |ORDER BY l.doc_id""".stripMargin) { (s, d) =>
+      val isRef = col("source").isin("src0", "src1", "src2", "src3")
+      val lab = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(isRef && pmod(col("doc_id"), lit(2)) === 0,
+            lit(" encyclopedia citation reference archive curated"))
+            .otherwise(lit(""))).as("text"),
+        when(isRef, lit("ref")).otherwise(lit("other")).as("label"))
+      val model = graft.llm.Classify.nbTrain(
+        lab.filter(pmod(col("doc_id"), lit(3)) =!= 0), "label", "text",
+        buckets = 128, alpha = 0.5)
+      graft.llm.Classify.nbClassify(lab, "doc_id", "text", model, buckets = 128)
+        .select(col("id").as("doc_id"), col("n_tok"), col("predicted"),
+          col("score"), col("margin"),
+          coalesce(col("predicted") === lit("ref"), lit(false)).as("kept"))
         .orderBy(col("doc_id"))
     }
   )

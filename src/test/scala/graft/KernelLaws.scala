@@ -372,12 +372,17 @@ object KernelLaws extends Properties("graft.kernels") {
       Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(3))))
       .map(_.take(8).map(p => Array(p._1, p._2)).toArray)
 
-  property("bpe encodeWord is LOSSLESS: subwords concatenate back to the word") =
-    forAll(Gen.alphaLowerStr.map(_.take(16)), bpeMerges) { (w, merges) =>
-      w.isEmpty || {
-        val syms = graft.expressions.BpeKernels.encodeWord(w, merges)
-        (0 until syms.size).map(syms.get).mkString("") == w
-      }
+  private def encodeWord(w: String, merges: Array[Array[String]]) = {
+    val b = w.getBytes("UTF-8")
+    graft.expressions.BpeKernels.encodeSyms(
+      graft.expressions.BpeKernels.byteSymbols(b, 0, b.length), merges)
+  }
+
+  property("bpe encode is LOSSLESS in mapped space: subwords concatenate to the byte-mapped text") =
+    forAll(Gen.asciiPrintableStr.map(_.take(24)), bpeMerges) { (s, merges) =>
+      val toks = graft.expressions.BpeKernels.bpeTokens(u(s), merges)
+      (0 until toks.numElements()).map(toks.getUTF8String(_).toString).mkString("") ==
+        graft.llm.Bpe.mapToPrintable(s)
     }
 
   property("bpe count equals token-array length over whole text") =
@@ -386,10 +391,16 @@ object KernelLaws extends Properties("graft.kernels") {
       graft.expressions.BpeKernels.bpeCount(u(s), merges) == toks.numElements().toLong
     }
 
+  property("bpe pre-tokens are a TOTAL partition: they concatenate back to the text") =
+    forAll(asciiText) { s =>
+      val pts = graft.expressions.BpeKernels.preTokens(u(s))
+      (0 until pts.numElements()).map(pts.getUTF8String(_).toString).mkString("") == s
+    }
+
   property("bpe single merge applies leftmost non-overlapping (fold law)") =
     forAll(Gen.listOf(Gen.oneOf("a", "b")).map(_.mkString), Gen.const(())) { (w, _) =>
       w.isEmpty || {
-        val syms = graft.expressions.BpeKernels.encodeWord(w, Array(Array("a", "b")))
+        val syms = encodeWord(w, Array(Array("a", "b")))
         // fold reference: scan chars, merge a+b when adjacent, never overlap
         val ref = scala.collection.mutable.ListBuffer.empty[String]
         var i = 0

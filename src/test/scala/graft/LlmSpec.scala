@@ -330,6 +330,50 @@ class LlmSpec extends SparkSpec {
     graft.ops.Layout.deleteRecursively(Paths.get(base))
   }
 
+  test("drift-state compaction is decision-neutral across two generations and bounds partitions") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"), col("text"))
+    val base = Files.createTempDirectory("graft_drift_compact_").toString
+    val staged = Paths.get(base, "staged"); Files.createDirectories(staged)
+    def stage(parity: Int, name: String, mtimeSec: Long): Unit = {
+      val tmp = Paths.get(base, "tmp_" + name).toString
+      corpus.filter(pmod(col("doc_id"), lit(4)) === parity).coalesce(1).write.parquet(tmp)
+      val part = scala.util.Using.resource(Files.list(Paths.get(tmp))) { s =>
+        s.toArray.map(_.toString)
+          .find(f => f.endsWith(".parquet") && !f.contains("_SUCCESS")).get
+      }
+      val dest = staged.resolve(name)
+      Files.copy(Paths.get(part), dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeSec * 1000))
+    }
+    (0 until 4).foreach(p => stage(p, s"${('a' + p).toChar}_q$p.parquet", 1000000000L + 100 * p))
+    def run(tag: String, every: Int) = TextAnalysis.unigramDriftStreaming(spark,
+        staged.toString, corpus.schema, "source", "text",
+        s"$base/state_$tag", s"$base/out_$tag", compactEvery = every)
+      .collect()
+      .map(r => (r.getAs[Number]("batch_id").longValue(), r.getAs[String]("source"),
+        r.getAs[Long]("n_tok"), r.getAs[Double]("kl"))).toSet
+    // compactEvery=2 over 4 batches: a fold after batch 1 (generation 1)
+    // and a fold of {generation 1, epochs 1, 2} after batch 3 (generation
+    // 2) — counts are additive, so every snapshot must be identical to
+    // the never-compacted run's
+    val compacted = run("c", every = 2)
+    val raw = run("r", every = 0)
+    assert(compacted === raw)
+    assert(compacted.map(_._1) === Set(0L, 1L, 2L, 3L))
+    def epochDirs(tag: String) =
+      scala.util.Using.resource(Files.list(Paths.get(s"$base/state_$tag"))) { s =>
+        s.toArray.map(_.toString.split('/').last).filter(_.startsWith("epoch=")).sorted.toSeq
+      }
+    // raw state: one partition per micro-batch; compacted: one settled
+    // generation + the live epoch
+    assert(epochDirs("r") === Seq("epoch=0", "epoch=1", "epoch=2", "epoch=3"))
+    assert(epochDirs("c") === Seq("epoch=-2", "epoch=3"))
+    graft.ops.Layout.deleteRecursively(Paths.get(base))
+  }
+
   test("streaming near-dedup equals the same-split batch increments") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
@@ -863,6 +907,37 @@ class LlmSpec extends SparkSpec {
     val kept = Decontaminate.clean(train, bench, "doc_id", "text", n = 5)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept === Seq(1L, 2L, 3L))
+  }
+
+  test("NB classifier: learns separable labels, held-out generalization, zero-token contract") {
+    import graft.llm.Classify
+    // two clearly-separated vocabularies + one zero-token doc
+    val docs = (0L until 40L).map { i =>
+      val label = if (i % 2 == 0) "cats" else "dogs"
+      val text =
+        if (i % 2 == 0) s"cat feline whiskers purr meow tail $i"
+        else s"dog canine bark fetch bone leash $i"
+      (i, label, text)
+    } :+ ((40L, "cats", ""))
+    val df = docs.toDF("id", "label", "text")
+    val train = df.filter(col("id") % 5 =!= 0) // hold out every 5th
+    val model = Classify.nbTrain(train, "label", "text", buckets = 32, alpha = 0.5)
+    // dense model: every (label, bucket) pair present exactly once
+    assert(model.count() === 2L * 32)
+    assert(model.groupBy("label", "bucket").count().filter(col("count") > 1).count() === 0L)
+    val out = Classify.nbClassify(df, "id", "text", model, buckets = 32)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) null else r.getString(2))).toMap
+    // every non-empty doc classified correctly, INCLUDING held-out ids
+    docs.filter(_._3.nonEmpty).foreach { case (i, label, _) =>
+      assert(out(i)._2 === label, s"doc $i misclassified")
+    }
+    // zero-token doc: n_tok 0, NULL prediction (no features, no guess)
+    assert(out(40L) === ((0L, null)))
+    // margins are populated and positive for the separable docs
+    val margins = Classify.nbClassify(df.filter(col("id") < 40), "id", "text", model, 32)
+      .select(col("margin")).collect().map(_.getDouble(0))
+    assert(margins.forall(_ > 0))
   }
 
   test("fuzzyOverlap: max-Jaccard argmax, row-preserving, null text reports 0 grams") {

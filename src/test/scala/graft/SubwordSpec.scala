@@ -1,10 +1,12 @@
 package graft
 
+import graft.expressions.BpeKernels
 import graft.llm.Bpe
 import org.apache.spark.sql.functions._
 
-/** Deterministic byte-level BPE: artifact reproducibility, encode laws,
-  * and the count column the token-budgeted operators price in.
+/** Deterministic FULL-BYTE BPE: artifact reproducibility, encode laws
+  * over the 256-byte alphabet + byte-run pre-tokenizer, and the count
+  * column the token-budgeted operators price in.
   */
 class SubwordSpec extends SparkSpec {
   import spark.implicits._
@@ -16,9 +18,9 @@ class SubwordSpec extends SparkSpec {
     assert(retrained === Bpe.frozenMerges)
   }
 
-  test("encode concatenates back to the word; count equals encode length") {
+  test("encode concatenates back to the byte-mapped pre-token; count equals encode length") {
     val words = Tables.documents(spark, "/root/testdata/sf0.001")
-      .select(explode(graft.llm.TextAnalysis.wordTokens(col("text"))).as("w"))
+      .select(explode(Bpe.preTokens(col("text"))).as("w"))
       .distinct()
     val enc = words.select(col("w"), Bpe.encode(col("w")).as("tk"),
       Bpe.countTokens(col("w")).as("n")).collect()
@@ -26,35 +28,42 @@ class SubwordSpec extends SparkSpec {
     enc.foreach { r =>
       val w = r.getString(0)
       val tk = r.getSeq[String](1)
-      assert(tk.mkString("") === w, s"lossless split broken for $w")
+      assert(tk.mkString("") === Bpe.mapToPrintable(w), s"lossless split broken for $w")
       assert(r.getLong(2) === tk.length.toLong, s"count != encode length for $w")
     }
   }
 
   test("merges apply in rank order, each exhaustively leftmost (hand case)") {
-    // merges: (a,b) then (ab,b): "ababb" -> [ab, ab, b] -> [ab, abb]
+    // merges: (a,b) then (ab,b): "ababb" -> [ab, ab, b] -> [ab, abb];
+    // the space pre-token maps to the printable space symbol (U+0120)
     val m = Seq(("a", "b"), ("ab", "b"))
     val out = Seq(Tuple1("ababb xabba")).toDF("t")
       .select(Bpe.encode(col("t"), m).as("tk")).head.getSeq[String](0)
     // "xabba": x a b b a -> x ab b a (leftmost, non-overlap) -> x abb a
-    assert(out === Seq("ab", "abb", "x", "abb", "a"))
+    assert(out === Seq("ab", "abb", BpeKernels.ByteSym(' '.toInt), "x", "abb", "a"))
   }
 
-  test("token ids are the first-occurrence vocabulary index, base letters 0-25") {
+  test("token ids: base ids 0-255 are the byte values; merges mint 256+") {
     val m = Seq(("a", "b"), ("ab", "b"))
     val v = Bpe.vocab(m)
-    assert(v.take(26) === ('a' to 'z').map(_.toString))
-    assert(v.drop(26) === Seq("ab", "abb"))
+    assert(v.take(256) === BpeKernels.ByteSym.toSeq)
+    assert(v.drop(256) === Seq("ab", "abb"))
     val ids = Seq(Tuple1("ababb z")).toDF("t")
       .select(Bpe.tokenIds(Bpe.encode(col("t"), m), m).as("ids"))
       .head.getSeq[Int](0)
-    assert(ids === Seq(26, 27, 25))
+    assert(ids === Seq(256, 257, ' '.toInt, 'z'.toInt))
   }
 
-  test("multi-word text: per-word encodes concatenate in order; count sums") {
-    val df = Seq(Tuple1("Window ORDER by window")).toDF("t")
+  test("multi-pre-token text: per-pre-token encodes concatenate in order; count sums") {
+    val text = "Window ORDER by window"
+    val df = Seq(Tuple1(text)).toDF("t")
     val tk = df.select(Bpe.encode(col("t")).as("tk")).head.getSeq[String](0)
-    val singles = Seq("window", "order", "by", "window").flatMap { w =>
+    val pres = df.select(Bpe.preTokens(col("t")).as("p")).head.getSeq[String](0)
+    // case is PRESERVED and whitespace is priced: the pre-token stream
+    // alternates word / single-space and concatenates back to the text
+    assert(pres === Seq("Window", " ", "ORDER", " ", "by", " ", "window"))
+    assert(pres.mkString("") === text)
+    val singles = pres.flatMap { w =>
       Seq(Tuple1(w)).toDF("t").select(Bpe.encode(col("t")).as("tk"))
         .head.getSeq[String](0)
     }
@@ -63,13 +72,29 @@ class SubwordSpec extends SparkSpec {
     assert(n === singles.length.toLong)
   }
 
-  test("null, empty, and letterless text count zero tokens") {
-    val df = Seq((0L, null.asInstanceOf[String]), (1L, ""), (2L, "123 !!"))
-      .toDF("id", "t")
+  test("every byte is priced: digits, punctuation, whitespace, non-Latin count > 0") {
+    val df = Seq(
+      (0L, null.asInstanceOf[String]),
+      (1L, ""),
+      (2L, "123 !!"),
+      (3L, "日本語"),          // 9 UTF-8 bytes, one 'other' pre-token
+      (4L, "naïve — prix: 3,99 €"),
+      (5L, "\t\n")             // pure whitespace run
+    ).toDF("id", "t")
     val got = df.select(col("id"), Bpe.countTokens(col("t")).as("n"))
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
-    // null text -> null count (null-safe eval), empty/letterless -> 0
-    assert(got === Map(0L -> -1L, 1L -> 0L, 2L -> 0L))
+    // null text -> null count (null-safe eval); empty -> 0; everything
+    // else carries token mass (the [a-z]-only alphabet priced 2-5 at 0)
+    assert(got(0L) === -1L)
+    assert(got(1L) === 0L)
+    assert(got(2L) === 6L)   // "123" (3) + " " (1) + "!!" (2), no trained merges apply
+    assert(got(3L) === 9L)   // one sym per UTF-8 byte
+    assert(got(4L) > 0L && got(5L) > 0L)
+    // multibyte characters never split across pre-tokens (their bytes
+    // share the 'other' class) and encode is lossless in mapped space
+    val jp = Seq(Tuple1("日本語 ok")).toDF("t")
+      .select(Bpe.encode(col("t")).as("tk")).head.getSeq[String](0)
+    assert(jp.mkString("") === Bpe.mapToPrintable("日本語 ok"))
   }
 
   test("BPE chunking windows tile the subword stream (stride reassembly)") {
