@@ -1,0 +1,131 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Crawl-layer URL/domain operators (north-star extension): the layer
+  * every web corpus actually starts from — URL normalization,
+  * registrable-domain extraction over a frozen public-suffix snippet,
+  * domain blocklists, per-domain stats. Everything is projection-level
+  * column arithmetic (regex in the Java-regex ∩ RE2 common subset, so
+  * the oracle replays the identical pattern text) plus at most one
+  * broadcast join for the blocklist — trivially 100 TB-safe: URLs never
+  * shuffle, only per-domain aggregates do.
+  */
+object Urls {
+
+  /** Frozen public-suffix snippet (a deterministic stand-in for the full
+    * publicsuffix.org list — same matching rule: LONGEST listed suffix
+    * wins; the list is a build-time constant both engines carry as
+    * literals). Multi-label entries must precede their single-label
+    * parents at match time; [[suffixOrdered]] enforces that ordering.
+    */
+  val publicSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "github.io", "blogspot.com",
+    "com", "org", "net", "edu", "gov", "io", "uk", "au", "de", "fr", "jp")
+
+  /** Match order: more labels first, then longer, then lexicographic —
+    * the longest-match rule as a deterministic total order.
+    */
+  private def suffixOrdered: Seq[String] =
+    publicSuffixes.sortBy(s => (-s.count(_ == '.'), -s.length, s))
+
+  // ---- URL part extraction (fragment-stripped input) ----------------
+
+  private def noFragment(u: Column): Column = regexp_replace(u, "#.*", "")
+  private def schemeOf(nf: Column): Column =
+    lower(regexp_extract(nf, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+  private def afterScheme(nf: Column): Column =
+    regexp_replace(nf, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+  private def hostPort(rest: Column): Column = regexp_extract(rest, "^([^/?]*)", 1)
+
+  /** Lowercased host of a URL (port stripped, fragment ignored). */
+  def hostOf(u: Column): Column =
+    lower(regexp_replace(hostPort(afterScheme(noFragment(u))), ":[0-9]+$", ""))
+
+  /** Canonical URL form, the dedup/join key of crawl processing:
+    * lowercased scheme and host, default ports dropped (http:80,
+    * https:443), trailing path slashes removed (so `/a/` == `/a` and a
+    * bare `/` == no path), query parameters sorted with empties dropped,
+    * fragment removed. Pure single-pass column arithmetic.
+    */
+  def normalizeUrl(u: Column): Column = {
+    val nf = noFragment(u)
+    val scheme = schemeOf(nf)
+    val rest = afterScheme(nf)
+    val hp = hostPort(rest)
+    val pq = regexp_replace(rest, "^[^/?]*", "")
+    val host = lower(regexp_replace(hp, ":[0-9]+$", ""))
+    val port = regexp_extract(hp, ":([0-9]+)$", 1)
+    val portNorm = when(port === "", lit(""))
+      .when(scheme === "http" && port === "80", lit(""))
+      .when(scheme === "https" && port === "443", lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path = regexp_replace(regexp_extract(pq, "^([^?]*)", 1), "/+$", "")
+    val params = array_sort(filter(split(
+      regexp_extract(pq, "^[^?]*\\?(.*)$", 1), "&"), x => x =!= ""))
+    val qNorm = when(size(params) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(params, "&")))
+    concat(scheme, lit("://"), host, portNorm, path, qNorm)
+  }
+
+  /** Registrable ("eTLD+1") domain of a lowercased host: one label plus
+    * the longest matching public suffix; a host that IS a bare suffix has
+    * no registrable domain (NULL); an unlisted TLD falls back to the last
+    * two labels (the publicsuffix `*` default rule). Generated as a
+    * when-chain over the frozen snippet — [[registrableDomainSqlCase]]
+    * emits the same decision chain as DuckDB SQL from the same list, so
+    * there is exactly one matching order to drift.
+    */
+  def registrableDomain(host: Column): Column = {
+    // bare-suffix check FIRST: a host that IS a listed suffix must not
+    // fall through to a shorter suffix it happens to end with
+    // ("github.io" ends with ".io")
+    val chain = suffixOrdered.foldLeft(
+        when(host.isin(publicSuffixes: _*), lit(null).cast("string"))) { (acc, s) =>
+      val esc = s.replace(".", "\\.")
+      acc.when(host.endsWith("." + s),
+        concat(regexp_extract(host, "([^.]+)\\." + esc + "$", 1), lit("." + s)))
+    }
+    chain
+      .when(host.rlike("\\."), regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+      .otherwise(host)
+  }
+
+  /** The DuckDB CASE expression computing [[registrableDomain]] over the
+    * SQL expression `hostExpr` — generated from the same frozen list and
+    * ordering as the Column chain (the single-source-of-truth contract).
+    */
+  def registrableDomainSqlCase(hostExpr: String): String = {
+    val whens = suffixOrdered.map { s =>
+      val esc = s.replace(".", "\\.")
+      s"WHEN $hostExpr LIKE '%.$s' THEN regexp_extract($hostExpr, '([^.]+)\\.$esc$$', 1) || '.$s'"
+    }
+    val bare = publicSuffixes.map(s => s"'$s'").mkString(", ")
+    (s"CASE WHEN $hostExpr IN ($bare) THEN NULL " +
+      s"${whens.mkString(" ")} " +
+      s"WHEN $hostExpr LIKE '%.%' THEN regexp_extract($hostExpr, '([^.]+\\.[^.]+)$$', 1) " +
+      s"ELSE $hostExpr END")
+  }
+
+  /** Anti-join a (broadcast) blocklist of registrable domains: rows whose
+    * domain is NOT blocked. At 100 TB a blocklist is millions of rows —
+    * still broadcast-sized (domains are short), and the corpus never
+    * shuffles for the decision.
+    */
+  def dropBlockedDomains(df: DataFrame, domainCol: String,
+      blocklist: DataFrame): DataFrame =
+    df.join(broadcast(blocklist.select(col(blocklist.columns.head).as("__blocked"))),
+      col(domainCol) === col("__blocked"), "left_anti")
+
+  /** Per-registrable-domain crawl stats: page count and token mass —
+    * the rate table per-domain caps and crawl budgets are planned from.
+    * One count-pair shuffle keyed by domain.
+    */
+  def domainStats(df: DataFrame, urlCol: String, textCol: String): DataFrame =
+    df.select(registrableDomain(hostOf(col(urlCol))).as("domain"),
+        TextAnalysis.tokenCountWs(col(textCol)).as("n_tok"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+}

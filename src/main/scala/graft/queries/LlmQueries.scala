@@ -2445,6 +2445,154 @@ object LlmQueries {
           col("score"), col("margin"),
           coalesce(col("predicted") === lit("ref"), lit(false)).as("kept"))
         .orderBy(col("doc_id"))
+    },
+
+    // Crawl-layer URL normalization + registrable-domain extraction: a
+    // deterministic messy-URL generator (case chaos, default and explicit
+    // ports, trailing slashes, unsorted/empty query params, fragments,
+    // multi-label public suffixes, suffix-hosted user domains, dotless
+    // intranet hosts) is built identically on both engines, then both
+    // replay the same normalization chain (regexes in the Java∩RE2
+    // subset, parameter sort, default-port drop) and the same
+    // longest-match public-suffix decision chain — generated as SQL from
+    // the ONE frozen list (Urls.registrableDomainSqlCase), so there is no
+    // second matching order to drift.
+    QueryDef.sql(
+      "q167_url_normalize", {
+        val urlGen =
+          """CASE doc_id % 6
+            |    WHEN 0 THEN 'HTTP://WWW.Example.COM:80/Articles/' || CAST(doc_id AS VARCHAR) || '/?b=2&a=1#frag'
+            |    WHEN 1 THEN 'https://News.Example.CO.UK:443/story/' || CAST(doc_id AS VARCHAR)
+            |    WHEN 2 THEN 'http://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example.net:8080/assets/img' || CAST(doc_id AS VARCHAR) || '.png'
+            |    WHEN 3 THEN 'https://USER' || CAST(doc_id AS VARCHAR) || '.GitHub.IO/repo/?z=9&y=&x=1#s'
+            |    WHEN 4 THEN 'http://intranet-host' || CAST(doc_id % 5 AS VARCHAR) || '/home/'
+            |    ELSE 'https://shop.example.com/?utm=abc&id=' || CAST(doc_id AS VARCHAR) || '&'
+            |  END""".stripMargin
+        s"""WITH u AS (SELECT doc_id, $urlGen AS url FROM documents),
+           |p AS (SELECT doc_id, url,
+           |    regexp_replace(url, '#.*', '') AS nf FROM u),
+           |p2 AS (SELECT doc_id, url,
+           |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           |    regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM p),
+           |p3 AS (SELECT doc_id, url, scheme,
+           |    regexp_extract(rest, '^([^/?]*)', 1) AS hp,
+           |    regexp_replace(rest, '^[^/?]*', '') AS pq FROM p2),
+           |p4 AS (SELECT doc_id, url, scheme, pq,
+           |    lower(regexp_replace(hp, ':[0-9]+$$', '')) AS host,
+           |    regexp_extract(hp, ':([0-9]+)$$', 1) AS port FROM p3),
+           |p5 AS (SELECT doc_id, url, scheme, host,
+           |    CASE WHEN port = '' THEN ''
+           |         WHEN scheme = 'http' AND port = '80' THEN ''
+           |         WHEN scheme = 'https' AND port = '443' THEN ''
+           |         ELSE ':' || port END AS portn,
+           |    regexp_replace(regexp_extract(pq, '^([^?]*)', 1), '/+$$', '') AS path,
+           |    list_sort(list_filter(string_split(
+           |      regexp_extract(pq, '^[^?]*\\?(.*)$$', 1), '&'), x -> x <> '')) AS params
+           |  FROM p4)
+           |SELECT doc_id, url,
+           |  scheme || '://' || host || portn || path ||
+           |    CASE WHEN len(params) = 0 THEN ''
+           |         ELSE '?' || array_to_string(params, '&') END AS normalized,
+           |  host,
+           |  ${graft.llm.Urls.registrableDomainSqlCase("host")} AS domain
+           |FROM p5 ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      import graft.llm.Urls
+      val url = urlColumn(col("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          Urls.normalizeUrl(col("url")).as("normalized"),
+          Urls.hostOf(col("url")).as("host"),
+          Urls.registrableDomain(Urls.hostOf(col("url"))).as("domain"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-domain crawl stats + blocklist + cap — the registrable-domain
+    // composition a crawl pipeline runs before fetching/training: page
+    // count and whitespace-token mass per domain, a broadcast-anti-join
+    // blocklist verdict, and the q138 per-group cap (md5-order quota)
+    // applied to the allowed slice, all keyed by the q167 domain
+    // extraction. Only per-domain aggregates shuffle; the blocklist
+    // broadcasts; the oracle replays the cap with the plain
+    // row_number-over-md5 truth (q138's proof pattern).
+    QueryDef.sql(
+      "q168_domain_stats", {
+        val urlGen =
+          """CASE doc_id % 6
+            |    WHEN 0 THEN 'HTTP://WWW.Example.COM:80/Articles/' || CAST(doc_id AS VARCHAR) || '/?b=2&a=1#frag'
+            |    WHEN 1 THEN 'https://News.Example.CO.UK:443/story/' || CAST(doc_id AS VARCHAR)
+            |    WHEN 2 THEN 'http://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example.net:8080/assets/img' || CAST(doc_id AS VARCHAR) || '.png'
+            |    WHEN 3 THEN 'https://USER' || CAST(doc_id AS VARCHAR) || '.GitHub.IO/repo/?z=9&y=&x=1#s'
+            |    WHEN 4 THEN 'http://intranet-host' || CAST(doc_id % 5 AS VARCHAR) || '/home/'
+            |    ELSE 'https://shop.example.com/?utm=abc&id=' || CAST(doc_id AS VARCHAR) || '&'
+            |  END""".stripMargin
+        s"""WITH u AS (SELECT doc_id, text, $urlGen AS url FROM documents),
+           |h AS (SELECT doc_id, text,
+           |    lower(regexp_replace(regexp_extract(regexp_replace(regexp_replace(url, '#.*', ''),
+           |      '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?]*)', 1), ':[0-9]+$$', '')) AS host
+           |  FROM u),
+           |dom AS (SELECT doc_id, text,
+           |    ${graft.llm.Urls.registrableDomainSqlCase("host")} AS domain FROM h),
+           |tok AS (SELECT doc_id, domain,
+           |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tok
+           |  FROM dom),
+           |blocked AS (SELECT unnest(['example.net', 'shop.example.com']) AS domain),
+           |stats AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM tok GROUP BY domain),
+           |allowed AS (SELECT t.doc_id, t.domain FROM tok t
+           |            WHERE t.domain NOT IN (SELECT domain FROM blocked)),
+           |capped AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_kept FROM (
+           |    SELECT domain, row_number() OVER (PARTITION BY domain
+           |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM allowed)
+           |  WHERE rn <= 40 GROUP BY domain)
+           |SELECT s.domain, s.n_docs, s.n_tokens,
+           |  s.domain IN (SELECT domain FROM blocked) AS blocked,
+           |  COALESCE(c.n_kept, 0) AS n_kept
+           |FROM stats s LEFT JOIN capped c USING (domain)
+           |ORDER BY s.domain""".stripMargin
+      }) { (s, d) =>
+      import graft.llm.Urls
+      val url = urlColumn(col("doc_id"))
+      val withDom = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), url.as("url"))
+        .withColumn("domain", Urls.registrableDomain(Urls.hostOf(col("url"))))
+      val stats = withDom.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCountWs(col("text"))).as("n_tokens"))
+      val blocklist = {
+        import s.implicits._
+        Seq("example.net", "shop.example.com").toDF("domain")
+      }
+      val allowed = Urls.dropBlockedDomains(withDom, "domain", blocklist)
+      val kept = Splits.capPerGroup(allowed, "domain", "doc_id", n = 40)
+        .groupBy(col("domain")).agg(count(lit(1)).as("n_kept"))
+      stats
+        .withColumn("blocked", col("domain").isin("example.net", "shop.example.com"))
+        .join(kept, Seq("domain"), "left")
+        .select(col("domain"), col("n_docs"), col("n_tokens"), col("blocked"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("domain"))
     }
   )
+
+  /** The q167/q168 deterministic messy-URL generator (Column twin of the
+    * SQL CASE embedded in both oracles).
+    */
+  private def urlColumn(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val id = docId.cast("string")
+    when(pmod(docId, lit(6)) === 0,
+        concat(lit("HTTP://WWW.Example.COM:80/Articles/"), id, lit("/?b=2&a=1#frag")))
+      .when(pmod(docId, lit(6)) === 1,
+        concat(lit("https://News.Example.CO.UK:443/story/"), id))
+      .when(pmod(docId, lit(6)) === 2,
+        concat(lit("http://cdn"), pmod(docId, lit(3)).cast("string"),
+          lit(".example.net:8080/assets/img"), id, lit(".png")))
+      .when(pmod(docId, lit(6)) === 3,
+        concat(lit("https://USER"), id, lit(".GitHub.IO/repo/?z=9&y=&x=1#s")))
+      .when(pmod(docId, lit(6)) === 4,
+        concat(lit("http://intranet-host"), pmod(docId, lit(5)).cast("string"), lit("/home/")))
+      .otherwise(
+        concat(lit("https://shop.example.com/?utm=abc&id="), id, lit("&")))
+  }
 }

@@ -909,6 +909,45 @@ class LlmSpec extends SparkSpec {
     assert(kept === Seq(1L, 2L, 3L))
   }
 
+  test("URL normalization + registrable-domain edge battery") {
+    import graft.llm.Urls
+    val cases = Seq(
+      // default ports drop; explicit non-default ports stay
+      ("http://EXAMPLE.com:80/", "http://example.com"),
+      ("https://example.com:443/a/", "https://example.com/a"),
+      ("http://example.com:8080/a", "http://example.com:8080/a"),
+      // query sort, empty-segment drop, fragment strip; path case kept
+      ("https://A.B.com/Path/?z=1&a=2&&#f", "https://a.b.com/Path?a=2&z=1"),
+      // no scheme-relative niceties — empty path and bare host collapse
+      ("http://example.com", "http://example.com"),
+      ("http://example.com/?", "http://example.com"),
+      // multiple trailing slashes
+      ("http://example.com/a///", "http://example.com/a"),
+      // IDN-ish host: non-ASCII survives untouched (lower() is
+      // ASCII-stable here; punycoding is an ingest policy, not this op)
+      ("http://münchen.de/Straße/", "http://münchen.de/Straße"))
+    val got = cases.zipWithIndex.map { case ((in, _), i) => (i.toLong, in) }
+      .toDF("id", "u").select(col("id"), Urls.normalizeUrl(col("u")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i.toLong) === want, s"normalize($in)")
+    }
+    val domains = Seq(
+      ("www.example.co.uk", "example.co.uk"),   // multi-label suffix wins
+      ("a.b.example.com", "example.com"),
+      ("user.github.io", "user.github.io"),     // suffix-hosted user domain
+      ("github.io", null),                      // bare suffix: no registrable
+      ("com", null),
+      ("weird.internal", "weird.internal"),     // unlisted TLD: last two labels
+      ("localhost", "localhost"))               // dotless: the host itself
+    val gd = domains.zipWithIndex.map { case ((h, _), i) => (i.toLong, h) }
+      .toDF("id", "h").select(col("id"), Urls.registrableDomain(col("h")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    domains.zipWithIndex.foreach { case ((h, want), i) =>
+      assert(gd(i.toLong) === want, s"registrableDomain($h)")
+    }
+  }
+
   test("NB classifier: learns separable labels, held-out generalization, zero-token contract") {
     import graft.llm.Classify
     // two clearly-separated vocabularies + one zero-token doc
