@@ -28,3 +28,81 @@ object ByteSum {
     s
   }
 }
+
+/** Parse a WAV/RIFF container header from raw bytes: walks the chunk list
+  * (word-aligned per the RIFF spec), reads the `fmt ` chunk's PCM
+  * parameters and the `data` chunk's extent, and returns
+  * struct(sample_rate, channels, bits, data_off, data_len) — or NULL for
+  * anything that is not a well-formed integer-PCM WAV (missing magic,
+  * truncated chunks, compressed audioFormat ≠ 1). Pure byte arithmetic,
+  * whole-stage-codegen'd: the real-container complement of the raw-PCM16
+  * metadata contract (`Multimodal.asAudioTable`), doing for audio what
+  * javax.imageio did for images. The extracted data extent is CLAMPED to
+  * the payload (a header promising more bytes than exist yields the bytes
+  * that do) so downstream framing can never slice past the buffer.
+  */
+case class WavHeader(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = WavHeader.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_header"
+  override protected def nullSafeEval(v: Any): Any =
+    WavHeader.parse(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("wavHdr")
+      s"""org.apache.spark.sql.catalyst.InternalRow $r = graft.expressions.WavHeader.parse($v);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): WavHeader = copy(child = c)
+}
+
+object WavHeader {
+  val schema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("data_off", IntegerType, nullable = false),
+    StructField("data_len", LongType, nullable = false)))
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def tag(b: Array[Byte], o: Int, t: String): Boolean =
+    b(o) == t.charAt(0).toByte && b(o + 1) == t.charAt(1).toByte &&
+      b(o + 2) == t.charAt(2).toByte && b(o + 3) == t.charAt(3).toByte
+
+  /** NULL for non-WAV; else (sample_rate, channels, bits, data_off, data_len). */
+  def parse(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    if (b == null || b.length < 44) return null
+    if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
+    var off = 12
+    var rate = -1
+    var channels = -1
+    var bits = -1
+    var dataOff = -1
+    var dataLen = -1L
+    while (off + 8 <= b.length && (rate < 0 || dataOff < 0)) {
+      val size = u32(b, off + 4)
+      if (tag(b, off, "fmt ") && size >= 16 && off + 8 + 16 <= b.length) {
+        if (u16(b, off + 8) != 1) return null // integer PCM only
+        channels = u16(b, off + 10)
+        rate = u32(b, off + 12).toInt
+        bits = u16(b, off + 22)
+      } else if (tag(b, off, "data")) {
+        dataOff = off + 8
+        dataLen = math.min(size, (b.length - dataOff).toLong)
+      }
+      // chunks are word-aligned (odd sizes carry one pad byte); the
+      // advance is computed in Long so a forged 4 GiB chunk size can't
+      // wrap the offset into an infinite loop
+      val next = off.toLong + 8L + size + (size & 1L)
+      off = if (next > b.length.toLong) b.length else next.toInt
+    }
+    if (rate <= 0 || channels <= 0 || bits <= 0 || dataOff < 0) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](rate, channels, bits, dataOff, dataLen))
+  }
+}

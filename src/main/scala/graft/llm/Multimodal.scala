@@ -68,6 +68,59 @@ object Multimodal {
         lit(sampleRate).as("sample_rate"),
         length(col(payloadCol).cast("binary")).cast("long").as("n_bytes")).as("meta"))
 
+  /** Parsed WAV/RIFF header struct (sample_rate, channels, bits,
+    * data_off, data_len) — NULL for payloads that are not well-formed
+    * integer-PCM WAV. Real byte parsing ([[graft.expressions.WavHeader]]
+    * kernel, codegen), the audio analog of the javax.imageio decode.
+    */
+  def wavHeader(payload: Column): Column =
+    toCol(graft.expressions.WavHeader(toExpr(payload.cast("binary"))))
+
+  /** Audio table from REAL WAV container payloads: parse the RIFF header,
+    * slice the `data` chunk, and carry the PARSED sample rate in the meta
+    * struct — so [[frameSlices]] runs on what the container says, not on
+    * caller-supplied metadata ([[asAudioTable]] remains the raw-PCM
+    * fallback for headerless buffers). Undecodable payloads keep their
+    * row with ok = false and NULL payload/meta — the caller decides
+    * quarantine-vs-drop, never a crash (the decodeGray contract).
+    */
+  def asWavTable(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val h = wavHeader(col(payloadCol))
+    df.select(col(idCol).cast("long").as("media_id"),
+        col(payloadCol).cast("binary").as("__raw"), h.as("__h"))
+      .select(
+        col("media_id"),
+        col("__h").isNotNull.as("ok"),
+        when(col("__h").isNotNull,
+          col("__raw").substr(col("__h.data_off") + 1,
+            col("__h.data_len").cast("int"))).as("payload"),
+        when(col("__h").isNotNull, struct(
+          lit("pcm16").as("format"),
+          col("__h.sample_rate").as("sample_rate"),
+          col("__h.data_len").as("n_bytes"))).as("meta"),
+        col("__h.channels").as("channels"),
+        col("__h.bits").as("bits"))
+  }
+
+  /** Driver-side canonical 44-byte PCM WAV header (test/fixture builder —
+    * the exact layout [[wavHeader]] parses back).
+    */
+  def wavHeaderBytes(rate: Int, channels: Int, bits: Int, dataLen: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * bits / 8)
+      .putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    bb.array()
+  }
+
+  /** Driver-side complete WAV (header + data). */
+  def wavBytes(rate: Int, channels: Int, bits: Int, data: Array[Byte]): Array[Byte] =
+    wavHeaderBytes(rate, channels, bits, data.length) ++ data
+
   /** Frame sampling over PCM audio: fixed `frameMs` windows advancing by
     * `hopMs` (hop < frame ⇒ overlap, the STFT shape). Pure codegen
     * arithmetic + binary `substr` — the time-axis sibling of

@@ -2573,6 +2573,64 @@ object LlmQueries {
         .select(col("domain"), col("n_docs"), col("n_tokens"), col("blocked"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"))
         .orderBy(col("domain"))
+    },
+
+    // REAL WAV/RIFF container parse feeding the frame math: synthetic
+    // WAVs (canonical 44-byte headers at three sample rates, data = the
+    // rpad-256 document text; every 7th payload is headerless garbage)
+    // are built on the Spark side as actual bytes and parsed by the
+    // WavHeader kernel — the q107 framing then runs on the PARSED rate
+    // and data slice. The oracle knows the construction constants in
+    // closed form (the q41/q42 synthetic-image pattern): header fields,
+    // per-rate frame/hop widths, frame-content digests over the ASCII
+    // data, and ok=false rows for the corrupt payloads. A parser that
+    // misreads any field shifts frames or rates and fails the hash.
+    QueryDef.sql(
+      "q169_wav_parse",
+      """WITH t AS (
+        |  SELECT doc_id AS media_id, text, doc_id % 7 = 0 AS corrupt,
+        |    CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 12000 ELSE 16000 END AS rate
+        |  FROM documents WHERE doc_id < 200),
+        |d AS (SELECT media_id, corrupt, rate, rpad(text, 256, 'x') AS data FROM t),
+        |fr AS (SELECT media_id, rate, rate * 8 // 1000 AS fb, rate * 4 // 1000 AS hb, data
+        |       FROM d WHERE NOT corrupt),
+        |f AS (SELECT media_id, unnest(range(0, 256 - fb + 1, hb)) AS st, fb, hb, data FROM fr),
+        |fm AS (SELECT media_id, st // hb AS frame_id, md5(substring(data, st + 1, fb)) AS fm FROM f),
+        |dig AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |          md5(string_agg(fm, '' ORDER BY frame_id)) AS frames_digest
+        |        FROM fm GROUP BY media_id)
+        |SELECT t.media_id, NOT t.corrupt AS ok,
+        |  CASE WHEN t.corrupt THEN NULL ELSE t.rate END AS sample_rate,
+        |  CASE WHEN t.corrupt THEN NULL ELSE 1 END AS channels,
+        |  CASE WHEN t.corrupt THEN NULL ELSE 16 END AS bits,
+        |  CAST(CASE WHEN t.corrupt THEN NULL ELSE 256 END AS BIGINT) AS data_len,
+        |  COALESCE(dig.n_frames, 0) AS n_frames, dig.frames_digest
+        |FROM t LEFT JOIN dig USING (media_id) ORDER BY t.media_id""".stripMargin) { (s, d) =>
+      val rates = Seq(8000, 12000, 16000)
+      val headers = rates.map(r => Multimodal.wavHeaderBytes(r, 1, 16, 256))
+      val header = when(pmod(col("doc_id"), lit(3)) === 0, lit(headers(0)))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit(headers(1)))
+        .otherwise(lit(headers(2)))
+      val payload = when(pmod(col("doc_id"), lit(7)) === 0, col("text").cast("binary"))
+        .otherwise(concat(header, rpad(col("text"), 256, "x").cast("binary")))
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), payload.as("p"))
+      val wav = Multimodal.asWavTable(docs, "doc_id", "p")
+      val frames = Multimodal.frameSlices(wav.filter(col("ok")), frameMs = 4, hopMs = 2)
+        .select(col("media_id"), col("frame_id"), md5(col("frame")).as("fm"))
+      val dig = frames.groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("frame_id"), col("fm")))),
+            x => x.getField("fm")), "").cast("binary")).as("frames_digest"))
+      wav.select(col("media_id"), col("ok"),
+          col("meta.sample_rate").as("sample_rate"), col("channels"), col("bits"),
+          col("meta.n_bytes").as("data_len"))
+        .join(dig, Seq("media_id"), "left")
+        .select(col("media_id"), col("ok"), col("sample_rate"), col("channels"),
+          col("bits"), col("data_len"),
+          coalesce(col("n_frames"), lit(0L)).as("n_frames"), col("frames_digest"))
+        .orderBy(col("media_id"))
     }
   )
 

@@ -909,6 +909,49 @@ class LlmSpec extends SparkSpec {
     assert(kept === Seq(1L, 2L, 3L))
   }
 
+  test("WAV header parse: round trip, extra/odd chunks, clamping, forged sizes, non-PCM") {
+    import graft.llm.Multimodal
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val data = (0 until 100).map(_.toByte).toArray
+    val good = Multimodal.wavBytes(44100, 2, 16, data)
+    // a LIST chunk with ODD size before data: parser must walk past it
+    // with the RIFF pad byte
+    val oddChunk = "LIST".getBytes ++ le32(3) ++ Array[Byte](1, 2, 3, 0)
+    val withList = good.take(36) ++ oddChunk ++ good.drop(36)
+    // header promises 100 data bytes but payload is truncated at 20
+    val truncated = good.take(44 + 20)
+    // forged ~4 GiB chunk size must terminate, not loop/throw
+    val forged = good.take(36) ++ "junk".getBytes ++ le32(-8) ++ good.drop(36)
+    // audioFormat = 3 (IEEE float) is not integer PCM
+    val floatWav = good.clone(); floatWav(20) = 3
+    val rows = Seq(
+      (0L, good), (1L, withList), (2L, truncated), (3L, forged), (4L, floatWav),
+      (5L, "not a wav at all, just some text".getBytes("US-ASCII")),
+      (6L, Array.empty[Byte])
+    ).toDF("id", "p")
+    val got = Multimodal.asWavTable(rows, "id", "p").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // good + odd-chunk variants parse identically
+    Seq(0L, 1L).foreach { i =>
+      val r = got(i)
+      assert(r.getBoolean(1), s"payload $i should parse")
+      val meta = r.getStruct(3)
+      assert(meta.getInt(1) === 44100 && r.getInt(4) === 2 && r.getInt(5) === 16)
+      assert(meta.getLong(2) === 100L)
+      assert(r.getAs[Array[Byte]](2).toSeq === data.toSeq, s"data slice $i")
+    }
+    // truncated: data extent clamps to the bytes that exist
+    assert(got(2L).getBoolean(1) && got(2L).getStruct(3).getLong(2) === 20L)
+    // forged size: the Long-advance guard terminates the walk before the
+    // data chunk is ever reached -> unparseable, and crucially no hang
+    assert(!got(3L).getBoolean(1))
+    // non-PCM, garbage, empty: ok = false, NULL payload/meta
+    Seq(4L, 5L, 6L).foreach { i =>
+      assert(!got(i).getBoolean(1), s"payload $i must not parse")
+      assert(got(i).isNullAt(2) && got(i).isNullAt(3))
+    }
+  }
+
   test("URL normalization + registrable-domain edge battery") {
     import graft.llm.Urls
     val cases = Seq(
