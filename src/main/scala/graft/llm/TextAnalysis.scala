@@ -266,6 +266,19 @@ object TextAnalysis {
     val tf = terms.groupBy(col("id"), col("term")).agg(count(lit(1)).as("c"))
       .persist() // model totals re-aggregate the counts; never re-tokenize
     graft.ops.CacheRegistry.register(tf)
+    unigramLogProbFromCounts(tf, df.select(col(idCol).as("id")))
+  }
+
+  /** [[unigramLogProb]] from a pre-aggregated `(id, term, c)` count table
+    * plus the document-id universe (which must include zero-token docs —
+    * they surface as (n_tok=0, NULL) through the left join). The reusable
+    * half that makes the score INCREMENTAL: a streaming monitor merges
+    * per-batch count triplets into cumulative state and re-derives every
+    * score from counts alone — text is never re-read (q170's leg, the
+    * same split as [[sourceTokenKLFromCounts]]).
+    */
+  def unigramLogProbFromCounts(tf: org.apache.spark.sql.DataFrame,
+      ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val model = tf.groupBy(col("term")).agg(sum(col("c")).as("ct"))
     val total = tf.agg(sum(col("c")).cast("double").as("t"))
     val scored = tf.join(model, "term").crossJoin(total)
@@ -273,7 +286,7 @@ object TextAnalysis {
       .agg(sum(col("c")).as("n_tok"),
         (sum(col("c") * log(col("ct").cast("double") / col("t"))) / sum(col("c")))
           .as("lp"))
-    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+    ids.join(scored, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_tok"), lit(0L)).as("n_tok"),
         round(col("lp"), 6).as("avg_logp"))
   }
@@ -289,9 +302,17 @@ object TextAnalysis {
     * (zero-token docs) get an explicit kept=false.
     */
   def selectByQualityQuantile(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, q: Double): org.apache.spark.sql.DataFrame = {
+      textCol: String, q: Double): org.apache.spark.sql.DataFrame =
+    selectByQuantileFromScores(unigramLogProb(df, idCol, textCol), q)
+
+  /** The cutoff-and-keep half of [[selectByQualityQuantile]], over an
+    * already-scored `(id, n_tok, avg_logp)` frame — shared by the batch
+    * operator and the streaming twin (q170), so there is exactly one
+    * percentile/keep rule to drift.
+    */
+  def selectByQuantileFromScores(scored: org.apache.spark.sql.DataFrame,
+      q: Double): org.apache.spark.sql.DataFrame = {
     require(q > 0 && q < 1, s"quantile must be in (0,1): $q")
-    val scored = unigramLogProb(df, idCol, textCol)
     val cut = graft.ops.Percentiles.exactPercentiles(
         scored.filter(col("avg_logp").isNotNull).withColumn("__g", lit(1)),
         "__g", "avg_logp", Seq(q), Seq("c"))
@@ -299,6 +320,76 @@ object TextAnalysis {
     scored.crossJoin(broadcast(cut))
       .select(col("id"), col("n_tok"), col("avg_logp"),
         coalesce(col("avg_logp") >= col("cutoff"), lit(false)).as("kept"))
+  }
+
+  /** STREAMING quality-quantile selection — q163's policy as an ingest
+    * loop (the operational form of "train on the top slice"): each
+    * micro-batch appends its per-doc `(id, term, c)` count triplets (plus
+    * one NULL-term sentinel row per doc, so zero-token docs stay in the
+    * id universe) to epoch-partitioned state, then RE-SCORES the whole
+    * cumulative corpus from counts alone — the unigram model shifts with
+    * every arriving batch, so earlier documents' scores and the quantile
+    * cutoff legitimately move — and emits the full keep-set snapshot.
+    * The FINAL snapshot equals the batch [[selectByQualityQuantile]] over
+    * everything streamed (q136/q158 proof pattern, oracle-pinned by
+    * q170). Text is tokenized once in its arrival batch; every re-score
+    * touches only Heaps-bounded count triplets, and `compactEvery` folds
+    * settled epochs into one summed generation (additive ⇒
+    * decision-neutral) exactly like [[driftStateCompact]].
+    *
+    * Returns the snapshots read back from `outDir`:
+    * (batch_id, id, n_tok, avg_logp, kept).
+    */
+  def qualityQuantileStreaming(spark: org.apache.spark.sql.SparkSession, stagedDir: String,
+      schema: org.apache.spark.sql.types.StructType, idCol: String, textCol: String,
+      q: Double, stateDir: String, outDir: String,
+      checkpointDir: Option[String] = None,
+      shufflePartitions: Int = 4,
+      compactEvery: Int = 0): org.apache.spark.sql.DataFrame = {
+    val s2 = spark.newSession()
+    graft.GraftConf.tune(s2)
+    s2.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    val stream = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stagedDir)
+    val writer = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // explode_outer keeps zero-token docs as a NULL-term sentinel
+        // (c = 0): they must appear in every snapshot with kept = false
+        val bt = batch.select(col(idCol).as("id"),
+            explode_outer(wordTokens(col(textCol))).as("term"))
+          .groupBy(col("id"), col("term"))
+          .agg(sum(when(col("term").isNotNull, 1L).otherwise(0L)).as("c"))
+          .persist()
+        graft.ops.CacheRegistry.register(bt)
+        bt.withColumn("epoch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("epoch").parquet(stateDir)
+        val sp = new org.apache.hadoop.fs.Path(stateDir)
+        val hasState = graft.ops.Layout.hasParquetData(
+          sp.getFileSystem(bt.sparkSession.sparkContext.hadoopConfiguration), sp)
+        val hist =
+          if (!hasState) bt.select(col("id"), col("term"), col("c")).limit(0)
+          else bt.sparkSession.read.parquet(stateDir)
+            .filter(col("epoch") < batchId)
+            .select(col("id"), col("term"), col("c"))
+        val cum = hist.unionByName(bt.select(col("id"), col("term"), col("c")))
+          .groupBy(col("id"), col("term")).agg(sum(col("c")).as("c"))
+          .persist()
+        graft.ops.CacheRegistry.register(cum)
+        val scored = unigramLogProbFromCounts(
+          cum.filter(col("term").isNotNull), cum.select(col("id")).distinct())
+        selectByQuantileFromScores(scored, q)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          Dedup.compactEpochPartitions(bt.sparkSession, stateDir)(
+            _.groupBy(col("id"), col("term")).agg(sum(col("c")).as("c")))
+      }
+    val sq = checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+    try sq.processAllAvailable() finally sq.stop()
+    spark.read.parquet(outDir)
   }
 
   /** Per-source token-distribution divergence from the whole corpus:

@@ -2631,6 +2631,54 @@ object LlmQueries {
           col("bits"), col("data_len"),
           coalesce(col("n_frames"), lit(0L)).as("n_frames"), col("frames_digest"))
         .orderBy(col("media_id"))
+    },
+
+    // STREAMING quality-quantile selection (q163's operational leg, the
+    // q158 proof pattern): the corpus drained as two deterministic
+    // micro-batches; each batch merges its per-doc count triplets into
+    // epoch state (compacting in-stream), re-scores the cumulative corpus
+    // from counts alone — the unigram model and the p40 cutoff both move
+    // as data arrives — and emits the full keep-set snapshot. The oracle
+    // replays BOTH snapshots from scratch (batch 0 = the even half,
+    // batch 1 = everything, each the q163 SQL over that slice), so the
+    // incremental count-merge + re-score + quantile path is pinned
+    // cell-for-cell and the final streamed state provably equals the
+    // batch answer.
+    QueryDef.sql(
+      "q170_stream_quality_select", {
+        def slice(sfx: String, batchId: Int, where: String) =
+          s"""terms$sfx AS (
+             |  SELECT doc_id AS id, unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS term
+             |  FROM documents $where),
+             |tf$sfx AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS c FROM terms$sfx GROUP BY 1, 2),
+             |model$sfx AS (SELECT term, CAST(SUM(c) AS BIGINT) AS ct FROM tf$sfx GROUP BY 1),
+             |tot$sfx AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM tf$sfx),
+             |doc$sfx AS (
+             |  SELECT id, CAST(SUM(c) AS BIGINT) AS n_tok,
+             |    SUM(c * ln(CAST(ct AS DOUBLE) / t)) / SUM(c) AS lp
+             |  FROM tf$sfx JOIN model$sfx USING (term) CROSS JOIN tot$sfx GROUP BY id),
+             |scored$sfx AS (
+             |  SELECT d.doc_id AS id, COALESCE(doc$sfx.n_tok, 0) AS n_tok, ROUND(doc$sfx.lp, 6) AS avg_logp
+             |  FROM documents d LEFT JOIN doc$sfx ON doc$sfx.id = d.doc_id $where),
+             |cut$sfx AS (SELECT quantile_cont(avg_logp, 0.4) AS cutoff FROM scored$sfx WHERE avg_logp IS NOT NULL),
+             |k$sfx AS (SELECT CAST($batchId AS BIGINT) AS batch_id, id, n_tok, avg_logp,
+             |            COALESCE(avg_logp >= cutoff, false) AS kept
+             |          FROM scored$sfx CROSS JOIN cut$sfx)""".stripMargin
+        s"""WITH
+           |${slice("0", 0, "WHERE doc_id % 2 = 0")},
+           |${slice("1", 1, "")}
+           |SELECT * FROM k0 UNION ALL SELECT * FROM k1
+           |ORDER BY batch_id, id""".stripMargin
+      }) { (s, d) =>
+      val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val staged = stageParitySplits(corpus, d, "q170")
+      val base = java.nio.file.Files.createTempDirectory("graft_q170_").toString
+      rotateRunDirs("q170", Seq(base))
+      TextAnalysis.qualityQuantileStreaming(s, staged, corpus.schema, "doc_id", "text",
+          q = 0.4, base + "/state", base + "/out", compactEvery = 1)
+        .select(col("batch_id").cast("long").as("batch_id"), col("id"),
+          col("n_tok"), col("avg_logp"), col("kept"))
+        .orderBy(col("batch_id"), col("id"))
     }
   )
 
