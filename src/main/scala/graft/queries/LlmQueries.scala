@@ -83,21 +83,40 @@ object LlmQueries {
     * dies with the session (the app-id key guards against a stale frame
     * from a stopped test session).
     */
-  private val sharedShingles =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
-  private def shingleTok(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private def sharedFrame(
+      cache: java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame],
+      s: org.apache.spark.sql.SparkSession, d: String)(
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // evict frames pinned by a PREVIOUS session (sbt test, repeated
     // harness runs share one JVM): stale appId keys reference dead-session
     // DataFrames invisible to CacheRegistry accounting
-    sharedShingles.keySet.removeIf(k =>
-      !k.startsWith(s.sparkContext.applicationId + "|"))
-    sharedShingles.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
-      val tok = Tables.documents(s, d).select(col("doc_id").as("id"),
-        Dedup.shingles(col("text"), 3).as("toks")).persist()
-      tok.count() // materialize eagerly so every consumer hits the cache
-      tok
+    cache.keySet.removeIf(k => !k.startsWith(s.sparkContext.applicationId + "|"))
+    cache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
+      val f = build.persist()
+      f.count() // materialize eagerly so every consumer hits the cache
+      f
     })
   }
+
+  private val sharedShingles =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def shingleTok(s: org.apache.spark.sql.SparkSession, d: String) =
+    sharedFrame(sharedShingles, s, d) {
+      Tables.documents(s, d).select(col("doc_id").as("id"),
+        Dedup.shingles(col("text"), 3).as("toks"))
+    }
+
+  /** One unigram-LM score table per (session, sfDir), shared by q150 (the
+    * score surface) and q163 (the quantile selection over it) — the
+    * corpus tokenize+model+score pass is paid once, the sharedShingles
+    * pattern applied to the quality ladder.
+    */
+  private val sharedScores =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def unigramScores(s: org.apache.spark.sql.SparkSession, d: String) =
+    sharedFrame(sharedScores, s, d) {
+      TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+    }
 
   /** Stage `corpus` as two parity-split parquet files (batch 0 = even
     * doc_ids, batch 1 = odd) with FORGED mtimes, so a
@@ -1598,8 +1617,7 @@ object LlmQueries {
         |  ROUND(doc.lp, 6) AS avg_logp
         |FROM documents d LEFT JOIN doc ON doc.id = d.doc_id
         |ORDER BY id""".stripMargin) { (s, d) =>
-      TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
-        .orderBy(col("id"))
+      unigramScores(s, d).orderBy(col("id"))
     },
 
     // Per-source unigram KL divergence vs the corpus blend — the
@@ -2249,7 +2267,9 @@ object LlmQueries {
         |cut AS (SELECT quantile_cont(avg_logp, 0.4) AS cutoff FROM scored WHERE avg_logp IS NOT NULL)
         |SELECT id, n_tok, avg_logp, COALESCE(avg_logp >= cutoff, false) AS kept
         |FROM scored CROSS JOIN cut ORDER BY id""".stripMargin) { (s, d) =>
-      TextAnalysis.selectByQualityQuantile(Tables.documents(s, d), "doc_id", "text", 0.4)
+      // the scored table is the q150 shared frame — the corpus re-score
+      // this row used to pay (2.58 s, round-9 audit) is now one pass
+      TextAnalysis.selectByQuantileFromScores(unigramScores(s, d), 0.4)
         .orderBy(col("id"))
     },
 

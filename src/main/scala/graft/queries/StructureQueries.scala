@@ -116,13 +116,20 @@ object StructureQueries {
         |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
         |  true AS parts_ok, true AS orders_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("ap"),
-          approx_count_distinct(col("l_orderkey")).as("ao"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))
+      // Two pre-deduped (flag, key) pipelines instead of one
+      // multi-DISTINCT aggregate: Catalyst plans n distinct aggregates as
+      // an Expand (n+1 copies of every input row through the shuffle);
+      // the two-level form shuffles each key ONCE with map-side partial
+      // aggregation, and the HLL runs over the deduped keys — identical
+      // estimate (HLL of a set == HLL of the multiset), same guard.
+      def dedupCard(keyCol: String, exactName: String, approxName: String) =
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col(keyCol)).agg(count(lit(1)).as("__n"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as(exactName),
+            approx_count_distinct(col(keyCol)).as(approxName))
+      dedupCard("l_partkey", "exact_parts", "ap")
+        .join(dedupCard("l_orderkey", "exact_orders", "ao"), Seq("l_returnflag"))
         .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
           (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * lit(0.15)).as("parts_ok"),
           (abs(col("ao") - col("exact_orders")) <= col("exact_orders") * lit(0.15)).as("orders_ok"))
