@@ -47,15 +47,29 @@ object Classify {
   def nbTrain(df: DataFrame, labelCol: String, textCol: String,
       buckets: Int = 64, alpha: Double = 0.5): DataFrame = {
     require(buckets > 0, s"bucket count must be positive: $buckets")
-    require(alpha > 0, s"smoothing alpha must be positive: $alpha")
     val toks = df.select(col(labelCol).as("label"),
       explode(TextAnalysis.wordTokens(col(textCol))).as("term"))
     val counts = toks
       .select(col("label"), featureBucket(col("term"), buckets).as("bucket"))
       .groupBy(col("label"), col("bucket")).agg(count(lit(1)).as("c"))
-    val totals = counts.groupBy(col("label")).agg(sum(col("c")).as("n"))
     val docs = df.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("nd"))
-    val docsTot = df.agg(count(lit(1)).cast("double").as("ndt")) // maxRows = 1
+    nbModelFromCounts(counts, docs, buckets, alpha)
+  }
+
+  /** The counts→model half of [[nbTrain]]: derive the dense weight table
+    * from pre-aggregated `(label, bucket, c)` token-bucket counts and
+    * `(label, nd)` doc counts. The split is what makes training
+    * INCREMENTAL: counts are additive, so a streaming trainer merges
+    * per-batch triplets into cumulative state and re-derives the model
+    * from counts alone ([[nbTrainStreaming]]) — text is tokenized once,
+    * in its arrival batch.
+    */
+  def nbModelFromCounts(counts: DataFrame, docs: DataFrame,
+      buckets: Int, alpha: Double): DataFrame = {
+    require(buckets > 0, s"bucket count must be positive: $buckets")
+    require(alpha > 0, s"smoothing alpha must be positive: $alpha")
+    val totals = counts.groupBy(col("label")).agg(sum(col("c")).as("n"))
+    val docsTot = docs.agg(sum(col("nd")).cast("double").as("ndt")) // maxRows = 1
     // dense grid WITHOUT a cross join: explode the bucket range under each
     // label row (|labels| × buckets rows, a constant-bounded frame)
     val grid = totals.join(docs, "label").crossJoin(broadcast(docsTot))
@@ -66,6 +80,74 @@ object Classify {
         round(log((coalesce(col("c"), lit(0L)) + alpha) /
           (col("n") + alpha * buckets)), 9).as("w"),
         round(log(col("nd") / col("ndt")), 9).as("prior"))
+  }
+
+  /** STREAMING NB training — distributed linear-model training as an
+    * ingest loop: each micro-batch's `(label, bucket, c)` token-bucket
+    * triplets and per-label doc counts (a `bucket = -1` sentinel row —
+    * the feature domain is [0, buckets)) merge into epoch-partitioned
+    * state, and the batch emits the full dense model snapshot re-derived
+    * from cumulative counts. Counts are additive, so the FINAL snapshot
+    * equals batch [[nbTrain]] over everything streamed (the q136/q158
+    * proof pattern), at-least-once re-runs converge by epoch isolation,
+    * and `compactEvery` folds settled epochs into one summed generation.
+    * State is |labels| × (buckets+1) rows per epoch — a true constant.
+    *
+    * Returns the model snapshots read back from `outDir`:
+    * (batch_id, label, bucket, w, prior).
+    */
+  def nbTrainStreaming(spark: org.apache.spark.sql.SparkSession, stagedDir: String,
+      schema: org.apache.spark.sql.types.StructType, labelCol: String, textCol: String,
+      buckets: Int, alpha: Double, stateDir: String, outDir: String,
+      checkpointDir: Option[String] = None,
+      shufflePartitions: Int = 4,
+      compactEvery: Int = 0): DataFrame = {
+    val s2 = spark.newSession()
+    graft.GraftConf.tune(s2)
+    s2.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    val stream = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stagedDir)
+    val writer = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tok = batch.select(col(labelCol).as("label"),
+            explode(TextAnalysis.wordTokens(col(textCol))).as("term"))
+          .select(col("label"), featureBucket(col("term"), buckets).as("bucket"))
+          .groupBy(col("label"), col("bucket")).agg(count(lit(1)).as("c"))
+        val docRows = batch.groupBy(col(labelCol).as("label"))
+          .agg(count(lit(1)).as("c")).withColumn("bucket", lit(-1L))
+          .select(col("label"), col("bucket"), col("c"))
+        val bt = tok.unionByName(docRows).persist()
+        graft.ops.CacheRegistry.register(bt)
+        bt.withColumn("epoch", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("epoch").parquet(stateDir)
+        val sp = new org.apache.hadoop.fs.Path(stateDir)
+        val hasState = graft.ops.Layout.hasParquetData(
+          sp.getFileSystem(bt.sparkSession.sparkContext.hadoopConfiguration), sp)
+        val hist =
+          if (!hasState) bt.select(col("label"), col("bucket"), col("c")).limit(0)
+          else bt.sparkSession.read.parquet(stateDir)
+            .filter(col("epoch") < batchId)
+            .select(col("label"), col("bucket"), col("c"))
+        val cum = hist.unionByName(bt.select(col("label"), col("bucket"), col("c")))
+          .groupBy(col("label"), col("bucket")).agg(sum(col("c")).as("c"))
+          .persist()
+        graft.ops.CacheRegistry.register(cum)
+        nbModelFromCounts(
+            cum.filter(col("bucket") >= 0),
+            cum.filter(col("bucket") === -1L).select(col("label"), col("c").as("nd")),
+            buckets, alpha)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          Dedup.compactEpochPartitions(bt.sparkSession, stateDir)(
+            _.groupBy(col("label"), col("bucket")).agg(sum(col("c")).as("c")))
+      }
+    val q = checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir)
   }
 
   /** Score + classify `df` under a trained model: per document the

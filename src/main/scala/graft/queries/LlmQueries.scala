@@ -2699,6 +2699,62 @@ object LlmQueries {
         .select(col("batch_id").cast("long").as("batch_id"), col("id"),
           col("n_tok"), col("avg_logp"), col("kept"))
         .orderBy(col("batch_id"), col("id"))
+    },
+
+    // STREAMING NB training — distributed linear-model training as an
+    // ingest loop (the q136/q158 proof pattern applied to q166's binary
+    // quality head): each micro-batch merges its (label, bucket) token
+    // counts and per-label doc counts into epoch state (compacting
+    // in-stream) and emits the full dense model snapshot re-derived from
+    // cumulative counts. The oracle retrains BOTH snapshots from scratch
+    // (batch 0 = the even half, batch 1 = everything) — counts are
+    // additive, so the incremental merge must land cell-for-cell on the
+    // batch-trained weights, and the final streamed model provably
+    // equals batch nbTrain.
+    QueryDef.sql(
+      "q171_stream_nb_train", {
+        def wts(sfx: String, batchId: Int, where: String) =
+          s"""lab$sfx AS (SELECT doc_id,  text,
+             |    CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+             |         THEN 'ref' ELSE 'other' END AS label
+             |  FROM documents $where),
+             |ttok$sfx AS (SELECT label,
+             |    unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS term
+             |  FROM lab$sfx),
+             |tcnt$sfx AS (SELECT label,
+             |    CAST(('0x' || substring(md5(term), 1, 4)) AS BIGINT) % 64 AS bucket,
+             |    CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM ttok$sfx GROUP BY 1, 2),
+             |tot$sfx AS (SELECT label, CAST(SUM(c) AS BIGINT) AS n FROM tcnt$sfx GROUP BY 1),
+             |docs$sfx AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS nd FROM lab$sfx GROUP BY 1),
+             |ndt$sfx AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ndt FROM lab$sfx),
+             |m$sfx AS (SELECT CAST($batchId AS BIGINT) AS batch_id, g.label,
+             |    CAST(g.bucket AS BIGINT) AS bucket,
+             |    ROUND(ln((COALESCE(c.c, 0) + 0.5) / (g.n + 0.5 * 64)), 9) AS w,
+             |    ROUND(ln(g.nd / ndt$sfx.ndt), 9) AS prior
+             |  FROM (SELECT t.label, b.bucket, t.n, d.nd
+             |        FROM tot$sfx t JOIN docs$sfx d USING (label)
+             |        CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) b) g
+             |  LEFT JOIN tcnt$sfx c ON c.label = g.label AND c.bucket = g.bucket
+             |  CROSS JOIN ndt$sfx)""".stripMargin
+        s"""WITH
+           |${wts("0", 0, "WHERE doc_id % 2 = 0")},
+           |${wts("1", 1, "")}
+           |SELECT * FROM m0 UNION ALL SELECT * FROM m1
+           |ORDER BY batch_id, label, bucket""".stripMargin
+      }) { (s, d) =>
+      val corpus = Tables.documents(s, d).select(col("doc_id"),
+        when(col("source").isin("src0", "src1", "src2", "src3"), lit("ref"))
+          .otherwise(lit("other")).as("label"),
+        col("text"))
+      val staged = stageParitySplits(corpus, d, "q171")
+      val base = java.nio.file.Files.createTempDirectory("graft_q171_").toString
+      rotateRunDirs("q171", Seq(base))
+      graft.llm.Classify.nbTrainStreaming(s, staged, corpus.schema, "label", "text",
+          buckets = 64, alpha = 0.5, base + "/state", base + "/out", compactEvery = 1)
+        .select(col("batch_id").cast("long").as("batch_id"), col("label"),
+          col("bucket"), col("w"), col("prior"))
+        .orderBy(col("batch_id"), col("label"), col("bucket"))
     }
   )
 

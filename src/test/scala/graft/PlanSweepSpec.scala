@@ -38,7 +38,8 @@ class PlanSweepSpec extends SparkSpec {
     "q43_stream_windowed", "q44_sessionize", "q59_sliding_window",
     "q73_stream_dedup", "q74_stream_stream_join", "q97_arrowdir_stream",
     "q103_sessionize_tws", "q115_stream_outer_join", "q129_stream_static_join",
-    "q136_stream_near_dedup", "q158_stream_source_kl", "q170_stream_quality_select")
+    "q136_stream_near_dedup", "q158_stream_source_kl", "q170_stream_quality_select",
+    "q171_stream_nb_train")
 
   /** Condition-less joins that are bounded by contract, with the bound:
     *   - q35/q36/q72/q130/q131: ANN top-k — crossJoin/nested-loop against the
