@@ -100,11 +100,17 @@ object Classify {
       schema: org.apache.spark.sql.types.StructType, labelCol: String, textCol: String,
       buckets: Int, alpha: Double, stateDir: String, outDir: String,
       checkpointDir: Option[String] = None,
-      shufflePartitions: Int = 4,
+      shufflePartitions: Int = 0,
       compactEvery: Int = 0): DataFrame = {
     val s2 = spark.newSession()
     graft.GraftConf.tune(s2)
-    s2.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    // <= 0 = auto-sized to the staged source volume: a fixed small count
+    // makes every per-batch tokenize/aggregate run the whole scaled
+    // increment through that many partitions (measured superlinear at the
+    // 100x replay fixture)
+    s2.conf.set("spark.sql.shuffle.partitions",
+      (if (shufflePartitions > 0) shufflePartitions
+       else graft.ops.Layout.adaptivePartsForDir(stagedDir)).toString)
     val stream = s2.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(stagedDir)

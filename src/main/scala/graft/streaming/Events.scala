@@ -21,6 +21,23 @@ object Events {
     */
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Auto-sized state-store count: state stores == shuffle partitions is
+    * FIXED at stateful-query start, so it must be sized to stream volume
+    * up front — too many stores and every micro-batch pays per-store
+    * open/commit overhead (measured: q74 6.2 s at 32 vs 2.75 s at 4 on
+    * the 2 MB fixture), too few and each store carries the whole scaled
+    * state (measured: q73/q103 crept to 8.8×/9.8× decade factors at the
+    * 100× fixture on 4 stores). One store per ~16 MiB of source, clamped
+    * to [4, 32] for the local harness; a cluster deployment raises the
+    * clamp with the executor count. `stateParts <= 0` in the entry
+    * points below means "auto".
+    */
+  private[graft] def adaptiveStateParts(sfDir: String): Int =
+    graft.ops.Layout.adaptivePartsForDir(sfDir + "/events.parquet")
+
+  private def resolveStateParts(sfDir: String, stateParts: Int): Int =
+    if (stateParts > 0) stateParts else adaptiveStateParts(sfDir)
+
   /** The file-stream source only accepts directories/globs; stage the
     * single events.parquet file into a scratch directory once per sfDir.
     */
@@ -76,7 +93,8 @@ object Events {
   }
 
   def windowedCountsStreaming(spark: SparkSession, sfDir: String, windowLen: String,
-      stateParts: Int = 4): DataFrame = withStateParts(spark, stateParts) { s2 =>
+      stateParts: Int = 0): DataFrame =
+    withStateParts(spark, resolveStateParts(sfDir, stateParts)) { s2 =>
     val name = s"graft_events_win_${counter.incrementAndGet()}"
     val stream = streamEvents(s2, sfDir)
     val agg = stream
@@ -114,7 +132,8 @@ object Events {
     * sessions stay in state, exactly like the explicit-state variant.
     */
   def sessionizeStreamingNative(spark: SparkSession, sfDir: String, gapMinutes: Int,
-      stateParts: Int = 4): DataFrame = withStateParts(spark, stateParts) { s2 =>
+      stateParts: Int = 0): DataFrame =
+    withStateParts(spark, resolveStateParts(sfDir, stateParts)) { s2 =>
     val name = s"graft_events_sessnat_${counter.incrementAndGet()}"
     val agg = streamEvents(s2, sfDir)
       .withWatermark("ts", "1 hour")
@@ -164,8 +183,8 @@ object Events {
     * oracle replays exactly that rule from the batch side.
     */
   def clickPurchaseJoinStreaming(spark: SparkSession, sfDir: String,
-      stateParts: Int = 4, joinType: String = "inner"): DataFrame =
-    withStateParts(spark, stateParts) { s2 =>
+      stateParts: Int = 0, joinType: String = "inner"): DataFrame =
+    withStateParts(spark, resolveStateParts(sfDir, stateParts)) { s2 =>
     val name = s"graft_events_ssj_${counter.incrementAndGet()}"
     val clicks = streamEvents(s2, sfDir)
       .filter(col("event_type") === "click")
@@ -196,8 +215,8 @@ object Events {
     * equals the batch join+agg, which is the oracle.
     */
   def enrichedCountsStreaming(spark: SparkSession, sfDir: String, dim: DataFrame,
-      dimKey: String, labelCol: String, stateParts: Int = 4): DataFrame =
-    withStateParts(spark, stateParts) { s2 =>
+      dimKey: String, labelCol: String, stateParts: Int = 0): DataFrame =
+    withStateParts(spark, resolveStateParts(sfDir, stateParts)) { s2 =>
     val name = s"graft_events_enrich_${counter.incrementAndGet()}"
     val enriched = streamEvents(s2, sfDir)
       .withWatermark("ts", "1 hour")
@@ -223,7 +242,8 @@ object Events {
     * is deterministic (which event survives per key is not).
     */
   def dedupStreaming(spark: SparkSession, sfDir: String,
-      stateParts: Int = 4): DataFrame = withStateParts(spark, stateParts) { s2 =>
+      stateParts: Int = 0): DataFrame =
+    withStateParts(spark, resolveStateParts(sfDir, stateParts)) { s2 =>
     val name = s"graft_events_dedup_${counter.incrementAndGet()}"
     val distinctKeys = streamEvents(s2, sfDir)
       .withWatermark("ts", "1 hour")
@@ -246,7 +266,8 @@ object Events {
     * batch sessionization with each user's final session removed.
     */
   def sessionizeTransformWithState(spark: SparkSession, sfDir: String, gapMinutes: Int,
-      stateParts: Int = 4): DataFrame = withStateParts(spark, stateParts) { s2 =>
+      stateParts: Int = 0): DataFrame =
+    withStateParts(spark, resolveStateParts(sfDir, stateParts)) { s2 =>
     import s2.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -272,7 +293,8 @@ object Events {
     * closed sessions; its trailing open sessions are the expected delta.
     */
   def sessionizeStreaming(spark: SparkSession, sfDir: String, gapMinutes: Int,
-      stateParts: Int = 4): DataFrame = withStateParts(spark, stateParts) { s2 =>
+      stateParts: Int = 0): DataFrame =
+    withStateParts(spark, resolveStateParts(sfDir, stateParts)) { s2 =>
     import s2.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = gapMinutes * 60L * 1000000L
