@@ -51,11 +51,17 @@ object LlmQueries {
     * `vw(w)`, and `enc(w, r, syms)`; consumers read `enc` at
     * r = numMerges.
     */
-  private lazy val bpeOraclePrefix: String = {
+  private lazy val bpeOraclePrefix: String = bpeOraclePrefixOver("text", "")
+
+  /** [[bpeOraclePrefix]] with the pre-token source expression (and an
+    * optional WHERE) parameterized — the multilingual gate row (q172)
+    * runs the identical machinery over augmented text.
+    */
+  private def bpeOraclePrefixOver(textExpr: String, where: String): String = {
     val ms = graft.expressions.BpeKernels.ByteSym.map(sqlQuote).mkString("[", ", ", "]")
     s"""merges(rank, a, b) AS (VALUES $bpeMergesValues),
        |bm AS (SELECT $ms AS ms),
-       |vw AS (SELECT DISTINCT unnest(regexp_extract_all(text, '$bpePreTokRe')) AS w FROM documents),
+       |vw AS (SELECT DISTINCT unnest(regexp_extract_all($textExpr, '$bpePreTokRe')) AS w FROM documents $where),
        |vwh AS (SELECT w, hex(encode(w)) AS h, octet_length(encode(w)) AS n FROM vw),
        |enc AS (
        |  SELECT w, 0 AS r,
@@ -2755,6 +2761,40 @@ object LlmQueries {
         .select(col("batch_id").cast("long").as("batch_id"), col("label"),
           col("bucket"), col("w"), col("prior"))
         .orderBy(col("batch_id"), col("label"), col("bucket"))
+    },
+
+    // MULTILINGUAL full-byte BPE encode identity: the fixture corpus is
+    // pure ASCII, so this row is what pins the >= 0x80 half of the byte
+    // alphabet in the GATE — documents are augmented with a deterministic
+    // marker mixing CJK, accented Latin, typographic punctuation,
+    // currency, digits and decimals, and the q156 machinery replays
+    // encode over the augmented pre-token vocabulary. Multibyte
+    // characters never split across pre-tokens (all their bytes are in
+    // the 'other' class), and the oracle recovers each byte from
+    // hex(encode(w)) — a mapping error on any of the 256 symbols, a
+    // UTF-8 boundary slip, or a mapped-space merge bug fails the hash.
+    QueryDef.sql(
+      "q172_bpe_multilingual",
+      s"""WITH RECURSIVE
+         |${bpeOraclePrefixOver(
+            "text || ' 日本語テキスト naïve café — ¡hola! Ωμέγα 3,99 € №42 …done'",
+            "WHERE doc_id < 150")},
+         |fin AS (SELECT w, list_transform(syms, s -> s[1]) AS toks FROM enc WHERE r = $bpeNumMerges),
+         |u AS (SELECT w, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i FROM fin)
+         |SELECT w, CAST(octet_length(encode(w)) AS BIGINT) AS n_bytes,
+         |  CAST(COUNT(*) AS BIGINT) AS n_sub,
+         |  string_agg(u.tok, '|' ORDER BY u.i) AS toks
+         |FROM u GROUP BY w ORDER BY w""".stripMargin) { (s, d) =>
+      val aug = concat(col("text"),
+        lit(" 日本語テキスト naïve café — ¡hola! Ωμέγα 3,99 € №42 …done"))
+      Tables.documents(s, d).filter(col("doc_id") < 150)
+        .select(explode(graft.llm.Bpe.preTokens(aug)).as("w")).distinct()
+        .select(col("w"), graft.llm.Bpe.encode(col("w")).as("tk"))
+        .select(col("w"),
+          length(col("w").cast("binary")).cast("long").as("n_bytes"),
+          size(col("tk")).cast("long").as("n_sub"),
+          array_join(col("tk"), "|").as("toks"))
+        .orderBy(col("w"))
     }
   )
 

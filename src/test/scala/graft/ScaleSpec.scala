@@ -566,4 +566,51 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("scratch"),
       s"increment result should read the scratch parquet:\n$plan")
   }
+
+  test("NB classifier: model broadcasts into scoring; no sort-merge, no corpus-sized window spill") {
+    import graft.llm.Classify
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"), col("text"))
+    val model = Classify.nbTrain(
+      docs.withColumn("label", col("source")), "label", "text", buckets = 32)
+    val plan = Classify.nbClassify(docs, "doc_id", "text", model, buckets = 32)
+      .queryExecution.executedPlan.toString
+    // the dense (labels x buckets) model is a constant: it must reach the
+    // per-doc scoring join as a broadcast — a sort-merge there shuffles
+    // the whole corpus's bucket counts against a tiny table. The ONE
+    // permitted sort-merge is the final id-universe left join (both
+    // sides corpus-sized, id-keyed — the zero-token-doc contract).
+    assert(plan.contains("BroadcastHashJoin"), s"model not broadcast:\n$plan")
+    val smj = "SortMergeJoin".r.findAllIn(plan).size
+    assert(smj <= 1, s"more than the id-universe sort-merge:\n$plan")
+    assert(smj == 0 || plan.matches("(?s).*SortMergeJoin \\[id#.*"),
+      s"sort-merge on a non-id key (the model join must broadcast):\n$plan")
+  }
+
+  test("fuzzy decontamination: bench inverted index broadcasts; training text never sort-merges") {
+    import graft.llm.{Decontaminate, Dedup}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val tok = docs.select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("toks"))
+    val plan = Decontaminate.fuzzyOverlapFromToks(
+        tok, tok.filter(col("id") % 50 === 0), threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bench side not broadcast:\n$plan")
+  }
+
+  test("URL operators are projection-level: normalize/domain plan no exchange; blocklist broadcasts") {
+    import graft.llm.Urls
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), concat(lit("https://example.com/p/"),
+        col("doc_id").cast("string")).as("url"))
+    val proj = docs.select(Urls.normalizeUrl(col("url")),
+      Urls.registrableDomain(Urls.hostOf(col("url"))).as("domain"))
+    assert(!proj.queryExecution.executedPlan.toString.contains("Exchange"),
+      "pure column arithmetic must not shuffle")
+    val blocked = Urls.dropBlockedDomains(
+      docs.withColumn("domain", Urls.registrableDomain(Urls.hostOf(col("url")))),
+      "domain", Seq("bad.com").toDF("domain"))
+    val bplan = blocked.queryExecution.executedPlan.toString
+    assert(bplan.contains("Broadcast"), s"blocklist not broadcast:\n$bplan")
+    assert(!bplan.contains("SortMergeJoin"), s"blocklist sort-merged:\n$bplan")
+  }
 }
