@@ -2795,6 +2795,176 @@ object LlmQueries {
           size(col("tk")).cast("long").as("n_sub"),
           array_join(col("tk"), "|").as("toks"))
         .orderBy(col("w"))
+    },
+
+    // Corpus-wide exact LINE dedup (the published C4 boilerplate rule:
+    // web pages repeat whole lines — nav footers, cookie banners). The
+    // fixture has no newlines, so both engines build the same synthetic
+    // pages: 5-word lines plus a per-SOURCE footer line shared by ~25
+    // docs — the realistic duplicate class. First-owner rule: the
+    // corpus-minimal (doc_id, line_idx) occurrence of each trimmed line
+    // survives; docs rebuild from their kept lines in order (a doc whose
+    // lines are all owned elsewhere keeps empty text). The oracle
+    // replays split, ownership window and rebuild verbatim.
+    QueryDef.sql(
+      "q173_line_dedup",
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '((?:[A-Za-z0-9]+ ){5})', e'\\1\n', 'g')
+        |      || e'\n' || 'visit ' || source || ' homepage now' AS page
+        |  FROM documents),
+        |l0 AS (
+        |  SELECT doc_id, unnest(string_split(page, chr(10))) AS line,
+        |    generate_subscripts(string_split(page, chr(10)), 1) - 1 AS i
+        |  FROM p),
+        |l AS (SELECT doc_id, CAST(i AS BIGINT) AS line_idx, line
+        |      FROM l0 WHERE trim(line) <> ''),
+        |rk AS (SELECT doc_id, line_idx, line,
+        |         ROW_NUMBER() OVER (PARTITION BY trim(line)
+        |           ORDER BY doc_id, line_idx) AS rn
+        |       FROM l),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |          CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |          COALESCE(string_agg(CASE WHEN rn = 1 THEN line END,
+        |            chr(10) ORDER BY line_idx), '') AS text
+        |        FROM rk GROUP BY doc_id)
+        |SELECT p.doc_id, COALESCE(agg.n_lines, 0) AS n_lines,
+        |  COALESCE(agg.n_kept, 0) AS n_kept, COALESCE(agg.text, '') AS text
+        |FROM p LEFT JOIN agg USING (doc_id) ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+      import graft.llm.Lines
+      val page = concat(
+        regexp_replace(col("text"), "((?:[A-Za-z0-9]+ ){5})", "$1\n"),
+        lit("\nvisit "), col("source"), lit(" homepage now"))
+      val aug = Tables.documents(s, d).select(col("doc_id"), page.as("page"))
+      val counts = Lines.lineDedup(aug, "doc_id", "page")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      val rebuilt = Lines.removeDuplicateLines(aug, "doc_id", "page")
+      rebuilt.join(counts, Seq("id"), "left")
+        .select(col("id").as("doc_id"), coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // The C4 line-rule battery (terminal punctuation / >= 5 words / no
+    // braces / no "javascript" banner), auditable per rule like q152's
+    // Gopher bundle. Lines are deterministically decorated on both
+    // engines — punctuation variants by (doc_id + idx) % 5, code/banner
+    // injections by % 7 — so every rule has passing AND failing lines.
+    // Pure per-row column arithmetic; per-line verdicts compared
+    // cell-exact.
+    QueryDef.sql(
+      "q174_c4_line_rules",
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '((?:[A-Za-z0-9]+ ){5})', e'\\1\n', 'g') AS page
+        |  FROM documents WHERE doc_id < 250),
+        |l0 AS (
+        |  SELECT doc_id, unnest(string_split(page, chr(10))) AS line,
+        |    generate_subscripts(string_split(page, chr(10)), 1) - 1 AS i
+        |  FROM p),
+        |dec AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS line_idx,
+        |    line ||
+        |    CASE (doc_id + i) % 7 WHEN 0 THEN ' please enable javascript to continue'
+        |                          WHEN 3 THEN ' config { x: 1 }' ELSE '' END ||
+        |    CASE (doc_id + i) % 5 WHEN 0 THEN '.' WHEN 1 THEN '!' WHEN 2 THEN ''
+        |                          WHEN 3 THEN '?"' ELSE '.' END AS line
+        |  FROM l0),
+        |r AS (
+        |  SELECT doc_id, line_idx, line, trim(line) AS t FROM dec)
+        |SELECT doc_id, line_idx, line,
+        |  regexp_matches(t, '[.!?]["'']?$') AS ok_punct,
+        |  len(list_filter(string_split(t, ' '), x -> x <> '')) >= 5 AS ok_words,
+        |  NOT contains(t, '{') AND NOT contains(t, '}') AS ok_brace,
+        |  NOT contains(lower(t), 'javascript') AS ok_js,
+        |  regexp_matches(t, '[.!?]["'']?$')
+        |    AND len(list_filter(string_split(t, ' '), x -> x <> '')) >= 5
+        |    AND NOT contains(t, '{') AND NOT contains(t, '}')
+        |    AND NOT contains(lower(t), 'javascript') AS kept
+        |FROM r ORDER BY doc_id, line_idx""".stripMargin) { (s, d) =>
+      import graft.llm.Lines
+      val base = regexp_replace(col("text"), "((?:[A-Za-z0-9]+ ){5})", "$1\n")
+      val dec = array_join(transform(split(base, "\n"), (x, i) =>
+        concat(x,
+          when(pmod(col("doc_id") + i, lit(7)) === 0,
+            lit(" please enable javascript to continue"))
+            .when(pmod(col("doc_id") + i, lit(7)) === 3, lit(" config { x: 1 }"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id") + i, lit(5)) === 0, lit("."))
+            .when(pmod(col("doc_id") + i, lit(5)) === 1, lit("!"))
+            .when(pmod(col("doc_id") + i, lit(5)) === 2, lit(""))
+            .when(pmod(col("doc_id") + i, lit(5)) === 3, lit("?\""))
+            .otherwise(lit(".")))), "\n")
+      val aug = Tables.documents(s, d).filter(col("doc_id") < 250)
+        .select(col("doc_id"), dec.as("page"))
+      Lines.c4LineRules(aug, "doc_id", "page", minWords = 5)
+        .select(col("id").as("doc_id"), col("line_idx"), col("line"),
+          col("ok_punct"), col("ok_words"), col("ok_brace"), col("ok_js"), col("kept"))
+        .orderBy(col("doc_id"), col("line_idx"))
+    },
+
+    // HTML → text extraction (the step before every quality/dedup pass):
+    // synthetic pages wrap the document text with title, script/style
+    // blocks, a comment, anchors and entity references — both engines
+    // build the same page and replay the identical strip chain
+    // (comment/script/style removal, tag strip, ordered entity fold with
+    // &amp; LAST, whitespace collapse). Title and outlink count ride
+    // along. A regex drift on any of the six patterns fails the hash.
+    QueryDef.sql(
+      "q175_html_extract", {
+        val entityFold = graft.llm.Html.Entities.foldLeft("no_tags") {
+          case (acc, (e, r)) =>
+            val rq = r.replace("'", "''")
+            s"replace($acc, '$e', '$rq')"
+        }
+        val titleFold = graft.llm.Html.Entities.foldLeft(
+          "regexp_extract(html, '(?s)<title[^>]*>(.*?)</title>', 1)") {
+          case (acc, (e, r)) =>
+            val rq = r.replace("'", "''")
+            s"replace($acc, '$e', '$rq')"
+        }
+        s"""WITH p AS (
+           |  SELECT doc_id,
+           |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+           |    ' &amp; friends</title><script type="text/javascript">var x = 1;' ||
+           |    ' if (x < 2) { x++; }</script><style>.c { color: red }</style>' ||
+           |    '<!-- hidden --></head><body><p>' || text ||
+           |    '</p><a href="/a">one</a> <a href="/b">two</a>' ||
+           |    ' &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</body></html>' AS html
+           |  FROM documents WHERE doc_id < 250),
+           |s1 AS (SELECT doc_id, html,
+           |    regexp_replace(regexp_replace(regexp_replace(html,
+           |      '${graft.llm.Html.Comment}', ' ', 'g'),
+           |      '${graft.llm.Html.ScriptBlock}', ' ', 'g'),
+           |      '${graft.llm.Html.StyleBlock}', ' ', 'g') AS no_blocks
+           |  FROM p),
+           |s2 AS (SELECT doc_id, html,
+           |    regexp_replace(no_blocks, '${graft.llm.Html.Tag}', ' ', 'g') AS no_tags
+           |  FROM s1)
+           |SELECT doc_id,
+           |  $titleFold AS title,
+           |  trim(regexp_replace($entityFold, '[ \\t\\n\\f\\r]+', ' ', 'g')) AS text,
+           |  CAST(len(regexp_extract_all(
+           |    regexp_replace(html, '${graft.llm.Html.Comment}', ' ', 'g'),
+           |    '<a[ >]')) AS BIGINT) AS n_links
+           |FROM s2 ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      import graft.llm.Html
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit(" &amp; friends</title><script type=\"text/javascript\">var x = 1;"),
+        lit(" if (x < 2) { x++; }</script><style>.c { color: red }</style>"),
+        lit("<!-- hidden --></head><body><p>"), col("text"),
+        lit("</p><a href=\"/a\">one</a> <a href=\"/b\">two</a>"),
+        lit(" &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</body></html>"))
+      Tables.documents(s, d).filter(col("doc_id") < 250)
+        .select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"), Html.title(col("html")).as("title"),
+          Html.extractText(col("html")).as("text"),
+          Html.linkCount(col("html")).as("n_links"))
+        .orderBy(col("doc_id"))
     }
   )
 

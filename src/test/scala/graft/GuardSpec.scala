@@ -60,8 +60,9 @@ class GuardSpec extends SparkSpec {
     val registry = graft.queries.Registry.all.map(_.name).toSet
     val doc = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("OPERATORS.md")), "UTF-8")
-    val mentioned = "q\\d+[a-z_]*".r.findAllIn(doc).toSet
-      .filter(_.matches("q\\d+_[a-z_]+")) // full names; bare qNN are prefixes
+    // suffix alphabet includes digits (q174_c4_line_rules) but a name
+    // never ENDS mid-number: require the char after qNN_ to be a letter
+    val mentioned = "q\\d+_[a-z][a-z0-9_]*".r.findAllIn(doc).toSet
     val unknown = mentioned.filterNot(m => registry.contains(m))
     assert(unknown.isEmpty, s"OPERATORS.md names unknown queries: $unknown")
     // bare qNN references (e.g. "q43, q44") must be prefixes of real names

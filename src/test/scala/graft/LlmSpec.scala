@@ -909,6 +909,75 @@ class LlmSpec extends SparkSpec {
     assert(kept === Seq(1L, 2L, 3L))
   }
 
+  test("line dedup: first-owner across docs, within-doc repeats, blank lines, emptied docs") {
+    import graft.llm.Lines
+    val docs = Seq(
+      (0L, "alpha one\nshared footer\nalpha two"),
+      (1L, "beta one\nshared footer\nbeta one"),   // footer owned by doc 0; own line repeated
+      (2L, "shared footer\n   \n"),                // all content owned elsewhere + blanks
+      (3L, "  shared footer  ")                    // trimmed-equal content is the SAME line
+    ).toDF("doc_id", "text")
+    val verdicts = Lines.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(3)).toMap
+    assert(verdicts((0L, 1L)))                       // doc 0 owns the footer
+    assert(!verdicts((1L, 1L)) && !verdicts((2L, 0L)) && !verdicts((3L, 0L)))
+    assert(verdicts((1L, 0L)) && !verdicts((1L, 2L))) // within-doc repeat: first wins
+    assert(!verdicts.contains((2L, 1L)))             // blank lines never surveyed
+    val rebuilt = Lines.removeDuplicateLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rebuilt(0L) === "alpha one\nshared footer\nalpha two")
+    assert(rebuilt(1L) === "beta one")
+    assert(rebuilt(2L) === "" && rebuilt(3L) === "") // emptied docs keep a row
+  }
+
+  test("C4 line rules: each rule fails independently; c4Filter rebuilds and accounts") {
+    import graft.llm.Lines
+    val docs = Seq(
+      (0L, Seq(
+        "this line has plenty of words and ends properly.",  // passes all
+        "short line.",                                       // fails words
+        "this line has plenty of words but no terminal mark",// fails punct
+        "a perfectly long line with config { x } inside.",   // fails brace
+        "please enable javascript to view this page today.", // fails js
+        "she said \"stop right there now please!\""          // quote after bang: passes
+      ).mkString("\n"))).toDF("doc_id", "text")
+    val r = Lines.c4LineRules(docs, "doc_id", "text")
+      .collect().sortBy(_.getLong(1))
+      .map(x => (x.getBoolean(3), x.getBoolean(4), x.getBoolean(5), x.getBoolean(6), x.getBoolean(7)))
+    assert(r(0) === ((true, true, true, true, true)))
+    assert(r(1) === ((true, false, true, true, false)))
+    assert(r(2) === ((false, true, true, true, false)))
+    assert(r(3) === ((true, true, false, true, false)))
+    assert(r(4) === ((true, true, true, false, false)))
+    assert(r(5) === ((true, true, true, true, true)))
+    val f = Lines.c4Filter(docs, "doc_id", "text").head
+    assert(f.getLong(1) === 6L && f.getLong(2) === 2L)
+    assert(f.getString(3).split("\n").length === 2)
+  }
+
+  test("HTML extraction: blocks/comments dropped, entity order safe, title decoded, links counted") {
+    import graft.llm.Html
+    val html = """<html><head><title>A &amp;&#39;s &lt;shop&gt;</title>
+      |<style>p { color: red }</style></head><body>
+      |<script>if (a < b) { alert("x < y"); }</script>
+      |<p>Hello &amp;lt;world&gt; &nbsp; done</p>
+      |<!-- <a href="ghost">not a link</a> -->
+      |<a href="/x">x</a><A HREF="/y">y</a><a>bare</a></body></html>""".stripMargin
+    val row = Seq(Tuple1(html)).toDF("h")
+      .select(Html.title(col("h")).as("t"), Html.extractText(col("h")).as("x"),
+        Html.linkCount(col("h")).as("n")).head
+    assert(row.getString(0) === "A &'s <shop>")
+    // &amp;lt; decodes to the TEXT "&lt;" -> then single-pass ordered fold
+    // must NOT double-decode it into "<"
+    val x = row.getString(1)
+    assert(x.contains("Hello &lt;world> done"), s"body text wrong: $x")
+    assert(!x.contains("alert") && !x.contains("color"), s"block leaked: $x")
+    assert(!x.contains("ghost") && !x.contains("not a link"), s"comment leaked: $x")
+    // lowercase <a only (the generator's convention) - uppercase <A is a
+    // different tag spelling, bare <a> still counts
+    assert(row.getLong(2) === 2L)
+  }
+
   test("WAV header parse: round trip, extra/odd chunks, clamping, forged sizes, non-PCM") {
     import graft.llm.Multimodal
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
