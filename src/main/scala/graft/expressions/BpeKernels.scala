@@ -180,6 +180,49 @@ object BpeKernels {
     while (i < b.length) { out(i) = UTF8String.fromString(ByteSym(b(i) & 0xff)); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** Inverse of [[ByteSym]]: mapped code point → original byte. Total on
+    * the mapped alphabet (ByteSym is injective over 256 inputs whose
+    * images all fit in one char).
+    */
+  private val SymByte: Array[Int] = {
+    val out = Array.fill(maxSymCodePoint + 1)(-1)
+    var b = 0
+    while (b < 256) { out(ByteSym(b).charAt(0).toInt) = b; b += 1 }
+    out
+  }
+  private def maxSymCodePoint: Int = {
+    var m = 0
+    var b = 0
+    while (b < 256) { m = math.max(m, ByteSym(b).charAt(0).toInt); b += 1 }
+    m
+  }
+
+  /** DECODE (detokenization): concatenate the token strings and map each
+    * mapped-space character back to its byte — the exact inverse of the
+    * byte→printable rendering, so decode ∘ encode is the identity on any
+    * input (KernelLaws proves it property-based). Characters outside the
+    * mapped alphabet (a forged token) throw — silent corruption of a
+    * training corpus is the one thing a detokenizer must never do.
+    */
+  def bpeDecode(tokens: ArrayData): UTF8String = {
+    val sb = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < tokens.numElements()) {
+      val t = tokens.getUTF8String(i).toString
+      var j = 0
+      while (j < t.length) {
+        val cp = t.charAt(j).toInt
+        val b = if (cp < SymByte.length) SymByte(cp) else -1
+        if (b < 0) throw new IllegalArgumentException(
+          s"not a mapped-alphabet symbol: '${t.charAt(j)}' (U+${cp.toHexString})")
+        sb.write(b)
+        j += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(sb.toByteArray)
+  }
 }
 
 /** array<string> subword tokens of `child` under the frozen merge table. */
@@ -212,6 +255,18 @@ case class BpeCount(child: Expression, merges: Seq[(String, String)])
     defineCodeGen(ctx, ev, v => s"graft.expressions.BpeKernels.bpeCount($v, $ref)")
   }
   override protected def withNewChildInternal(c: Expression): BpeCount = copy(child = c)
+}
+
+/** STRING detokenization of an array<string> of mapped-space tokens. */
+case class BpeDecode(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bpe_decode"
+  override protected def nullSafeEval(v: Any): Any =
+    BpeKernels.bpeDecode(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expressions.BpeKernels.bpeDecode($v)")
+  override protected def withNewChildInternal(c: Expression): BpeDecode = copy(child = c)
 }
 
 /** array<string> raw pre-tokens of `child` (total byte-run partition). */

@@ -78,6 +78,14 @@ object Bpe {
   def countTokens(text: Column, merges: Seq[(String, String)] = frozenMerges): Column =
     toCol(graft.expressions.BpeCount(toExpr(text.cast("string")), merges))
 
+  /** STRING detokenization: concatenate a token array and invert the
+    * byte→printable map — decode ∘ encode is the identity on ANY input
+    * (KernelLaws property + the q176 gate round trip); a token outside
+    * the mapped alphabet throws rather than silently corrupting text.
+    */
+  def decode(tokens: Column): Column =
+    toCol(graft.expressions.BpeDecode(toExpr(tokens)))
+
   /** array<int> token ids for an encoded token array (map-literal lookup,
     * O(1) per token; vocabulary is merge-table-sized, a true constant).
     */

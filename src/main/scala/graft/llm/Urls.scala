@@ -109,6 +109,28 @@ object Urls {
       s"ELSE $hostExpr END")
   }
 
+  /** Resolve an href against its page URL (the crawl-frontier step
+    * between [[graft.llm.Html.linkCount]] and the per-domain edge
+    * stats): absolute hrefs pass through; scheme-relative `//host/...`
+    * adopts the page scheme; root-relative `/path` joins scheme://host;
+    * anything else joins the page DIRECTORY (the RFC 3986 merge rule
+    * without dot-segment normalization — a policy layer, not this op).
+    * Empty hrefs resolve to the page itself.
+    */
+  def resolveUrl(pageUrl: Column, href: Column): Column = {
+    val nf = noFragment(pageUrl)
+    val scheme = schemeOf(nf)
+    val host = hostPort(afterScheme(nf)) // host[:port] verbatim — resolution keeps ports
+    val path = regexp_extract(regexp_replace(afterScheme(nf), "^[^/?]*", ""),
+      "^([^?]*)", 1)
+    val dir = regexp_replace(when(path === "", lit("/")).otherwise(path), "[^/]*$", "")
+    when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), href)
+      .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+      .when(href.startsWith("/"), concat(scheme, lit("://"), host, href))
+      .when(href === "", nf)
+      .otherwise(concat(scheme, lit("://"), host, dir, href))
+  }
+
   /** Anti-join a (broadcast) blocklist of registrable domains: rows whose
     * domain is NOT blocked. At 100 TB a blocklist is millions of rows —
     * still broadcast-sized (domains are short), and the corpus never

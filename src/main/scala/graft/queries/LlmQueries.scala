@@ -2485,15 +2485,7 @@ object LlmQueries {
     // second matching order to drift.
     QueryDef.sql(
       "q167_url_normalize", {
-        val urlGen =
-          """CASE doc_id % 6
-            |    WHEN 0 THEN 'HTTP://WWW.Example.COM:80/Articles/' || CAST(doc_id AS VARCHAR) || '/?b=2&a=1#frag'
-            |    WHEN 1 THEN 'https://News.Example.CO.UK:443/story/' || CAST(doc_id AS VARCHAR)
-            |    WHEN 2 THEN 'http://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example.net:8080/assets/img' || CAST(doc_id AS VARCHAR) || '.png'
-            |    WHEN 3 THEN 'https://USER' || CAST(doc_id AS VARCHAR) || '.GitHub.IO/repo/?z=9&y=&x=1#s'
-            |    WHEN 4 THEN 'http://intranet-host' || CAST(doc_id % 5 AS VARCHAR) || '/home/'
-            |    ELSE 'https://shop.example.com/?utm=abc&id=' || CAST(doc_id AS VARCHAR) || '&'
-            |  END""".stripMargin
+        val urlGen = urlGenSql
         s"""WITH u AS (SELECT doc_id, $urlGen AS url FROM documents),
            |p AS (SELECT doc_id, url,
            |    regexp_replace(url, '#.*', '') AS nf FROM u),
@@ -2543,15 +2535,7 @@ object LlmQueries {
     // row_number-over-md5 truth (q138's proof pattern).
     QueryDef.sql(
       "q168_domain_stats", {
-        val urlGen =
-          """CASE doc_id % 6
-            |    WHEN 0 THEN 'HTTP://WWW.Example.COM:80/Articles/' || CAST(doc_id AS VARCHAR) || '/?b=2&a=1#frag'
-            |    WHEN 1 THEN 'https://News.Example.CO.UK:443/story/' || CAST(doc_id AS VARCHAR)
-            |    WHEN 2 THEN 'http://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example.net:8080/assets/img' || CAST(doc_id AS VARCHAR) || '.png'
-            |    WHEN 3 THEN 'https://USER' || CAST(doc_id AS VARCHAR) || '.GitHub.IO/repo/?z=9&y=&x=1#s'
-            |    WHEN 4 THEN 'http://intranet-host' || CAST(doc_id % 5 AS VARCHAR) || '/home/'
-            |    ELSE 'https://shop.example.com/?utm=abc&id=' || CAST(doc_id AS VARCHAR) || '&'
-            |  END""".stripMargin
+        val urlGen = urlGenSql
         s"""WITH u AS (SELECT doc_id, text, $urlGen AS url FROM documents),
            |h AS (SELECT doc_id, text,
            |    lower(regexp_replace(regexp_extract(regexp_replace(regexp_replace(url, '#.*', ''),
@@ -2965,11 +2949,119 @@ object LlmQueries {
           Html.extractText(col("html")).as("text"),
           Html.linkCount(col("html")).as("n_links"))
         .orderBy(col("doc_id"))
+    },
+
+    // BPE encode∘decode ROUND TRIP over the multilingual vocabulary
+    // (q172's augmentation): detokenization inverts the byte→printable
+    // map exactly, so decoded text equals the original pre-token for
+    // EVERY input byte sequence. Compared in hex so the check is
+    // byte-grade, not collation-grade; the oracle derives the expected
+    // hex from the original (hex(encode(w))) — any inverse-map slip or
+    // lossy merge shows as a hex mismatch or a false roundtrip flag.
+    QueryDef.sql(
+      "q176_bpe_roundtrip",
+      s"""WITH u AS (
+         |  SELECT DISTINCT unnest(regexp_extract_all(
+         |    text || ' 日本語テキスト naïve café — ¡hola! Ωμέγα 3,99 € №42 …done',
+         |    '$bpePreTokRe')) AS w
+         |  FROM documents WHERE doc_id < 150)
+         |SELECT w, true AS roundtrip, hex(encode(w)) AS rt_hex
+         |FROM u ORDER BY w""".stripMargin) { (s, d) =>
+      val aug = concat(col("text"),
+        lit(" 日本語テキスト naïve café — ¡hola! Ωμέγα 3,99 € №42 …done"))
+      Tables.documents(s, d).filter(col("doc_id") < 150)
+        .select(explode(graft.llm.Bpe.preTokens(aug)).as("w")).distinct()
+        .select(col("w"),
+          graft.llm.Bpe.decode(graft.llm.Bpe.encode(col("w"))).as("dec"))
+        .select(col("w"), (col("dec") === col("w")).as("roundtrip"),
+          hex(col("dec").cast("binary")).as("rt_hex"))
+        .orderBy(col("w"))
+    },
+
+    // Outlink graph: the crawl-frontier composition of the HTML and URL
+    // layers — hrefs extracted from synthetic pages (absolute,
+    // root-relative, directory-relative, scheme-relative), resolved
+    // against each page's messy URL (q167's generator), reduced to
+    // (src_domain, dst_domain) registrable-domain edges with counts.
+    // Both engines replay extraction, RFC-style resolution, and the
+    // shared public-suffix decision chain; only domain-pair aggregates
+    // ever shuffle.
+    QueryDef.sql(
+      "q177_outlink_graph", {
+        val dstHost = "lower(regexp_replace(regexp_extract(regexp_replace(" +
+          "regexp_replace(resolved, '#.*', ''), '^[A-Za-z][A-Za-z0-9+.-]*://', ''), " +
+          "'^([^/?]*)', 1), ':[0-9]+$', ''))"
+        val srcHost = "lower(regexp_replace(hp, ':[0-9]+$', ''))"
+        s"""WITH u AS (SELECT doc_id, $urlGenSql AS url FROM documents),
+           |h AS (SELECT doc_id, url,
+           |    '<a href="/about">a</a><a href="https://partner' ||
+           |    CAST(doc_id % 4 AS VARCHAR) ||
+           |    '.example.org/p">b</a><a href="img/' || CAST(doc_id AS VARCHAR) ||
+           |    '.png">c</a><a href="//cdn.example.net/lib.js">d</a>' AS html
+           |  FROM u),
+           |parts AS (SELECT doc_id, url,
+           |    regexp_replace(url, '#.*', '') AS nf, html FROM h),
+           |p2 AS (SELECT doc_id, html, nf,
+           |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+           |    regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM parts),
+           |p3 AS (SELECT doc_id, html, nf, sch,
+           |    regexp_extract(rest, '^([^/?]*)', 1) AS hp,
+           |    regexp_extract(regexp_replace(rest, '^[^/?]*', ''), '^([^?]*)', 1) AS path
+           |  FROM p2),
+           |p4 AS (SELECT doc_id, html, nf, sch, hp,
+           |    regexp_replace(CASE WHEN path = '' THEN '/' ELSE path END, '[^/]*$$', '') AS dir
+           |  FROM p3),
+           |e AS (SELECT doc_id, nf, sch, hp, dir,
+           |    unnest(regexp_extract_all(html, '<a href="([^"]*)"', 1)) AS href
+           |  FROM p4),
+           |r AS (SELECT doc_id, sch, hp,
+           |    CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN href
+           |         WHEN href LIKE '//%' THEN sch || ':' || href
+           |         WHEN href LIKE '/%' THEN sch || '://' || hp || href
+           |         WHEN href = '' THEN nf
+           |         ELSE sch || '://' || hp || dir || href END AS resolved
+           |  FROM e),
+           |dom AS (SELECT
+           |    ${graft.llm.Urls.registrableDomainSqlCase(srcHost)} AS src_domain,
+           |    ${graft.llm.Urls.registrableDomainSqlCase(dstHost)} AS dst_domain
+           |  FROM r)
+           |SELECT src_domain, dst_domain, CAST(COUNT(*) AS BIGINT) AS n_links
+           |FROM dom GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }) { (s, d) =>
+      import graft.llm.{Html, Urls}
+      val url = urlColumn(col("doc_id"))
+      val html = concat(lit("<a href=\"/about\">a</a><a href=\"https://partner"),
+        pmod(col("doc_id"), lit(4)).cast("string"),
+        lit(".example.org/p\">b</a><a href=\"img/"), col("doc_id").cast("string"),
+        lit(".png\">c</a><a href=\"//cdn.example.net/lib.js\">d</a>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), url.as("url"), html.as("html"))
+        .select(col("url"),
+          explode(regexp_extract_all(col("html"),
+            lit("<a href=\"([^\"]*)\""), lit(1))).as("href"))
+        .select(
+          Urls.registrableDomain(Urls.hostOf(col("url"))).as("src_domain"),
+          Urls.registrableDomain(
+            Urls.hostOf(Urls.resolveUrl(col("url"), col("href")))).as("dst_domain"))
+        .groupBy(col("src_domain"), col("dst_domain"))
+        .agg(count(lit(1)).as("n_links"))
+        .orderBy(col("src_domain"), col("dst_domain"))
     }
   )
 
-  /** The q167/q168 deterministic messy-URL generator (Column twin of the
-    * SQL CASE embedded in both oracles).
+  /** The q167/q168/q177 deterministic messy-URL generator, SQL form. */
+  private lazy val urlGenSql: String =
+    """CASE doc_id % 6
+      |    WHEN 0 THEN 'HTTP://WWW.Example.COM:80/Articles/' || CAST(doc_id AS VARCHAR) || '/?b=2&a=1#frag'
+      |    WHEN 1 THEN 'https://News.Example.CO.UK:443/story/' || CAST(doc_id AS VARCHAR)
+      |    WHEN 2 THEN 'http://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example.net:8080/assets/img' || CAST(doc_id AS VARCHAR) || '.png'
+      |    WHEN 3 THEN 'https://USER' || CAST(doc_id AS VARCHAR) || '.GitHub.IO/repo/?z=9&y=&x=1#s'
+      |    WHEN 4 THEN 'http://intranet-host' || CAST(doc_id % 5 AS VARCHAR) || '/home/'
+      |    ELSE 'https://shop.example.com/?utm=abc&id=' || CAST(doc_id AS VARCHAR) || '&'
+      |  END""".stripMargin
+
+  /** The deterministic messy-URL generator (Column twin of
+    * [[urlGenSql]]).
     */
   private def urlColumn(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val id = docId.cast("string")

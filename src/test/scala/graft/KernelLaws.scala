@@ -391,6 +391,13 @@ object KernelLaws extends Properties("graft.kernels") {
       graft.expressions.BpeKernels.bpeCount(u(s), merges) == toks.numElements().toLong
     }
 
+  property("bpe decode inverts encode on arbitrary unicode text") =
+    forAll(Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '\t', '€', 'ß', '日', '!', '.')))
+        .map(_.mkString), bpeMerges) { (s, merges) =>
+      val toks = graft.expressions.BpeKernels.bpeTokens(u(s), merges)
+      graft.expressions.BpeKernels.bpeDecode(toks).toString == s
+    }
+
   property("bpe pre-tokens are a TOTAL partition: they concatenate back to the text") =
     forAll(asciiText) { s =>
       val pts = graft.expressions.BpeKernels.preTokens(u(s))
