@@ -209,7 +209,10 @@ object BpeKernels {
     val sb = new java.io.ByteArrayOutputStream()
     var i = 0
     while (i < tokens.numElements()) {
-      val t = tokens.getUTF8String(i).toString
+      val u = tokens.getUTF8String(i)
+      if (u == null) throw new IllegalArgumentException(
+        s"null token at index $i is not decodable")
+      val t = u.toString
       var j = 0
       while (j < t.length) {
         val cp = t.charAt(j).toInt

@@ -71,9 +71,13 @@ object Classify {
     val totals = counts.groupBy(col("label")).agg(sum(col("c")).as("n"))
     val docsTot = docs.agg(sum(col("nd")).cast("double").as("ndt")) // maxRows = 1
     // dense grid WITHOUT a cross join: explode the bucket range under each
-    // label row (|labels| × buckets rows, a constant-bounded frame)
-    val grid = totals.join(docs, "label").crossJoin(broadcast(docsTot))
-      .select(col("label"), col("n"), col("nd"), col("ndt"),
+    // label row (|labels| × buckets rows, a constant-bounded frame).
+    // `docs` is the label UNIVERSE (left join): a label whose training
+    // docs produced zero tokens still gets its prior and the uniform
+    // smoothed weights ln(α/(0 + αB)) = ln(1/B) — silently dropping it
+    // would shift every other prior and make the label unpredictable
+    val grid = docs.join(totals, Seq("label"), "left").crossJoin(broadcast(docsTot))
+      .select(col("label"), coalesce(col("n"), lit(0L)).as("n"), col("nd"), col("ndt"),
         explode(sequence(lit(0), lit(buckets - 1))).as("bucket"))
     grid.join(counts, Seq("label", "bucket"), "left")
       .select(col("label"), col("bucket").cast("long").as("bucket"),
@@ -101,60 +105,31 @@ object Classify {
       buckets: Int, alpha: Double, stateDir: String, outDir: String,
       checkpointDir: Option[String] = None,
       shufflePartitions: Int = 0,
-      compactEvery: Int = 0): DataFrame = {
-    val s2 = spark.newSession()
-    graft.GraftConf.tune(s2)
-    // <= 0 = auto-sized to the staged source volume: a fixed small count
-    // makes every per-batch tokenize/aggregate run the whole scaled
-    // increment through that many partitions (measured superlinear at the
-    // 100x replay fixture)
-    s2.conf.set("spark.sql.shuffle.partitions",
-      (if (shufflePartitions > 0) shufflePartitions
-       else graft.ops.Layout.adaptivePartsForDir(stagedDir)).toString)
-    val stream = s2.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(stagedDir)
-    val writer = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val tok = batch.select(col(labelCol).as("label"),
-            explode(TextAnalysis.wordTokens(col(textCol))).as("term"))
-          .select(col("label"), featureBucket(col("term"), buckets).as("bucket"))
-          .groupBy(col("label"), col("bucket")).agg(count(lit(1)).as("c"))
-        val docRows = batch.groupBy(col(labelCol).as("label"))
-          .agg(count(lit(1)).as("c")).withColumn("bucket", lit(-1L))
-          .select(col("label"), col("bucket"), col("c"))
-        val bt = tok.unionByName(docRows).persist()
-        graft.ops.CacheRegistry.register(bt)
-        bt.withColumn("epoch", lit(batchId))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("epoch").parquet(stateDir)
-        val sp = new org.apache.hadoop.fs.Path(stateDir)
-        val hasState = graft.ops.Layout.hasParquetData(
-          sp.getFileSystem(bt.sparkSession.sparkContext.hadoopConfiguration), sp)
-        val hist =
-          if (!hasState) bt.select(col("label"), col("bucket"), col("c")).limit(0)
-          else bt.sparkSession.read.parquet(stateDir)
-            .filter(col("epoch") < batchId)
-            .select(col("label"), col("bucket"), col("c"))
-        val cum = hist.unionByName(bt.select(col("label"), col("bucket"), col("c")))
-          .groupBy(col("label"), col("bucket")).agg(sum(col("c")).as("c"))
-          .persist()
-        graft.ops.CacheRegistry.register(cum)
-        nbModelFromCounts(
-            cum.filter(col("bucket") >= 0),
-            cum.filter(col("bucket") === -1L).select(col("label"), col("c").as("nd")),
-            buckets, alpha)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(outDir)
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-          Dedup.compactEpochPartitions(bt.sparkSession, stateDir)(
-            _.groupBy(col("label"), col("bucket")).agg(sum(col("c")).as("c")))
-      }
-    val q = checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c)).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(outDir)
-  }
+      compactEvery: Int = 0): DataFrame =
+    EpochStream.run(spark, stagedDir, schema, checkpointDir,
+        shufflePartitions, outDir) { (batch, batchId) =>
+      val tok = batch.select(col(labelCol).as("label"),
+          explode(TextAnalysis.wordTokens(col(textCol))).as("term"))
+        .select(col("label"), featureBucket(col("term"), buckets).as("bucket"))
+        .groupBy(col("label"), col("bucket")).agg(count(lit(1)).as("c"))
+      val docRows = batch.groupBy(col(labelCol).as("label"))
+        .agg(count(lit(1)).as("c")).withColumn("bucket", lit(-1L))
+        .select(col("label"), col("bucket"), col("c"))
+      val bt = tok.unionByName(docRows).persist()
+      graft.ops.CacheRegistry.register(bt)
+      EpochStream.appendEpoch(bt, stateDir, batchId)
+      val cum = EpochStream.settled(bt, stateDir, batchId).unionByName(bt)
+        .groupBy(col("label"), col("bucket")).agg(sum(col("c")).as("c"))
+        .persist()
+      graft.ops.CacheRegistry.register(cum)
+      EpochStream.writeSnapshot(nbModelFromCounts(
+          cum.filter(col("bucket") >= 0),
+          cum.filter(col("bucket") === -1L).select(col("label"), col("c").as("nd")),
+          buckets, alpha), outDir, batchId)
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        Dedup.compactEpochPartitions(bt.sparkSession, stateDir)(
+          _.groupBy(col("label"), col("bucket")).agg(sum(col("c")).as("c")))
+    }
 
   /** Score + classify `df` under a trained model: per document the
     * round-6 per-label score ln p(l) + Σ_t c_t·w(l, bucket(t)), the

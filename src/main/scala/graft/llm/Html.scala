@@ -56,10 +56,12 @@ object Html {
 
   /** Number of anchor OPENING tags — the outlink count per page (the
     * crawl-frontier statistic; pair with [[Urls.registrableDomain]] for
-    * per-domain outlink rates). Comments are dropped first: a
-    * commented-out anchor is not an outlink.
+    * per-domain outlink rates). Comments are dropped first (a
+    * commented-out anchor is not an outlink), and the match is
+    * case-insensitive with any whitespace after the tag name — legacy
+    * '<A HREF=…>' and wrapped '<a\n href' markup count too.
     */
   def linkCount(html: Column): Column =
     size(regexp_extract_all(regexp_replace(html.cast("string"), Comment, " "),
-      lit("<a[ >]"), lit(0))).cast("long")
+      lit("(?i)<a[ \t\n\r>]"), lit(0))).cast("long")
 }

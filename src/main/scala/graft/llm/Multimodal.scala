@@ -95,8 +95,15 @@ object Multimodal {
           col("__raw").substr(col("__h.data_off") + 1,
             col("__h.data_len").cast("int"))).as("payload"),
         when(col("__h").isNotNull, struct(
-          lit("pcm16").as("format"),
+          lit("pcm").as("format"),
           col("__h.sample_rate").as("sample_rate"),
+          // the TRUE stream rate: rate × channels × bits/8. frameSlices
+          // frames on this when present, so stereo / 8- or 24-bit WAVs
+          // frame correctly instead of inheriting the 16-bit-mono
+          // assumption (which would halve a stereo frame's duration and
+          // split L/R sample pairs across frame boundaries)
+          (col("__h.sample_rate") * col("__h.channels") * col("__h.bits") / 8)
+            .cast("int").as("byte_rate"),
           col("__h.data_len").as("n_bytes"))).as("meta"),
         col("__h.channels").as("channels"),
         col("__h.bits").as("bits"))
@@ -130,23 +137,31 @@ object Multimodal {
     */
   def frameSlices(audio: DataFrame, frameMs: Int, hopMs: Int): DataFrame = {
     require(frameMs > 0 && hopMs > 0, s"frameMs/hopMs must be positive: $frameMs/$hopMs")
-    // 16-bit mono: bytes = samples × 2; all products are exact in double
-    // (≪ 2^53) and the ms arithmetic divides evenly by construction
-    val frameBytes = (col("meta.sample_rate") * (2 * frameMs) / 1000).cast("int")
-    val hopBytes = (col("meta.sample_rate") * (2 * hopMs) / 1000).cast("int")
+    // bytes per second: the meta's explicit byte_rate when the source
+    // carries one ([[asWavTable]] — correct for any channels/bits), else
+    // the legacy 16-bit-mono contract sample_rate × 2 ([[asAudioTable]])
+    val metaFields = audio.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+    val byteRate =
+      if (metaFields("byte_rate")) col("meta.byte_rate")
+      else col("meta.sample_rate") * 2
+    // all products are exact in double (≪ 2^53) and the ms arithmetic
+    // divides evenly by construction
+    val frameBytes = (byteRate * frameMs / 1000).cast("int")
+    val hopBytes = (byteRate * hopMs / 1000).cast("int")
     val nb = col("meta.n_bytes").cast("int")
     val starts = when(nb >= frameBytes,
       sequence(lit(0), nb - frameBytes, hopBytes)).otherwise(array())
     audio
       .select(col("media_id"), col("payload"), frameBytes.as("__fb"),
-        col("meta.sample_rate").as("__sr"),
+        byteRate.as("__br"),
         posexplode(starts).as(Seq("frame_id", "__start")))
       .select(
         col("media_id"),
         col("frame_id").cast("long").as("frame_id"),
-        // start bytes → ms: bytes/ms = sample_rate·2/1000; the division is
-        // exact (starts are hop multiples, hop divides evenly into ms)
-        (col("__start") * lit(1000L) / (col("__sr") * 2L)).cast("long").as("start_ms"),
+        // start bytes → ms: the division is exact (starts are hop
+        // multiples, hop divides evenly into ms)
+        (col("__start") * lit(1000L) / col("__br")).cast("long").as("start_ms"),
         col("payload").substr(col("__start") + 1, col("__fb")).as("frame"))
   }
 

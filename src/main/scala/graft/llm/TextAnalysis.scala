@@ -345,58 +345,29 @@ object TextAnalysis {
       q: Double, stateDir: String, outDir: String,
       checkpointDir: Option[String] = None,
       shufflePartitions: Int = 0,
-      compactEvery: Int = 0): org.apache.spark.sql.DataFrame = {
-    val s2 = spark.newSession()
-    graft.GraftConf.tune(s2)
-    // <= 0 = auto-sized to the staged source volume: a fixed small count
-    // makes every per-batch tokenize/aggregate run the whole scaled
-    // increment through that many partitions (measured superlinear at the
-    // 100x replay fixture)
-    s2.conf.set("spark.sql.shuffle.partitions",
-      (if (shufflePartitions > 0) shufflePartitions
-       else graft.ops.Layout.adaptivePartsForDir(stagedDir)).toString)
-    val stream = s2.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(stagedDir)
-    val writer = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        // explode_outer keeps zero-token docs as a NULL-term sentinel
-        // (c = 0): they must appear in every snapshot with kept = false
-        val bt = batch.select(col(idCol).as("id"),
-            explode_outer(wordTokens(col(textCol))).as("term"))
-          .groupBy(col("id"), col("term"))
-          .agg(sum(when(col("term").isNotNull, 1L).otherwise(0L)).as("c"))
-          .persist()
-        graft.ops.CacheRegistry.register(bt)
-        bt.withColumn("epoch", lit(batchId))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("epoch").parquet(stateDir)
-        val sp = new org.apache.hadoop.fs.Path(stateDir)
-        val hasState = graft.ops.Layout.hasParquetData(
-          sp.getFileSystem(bt.sparkSession.sparkContext.hadoopConfiguration), sp)
-        val hist =
-          if (!hasState) bt.select(col("id"), col("term"), col("c")).limit(0)
-          else bt.sparkSession.read.parquet(stateDir)
-            .filter(col("epoch") < batchId)
-            .select(col("id"), col("term"), col("c"))
-        val cum = hist.unionByName(bt.select(col("id"), col("term"), col("c")))
-          .groupBy(col("id"), col("term")).agg(sum(col("c")).as("c"))
-          .persist()
-        graft.ops.CacheRegistry.register(cum)
-        val scored = unigramLogProbFromCounts(
-          cum.filter(col("term").isNotNull), cum.select(col("id")).distinct())
-        selectByQuantileFromScores(scored, q)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(outDir)
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-          Dedup.compactEpochPartitions(bt.sparkSession, stateDir)(
-            _.groupBy(col("id"), col("term")).agg(sum(col("c")).as("c")))
-      }
-    val sq = checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c)).start()
-    try sq.processAllAvailable() finally sq.stop()
-    spark.read.parquet(outDir)
-  }
+      compactEvery: Int = 0): org.apache.spark.sql.DataFrame =
+    EpochStream.run(spark, stagedDir, schema, checkpointDir,
+        shufflePartitions, outDir) { (batch, batchId) =>
+      // explode_outer keeps zero-token docs as a NULL-term sentinel
+      // (c = 0): they must appear in every snapshot with kept = false
+      val bt = batch.select(col(idCol).as("id"),
+          explode_outer(wordTokens(col(textCol))).as("term"))
+        .groupBy(col("id"), col("term"))
+        .agg(sum(when(col("term").isNotNull, 1L).otherwise(0L)).as("c"))
+        .persist()
+      graft.ops.CacheRegistry.register(bt)
+      EpochStream.appendEpoch(bt, stateDir, batchId)
+      val cum = EpochStream.settled(bt, stateDir, batchId).unionByName(bt)
+        .groupBy(col("id"), col("term")).agg(sum(col("c")).as("c"))
+        .persist()
+      graft.ops.CacheRegistry.register(cum)
+      val scored = unigramLogProbFromCounts(
+        cum.filter(col("term").isNotNull), cum.select(col("id")).distinct())
+      EpochStream.writeSnapshot(selectByQuantileFromScores(scored, q), outDir, batchId)
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        Dedup.compactEpochPartitions(bt.sparkSession, stateDir)(
+          _.groupBy(col("id"), col("term")).agg(sum(col("c")).as("c")))
+    }
 
   /** Per-source token-distribution divergence from the whole corpus:
     * KL(p_source ‖ p_corpus) over word unigrams — the mixture-drift
@@ -489,60 +460,27 @@ object TextAnalysis {
       stateDir: String, outDir: String,
       checkpointDir: Option[String] = None,
       shufflePartitions: Int = 0,
-      compactEvery: Int = 0): org.apache.spark.sql.DataFrame = {
-    // session clone: AQE is off inside streaming, so size the shuffle to
-    // the increment (Events.withStateParts convention), re-applying the
-    // runtime semantics confs newSession() drops
-    val s2 = spark.newSession()
-    graft.GraftConf.tune(s2)
-    // <= 0 = auto-sized to the staged source volume: a fixed small count
-    // makes every per-batch tokenize/aggregate run the whole scaled
-    // increment through that many partitions (measured superlinear at the
-    // 100x replay fixture)
-    s2.conf.set("spark.sql.shuffle.partitions",
-      (if (shufflePartitions > 0) shufflePartitions
-       else graft.ops.Layout.adaptivePartsForDir(stagedDir)).toString)
-    val stream = s2.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(stagedDir)
-    val writer = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        val bt = batch.select(col(srcCol).as("source"),
-            explode(wordTokens(col(textCol))).as("term"))
-          .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
-          .persist()
-        graft.ops.CacheRegistry.register(bt)
-        // idempotent state append: a re-run replaces its own epoch
-        bt.withColumn("epoch", lit(batchId))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("epoch").parquet(stateDir)
-        val sp = new org.apache.hadoop.fs.Path(stateDir)
-        val hasState = graft.ops.Layout.hasParquetData(
-          sp.getFileSystem(bt.sparkSession.sparkContext.hadoopConfiguration), sp)
-        val hist =
-          if (!hasState) bt.select(col("source"), col("term"), col("c")).limit(0)
-          else bt.sparkSession.read.parquet(stateDir)
-            .filter(col("epoch") < batchId)
-            .select(col("source"), col("term"), col("c"))
-        val cum = hist.unionByName(bt.select(col("source"), col("term"), col("c")))
-          .groupBy(col("source"), col("term")).agg(sum(col("c")).as("c"))
-          .persist()
-        graft.ops.CacheRegistry.register(cum)
-        sourceTokenKLFromCounts(cum)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(outDir)
-        // periodic state compaction AFTER the snapshot write: folds only
-        // epochs strictly below this one (the live epoch must survive an
-        // at-least-once re-run of this batch), and the fold is additive,
-        // so every later batch's cumulative read is value-identical
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-          driftStateCompact(bt.sparkSession, stateDir)
-      }
-    val q = checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c)).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(outDir)
-  }
+      compactEvery: Int = 0): org.apache.spark.sql.DataFrame =
+    EpochStream.run(spark, stagedDir, schema, checkpointDir,
+        shufflePartitions, outDir) { (batch, batchId) =>
+      val bt = batch.select(col(srcCol).as("source"),
+          explode(wordTokens(col(textCol))).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+        .persist()
+      graft.ops.CacheRegistry.register(bt)
+      EpochStream.appendEpoch(bt, stateDir, batchId)
+      val cum = EpochStream.settled(bt, stateDir, batchId).unionByName(bt)
+        .groupBy(col("source"), col("term")).agg(sum(col("c")).as("c"))
+        .persist()
+      graft.ops.CacheRegistry.register(cum)
+      EpochStream.writeSnapshot(sourceTokenKLFromCounts(cum), outDir, batchId)
+      // periodic state compaction AFTER the snapshot write: folds only
+      // epochs strictly below this one (the live epoch must survive an
+      // at-least-once re-run of this batch), and the fold is additive,
+      // so every later batch's cumulative read is value-identical
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        driftStateCompact(bt.sparkSession, stateDir)
+    }
 
   /** The Gopher document-quality rule bundle (Rae et al. 2021 §A1.1.2, the
     * published heuristic filter battery): word-count bounds, mean-word-length

@@ -67,7 +67,11 @@ object Urls {
       regexp_extract(pq, "^[^?]*\\?(.*)$", 1), "&"), x => x =!= ""))
     val qNorm = when(size(params) === 0, lit(""))
       .otherwise(concat(lit("?"), array_join(params, "&")))
-    concat(scheme, lit("://"), host, portNorm, path, qNorm)
+    // a scheme-less input ("example.com/a") canonicalizes WITHOUT the
+    // "://" glue — emitting "://example.com/a" would bucket every
+    // scheme-less URL under a malformed join key
+    val schemePart = when(scheme === "", lit("")).otherwise(concat(scheme, lit("://")))
+    concat(schemePart, host, portNorm, path, qNorm)
   }
 
   /** Registrable ("eTLD+1") domain of a lowercased host: one label plus
@@ -111,11 +115,15 @@ object Urls {
 
   /** Resolve an href against its page URL (the crawl-frontier step
     * between [[graft.llm.Html.linkCount]] and the per-domain edge
-    * stats): absolute hrefs pass through; scheme-relative `//host/...`
-    * adopts the page scheme; root-relative `/path` joins scheme://host;
-    * anything else joins the page DIRECTORY (the RFC 3986 merge rule
-    * without dot-segment normalization — a policy layer, not this op).
-    * Empty hrefs resolve to the page itself.
+    * stats): any href CARRYING A SCHEME passes through — `scheme:` not
+    * `scheme://`, so non-hierarchical URIs (mailto:, tel:, javascript:,
+    * data:) are absolute too, never mangled into directory-relative
+    * paths; scheme-relative `//host/...` adopts the page scheme;
+    * root-relative `/path` joins scheme://host; `?query` keeps the full
+    * page path and `#frag` / empty hrefs resolve to the page itself
+    * (RFC 3986 §5.3); anything else joins the page DIRECTORY (the merge
+    * rule without dot-segment normalization — a policy layer, not this
+    * op).
     */
   def resolveUrl(pageUrl: Column, href: Column): Column = {
     val nf = noFragment(pageUrl)
@@ -124,17 +132,21 @@ object Urls {
     val path = regexp_extract(regexp_replace(afterScheme(nf), "^[^/?]*", ""),
       "^([^?]*)", 1)
     val dir = regexp_replace(when(path === "", lit("/")).otherwise(path), "[^/]*$", "")
-    when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), href)
+    when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), href)
       .when(href.startsWith("//"), concat(scheme, lit(":"), href))
       .when(href.startsWith("/"), concat(scheme, lit("://"), host, href))
-      .when(href === "", nf)
+      .when(href.startsWith("?"), concat(scheme, lit("://"), host, path, href))
+      .when(href === "" || href.startsWith("#"), nf)
       .otherwise(concat(scheme, lit("://"), host, dir, href))
   }
 
   /** Anti-join a (broadcast) blocklist of registrable domains: rows whose
-    * domain is NOT blocked. At 100 TB a blocklist is millions of rows —
-    * still broadcast-sized (domains are short), and the corpus never
-    * shuffles for the decision.
+    * domain is NOT blocked. NULL domains (a bare-public-suffix host) are
+    * KEPT — a blocklist matches known-bad names, it does not condemn the
+    * unparseable (drop-NULLs is a separate policy filter); the q168
+    * oracle encodes the same rule. At 100 TB a blocklist is millions of
+    * rows — still broadcast-sized (domains are short), and the corpus
+    * never shuffles for the decision.
     */
   def dropBlockedDomains(df: DataFrame, domainCol: String,
       blocklist: DataFrame): DataFrame =

@@ -2348,8 +2348,8 @@ object LlmQueries {
         |tot AS (SELECT label, CAST(SUM(c) AS BIGINT) AS n FROM tcnt GROUP BY 1),
         |docs AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS nd FROM train GROUP BY 1),
         |ndt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ndt FROM train),
-        |grid AS (SELECT t.label, b.bucket, t.n, d.nd
-        |         FROM tot t JOIN docs d USING (label)
+        |grid AS (SELECT d.label, b.bucket, COALESCE(t.n, 0) AS n, d.nd
+        |         FROM docs d LEFT JOIN tot t USING (label)
         |         CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) b),
         |wts AS (SELECT g.label, CAST(g.bucket AS BIGINT) AS bucket,
         |          ROUND(ln((COALESCE(c.c, 0) + 0.5) / (g.n + 0.5 * 64)), 9) AS w,
@@ -2429,8 +2429,8 @@ object LlmQueries {
         |tot AS (SELECT label, CAST(SUM(c) AS BIGINT) AS n FROM tcnt GROUP BY 1),
         |docs AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS nd FROM train GROUP BY 1),
         |ndt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ndt FROM train),
-        |grid AS (SELECT t.label, b.bucket, t.n, d.nd
-        |         FROM tot t JOIN docs d USING (label)
+        |grid AS (SELECT d.label, b.bucket, COALESCE(t.n, 0) AS n, d.nd
+        |         FROM docs d LEFT JOIN tot t USING (label)
         |         CROSS JOIN (SELECT unnest(range(0, 128)) AS bucket) b),
         |wts AS (SELECT g.label, CAST(g.bucket AS BIGINT) AS bucket,
         |          ROUND(ln((COALESCE(c.c, 0) + 0.5) / (g.n + 0.5 * 128)), 9) AS w,
@@ -2508,7 +2508,8 @@ object LlmQueries {
            |      regexp_extract(pq, '^[^?]*\\?(.*)$$', 1), '&'), x -> x <> '')) AS params
            |  FROM p4)
            |SELECT doc_id, url,
-           |  scheme || '://' || host || portn || path ||
+           |  CASE WHEN scheme = '' THEN '' ELSE scheme || '://' END
+           |    || host || portn || path ||
            |    CASE WHEN len(params) = 0 THEN ''
            |         ELSE '?' || array_to_string(params, '&') END AS normalized,
            |  host,
@@ -2551,7 +2552,8 @@ object LlmQueries {
            |stats AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
            |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM tok GROUP BY domain),
            |allowed AS (SELECT t.doc_id, t.domain FROM tok t
-           |            WHERE t.domain NOT IN (SELECT domain FROM blocked)),
+           |            WHERE t.domain IS NULL
+           |               OR t.domain NOT IN (SELECT domain FROM blocked)),
            |capped AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_kept FROM (
            |    SELECT domain, row_number() OVER (PARTITION BY domain
            |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM allowed)
@@ -2722,8 +2724,8 @@ object LlmQueries {
              |    CAST(g.bucket AS BIGINT) AS bucket,
              |    ROUND(ln((COALESCE(c.c, 0) + 0.5) / (g.n + 0.5 * 64)), 9) AS w,
              |    ROUND(ln(g.nd / ndt$sfx.ndt), 9) AS prior
-             |  FROM (SELECT t.label, b.bucket, t.n, d.nd
-             |        FROM tot$sfx t JOIN docs$sfx d USING (label)
+             |  FROM (SELECT d.label, b.bucket, COALESCE(t.n, 0) AS n, d.nd
+             |        FROM docs$sfx d LEFT JOIN tot$sfx t USING (label)
              |        CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) b) g
              |  LEFT JOIN tcnt$sfx c ON c.label = g.label AND c.bucket = g.bucket
              |  CROSS JOIN ndt$sfx)""".stripMargin
@@ -2932,7 +2934,7 @@ object LlmQueries {
            |  trim(regexp_replace($entityFold, '[ \\t\\n\\f\\r]+', ' ', 'g')) AS text,
            |  CAST(len(regexp_extract_all(
            |    regexp_replace(html, '${graft.llm.Html.Comment}', ' ', 'g'),
-           |    '<a[ >]')) AS BIGINT) AS n_links
+           |    '(?i)<a[ \\t\\n\\r>]')) AS BIGINT) AS n_links
            |FROM s2 ORDER BY doc_id""".stripMargin
       }) { (s, d) =>
       import graft.llm.Html
@@ -2997,7 +2999,9 @@ object LlmQueries {
            |    '<a href="/about">a</a><a href="https://partner' ||
            |    CAST(doc_id % 4 AS VARCHAR) ||
            |    '.example.org/p">b</a><a href="img/' || CAST(doc_id AS VARCHAR) ||
-           |    '.png">c</a><a href="//cdn.example.net/lib.js">d</a>' AS html
+           |    '.png">c</a><a href="//cdn.example.net/lib.js">d</a>' ||
+           |    '<a href="mailto:ops@contact.example.org">e</a>' ||
+           |    '<a href="#top">f</a><a href="?page=2">g</a>' AS html
            |  FROM u),
            |parts AS (SELECT doc_id, url,
            |    regexp_replace(url, '#.*', '') AS nf, html FROM h),
@@ -3008,17 +3012,18 @@ object LlmQueries {
            |    regexp_extract(rest, '^([^/?]*)', 1) AS hp,
            |    regexp_extract(regexp_replace(rest, '^[^/?]*', ''), '^([^?]*)', 1) AS path
            |  FROM p2),
-           |p4 AS (SELECT doc_id, html, nf, sch, hp,
+           |p4 AS (SELECT doc_id, html, nf, sch, hp, path,
            |    regexp_replace(CASE WHEN path = '' THEN '/' ELSE path END, '[^/]*$$', '') AS dir
            |  FROM p3),
-           |e AS (SELECT doc_id, nf, sch, hp, dir,
+           |e AS (SELECT doc_id, nf, sch, hp, path, dir,
            |    unnest(regexp_extract_all(html, '<a href="([^"]*)"', 1)) AS href
            |  FROM p4),
            |r AS (SELECT doc_id, sch, hp,
-           |    CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN href
+           |    CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN href
            |         WHEN href LIKE '//%' THEN sch || ':' || href
            |         WHEN href LIKE '/%' THEN sch || '://' || hp || href
-           |         WHEN href = '' THEN nf
+           |         WHEN href LIKE '?%' THEN sch || '://' || hp || path || href
+           |         WHEN href = '' OR href LIKE '#%' THEN nf
            |         ELSE sch || '://' || hp || dir || href END AS resolved
            |  FROM e),
            |dom AS (SELECT
@@ -3033,7 +3038,9 @@ object LlmQueries {
       val html = concat(lit("<a href=\"/about\">a</a><a href=\"https://partner"),
         pmod(col("doc_id"), lit(4)).cast("string"),
         lit(".example.org/p\">b</a><a href=\"img/"), col("doc_id").cast("string"),
-        lit(".png\">c</a><a href=\"//cdn.example.net/lib.js\">d</a>"))
+        lit(".png\">c</a><a href=\"//cdn.example.net/lib.js\">d</a>" +
+          "<a href=\"mailto:ops@contact.example.org\">e</a>" +
+          "<a href=\"#top\">f</a><a href=\"?page=2\">g</a>"))
       Tables.documents(s, d)
         .select(col("doc_id"), url.as("url"), html.as("html"))
         .select(col("url"),

@@ -973,9 +973,9 @@ class LlmSpec extends SparkSpec {
     assert(x.contains("Hello &lt;world> done"), s"body text wrong: $x")
     assert(!x.contains("alert") && !x.contains("color"), s"block leaked: $x")
     assert(!x.contains("ghost") && !x.contains("not a link"), s"comment leaked: $x")
-    // lowercase <a only (the generator's convention) - uppercase <A is a
-    // different tag spelling, bare <a> still counts
-    assert(row.getLong(2) === 2L)
+    // case-insensitive: lowercase hrefs, legacy uppercase <A HREF, and
+    // bare <a> all count; the commented-out ghost anchor does not
+    assert(row.getLong(2) === 3L)
   }
 
   test("WAV header parse: round trip, extra/odd chunks, clamping, forged sizes, non-PCM") {
@@ -1006,11 +1006,12 @@ class LlmSpec extends SparkSpec {
       assert(r.getBoolean(1), s"payload $i should parse")
       val meta = r.getStruct(3)
       assert(meta.getInt(1) === 44100 && r.getInt(4) === 2 && r.getInt(5) === 16)
-      assert(meta.getLong(2) === 100L)
+      assert(meta.getInt(2) === 44100 * 2 * 2) // byte_rate: stereo 16-bit
+      assert(meta.getLong(3) === 100L)
       assert(r.getAs[Array[Byte]](2).toSeq === data.toSeq, s"data slice $i")
     }
     // truncated: data extent clamps to the bytes that exist
-    assert(got(2L).getBoolean(1) && got(2L).getStruct(3).getLong(2) === 20L)
+    assert(got(2L).getBoolean(1) && got(2L).getStruct(3).getLong(3) === 20L)
     // forged size: the Long-advance guard terminates the walk before the
     // data chunk is ever reached -> unparseable, and crucially no hang
     assert(!got(3L).getBoolean(1))
@@ -1043,6 +1044,27 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     cases.zipWithIndex.foreach { case ((in, want), i) =>
       assert(got(i.toLong) === want, s"normalize($in)")
+    }
+    // scheme-less input canonicalizes without the :// glue
+    val schemeless = Seq(Tuple1("Example.COM:80/a/")).toDF("u")
+      .select(Urls.normalizeUrl(col("u"))).head.getString(0)
+    assert(schemeless === "example.com:80/a") // no scheme => :80 is not default-droppable
+    val resolves = Seq(
+      ("https://Host.example.com:8443/dir/page?q=1#f", "/root", "https://Host.example.com:8443/root"),
+      ("https://h.example.com/dir/page", "img/x.png", "https://h.example.com/dir/img/x.png"),
+      ("https://h.example.com/dir/page", "//cdn.example.net/l.js", "https://cdn.example.net/l.js"),
+      ("https://h.example.com/dir/page", "mailto:a@b.com", "mailto:a@b.com"),
+      ("https://h.example.com/dir/page", "javascript:void(0)", "javascript:void(0)"),
+      ("https://h.example.com/dir/page", "?x=2", "https://h.example.com/dir/page?x=2"),
+      ("https://h.example.com/dir/page#s", "#top", "https://h.example.com/dir/page"),
+      ("https://h.example.com/dir/page", "", "https://h.example.com/dir/page"),
+      ("https://h.example.com", "a.html", "https://h.example.com/a.html"))
+    val gotR = resolves.zipWithIndex.map { case ((p, h, _), i) => (i.toLong, p, h) }
+      .toDF("id", "p", "h")
+      .select(col("id"), Urls.resolveUrl(col("p"), col("h")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    resolves.zipWithIndex.foreach { case ((p, h, want), i) =>
+      assert(gotR(i.toLong) === want, s"resolve($p, $h)")
     }
     val domains = Seq(
       ("www.example.co.uk", "example.co.uk"),   // multi-label suffix wins
@@ -1089,6 +1111,13 @@ class LlmSpec extends SparkSpec {
     val margins = Classify.nbClassify(df.filter(col("id") < 40), "id", "text", model, 32)
       .select(col("margin")).collect().map(_.getDouble(0))
     assert(margins.forall(_ > 0))
+    // a label whose training docs have ZERO tokens still gets its prior
+    // and the uniform ln(1/B) weights — never silently dropped
+    val withEmpty = df.unionByName(Seq((100L, "birds", "123 !!! ...")).toDF("id", "label", "text"))
+    val m2 = Classify.nbTrain(withEmpty, "label", "text", buckets = 32, alpha = 0.5)
+    assert(m2.filter(col("label") === "birds").count() === 32L)
+    val bw = m2.filter(col("label") === "birds").select(col("w")).distinct().collect()
+    assert(bw.length === 1 && math.abs(bw(0).getDouble(0) - math.log(1.0 / 32)) < 1e-6)
   }
 
   test("fuzzyOverlap: max-Jaccard argmax, row-preserving, null text reports 0 grams") {
