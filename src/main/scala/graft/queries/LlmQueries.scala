@@ -53,15 +53,17 @@ object LlmQueries {
     */
   private lazy val bpeOraclePrefix: String = bpeOraclePrefixOver("text", "")
 
-  /** [[bpeOraclePrefix]] with the pre-token source expression (and an
-    * optional WHERE) parameterized — the multilingual gate row (q172)
-    * runs the identical machinery over augmented text.
+  /** [[bpeOraclePrefix]] with the pre-token source expression, WHERE and
+    * FROM parameterized — the multilingual gate row (q172) runs the
+    * identical machinery over augmented text, the e2e pipeline (q178)
+    * over a staged CTE of extracted text.
     */
-  private def bpeOraclePrefixOver(textExpr: String, where: String): String = {
+  private def bpeOraclePrefixOver(textExpr: String, where: String,
+      from: String = "documents"): String = {
     val ms = graft.expressions.BpeKernels.ByteSym.map(sqlQuote).mkString("[", ", ", "]")
     s"""merges(rank, a, b) AS (VALUES $bpeMergesValues),
        |bm AS (SELECT $ms AS ms),
-       |vw AS (SELECT DISTINCT unnest(regexp_extract_all($textExpr, '$bpePreTokRe')) AS w FROM documents $where),
+       |vw AS (SELECT DISTINCT unnest(regexp_extract_all($textExpr, '$bpePreTokRe')) AS w FROM $from $where),
        |vwh AS (SELECT w, hex(encode(w)) AS h, octet_length(encode(w)) AS n FROM vw),
        |enc AS (
        |  SELECT w, 0 AS r,
@@ -3053,6 +3055,99 @@ object LlmQueries {
         .groupBy(col("src_domain"), col("dst_domain"))
         .agg(count(lit(1)).as("n_links"))
         .orderBy(col("src_domain"), col("dst_domain"))
+    },
+
+    // END-TO-END crawl → packed corpus: the whole round-10 layer chained
+    // as one pipeline — HTML→text extraction (q175), a whitespace-token
+    // quality gate, exact content-fingerprint dedup (q30's keep-min rule;
+    // every 10th page carries identical boilerplate so ~10% of the corpus
+    // collapses to one survivor), full-byte BPE pricing (q156/q157), and
+    // greedy sequence packing into 512-token bins. The oracle replays
+    // EVERY stage in one WITH chain — extraction regexes, the ws-token
+    // gate, the min-doc_id ownership window, the per-pre-token merge-loop
+    // token counts, and the prefix-sum placement — so a drift anywhere in
+    // the composition fails the hash, the strongest whole-pipeline pin
+    // beside q76's curation e2e.
+    QueryDef.sql(
+      "q178_crawl_to_packed", {
+        import graft.llm.Html
+        val entityFold = Html.Entities.foldLeft("no_tags") { case (acc, (e, r)) =>
+          s"replace($acc, '$e', '${r.replace("'", "''")}')" }
+        val boiler = "welcome to our landing page where we share product news " +
+          "release notes support answers community stories press updates careers " +
+          "information partner resources developer guides customer case studies " +
+          "event recaps roadmap highlights security advisories billing help " +
+          "migration tips and general company announcements every single week"
+        s"""WITH RECURSIVE
+           |page AS (
+           |  SELECT doc_id,
+           |    '<html><head><title>' ||
+           |    CASE WHEN doc_id % 10 = 7 THEN 'Landing'
+           |         ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END ||
+           |    '</title><script>var x = 1;</script><style>.c { color: red }</style>' ||
+           |    '</head><body><p>' ||
+           |    CASE WHEN doc_id % 10 = 7 THEN '$boiler' ELSE text END ||
+           |    '</p>&nbsp;fin</body></html>' AS html
+           |  FROM documents WHERE doc_id < 250),
+           |s1 AS (SELECT doc_id,
+           |    regexp_replace(regexp_replace(regexp_replace(html,
+           |      '${Html.Comment}', ' ', 'g'),
+           |      '${Html.ScriptBlock}', ' ', 'g'),
+           |      '${Html.StyleBlock}', ' ', 'g') AS no_blocks
+           |  FROM page),
+           |s2 AS (SELECT doc_id,
+           |    regexp_replace(no_blocks, '${Html.Tag}', ' ', 'g') AS no_tags
+           |  FROM s1),
+           |ext AS (SELECT doc_id,
+           |    trim(regexp_replace($entityFold, '[ \\t\\n\\f\\r]+', ' ', 'g')) AS t
+           |  FROM s2),
+           |kept AS (SELECT doc_id, t FROM ext
+           |  WHERE CAST(CASE WHEN length(trim(t)) = 0 THEN 0
+           |        ELSE len(string_split_regex(trim(t), '\\s+')) END AS BIGINT) >= 25),
+           |fpp AS (SELECT doc_id, t,
+           |    md5(regexp_replace(lower(trim(t)), '\\s+', ' ', 'g')) AS f FROM kept),
+           |surv AS (SELECT doc_id, t FROM
+           |  (SELECT doc_id, t, MIN(doc_id) OVER (PARTITION BY f) AS mn FROM fpp)
+           |  WHERE doc_id = mn),
+           |${bpeOraclePrefixOver("t", "", "surv")},
+           |wl AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM enc WHERE r = $bpeNumMerges),
+           |dw AS (SELECT doc_id, unnest(regexp_extract_all(t, '$bpePreTokRe')) AS w FROM surv),
+           |sums AS (SELECT doc_id, SUM(n_sub) AS ssum FROM dw JOIN wl USING (w) GROUP BY doc_id),
+           |tt AS (SELECT s.doc_id, CAST(COALESCE(m.ssum, 0) AS BIGINT) AS n_tokens
+           |       FROM surv s LEFT JOIN sums m USING (doc_id)),
+           |cc AS (SELECT doc_id, n_tokens,
+           |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           |  FROM tt)
+           |SELECT doc_id, n_tokens, cum - n_tokens AS start_off,
+           |  (cum - n_tokens) // 512 AS bin, (cum - n_tokens) % 512 AS bin_off,
+           |  CASE WHEN n_tokens > 0 THEN (cum - 1) // 512
+           |       ELSE (cum - n_tokens) // 512 END AS end_bin
+           |FROM cc ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      import graft.llm.{Html, Dedup}
+      val boiler = "welcome to our landing page where we share product news " +
+        "release notes support answers community stories press updates careers " +
+        "information partner resources developer guides customer case studies " +
+        "event recaps roadmap highlights security advisories billing help " +
+        "migration tips and general company announcements every single week"
+      val html = concat(lit("<html><head><title>"),
+        when(pmod(col("doc_id"), lit(10)) === 7, lit("Landing"))
+          .otherwise(concat(lit("Doc "), col("doc_id").cast("string"))),
+        lit("</title><script>var x = 1;</script><style>.c { color: red }</style>"),
+        lit("</head><body><p>"),
+        when(pmod(col("doc_id"), lit(10)) === 7, lit(boiler)).otherwise(col("text")),
+        lit("</p>&nbsp;fin</body></html>"))
+      val ext = Tables.documents(s, d).filter(col("doc_id") < 250)
+        .select(col("doc_id"), Html.extractText(html).as("t"))
+      val kept = ext.filter(TextAnalysis.tokenCountWs(col("t")) >= 25)
+        .withColumn("f", TextAnalysis.md5Fingerprint(col("t")))
+      val keepIds = Dedup.exact(kept, col("f"), col("doc_id"))
+        .select(col("keep_id").as("doc_id"))
+      val surv = kept.join(keepIds, Seq("doc_id")).select(col("doc_id"), col("t"))
+      val toks = surv.select(col("doc_id"),
+        graft.llm.Bpe.countTokens(col("t")).as("n_tokens"))
+      graft.llm.Packing.packSequences(toks, "n_tokens", 512L, Seq(col("doc_id")))
+        .orderBy(col("doc_id"))
     }
   )
 
