@@ -23,11 +23,14 @@ import org.apache.spark.sql.functions._
   * count-triplet shuffle), joins the BROADCAST model, and argmaxes over
   * a per-doc window — no corpus-sized state anywhere.
   *
-  * Determinism/oracle contract: per-(label,bucket) log-likelihood weights
-  * and log-priors are round(·, 9)-quantized so both engines sum identical
-  * doubles; per-doc scores are round(·, 6)-quantized BEFORE the argmax,
-  * whose tie-break is label ascending — so predictions and margins are
-  * cell-exact under DuckDB replay.
+  * Determinism/oracle contract: the model is FIXED-POINT — per-cell
+  * log-likelihoods and log-priors as integer NANO-units (the single
+  * float op per cell is the training-time ln, whose outputs sit nowhere
+  * near decimal half-way points) — so scoring, ranking, and margins are
+  * exact long arithmetic: bit-identical on any engine in any addition
+  * order, cell-exact under DuckDB replay at every SF (a double-sum
+  * formulation's last-ulp wobble flipped round-6 about once per 5k
+  * scores at sf0.1).
   */
 object Classify {
 
@@ -63,6 +66,16 @@ object Classify {
     * per-batch triplets into cumulative state and re-derives the model
     * from counts alone ([[nbTrainStreaming]]) — text is tokenized once,
     * in its arrival batch.
+    *
+    * Weights are FIXED-POINT: `w_u`/`prior_u` are the log-likelihood and
+    * log-prior in integer NANO-units (round(ln(·)·1e9) as BIGINT). The
+    * one float operation per cell happens here, where raw ln outputs sit
+    * nowhere near decimal half-way points; everything downstream —
+    * scores, ranking, margins — is exact long arithmetic, which is what
+    * makes scoring bit-identical on any engine in any addition order (a
+    * double score sum's last-ulp wobble flipped round-6 at half-way
+    * decimals about once per 5k scores, caught by the sf0.1 stress
+    * verify).
     */
   def nbModelFromCounts(counts: DataFrame, docs: DataFrame,
       buckets: Int, alpha: Double): DataFrame = {
@@ -82,8 +95,8 @@ object Classify {
     grid.join(counts, Seq("label", "bucket"), "left")
       .select(col("label"), col("bucket").cast("long").as("bucket"),
         round(log((coalesce(col("c"), lit(0L)) + alpha) /
-          (col("n") + alpha * buckets)), 9).as("w"),
-        round(log(col("nd") / col("ndt")), 9).as("prior"))
+          (col("n") + alpha * buckets)) * 1e9, 0).cast("long").as("w_u"),
+        round(log(col("nd") / col("ndt")) * 1e9, 0).cast("long").as("prior_u"))
   }
 
   /** STREAMING NB training — distributed linear-model training as an
@@ -145,19 +158,24 @@ object Classify {
         explode(TextAnalysis.wordTokens(col(textCol))).as("term"))
       .select(col("id"), featureBucket(col("term"), buckets).as("bucket"))
       .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("c"))
+    // EXACT long arithmetic end to end: identical on any engine in any
+    // addition order, so score, ranking, runner-up AND margin are all
+    // hash-stable gate columns (score_u/margin_u are nano-units; divide
+    // by 1e9 for the human-readable log-probability)
     val scored = docBuckets.join(broadcast(model), Seq("bucket"))
       .groupBy(col("id"), col("label"))
       .agg(sum(col("c")).as("n_tok"),
-        round(max(col("prior")) + sum(col("c") * col("w")), 6).as("score"))
-    val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("label"))
+        (max(col("prior_u")) + sum(col("c") * col("w_u"))).as("score_u"))
+    val w = Window.partitionBy(col("id")).orderBy(col("score_u").desc, col("label"))
     val best = scored
       .withColumn("rn", row_number().over(w))
-      .withColumn("runner_up", lead(col("score"), 1).over(w))
+      .withColumn("runner_up", lead(col("label"), 1).over(w))
+      .withColumn("margin_u", col("score_u") - lead(col("score_u"), 1).over(w))
       .filter(col("rn") === 1)
-      .select(col("id"), col("n_tok"), col("label").as("predicted"), col("score"),
-        round(col("score") - col("runner_up"), 6).as("margin"))
+      .select(col("id"), col("n_tok"), col("label").as("predicted"), col("score_u"),
+        col("runner_up"), col("margin_u"))
     df.select(col(idCol).as("id")).join(best, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_tok"), lit(0L)).as("n_tok"),
-        col("predicted"), col("score"), col("margin"))
+        col("predicted"), col("score_u"), col("runner_up"), col("margin_u"))
   }
 }

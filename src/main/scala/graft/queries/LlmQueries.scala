@@ -2329,7 +2329,9 @@ object LlmQueries {
     // q88's PII) with doc_id % 5 = 0 HELD OUT, then scoring every doc.
     // The oracle retrains the model cell-for-cell — counts, smoothed
     // round-9 log-weights, round-9 log-priors — and replays scoring,
-    // round-6 scores, argmax (label-asc tie-break) and runner-up margin.
+    // round-6 scores, argmax (label-asc tie-break) and the runner-up label
+    // (the float margin is spec-level: a difference of rounded sums is
+    // engine-noise-exposed at the 6th decimal).
     QueryDef.sql(
       "q165_nb_langid",
       """WITH lang(lid, lang, marker) AS (VALUES
@@ -2354,8 +2356,8 @@ object LlmQueries {
         |         FROM docs d LEFT JOIN tot t USING (label)
         |         CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) b),
         |wts AS (SELECT g.label, CAST(g.bucket AS BIGINT) AS bucket,
-        |          ROUND(ln((COALESCE(c.c, 0) + 0.5) / (g.n + 0.5 * 64)), 9) AS w,
-        |          ROUND(ln(g.nd / ndt.ndt), 9) AS prior
+        |          CAST(ROUND(ln((COALESCE(c.c, 0) + 0.5) / (g.n + 0.5 * 64)) * 1e9, 0) AS BIGINT) AS w_u,
+        |          CAST(ROUND(ln(g.nd / ndt.ndt) * 1e9, 0) AS BIGINT) AS prior_u
         |        FROM grid g LEFT JOIN tcnt c ON c.label = g.label AND c.bucket = g.bucket
         |        CROSS JOIN ndt),
         |dtok AS (SELECT doc_id,
@@ -2366,14 +2368,16 @@ object LlmQueries {
         |         CAST(COUNT(*) AS BIGINT) AS c
         |       FROM dtok GROUP BY 1, 2),
         |sc AS (SELECT db.doc_id, w.label, CAST(SUM(db.c) AS BIGINT) AS n_tok,
-        |         ROUND(MAX(w.prior) + SUM(db.c * w.w), 6) AS score
+        |         CAST(MAX(w.prior_u) + SUM(db.c * w.w_u) AS BIGINT) AS score_u
         |       FROM db JOIN wts w USING (bucket) GROUP BY 1, 2),
         |rk AS (SELECT *,
-        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn,
-        |         LEAD(score) OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS ru
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_u DESC, label) AS rn,
+        |         LEAD(label) OVER (PARTITION BY doc_id ORDER BY score_u DESC, label) AS ru,
+        |         LEAD(score_u) OVER (PARTITION BY doc_id ORDER BY score_u DESC, label) AS rus
         |       FROM sc)
         |SELECT a.doc_id, a.lang AS true_lang, COALESCE(r.n_tok, 0) AS n_tok,
-        |  r.label AS predicted, r.score, ROUND(r.score - r.ru, 6) AS margin,
+        |  r.label AS predicted, r.score_u, r.ru AS runner_up,
+        |  r.score_u - r.rus AS margin_u,
         |  COALESCE(r.label = a.lang, false) AS correct
         |FROM aug a LEFT JOIN (SELECT * FROM rk WHERE rn = 1) r USING (doc_id)
         |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
@@ -2393,7 +2397,7 @@ object LlmQueries {
       graft.llm.Classify.nbClassify(aug, "doc_id", "t", model, buckets = 64)
         .join(aug.select(col("doc_id").as("id"), col("lang").as("true_lang")), Seq("id"))
         .select(col("id").as("doc_id"), col("true_lang"), col("n_tok"),
-          col("predicted"), col("score"), col("margin"),
+          col("predicted"), col("score_u"), col("runner_up"), col("margin_u"),
           coalesce(col("predicted") === col("true_lang"), lit(false)).as("correct"))
         .orderBy(col("doc_id"))
     },
@@ -2435,8 +2439,8 @@ object LlmQueries {
         |         FROM docs d LEFT JOIN tot t USING (label)
         |         CROSS JOIN (SELECT unnest(range(0, 128)) AS bucket) b),
         |wts AS (SELECT g.label, CAST(g.bucket AS BIGINT) AS bucket,
-        |          ROUND(ln((COALESCE(c.c, 0) + 0.5) / (g.n + 0.5 * 128)), 9) AS w,
-        |          ROUND(ln(g.nd / ndt.ndt), 9) AS prior
+        |          CAST(ROUND(ln((COALESCE(c.c, 0) + 0.5) / (g.n + 0.5 * 128)) * 1e9, 0) AS BIGINT) AS w_u,
+        |          CAST(ROUND(ln(g.nd / ndt.ndt) * 1e9, 0) AS BIGINT) AS prior_u
         |        FROM grid g LEFT JOIN tcnt c ON c.label = g.label AND c.bucket = g.bucket
         |        CROSS JOIN ndt),
         |dtok AS (SELECT doc_id,
@@ -2447,14 +2451,15 @@ object LlmQueries {
         |         CAST(COUNT(*) AS BIGINT) AS c
         |       FROM dtok GROUP BY 1, 2),
         |sc AS (SELECT db.doc_id, w.label, CAST(SUM(db.c) AS BIGINT) AS n_tok,
-        |         ROUND(MAX(w.prior) + SUM(db.c * w.w), 6) AS score
+        |         CAST(MAX(w.prior_u) + SUM(db.c * w.w_u) AS BIGINT) AS score_u
         |       FROM db JOIN wts w USING (bucket) GROUP BY 1, 2),
         |rk AS (SELECT *,
-        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn,
-        |         LEAD(score) OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS ru
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_u DESC, label) AS rn,
+        |         LEAD(label) OVER (PARTITION BY doc_id ORDER BY score_u DESC, label) AS ru,
+        |         LEAD(score_u) OVER (PARTITION BY doc_id ORDER BY score_u DESC, label) AS rus
         |       FROM sc)
         |SELECT l.doc_id, COALESCE(r.n_tok, 0) AS n_tok, r.label AS predicted,
-        |  r.score, ROUND(r.score - r.ru, 6) AS margin,
+        |  r.score_u, r.ru AS runner_up, r.score_u - r.rus AS margin_u,
         |  COALESCE(r.label = 'ref', false) AS kept
         |FROM lab l LEFT JOIN (SELECT * FROM rk WHERE rn = 1) r USING (doc_id)
         |ORDER BY l.doc_id""".stripMargin) { (s, d) =>
@@ -2470,7 +2475,7 @@ object LlmQueries {
         buckets = 128, alpha = 0.5)
       graft.llm.Classify.nbClassify(lab, "doc_id", "text", model, buckets = 128)
         .select(col("id").as("doc_id"), col("n_tok"), col("predicted"),
-          col("score"), col("margin"),
+          col("score_u"), col("runner_up"), col("margin_u"),
           coalesce(col("predicted") === lit("ref"), lit(false)).as("kept"))
         .orderBy(col("doc_id"))
     },
@@ -2724,8 +2729,8 @@ object LlmQueries {
              |ndt$sfx AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ndt FROM lab$sfx),
              |m$sfx AS (SELECT CAST($batchId AS BIGINT) AS batch_id, g.label,
              |    CAST(g.bucket AS BIGINT) AS bucket,
-             |    ROUND(ln((COALESCE(c.c, 0) + 0.5) / (g.n + 0.5 * 64)), 9) AS w,
-             |    ROUND(ln(g.nd / ndt$sfx.ndt), 9) AS prior
+             |    CAST(ROUND(ln((COALESCE(c.c, 0) + 0.5) / (g.n + 0.5 * 64)) * 1e9, 0) AS BIGINT) AS w_u,
+             |    CAST(ROUND(ln(g.nd / ndt$sfx.ndt) * 1e9, 0) AS BIGINT) AS prior_u
              |  FROM (SELECT d.label, b.bucket, COALESCE(t.n, 0) AS n, d.nd
              |        FROM docs$sfx d LEFT JOIN tot$sfx t USING (label)
              |        CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) b) g
@@ -2747,7 +2752,7 @@ object LlmQueries {
       graft.llm.Classify.nbTrainStreaming(s, staged, corpus.schema, "label", "text",
           buckets = 64, alpha = 0.5, base + "/state", base + "/out", compactEvery = 1)
         .select(col("batch_id").cast("long").as("batch_id"), col("label"),
-          col("bucket"), col("w"), col("prior"))
+          col("bucket"), col("w_u"), col("prior_u"))
         .orderBy(col("batch_id"), col("label"), col("bucket"))
     },
 

@@ -1107,17 +1107,18 @@ class LlmSpec extends SparkSpec {
     }
     // zero-token doc: n_tok 0, NULL prediction (no features, no guess)
     assert(out(40L) === ((0L, null)))
-    // margins are populated and positive for the separable docs
+    // margins (exact nano-unit longs) are populated and positive
     val margins = Classify.nbClassify(df.filter(col("id") < 40), "id", "text", model, 32)
-      .select(col("margin")).collect().map(_.getDouble(0))
+      .select(col("margin_u")).collect().map(_.getLong(0))
     assert(margins.forall(_ > 0))
     // a label whose training docs have ZERO tokens still gets its prior
     // and the uniform ln(1/B) weights — never silently dropped
     val withEmpty = df.unionByName(Seq((100L, "birds", "123 !!! ...")).toDF("id", "label", "text"))
     val m2 = Classify.nbTrain(withEmpty, "label", "text", buckets = 32, alpha = 0.5)
     assert(m2.filter(col("label") === "birds").count() === 32L)
-    val bw = m2.filter(col("label") === "birds").select(col("w")).distinct().collect()
-    assert(bw.length === 1 && math.abs(bw(0).getDouble(0) - math.log(1.0 / 32)) < 1e-6)
+    val bw = m2.filter(col("label") === "birds").select(col("w_u")).distinct().collect()
+    assert(bw.length === 1 &&
+      math.abs(bw(0).getLong(0) - math.log(1.0 / 32) * 1e9) < 2)
   }
 
   test("fuzzyOverlap: max-Jaccard argmax, row-preserving, null text reports 0 grams") {
