@@ -41,11 +41,12 @@ object Classify {
     conv(substring(md5(term), 1, 4), 16, 10).cast("long") % buckets
 
   /** Train a multinomial NB model on `(labelCol, textCol)` rows: returns
-    * the DENSE (label, bucket, w, prior) weight table —
-    * w = round(ln((c_lb + α) / (N_l + αB)), 9) with add-α smoothing
-    * (every bucket of every label present, so scoring needs no
-    * missing-key handling), prior = round(ln(docs_l / docs), 9).
-    * One tokenization pass; everything after aggregates count triplets.
+    * the DENSE (label, bucket, w_u, prior_u) weight table in integer
+    * nano-units — w_u = round(ln((c_lb + α) / (N_l + αB)) · 1e9) with
+    * add-α smoothing (every bucket of every label present, so scoring
+    * needs no missing-key handling), prior_u = round(ln(docs_l / docs) ·
+    * 1e9). One tokenization pass; everything after aggregates count
+    * triplets.
     */
   def nbTrain(df: DataFrame, labelCol: String, textCol: String,
       buckets: Int = 64, alpha: Double = 0.5): DataFrame = {
@@ -111,7 +112,7 @@ object Classify {
     * State is |labels| × (buckets+1) rows per epoch — a true constant.
     *
     * Returns the model snapshots read back from `outDir`:
-    * (batch_id, label, bucket, w, prior).
+    * (batch_id, label, bucket, w_u, prior_u).
     */
   def nbTrainStreaming(spark: org.apache.spark.sql.SparkSession, stagedDir: String,
       schema: org.apache.spark.sql.types.StructType, labelCol: String, textCol: String,
