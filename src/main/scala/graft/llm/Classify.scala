@@ -145,13 +145,16 @@ object Classify {
           _.groupBy(col("label"), col("bucket")).agg(sum(col("c")).as("c")))
     }
 
-  /** Score + classify `df` under a trained model: per document the
-    * round-6 per-label score ln p(l) + Σ_t c_t·w(l, bucket(t)), the
-    * argmax label (tie-break label ascending), and the margin to the
-    * runner-up. Zero-token documents carry NULL prediction/score/margin
-    * (no features — a selection pass must see them, not silently call
-    * them any class). `buckets` must match training (the model is dense,
-    * so a mismatch fails loudly in the join, not silently).
+  /** Score + classify `df` under a trained model. Output per document:
+    * `score_u` = the nano-unit per-label score prior_u + Σ_t c_t·w_u of
+    * the argmax label (tie-break label ascending), the `predicted` and
+    * `runner_up` labels, and `margin_u` = the exact nano-unit gap to the
+    * runner-up — all long arithmetic (divide by 1e9 for log-probability
+    * units). Zero-token documents carry NULL
+    * prediction/score_u/runner_up/margin_u (no features — a selection
+    * pass must see them, not silently call them any class). `buckets`
+    * must match training (the model is dense, so a mismatch fails loudly
+    * in the join, not silently).
     */
   def nbClassify(df: DataFrame, idCol: String, textCol: String,
       model: DataFrame, buckets: Int = 64): DataFrame = {

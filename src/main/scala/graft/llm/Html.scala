@@ -63,5 +63,5 @@ object Html {
     */
   def linkCount(html: Column): Column =
     size(regexp_extract_all(regexp_replace(html.cast("string"), Comment, " "),
-      lit("(?i)<a[ \t\n\r>]"), lit(0))).cast("long")
+      lit("(?i)<a[ \t\n\f\r>]"), lit(0))).cast("long")
 }

@@ -104,6 +104,10 @@ object Multimodal {
           // split L/R sample pairs across frame boundaries)
           (col("__h.sample_rate") * col("__h.channels") * col("__h.bits") / 8)
             .cast("int").as("byte_rate"),
+          // one complete cross-channel sample group: frame/hop widths
+          // must round DOWN to a multiple of this or every frame ends
+          // mid-sample on rates that don't divide 1000 evenly
+          (col("__h.channels") * col("__h.bits") / 8).cast("int").as("block_align"),
           col("__h.data_len").as("n_bytes"))).as("meta"),
         col("__h.channels").as("channels"),
         col("__h.bits").as("bits"))
@@ -145,10 +149,18 @@ object Multimodal {
     val byteRate =
       if (metaFields("byte_rate")) col("meta.byte_rate")
       else col("meta.sample_rate") * 2
-    // all products are exact in double (≪ 2^53) and the ms arithmetic
-    // divides evenly by construction
-    val frameBytes = (byteRate * frameMs / 1000).cast("int")
-    val hopBytes = (byteRate * hopMs / 1000).cast("int")
+    val blockAlign =
+      if (metaFields("block_align")) col("meta.block_align") else lit(2)
+    // frame/hop byte widths round DOWN to a whole number of sample
+    // groups (block align), so a rate that doesn't divide 1000 evenly
+    // (44100 stereo: 4 ms = 705.6 bytes) can never split a cross-channel
+    // sample pair across a frame boundary; the hop is floored to at
+    // least one block so a tiny hopMs can't produce a zero-step sequence
+    def aligned(c: org.apache.spark.sql.Column) =
+      (c - pmod(c, blockAlign)).cast("int")
+    val frameBytes = aligned((byteRate * frameMs / 1000).cast("int"))
+    val hopBytes = greatest(blockAlign.cast("int"),
+      aligned((byteRate * hopMs / 1000).cast("int")))
     val nb = col("meta.n_bytes").cast("int")
     val starts = when(nb >= frameBytes,
       sequence(lit(0), nb - frameBytes, hopBytes)).otherwise(array())
@@ -159,8 +171,8 @@ object Multimodal {
       .select(
         col("media_id"),
         col("frame_id").cast("long").as("frame_id"),
-        // start bytes → ms: the division is exact (starts are hop
-        // multiples, hop divides evenly into ms)
+        // start bytes → ms, floored (exact whenever hop·1000 divides the
+        // byte rate, e.g. the PCM16 fixtures; a 44.1 kHz stream floors)
         (col("__start") * lit(1000L) / col("__br")).cast("long").as("start_ms"),
         col("payload").substr(col("__start") + 1, col("__fb")).as("frame"))
   }

@@ -132,12 +132,17 @@ object Urls {
     val path = regexp_extract(regexp_replace(afterScheme(nf), "^[^/?]*", ""),
       "^([^?]*)", 1)
     val dir = regexp_replace(when(path === "", lit("/")).otherwise(path), "[^/]*$", "")
+    // a scheme-less page URL resolves without the "://" glue (the same
+    // malformed-key guard as normalizeUrl); a scheme-relative href on a
+    // scheme-less base stays scheme-relative
+    val glue = when(scheme === "", lit("")).otherwise(concat(scheme, lit("://")))
     when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), href)
-      .when(href.startsWith("//"), concat(scheme, lit(":"), href))
-      .when(href.startsWith("/"), concat(scheme, lit("://"), host, href))
-      .when(href.startsWith("?"), concat(scheme, lit("://"), host, path, href))
+      .when(href.startsWith("//"),
+        when(scheme === "", href).otherwise(concat(scheme, lit(":"), href)))
+      .when(href.startsWith("/"), concat(glue, host, href))
+      .when(href.startsWith("?"), concat(glue, host, path, href))
       .when(href === "" || href.startsWith("#"), nf)
-      .otherwise(concat(scheme, lit("://"), host, dir, href))
+      .otherwise(concat(glue, host, dir, href))
   }
 
   /** Anti-join a (broadcast) blocklist of registrable domains: rows whose

@@ -2941,7 +2941,7 @@ object LlmQueries {
            |  trim(regexp_replace($entityFold, '[ \\t\\n\\f\\r]+', ' ', 'g')) AS text,
            |  CAST(len(regexp_extract_all(
            |    regexp_replace(html, '${graft.llm.Html.Comment}', ' ', 'g'),
-           |    '(?i)<a[ \\t\\n\\r>]')) AS BIGINT) AS n_links
+           |    '(?i)<a[ \\t\\n\\f\\r>]')) AS BIGINT) AS n_links
            |FROM s2 ORDER BY doc_id""".stripMargin
       }) { (s, d) =>
       import graft.llm.Html
@@ -3078,11 +3078,7 @@ object LlmQueries {
         import graft.llm.Html
         val entityFold = Html.Entities.foldLeft("no_tags") { case (acc, (e, r)) =>
           s"replace($acc, '$e', '${r.replace("'", "''")}')" }
-        val boiler = "welcome to our landing page where we share product news " +
-          "release notes support answers community stories press updates careers " +
-          "information partner resources developer guides customer case studies " +
-          "event recaps roadmap highlights security advisories billing help " +
-          "migration tips and general company announcements every single week"
+        val boiler = crawlBoilerplate
         s"""WITH RECURSIVE
            |page AS (
            |  SELECT doc_id,
@@ -3130,11 +3126,7 @@ object LlmQueries {
            |FROM cc ORDER BY doc_id""".stripMargin
       }) { (s, d) =>
       import graft.llm.{Html, Dedup}
-      val boiler = "welcome to our landing page where we share product news " +
-        "release notes support answers community stories press updates careers " +
-        "information partner resources developer guides customer case studies " +
-        "event recaps roadmap highlights security advisories billing help " +
-        "migration tips and general company announcements every single week"
+      val boiler = crawlBoilerplate
       val html = concat(lit("<html><head><title>"),
         when(pmod(col("doc_id"), lit(10)) === 7, lit("Landing"))
           .otherwise(concat(lit("Doc "), col("doc_id").cast("string"))),
@@ -3155,6 +3147,17 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }
   )
+
+  /** q178's planted boilerplate page body — ONE definition feeding both
+    * the Spark builder and the oracle SQL literal, so the dedup-rate
+    * fixture can never silently desynchronize the twins.
+    */
+  private lazy val crawlBoilerplate: String =
+    "welcome to our landing page where we share product news " +
+    "release notes support answers community stories press updates careers " +
+    "information partner resources developer guides customer case studies " +
+    "event recaps roadmap highlights security advisories billing help " +
+    "migration tips and general company announcements every single week"
 
   /** The q167/q168/q177 deterministic messy-URL generator, SQL form. */
   private lazy val urlGenSql: String =

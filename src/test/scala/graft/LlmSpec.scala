@@ -1007,11 +1007,12 @@ class LlmSpec extends SparkSpec {
       val meta = r.getStruct(3)
       assert(meta.getInt(1) === 44100 && r.getInt(4) === 2 && r.getInt(5) === 16)
       assert(meta.getInt(2) === 44100 * 2 * 2) // byte_rate: stereo 16-bit
-      assert(meta.getLong(3) === 100L)
+      assert(meta.getInt(3) === 4)             // block_align: one L/R pair
+      assert(meta.getLong(4) === 100L)
       assert(r.getAs[Array[Byte]](2).toSeq === data.toSeq, s"data slice $i")
     }
     // truncated: data extent clamps to the bytes that exist
-    assert(got(2L).getBoolean(1) && got(2L).getStruct(3).getLong(3) === 20L)
+    assert(got(2L).getBoolean(1) && got(2L).getStruct(3).getLong(4) === 20L)
     // forged size: the Long-advance guard terminates the walk before the
     // data chunk is ever reached -> unparseable, and crucially no hang
     assert(!got(3L).getBoolean(1))
@@ -1058,7 +1059,11 @@ class LlmSpec extends SparkSpec {
       ("https://h.example.com/dir/page", "?x=2", "https://h.example.com/dir/page?x=2"),
       ("https://h.example.com/dir/page#s", "#top", "https://h.example.com/dir/page"),
       ("https://h.example.com/dir/page", "", "https://h.example.com/dir/page"),
-      ("https://h.example.com", "a.html", "https://h.example.com/a.html"))
+      ("https://h.example.com", "a.html", "https://h.example.com/a.html"),
+      // scheme-less base: no '://' glue, scheme-relative stays relative
+      ("example.com/dir/page", "/about", "example.com/about"),
+      ("example.com/dir/page", "x.html", "example.com/dir/x.html"),
+      ("example.com/dir/page", "//cdn.example.net/l.js", "//cdn.example.net/l.js"))
     val gotR = resolves.zipWithIndex.map { case ((p, h, _), i) => (i.toLong, p, h) }
       .toDF("id", "p", "h")
       .select(col("id"), Urls.resolveUrl(col("p"), col("h")).as("r"))
