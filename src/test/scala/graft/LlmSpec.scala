@@ -1023,6 +1023,25 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("WAV framing aligns to whole sample groups on awkward rates (44.1 kHz stereo)") {
+    import graft.llm.Multimodal
+    // 44100 Hz stereo 16-bit: byte_rate 176400, 4 ms = 705.6 bytes — the
+    // unaligned truncation (705) would split an L/R pair at every frame
+    val data = Array.tabulate(4096)(i => (i % 251).toByte)
+    val wav = Seq((0L, Multimodal.wavBytes(44100, 2, 16, data))).toDF("id", "p")
+    val audio = Multimodal.asWavTable(wav, "id", "p").filter(col("ok"))
+    val frames = Multimodal.frameSlices(audio, frameMs = 4, hopMs = 2)
+      .select(col("frame_id"), length(col("frame")).as("fb")).collect()
+    assert(frames.nonEmpty)
+    // every frame is a whole number of 4-byte sample groups, and the
+    // width is the aligned floor of 705.6 -> 704
+    frames.foreach { r => assert(r.getInt(1) === 704, s"frame ${r.getLong(0)}") }
+    // hop floors to >= one block even for a degenerate hopMs
+    val tiny = Multimodal.frameSlices(audio, frameMs = 4, hopMs = 1)
+      .select(col("frame_id")).count()
+    assert(tiny > 0) // no zero-step sequence error
+  }
+
   test("URL normalization + registrable-domain edge battery") {
     import graft.llm.Urls
     val cases = Seq(
