@@ -53,6 +53,31 @@ object Lines {
       .select(col("id"), coalesce(col("text"), lit("")).as("text"))
   }
 
+  /** INCREMENTAL corpus-wide line dedup — [[lineDedup]]'s first-owner
+    * rule extended across ingest batches against the persistent
+    * fingerprint index (the exact shape a continuously-crawling pipeline
+    * runs: a boilerplate line seen in ANY earlier epoch stays dropped
+    * forever). Built directly on [[Dedup.exactDedupIncrement]] with a
+    * synthetic line id `doc_id·10⁶ + line_idx`, so the within-batch
+    * keep-min rule IS the (doc, idx) owner order and the cross-batch
+    * rule is first-epoch-wins; the index stores only (fp, epoch) — ~16
+    * bytes per unique line ever seen — and inherits the lease, epoch
+    * isolation, compaction and crash contracts wholesale.
+    * Returns one row per non-blank line: (id, line_idx, line, kept).
+    */
+  def lineDedupIncrement(batch: DataFrame, idCol: String, textCol: String,
+      indexDir: String, epoch: Long): DataFrame = {
+    val lines = batch.select(col(idCol).cast("long").as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "line")))
+      .filter(trim(col("line")) =!= "")
+      .withColumn("__lid", col("id") * 1000000L + col("line_idx"))
+    val verdicts = Dedup.exactDedupIncrement(lines, "__lid",
+      md5(trim(col("line")).cast("binary")), indexDir, epoch)
+    lines.join(verdicts.select(col("id").as("__lid"), col("kept")), Seq("__lid"))
+      .select(col("id"), col("line_idx").cast("long").as("line_idx"),
+        col("line"), col("kept"))
+  }
+
   /** The C4 line-rule battery, one boolean per rule plus the conjunctive
     * keep — auditable like [[TextAnalysis.gopherRules]]:
     *   - `ok_punct`: ends in terminal punctuation (. ! ? or closing

@@ -3145,6 +3145,49 @@ object LlmQueries {
         graft.llm.Bpe.countTokens(col("t")).as("n_tokens"))
       graft.llm.Packing.packSequences(toks, "n_tokens", 512L, Seq(col("doc_id")))
         .orderBy(col("doc_id"))
+    },
+
+    // INCREMENTAL line dedup (q173's first-owner rule as an ingest loop,
+    // the q141 proof pattern at LINE grain): two epochs by doc parity
+    // against the persistent (fp, epoch) index — a footer line seen in
+    // epoch 0 stays dropped in epoch 1, within-batch ownership is the
+    // synthetic (doc·10⁶ + idx) keep-min, and the oracle replays the
+    // whole (epoch, lid) precedence order from scratch with NOT EXISTS.
+    QueryDef.sql(
+      "q179_line_dedup_incremental",
+      """WITH p AS (
+        |  SELECT doc_id, CAST(doc_id % 2 AS BIGINT) AS ep,
+        |    regexp_replace(text, '((?:[A-Za-z0-9]+ ){5})', e'\\1\n', 'g')
+        |      || e'\n' || 'visit ' || source || ' homepage now' AS page
+        |  FROM documents),
+        |l0 AS (
+        |  SELECT doc_id, ep, unnest(string_split(page, chr(10))) AS line,
+        |    generate_subscripts(string_split(page, chr(10)), 1) - 1 AS i
+        |  FROM p),
+        |l AS (SELECT doc_id, ep, CAST(i AS BIGINT) AS line_idx, line,
+        |        doc_id * 1000000 + i AS lid, md5(trim(line)) AS fp
+        |      FROM l0 WHERE trim(line) <> '')
+        |SELECT doc_id, line_idx, ep,
+        |  NOT EXISTS (SELECT 1 FROM l l2 WHERE l2.fp = l.fp
+        |    AND (l2.ep < l.ep OR (l2.ep = l.ep AND l2.lid < l.lid))) AS kept
+        |FROM l ORDER BY doc_id, line_idx""".stripMargin) { (s, d) =>
+      import graft.llm.Lines
+      val page = concat(
+        regexp_replace(col("text"), "((?:[A-Za-z0-9]+ ){5})", "$1\n"),
+        lit("\nvisit "), col("source"), lit(" homepage now"))
+      val aug = Tables.documents(s, d).select(col("doc_id"), page.as("page")).persist()
+      graft.ops.CacheRegistry.register(aug)
+      val dir = java.nio.file.Files.createTempDirectory("graft_linededup_idx_").toString
+      rotateRunDirs("q179", Seq(dir))
+      val results = (0 until 2).map { b =>
+        Lines.lineDedupIncrement(
+            aug.filter(pmod(col("doc_id"), lit(2)) === b), "doc_id", "page",
+            dir, epoch = b)
+          .withColumn("ep", lit(b.toLong))
+      }
+      results.reduce(_.unionByName(_))
+        .select(col("id").as("doc_id"), col("line_idx"), col("ep"), col("kept"))
+        .orderBy(col("doc_id"), col("line_idx"))
     }
   )
 
