@@ -391,8 +391,12 @@ object Similarity {
       short.select(col("qid"), col("nid"), (lit(1.0) - col("adist") / 2).as("cos"))
     else {
       val nv = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nv"))
-      val exact = short.select(col("qid"), col("nid"))
-        .join(nv, "nid")
+      // the shortlist is bounded by |Q|·max(k, rerank) — broadcast IT
+      // explicitly so the corpus-sized nv is never the size-estimated
+      // side (at production scale auto-broadcast must not be trusted to
+      // pick the right side of this join)
+      val exact = nv
+        .join(broadcast(short.select(col("qid"), col("nid"))), "nid")
         .join(broadcast(q), "qid")
         .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
       val w2 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
@@ -488,11 +492,15 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid"))
     val short = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= math.max(k, rerank)).drop("rn")
-    // exact-cosine re-rank over the shortlist's true vectors
+    // exact-cosine re-rank over the shortlist's true vectors. The
+    // shortlist is bounded by |Q|·max(k, rerank) — broadcast IT
+    // explicitly so the corpus-sized nv is never the size-estimated side
+    // (auto-broadcast must not be trusted to pick the right side at
+    // production scale, and the q131 plan contract pins corpus-no-shuffle)
     val nv = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nv"))
     val qvOnly = qTabs.select(col("qid"), col("qv"))
-    val exact = short.select(col("qid"), col("nid"))
-      .join(nv, "nid")
+    val exact = nv
+      .join(broadcast(short.select(col("qid"), col("nid"))), "nid")
       .join(broadcast(qvOnly), "qid")
       .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
     val w2 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))

@@ -27,15 +27,18 @@ class ScaleSpec extends SparkSpec {
     Sinks.writeBucketed(Tables.orders(spark, "/root/testdata/sf0.001")
       .withColumnRenamed("o_orderkey", "l_orderkey"),
       "ord_b", 8, Seq("l_orderkey"))
-    // disable auto-broadcast so the join would otherwise shuffle
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val joined = spark.table("li_b").join(spark.table("ord_b"), "l_orderkey")
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
-      assert(joined.count() === 6000L)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // disable auto-broadcast so the join would otherwise shuffle — in an
+    // ISOLATED child session (own SQLConf, shared catalog): suites run in
+    // parallel against one shared SparkSession, and a threshold window on
+    // the shared conf can flip a concurrent suite's size-estimated
+    // broadcast into a sort-merge mid-plan (observed as a rare LlmSpec
+    // plan-assert flake)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined = s2.table("li_b").join(s2.table("ord_b"), "l_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() === 6000L)
   }
 
   test("salted join equals plain join (skew mitigation preserves semantics)") {
