@@ -1208,4 +1208,42 @@ object Dedup {
     ids.join(comp, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
+
+  /** Keep-BEST-in-cluster duplicate resolution — the production
+    * alternative to keep-first: when near-duplicates cluster, retain the
+    * highest-QUALITY member (longest, best LM score, freshest crawl —
+    * the caller's `scoreCol`), not the one with the smallest id. Every
+    * document gets a verdict row `(id, component, score, kept)`:
+    * singletons keep themselves, and within a cluster the winner is the
+    * max score with the smallest id breaking ties — fully deterministic,
+    * so the policy itself is oracle-checkable.
+    *
+    * Scale shape: `pairs` comes from any bucketed edge generator (LSH
+    * bands, fingerprints, [[portableHashedPairs]]); components shuffle
+    * only (id, label) longs; the argmax is a per-component window whose
+    * partition count equals the cluster count — never a global sort.
+    * Documents themselves join to their label by id and never move
+    * otherwise.
+    */
+  def keepBestInCluster(docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame): DataFrame =
+    keepBestFromComponents(docs, idCol, scoreCol, connectedComponents(pairs))
+
+  /** [[keepBestInCluster]] from an already-computed `(id, component)`
+    * label table (ids absent from it are singletons) — the reusable half,
+    * so a pipeline that already ran [[dedupClustersPortable]] or a custom
+    * clustering applies the keep-best policy without re-closing the graph.
+    */
+  def keepBestFromComponents(docs: DataFrame, idCol: String, scoreCol: String,
+      components: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labeled = docs.select(col(idCol).cast("long").as("id"), col(scoreCol).as("score"))
+      .join(components.select(col("id"), col("component")), Seq("id"), "left")
+      .withColumn("component", coalesce(col("component"), col("id")))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("score").desc_nulls_last, col("id").asc)
+    labeled
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col("id"), col("component"), col("score"), col("kept"))
+  }
 }

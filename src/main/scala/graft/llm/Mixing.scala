@@ -85,6 +85,68 @@ object Mixing {
         .select(col(sourceCol), col("rate")),
       sourceCol)
 
+  /** Token-budget epoch solver with a repetition cap — the mixture
+    * arithmetic a multi-epoch pretraining recipe actually runs (the
+    * Llama-style "how many passes over each source" table): allocate a
+    * total token budget across sources proportionally to temperature
+    * weights w_s ∝ n_s^α, but cap every source at `maxEpochs` passes over
+    * its own tokens and WATER-FILL the freed budget back into the
+    * uncapped sources. Unlike [[temperatureRates]] (single-epoch,
+    * dropping-only: rate ≤ 1) this models UPSAMPLING — a small
+    * high-weight source is repeated, up to the cap that protects the run
+    * from memorizing it.
+    *
+    * `iters` rounds of water-filling, each one deterministic arithmetic:
+    *   rem  = budget − Σ_capped cap_s        (budget left for the pool)
+    *   raw_s = w_s / Σ_uncapped w · rem      (the pool splits it by weight)
+    *   alloc_s = min(raw_s, cap_s), newly over-cap sources leave the pool.
+    * One round caps at least one source or changes nothing, so
+    * iters = 4 is exact for any fixture-sized source list and within one
+    * round of exact for any real corpus (|sources| is never large).
+    *
+    * Scale shape: one corpus aggregate to a |sources|-row frame, then
+    * `iters` scalar-aggregate + broadcast-cross rounds over that frame —
+    * the corpus is scanned once and never shuffled, exactly like
+    * [[temperatureRates]]. Output one row per source:
+    * (source, n_tok, weight, alloc_tok, epochs, capped).
+    */
+  def tokenBudgetEpochs(df: DataFrame, tokenCol: String, sourceCol: String,
+      alpha: Double, budgetTokens: Long, maxEpochs: Double,
+      iters: Int = 4): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"temperature alpha must be in (0,1]: $alpha")
+    require(budgetTokens > 0, s"token budget must be positive: $budgetTokens")
+    require(maxEpochs > 0, s"epoch cap must be positive: $maxEpochs")
+    require(iters >= 1, s"need at least one water-filling round: $iters")
+    val tot = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(col(tokenCol)).cast("long").as("n_tok"))
+      .persist() // |sources| rows; every round re-reads it
+    graft.ops.CacheRegistry.register(tot)
+    val wsumAll = tot.agg(sum(pow(col("n_tok"), lit(alpha))).as("wsum_all"))
+    var cur = tot.crossJoin(broadcast(wsumAll))
+      .withColumn("w", pow(col("n_tok"), lit(alpha)))
+      .withColumn("cap", col("n_tok").cast("double") * maxEpochs)
+      .withColumn("capped", lit(false))
+      .withColumn("alloc", lit(0.0))
+    for (_ <- 1 to iters) {
+      val pool = cur.agg(
+        sum(when(!col("capped"), col("w"))).as("wsum"),
+        (lit(budgetTokens.toDouble)
+          - coalesce(sum(when(col("capped"), col("alloc"))), lit(0.0))).as("rem"))
+      cur = cur.crossJoin(broadcast(pool))
+        .withColumn("raw", when(col("capped"), col("alloc")).otherwise(
+          when(col("wsum") > 0 && col("rem") > 0,
+            col("w") / col("wsum") * col("rem")).otherwise(lit(0.0))))
+        .select(col("source"), col("n_tok"), col("w"), col("cap"), col("wsum_all"),
+          (col("capped") || col("raw") >= col("cap")).as("capped"),
+          least(col("raw"), col("cap")).as("alloc"))
+    }
+    cur.select(col("source"), col("n_tok"),
+        round(col("w") / col("wsum_all"), 6).as("weight"),
+        round(col("alloc"), 4).as("alloc_tok"),
+        round(col("alloc") / col("n_tok"), 6).as("epochs"),
+        col("capped"))
+  }
+
   private def sampleAtRates(df: DataFrame, idCol: String, rates: DataFrame,
       sourceCol: String): DataFrame =
     df.join(broadcast(rates), Seq(sourceCol))

@@ -291,6 +291,63 @@ object TextAnalysis {
         round(col("lp"), 6).as("avg_logp"))
   }
 
+  /** Interpolated bigram-LM quality score — the next rung of the
+    * perplexity-filter ladder above [[unigramLogProb]] (CCNet trains a
+    * 5-gram KenLM; the deterministic, oracle-replayable core of that
+    * family is an interpolated bigram over the corpus's own counts):
+    * for every adjacent token pair the per-position probability is
+    *   p(i) = λ·P(wᵢ | wᵢ₋₁) + (1−λ)·P(wᵢ),
+    * with P(wᵢ|wᵢ₋₁) = c(wᵢ₋₁,wᵢ)/c(wᵢ₋₁,·) the corpus bigram MLE and
+    * P(wᵢ) = c(wᵢ)/T the unigram marginal, and the document score is the
+    * mean log p over its n−1 bigram positions. Interpolation keeps every
+    * position finite without smoothing constants: the unigram leg can
+    * never be zero because the vocabulary IS the scored corpus (the same
+    * no-OOV-by-construction argument as [[unigramLogProb]]).
+    *
+    * Distributed shape: one pass builds per-doc bigram count triplets
+    * `(id, prev, cur, c)` via a zip of the token array with its own
+    * 1-shift (pure projection — documents never shuffle whole); the
+    * bigram model and the context totals both RE-aggregate those
+    * triplets, and the unigram marginal re-aggregates the q150-shaped
+    * `(id, term, c)` triplets, so text is tokenized once per leg and
+    * only Heaps-bounded counts move. The grand total joins as a
+    * provably-one-row broadcast. Documents with fewer than two tokens
+    * have no bigram positions and surface as (n_big=0, NULL) through the
+    * left join — a filter must see them, not silently drop them.
+    */
+  def bigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, lambda: Double = 0.7): org.apache.spark.sql.DataFrame = {
+    require(lambda > 0 && lambda < 1, s"interpolation weight must be in (0,1): $lambda")
+    val toks = df.select(col(idCol).as("id"), wordTokens(col(textCol)).as("ws"))
+    // adjacent pairs: zip ws with its own 1-shift (slice is 1-based)
+    val pairRows = toks.filter(size(col("ws")) >= 2)
+      .select(col("id"), explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("bg"))
+      .select(col("id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val bf = pairRows.groupBy(col("id"), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c"))
+      .persist() // the bigram model and context totals re-aggregate these
+    graft.ops.CacheRegistry.register(bf)
+    val bgModel = bf.groupBy(col("prev"), col("cur")).agg(sum(col("c")).as("cb"))
+    val ctxTot = bf.groupBy(col("prev")).agg(sum(col("c")).as("cp"))
+    val uf = df.select(col(idCol).as("id"), explode(wordTokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cu"))
+    val total = uf.agg(sum(col("cu")).cast("double").as("t"))
+    val scored = bf.join(bgModel, Seq("prev", "cur")).join(ctxTot, Seq("prev"))
+      .join(uf.withColumnRenamed("term", "cur"), Seq("cur"))
+      .crossJoin(total)
+      .withColumn("p",
+        lit(lambda) * col("cb").cast("double") / col("cp")
+          + lit(1.0 - lambda) * col("cu").cast("double") / col("t"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_big"), (sum(col("c") * log(col("p"))) / sum(col("c"))).as("lp"))
+    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_big"), lit(0L)).as("n_big"),
+        round(col("lp"), 6).as("avg_logp"))
+  }
+
   /** Quality-quantile selection — the "train on the top slice by LM
     * quality" policy (CCNet's perplexity-bucket selection reduced to its
     * deterministic core): keep documents whose corpus-derived unigram-LM

@@ -3188,6 +3188,142 @@ object LlmQueries {
       results.reduce(_.unionByName(_))
         .select(col("id").as("doc_id"), col("line_idx"), col("ep"), col("kept"))
         .orderBy(col("doc_id"), col("line_idx"))
+    },
+
+    // Interpolated bigram-LM quality score — the rung above q150's
+    // unigram on the perplexity-filter ladder (the deterministic core of
+    // CCNet's KenLM step): per position p = λ·P(cur|prev) + (1−λ)·P(cur),
+    // corpus-as-its-own-model MLE, mean log p over a doc's n−1 bigram
+    // positions. λ = 0.75 so the complement 0.25 is exact in binary on
+    // both engines (1.0−0.7 and DECIMAL 0.3 would differ in the last
+    // ulp). One bigram pass + one unigram pass; only count triplets
+    // shuffle. Docs with < 2 tokens surface as (0, NULL), like q150.
+    QueryDef.sql(
+      "q180_bigram_logprob",
+      """WITH w AS (
+        |  SELECT doc_id AS id, list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)) AS ws
+        |  FROM documents),
+        |t AS (SELECT id, unnest(ws) AS term FROM w),
+        |uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cu FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM t),
+        |bp AS (
+        |  SELECT id, unnest(list_transform(range(1, len(ws)), i -> [ws[i], ws[i+1]])) AS b
+        |  FROM w WHERE len(ws) >= 2),
+        |bf AS (SELECT id, b[1] AS prev, b[2] AS cur, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM bp GROUP BY 1, 2, 3),
+        |bm AS (SELECT prev, cur, CAST(SUM(c) AS BIGINT) AS cb FROM bf GROUP BY 1, 2),
+        |cx AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS cp FROM bf GROUP BY 1),
+        |doc AS (
+        |  SELECT id, CAST(SUM(c) AS BIGINT) AS n_big,
+        |    SUM(c * ln(0.75 * CAST(cb AS DOUBLE) / cp + 0.25 * CAST(cu AS DOUBLE) / t)) / SUM(c) AS lp
+        |  FROM bf JOIN bm USING (prev, cur) JOIN cx USING (prev)
+        |    JOIN uni ON uni.term = bf.cur CROSS JOIN tot
+        |  GROUP BY id)
+        |SELECT d.doc_id AS id, COALESCE(doc.n_big, 0) AS n_big,
+        |  ROUND(doc.lp, 6) AS avg_logp
+        |FROM documents d LEFT JOIN doc ON doc.id = d.doc_id
+        |ORDER BY id""".stripMargin) { (s, d) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, d), "doc_id", "text", lambda = 0.75)
+        .orderBy(col("id"))
+    },
+
+    // Keep-BEST-in-cluster duplicate resolution over q137's portable
+    // near-dup clusters: within each connected component retain the
+    // highest-scoring member (token count here — the "keep the longest
+    // duplicate" production policy), smallest id on ties, singletons keep
+    // themselves. The oracle replays the full transitive closure with the
+    // recursive CTE plus the identical argmax window, so the POLICY — not
+    // just the clustering — is pinned hash-exact.
+    QueryDef.sql(
+      "q181_keep_best_cluster", {
+        val recPrefix = portableOraclePrefix.replaceFirst("WITH ", "WITH RECURSIVE ")
+        s"""$recPrefix,
+           |hsets AS (
+           |  SELECT doc_id, list_distinct(list(h)) AS hset FROM hv GROUP BY doc_id),
+           |jscored AS (
+           |  SELECT id1, id2,
+           |    CAST(len(list_intersect(ha.hset, hb.hset)) AS BIGINT) AS inter,
+           |    CAST(len(ha.hset) AS BIGINT) AS n1, CAST(len(hb.hset) AS BIGINT) AS n2
+           |  FROM cand JOIN hsets ha ON ha.doc_id = id1 JOIN hsets hb ON hb.doc_id = id2),
+           |near AS (
+           |  SELECT id1, id2 FROM jscored
+           |  WHERE CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE) >= 0.5),
+           |fp AS (
+           |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+           |  FROM documents),
+           |exact_pairs AS (
+           |  SELECT a.doc_id AS id1, b.doc_id AS id2
+           |  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id),
+           |sym AS (
+           |  SELECT id1 AS a, id2 AS b FROM near
+           |  UNION SELECT id2, id1 FROM near
+           |  UNION SELECT id1, id2 FROM exact_pairs
+           |  UNION SELECT id2, id1 FROM exact_pairs),
+           |reach AS (
+           |  SELECT a, b FROM sym
+           |  UNION
+           |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+           |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a),
+           |sc AS (
+           |  SELECT doc_id AS id,
+           |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS score
+           |  FROM documents),
+           |lab AS (
+           |  SELECT sc.id, COALESCE(c.component, sc.id) AS component, sc.score
+           |  FROM sc LEFT JOIN comp c ON c.id = sc.id)
+           |SELECT id, component, score,
+           |  (row_number() OVER (PARTITION BY component ORDER BY score DESC, id) = 1) AS kept
+           |FROM lab ORDER BY id""".stripMargin
+      }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id"),
+        size(TextAnalysis.wordTokens(col("text"))).cast("long").as("score"))
+      val comp = Dedup.dedupClustersPortable(docs, "doc_id", "text", jaccardThreshold = 0.5)
+      Dedup.keepBestFromComponents(scored, "doc_id", "score", comp)
+        .orderBy(col("id"))
+    },
+
+    // Token-budget epoch solver (q149's temperature mixture extended to
+    // MULTI-epoch allocation with a repetition cap): sources tiered into
+    // two named domains plus a lumped web tier so the gate exercises both
+    // branches — the small tiers hit the 3-epoch cap and water-filling
+    // pushes their freed budget into the uncapped web tier. The oracle
+    // unrolls the identical four rounds as chained CTEs.
+    QueryDef.sql(
+      "q182_token_budget_epochs", {
+        val iter = (k: Int) =>
+          s"""p$k AS (
+             |  SELECT SUM(CASE WHEN NOT capped THEN w END) AS wsum,
+             |    CAST(40000 AS DOUBLE) - COALESCE(SUM(CASE WHEN capped THEN alloc END), 0.0) AS rem
+             |  FROM i${k - 1}),
+             |i$k AS (
+             |  SELECT source, n_tok, w, cap,
+             |    (capped OR raw >= cap) AS capped, LEAST(raw, cap) AS alloc
+             |  FROM (SELECT i${k - 1}.*, CASE WHEN capped THEN alloc
+             |          WHEN wsum > 0 AND rem > 0 THEN w / wsum * rem
+             |          ELSE 0.0 END AS raw
+             |        FROM i${k - 1} CROSS JOIN p$k))""".stripMargin
+        s"""WITH tiers AS (
+           |  SELECT CASE WHEN source IN ('src0', 'src1') THEN source ELSE 'web' END AS source,
+           |    unnest(regexp_extract_all(text, '[A-Za-z]+')) AS term
+           |  FROM documents),
+           |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tiers GROUP BY 1),
+           |w AS (SELECT source, n_tok, pow(n_tok, 0.5) AS w,
+           |        CAST(n_tok AS DOUBLE) * 3.0 AS cap FROM tot),
+           |ws AS (SELECT SUM(w) AS wsum_all FROM w),
+           |i0 AS (SELECT source, n_tok, w, cap, false AS capped, 0.0 AS alloc FROM w),
+           |${(1 to 4).map(iter).mkString(",\n")}
+           |SELECT source, n_tok, ROUND(w / wsum_all, 6) AS weight,
+           |  ROUND(alloc, 4) AS alloc_tok, ROUND(alloc / n_tok, 6) AS epochs, capped
+           |FROM i4 CROSS JOIN ws ORDER BY source""".stripMargin
+      }) { (s, d) =>
+      val toks = Tables.documents(s, d).select(
+        when(col("source").isin("src0", "src1"), col("source"))
+          .otherwise(lit("web")).as("source"),
+        size(TextAnalysis.wordTokens(col("text"))).cast("long").as("n_tokens"))
+      graft.llm.Mixing.tokenBudgetEpochs(toks, "n_tokens", "source",
+          alpha = 0.5, budgetTokens = 40000L, maxEpochs = 3.0, iters = 4)
+        .orderBy(col("source"))
     }
   )
 

@@ -1677,4 +1677,73 @@ class LlmSpec extends SparkSpec {
     val kept = Mixing.sampleToTemperature(df, "id", "n_tok", "source", 0.5, 555L)
     assert(kept.count() > 0 && kept.count() < df.count())
   }
+
+  test("bigramLogProb: hand-computed model, short docs surface as (0, NULL)") {
+    import spark.implicits._
+    // corpus: "a b a b" (bigrams ab, ba, ab), "b a" (ba), "x" (none), "" (none)
+    val df = Seq((1L, "a b a b"), (2L, "b a"), (3L, "x"), (4L, ""))
+      .toDF("id", "text")
+    val out = graft.llm.TextAnalysis.bigramLogProb(df, "id", "text", lambda = 0.75)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    // corpus counts: unigrams a=3, b=3, x=1, T=7
+    // bigram counts: (a,b)=2, (b,a)=2; contexts: a·=2, b·=2
+    val pAB = 0.75 * 2.0 / 2.0 + 0.25 * 3.0 / 7.0 // P(b|a) leg + P(b)
+    val pBA = 0.75 * 2.0 / 2.0 + 0.25 * 3.0 / 7.0
+    val d1 = BigDecimal((2 * math.log(pAB) + math.log(pBA)) / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 === 3L)
+    assert(math.abs(out(1L)._2.get - d1) < 1e-9, s"doc1 score: ${out(1L)}")
+    assert(out(2L) === ((1L, Some(BigDecimal(math.log(pBA))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))))
+    // <2 tokens: no bigram positions, explicit (0, NULL) — never dropped
+    assert(out(3L) === ((0L, None)))
+    assert(out(4L) === ((0L, None)))
+  }
+
+  test("keepBestInCluster: argmax per component, min-id ties, singletons keep") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L), (5L, 1L), (6L, 2L))
+      .toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val out = graft.llm.Dedup.keepBestInCluster(docs, "id", "score", pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    // cluster {1,2,3}: 2 and 3 tie at 30 — smaller id 2 wins
+    assert(out(1L) === ((1L, false)))
+    assert(out(2L) === ((1L, true)))
+    assert(out(3L) === ((1L, false)))
+    // singleton keeps itself
+    assert(out(4L) === ((4L, true)))
+    // cluster {5,6}: higher score wins even with the larger id
+    assert(out(5L) === ((5L, false)))
+    assert(out(6L) === ((5L, true)))
+    // exactly one winner per component
+    val df2 = graft.llm.Dedup.keepBestInCluster(docs, "id", "score", pairs)
+    assert(df2.filter(col("kept")).groupBy(col("component")).count()
+      .filter(col("count") =!= 1L).count() === 0L)
+  }
+
+  test("tokenBudgetEpochs: water-filling caps the small source and refills the big one") {
+    import spark.implicits._
+    import graft.llm.Mixing
+    // A: 100 tokens, B: 10000 tokens; budget 12000, cap 2 epochs, alpha 0.5
+    val rows = (1 to 10).map(i => (i.toLong, "A", 10L)) ++
+      (11 to 20).map(i => (i.toLong, "B", 1000L))
+    val df = rows.toDF("id", "source", "n_tok")
+    val out = Mixing.tokenBudgetEpochs(df, "n_tok", "source",
+        alpha = 0.5, budgetTokens = 12000L, maxEpochs = 2.0)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Double]("alloc_tok"), r.getAs[Double]("epochs"),
+          r.getAs[Boolean]("capped")))).toMap
+    // round 1: wA=10, wB=100; rawA = 12000·10/110 ≈ 1090.9 > cap 200 → capped
+    assert(out("A") === ((200.0, 2.0, true)), s"A: $out")
+    // round 2: rem = 11800 splits to B alone; 11800 < cap 20000 → uncapped
+    assert(out("B")._1 === 11800.0 && !out("B")._3, s"B: $out")
+    assert(math.abs(out("B")._2 - 1.18) < 1e-9)
+    // all-capped: budget beyond maxEpochs·total leaves the excess unspent
+    val all = Mixing.tokenBudgetEpochs(df, "n_tok", "source",
+        alpha = 0.5, budgetTokens = 1000000L, maxEpochs = 2.0)
+      .collect().map(r => (r.getAs[Double]("epochs"), r.getAs[Boolean]("capped")))
+    assert(all.forall { case (e, c) => c && math.abs(e - 2.0) < 1e-9 }, all.toSeq)
+  }
 }
