@@ -73,6 +73,30 @@ case class AsciiTokens(child: Expression)
   override protected def withNewChildInternal(c: Expression): AsciiTokens = copy(child = c)
 }
 
+/** Uppercase-HEX byte n-grams of the UTF-8 byte stream, stride 1,
+  * multiplicity preserved — the fastText-style feature shape that gives
+  * every script (CJK, Cyrillic, Arabic, emoji) features where the
+  * `[A-Za-z]+` word path sees nothing. Emitting each gram as its hex
+  * STRING (not raw bytes) keeps the downstream md5 feature bucket
+  * engine-portable: DuckDB replays the exact token stream as
+  * `substr(hex(encode(t)), 2*i-1, 2*n)` over i = 1 .. bytes−n+1 (the
+  * q172 hex-recovery contract). Fewer than n bytes → EMPTY array (a
+  * document that cannot hold an n-byte window emits no features).
+  * Reference anchor: byte-offset string layout,
+  * `src/structs/variants/string.rs:106-115`.
+  */
+case class ByteNgrams(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+  require(n >= 1, "byte n-gram width >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = s"byte_ngrams$n"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.byteNgrams(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expressions.TextKernels.byteNgrams($v, $n)")
+  override protected def withNewChildInternal(c: Expression): ByteNgrams = copy(child = c)
+}
+
 /** k-permutation MinHash signature of the document's n-shingle set, in one
   * pass: tokenize → shingle → FNV-1a hash → k universal-hash minima over
   * the 31-bit prime field. Permutation constants derive deterministically
@@ -138,6 +162,30 @@ object TextKernels {
       i += 1
     }
     new String(out)
+  }
+
+  private val HexU = "0123456789ABCDEF".toCharArray
+
+  /** Uppercase-hex byte n-grams, stride 1, multiplicity preserved;
+    * fewer than n bytes → empty. One hex pass, then 2n-char slices.
+    */
+  def byteNgrams(s: UTF8String, n: Int): ArrayData = {
+    val b = s.getBytes
+    if (b.length < n) return new GenericArrayData(Array.empty[Any])
+    val hex = new Array[Char](2 * b.length)
+    var i = 0
+    while (i < b.length) {
+      hex(2 * i) = HexU((b(i) >> 4) & 0xf)
+      hex(2 * i + 1) = HexU(b(i) & 0xf)
+      i += 1
+    }
+    val out = new Array[Any](b.length - n + 1)
+    var j = 0
+    while (j + n <= b.length) {
+      out(j) = UTF8String.fromString(new String(hex, 2 * j, 2 * n))
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Lowercased ASCII letter-run tokens, multiplicity preserved. */

@@ -49,10 +49,11 @@ object Classify {
     * triplets.
     */
   def nbTrain(df: DataFrame, labelCol: String, textCol: String,
-      buckets: Int = 64, alpha: Double = 0.5): DataFrame = {
+      buckets: Int = 64, alpha: Double = 0.5,
+      tokens: Column => Column = TextAnalysis.wordTokens): DataFrame = {
     require(buckets > 0, s"bucket count must be positive: $buckets")
     val toks = df.select(col(labelCol).as("label"),
-      explode(TextAnalysis.wordTokens(col(textCol))).as("term"))
+      explode(tokens(col(textCol))).as("term"))
     val counts = toks
       .select(col("label"), featureBucket(col("term"), buckets).as("bucket"))
       .groupBy(col("label"), col("bucket")).agg(count(lit(1)).as("c"))
@@ -157,9 +158,10 @@ object Classify {
     * in the join, not silently).
     */
   def nbClassify(df: DataFrame, idCol: String, textCol: String,
-      model: DataFrame, buckets: Int = 64): DataFrame = {
+      model: DataFrame, buckets: Int = 64,
+      tokens: Column => Column = TextAnalysis.wordTokens): DataFrame = {
     val docBuckets = df.select(col(idCol).as("id"),
-        explode(TextAnalysis.wordTokens(col(textCol))).as("term"))
+        explode(tokens(col(textCol))).as("term"))
       .select(col("id"), featureBucket(col("term"), buckets).as("bucket"))
       .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("c"))
     // EXACT long arithmetic end to end: identical on any engine in any

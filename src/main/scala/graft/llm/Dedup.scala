@@ -499,9 +499,27 @@ object Dedup {
     // caller's still-lazy plan may be mid-read (each returned reader pins
     // its own attempt; orphaned attempts share the scratch-area lifetime —
     // retained until the caller retires the index dir)
-    val path = indexDir.stripSuffix("/") +
-      s"/scratch/$family/epoch=$epoch/attempt_${java.util.UUID.randomUUID()}"
+    val epochDir = indexDir.stripSuffix("/") + s"/scratch/$family/epoch=$epoch"
+    val path = epochDir + s"/attempt_${java.util.UUID.randomUUID()}"
     lazyDf.write.mode("overwrite").parquet(path)
+    // reclaim ORPHANED sibling attempts past a retention window: a re-run
+    // of the same epoch otherwise accumulates scratch copies unboundedly
+    // until the whole index dir is retired. The window (1 h) is far longer
+    // than any plan keeps a lazy scratch reader open mid-query, so an
+    // earlier attempt's reader is never yanked; deletion is best-effort
+    // (another writer racing the same cleanup is harmless).
+    try {
+      val conf = lazyDf.sparkSession.sparkContext.hadoopConfiguration
+      val dir = new org.apache.hadoop.fs.Path(epochDir)
+      val fs = dir.getFileSystem(conf)
+      val cutoff = System.currentTimeMillis() - 3600L * 1000L
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("attempt_") && name != new org.apache.hadoop.fs.Path(path).getName
+            && st.getModificationTime < cutoff)
+          fs.delete(st.getPath, true)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
     lazyDf.sparkSession.read.schema(lazyDf.schema).parquet(path)
   }
 

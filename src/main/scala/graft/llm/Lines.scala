@@ -67,10 +67,20 @@ object Lines {
     */
   def lineDedupIncrement(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, epoch: Long): DataFrame = {
+    // the packed key is only injective when the doc id is a non-null long
+    // ≤ ~9.2e12 and the doc has < 10⁶ lines — outside that envelope the
+    // key silently collides (or nulls) and corrupts verdicts, so fail
+    // LOUDLY per-row instead (raise_error evaluates lazily in the plan)
+    val packable = col("id").isNotNull &&
+      col("line_idx") < 1000000L && abs(col("id")) < 9200000000000L
     val lines = batch.select(col(idCol).cast("long").as("id"),
         posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "line")))
       .filter(trim(col("line")) =!= "")
-      .withColumn("__lid", col("id") * 1000000L + col("line_idx"))
+      .withColumn("__lid", when(packable, col("id") * 1000000L + col("line_idx"))
+        .otherwise(raise_error(concat(
+          lit("lineDedupIncrement: unpackable line key (need non-null long id < 9.2e12, < 1e6 lines/doc); id="),
+          coalesce(col("id").cast("string"), lit("NULL")),
+          lit(" line_idx="), col("line_idx").cast("string")))))
     val verdicts = Dedup.exactDedupIncrement(lines, "__lid",
       md5(trim(col("line")).cast("binary")), indexDir, epoch)
     lines.join(verdicts.select(col("id").as("__lid"), col("kept")), Seq("__lid"))

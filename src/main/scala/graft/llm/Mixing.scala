@@ -101,8 +101,10 @@ object Mixing {
     *   raw_s = w_s / Σ_uncapped w · rem      (the pool splits it by weight)
     *   alloc_s = min(raw_s, cap_s), newly over-cap sources leave the pool.
     * One round caps at least one source or changes nothing, so
-    * iters = 4 is exact for any fixture-sized source list and within one
-    * round of exact for any real corpus (|sources| is never large).
+    * |sources| rounds are exact for ANY input; the default (iters ≤ 0)
+    * auto-sizes to the source count so no residual budget is ever left
+    * silently unspent. An explicit iters pins the round count (the
+    * oracle-replay path, where the SQL unrolls a fixed number).
     *
     * Scale shape: one corpus aggregate to a |sources|-row frame, then
     * `iters` scalar-aggregate + broadcast-cross rounds over that frame —
@@ -112,22 +114,27 @@ object Mixing {
     */
   def tokenBudgetEpochs(df: DataFrame, tokenCol: String, sourceCol: String,
       alpha: Double, budgetTokens: Long, maxEpochs: Double,
-      iters: Int = 4): DataFrame = {
+      iters: Int = 0): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"temperature alpha must be in (0,1]: $alpha")
     require(budgetTokens > 0, s"token budget must be positive: $budgetTokens")
     require(maxEpochs > 0, s"epoch cap must be positive: $maxEpochs")
-    require(iters >= 1, s"need at least one water-filling round: $iters")
     val tot = df.groupBy(col(sourceCol).as("source"))
       .agg(sum(col(tokenCol)).cast("long").as("n_tok"))
       .persist() // |sources| rows; every round re-reads it
     graft.ops.CacheRegistry.register(tot)
+    // each round caps ≥1 source or is a fixpoint, so |sources| rounds are
+    // EXACT for any input; iters ≤ 0 (the default) auto-sizes to that —
+    // a fixed small round count would silently under-allocate when more
+    // sources cap sequentially than there are rounds. tot is |sources|
+    // rows and persisted, so the sizing count is a bounded metadata pass.
+    val rounds = if (iters >= 1) iters else math.max(1, tot.count().toInt)
     val wsumAll = tot.agg(sum(pow(col("n_tok"), lit(alpha))).as("wsum_all"))
     var cur = tot.crossJoin(broadcast(wsumAll))
       .withColumn("w", pow(col("n_tok"), lit(alpha)))
       .withColumn("cap", col("n_tok").cast("double") * maxEpochs)
       .withColumn("capped", lit(false))
       .withColumn("alloc", lit(0.0))
-    for (_ <- 1 to iters) {
+    for (_ <- 1 to rounds) {
       val pool = cur.agg(
         sum(when(!col("capped"), col("w"))).as("wsum"),
         (lit(budgetTokens.toDouble)
@@ -174,11 +181,12 @@ object Mixing {
     * (there is no distribution to resample toward).
     */
   def dsirWeights(df: DataFrame, idCol: String, textCol: String, targetPred: Column,
-      buckets: Int = 64, alpha: Double = 0.5): DataFrame = {
+      buckets: Int = 64, alpha: Double = 0.5,
+      tokens: Column => Column = TextAnalysis.wordTokens): DataFrame = {
     require(buckets > 0, s"bucket count must be positive: $buckets")
     require(alpha > 0, s"smoothing alpha must be positive: $alpha")
     val toks = df.select(col(idCol).as("id"), targetPred.as("is_target"),
-      explode(TextAnalysis.wordTokens(col(textCol))).as("term"))
+      explode(tokens(col(textCol))).as("term"))
     val bc = toks
       .select(col("id"), col("is_target"),
         (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("long") % buckets).as("bucket"))

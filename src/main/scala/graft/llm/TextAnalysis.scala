@@ -22,6 +22,19 @@ object TextAnalysis {
   def wordTokens(c: Column): Column =
     toCol(graft.expressions.AsciiTokens(toExpr(c.cast("string"))))
 
+  /** Uppercase-hex BYTE n-grams (stride 1, multiplicity preserved) — the
+    * script-agnostic feature path beside [[wordTokens]]: a CJK / Cyrillic
+    * / Arabic document presents zero `[A-Za-z]+` features but a full byte
+    * stream, so every token statistic and trained classifier taking a
+    * tokenizer can see non-Latin text through this one (the fastText
+    * feature shape). Hex STRINGS keep the md5 feature bucket portable;
+    * oracles replay the exact stream as
+    * `list_transform(range(1, octet_length(encode(t)) - n + 2),
+    *    i -> substr(hex(encode(t)), 2*i - 1, 2*n))`.
+    */
+  def byteNgrams(c: Column, n: Int): Column =
+    toCol(graft.expressions.ByteNgrams(toExpr(c.cast("string")), n))
+
   /** Repetition filters (the public Gopher/MassiveText quality-rule family):
     * fraction of distinct unigrams and the duplicate-bigram fraction. High
     * repetition marks boilerplate/generated text. `toks` must be a
@@ -261,8 +274,9 @@ object TextAnalysis {
     * a quality filter must see them, not silently drop them.
     */
   def unigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame = {
-    val terms = df.select(col(idCol).as("id"), explode(wordTokens(col(textCol))).as("term"))
+      textCol: String,
+      tokens: Column => Column = wordTokens): org.apache.spark.sql.DataFrame = {
+    val terms = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col("id"), col("term")).agg(count(lit(1)).as("c"))
       .persist() // model totals re-aggregate the counts; never re-tokenize
     graft.ops.CacheRegistry.register(tf)

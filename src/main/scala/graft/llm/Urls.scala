@@ -94,6 +94,11 @@ object Urls {
     }
     chain
       .when(host.rlike("\\."), regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+      // an unparseable URL extracts host '' — that is NOT a registrable
+      // domain; mapping it to NULL keeps the documented NULL-domain
+      // contract (blocklists, domainStats) applying to malformed URLs
+      // instead of grouping them under an empty-string domain
+      .when(host === "", lit(null).cast("string"))
       .otherwise(host)
   }
 
@@ -110,6 +115,7 @@ object Urls {
     (s"CASE WHEN $hostExpr IN ($bare) THEN NULL " +
       s"${whens.mkString(" ")} " +
       s"WHEN $hostExpr LIKE '%.%' THEN regexp_extract($hostExpr, '([^.]+\\.[^.]+)$$', 1) " +
+      s"WHEN $hostExpr = '' THEN NULL " +
       s"ELSE $hostExpr END")
   }
 

@@ -97,8 +97,18 @@ object LlmQueries {
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // evict frames pinned by a PREVIOUS session (sbt test, repeated
     // harness runs share one JVM): stale appId keys reference dead-session
-    // DataFrames invisible to CacheRegistry accounting
-    cache.keySet.removeIf(k => !k.startsWith(s.sparkContext.applicationId + "|"))
+    // DataFrames invisible to CacheRegistry accounting. Unpersist the
+    // evictee too — if the old context is still alive its cached blocks
+    // would otherwise linger unaccounted; if it is stopped the call throws
+    // and the guard ignores it (blocks died with the context).
+    cache.entrySet().removeIf { e =>
+      val stale = !e.getKey.startsWith(s.sparkContext.applicationId + "|")
+      if (stale) {
+        try e.getValue.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      stale
+    }
     cache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
       val f = build.persist()
       f.count() // materialize eagerly so every consumer hits the cache
@@ -3324,6 +3334,133 @@ object LlmQueries {
       graft.llm.Mixing.tokenBudgetEpochs(toks, "n_tokens", "source",
           alpha = 0.5, budgetTokens = 40000L, maxEpochs = 3.0, iters = 4)
         .orderBy(col("source"))
+    },
+
+    // BYTE-feature trained lang-ID — the non-Latin twin of q165: the
+    // `[A-Za-z]+` word path presents ZERO features for CJK/Cyrillic/Arabic
+    // text (the one operator whose whole purpose is telling those
+    // languages apart), so this head trains on uppercase-hex byte
+    // 3-grams (ByteNgrams kernel — the fastText feature shape) over a
+    // four-script fixture built identically on both engines. Held-out
+    // split doc_id % 5 = 0; LlmSpec asserts the held-out accuracy is
+    // 100% (the scripts are byte-disjoint), proving non-Latin labels
+    // separate — not just that the arithmetic replays.
+    QueryDef.sql(
+      "q183_nb_langid_bytes", {
+        val tok = (src: String) => byteNgramSql("t", 3)
+        s"""WITH mdocs AS ($multiDocsSql),
+           |train AS (SELECT * FROM mdocs WHERE doc_id % 5 <> 0),
+           |ttok AS (SELECT lang AS label, unnest(${tok("train")}) AS term FROM train),
+           |tcnt AS (SELECT label,
+           |           CAST(('0x' || substring(md5(term), 1, 4)) AS BIGINT) % 256 AS bucket,
+           |           CAST(COUNT(*) AS BIGINT) AS c
+           |         FROM ttok GROUP BY 1, 2),
+           |tot AS (SELECT label, CAST(SUM(c) AS BIGINT) AS n FROM tcnt GROUP BY 1),
+           |docs AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS nd FROM train GROUP BY 1),
+           |ndt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ndt FROM train),
+           |grid AS (SELECT d.label, b.bucket, COALESCE(t.n, 0) AS n, d.nd
+           |         FROM docs d LEFT JOIN tot t USING (label)
+           |         CROSS JOIN (SELECT unnest(range(0, 256)) AS bucket) b),
+           |wts AS (SELECT g.label, CAST(g.bucket AS BIGINT) AS bucket,
+           |          CAST(ROUND(ln((COALESCE(c.c, 0) + 0.5) / (g.n + 0.5 * 256)) * 1e9, 0) AS BIGINT) AS w_u,
+           |          CAST(ROUND(ln(g.nd / ndt.ndt) * 1e9, 0) AS BIGINT) AS prior_u
+           |        FROM grid g LEFT JOIN tcnt c ON c.label = g.label AND c.bucket = g.bucket
+           |        CROSS JOIN ndt),
+           |dtok AS (SELECT doc_id, unnest(${tok("mdocs")}) AS term FROM mdocs),
+           |db AS (SELECT doc_id,
+           |         CAST(('0x' || substring(md5(term), 1, 4)) AS BIGINT) % 256 AS bucket,
+           |         CAST(COUNT(*) AS BIGINT) AS c
+           |       FROM dtok GROUP BY 1, 2),
+           |sc AS (SELECT db.doc_id, w.label, CAST(SUM(db.c) AS BIGINT) AS n_tok,
+           |         CAST(MAX(w.prior_u) + SUM(db.c * w.w_u) AS BIGINT) AS score_u
+           |       FROM db JOIN wts w USING (bucket) GROUP BY 1, 2),
+           |rk AS (SELECT *,
+           |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_u DESC, label) AS rn,
+           |         LEAD(label) OVER (PARTITION BY doc_id ORDER BY score_u DESC, label) AS ru,
+           |         LEAD(score_u) OVER (PARTITION BY doc_id ORDER BY score_u DESC, label) AS rus
+           |       FROM sc)
+           |SELECT m.doc_id, m.lang AS true_lang, COALESCE(r.n_tok, 0) AS n_tok,
+           |  r.label AS predicted, r.score_u, r.ru AS runner_up,
+           |  r.score_u - r.rus AS margin_u,
+           |  COALESCE(r.label = m.lang, false) AS correct
+           |FROM mdocs m LEFT JOIN (SELECT * FROM rk WHERE rn = 1) r USING (doc_id)
+           |ORDER BY m.doc_id""".stripMargin
+      }) { (s, d) =>
+      val m = multiDocs(s, d)
+      val bytes3: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => TextAnalysis.byteNgrams(c, 3)
+      val model = graft.llm.Classify.nbTrain(
+        m.filter(pmod(col("doc_id"), lit(5)) =!= 0), "lang", "t",
+        buckets = 256, alpha = 0.5, tokens = bytes3)
+      graft.llm.Classify.nbClassify(m, "doc_id", "t", model,
+          buckets = 256, tokens = bytes3)
+        .join(m.select(col("doc_id").as("id"), col("lang").as("true_lang")), Seq("id"))
+        .select(col("id").as("doc_id"), col("true_lang"), col("n_tok"),
+          col("predicted"), col("score_u"), col("runner_up"), col("margin_u"),
+          coalesce(col("predicted") === col("true_lang"), lit(false)).as("correct"))
+        .orderBy(col("doc_id"))
+    },
+
+    // BYTE-feature DSIR importance weights — q153's resampling machinery
+    // on byte 2-grams over the four-script fixture, target = the zh
+    // slice: with word features every non-Latin document scores
+    // (n_tok=0, NULL); here every document carries features and the
+    // weights genuinely separate scripts.
+    QueryDef.sql(
+      "q184_dsir_bytes",
+      s"""WITH mdocs AS ($multiDocsSql),
+         |toks AS (SELECT doc_id AS id, lang = 'zh' AS is_target,
+         |           unnest(${byteNgramSql("t", 2)}) AS term
+         |         FROM mdocs),
+         |bc AS (
+         |  SELECT id, is_target,
+         |    CAST(('0x' || substring(md5(term), 1, 4)) AS BIGINT) % 256 AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM toks GROUP BY 1, 2, 3),
+         |tgt AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS tc FROM bc WHERE is_target GROUP BY 1),
+         |cor AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS cc FROM bc GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(c) AS DOUBLE) AS tt FROM bc WHERE is_target),
+         |ct AS (SELECT CAST(SUM(c) AS DOUBLE) AS ct FROM bc),
+         |doc AS (
+         |  SELECT id, CAST(SUM(c) AS BIGINT) AS n_tok,
+         |    SUM(c * ln(((COALESCE(tc, 0) + 0.5) / (tt + 128.0)) /
+         |               ((cc + 0.5) / (ct + 128.0)))) / SUM(c) AS w
+         |  FROM bc JOIN cor USING (bucket) LEFT JOIN tgt USING (bucket)
+         |       CROSS JOIN tt CROSS JOIN ct
+         |  GROUP BY id)
+         |SELECT m.doc_id AS id, COALESCE(doc.n_tok, 0) AS n_tok,
+         |  ROUND(doc.w, 6) AS dsir_logw
+         |FROM mdocs m LEFT JOIN doc ON doc.id = m.doc_id
+         |ORDER BY id""".stripMargin) { (s, d) =>
+      graft.llm.Mixing.dsirWeights(multiDocs(s, d), "doc_id", "t",
+          col("lang") === "zh", buckets = 256, alpha = 0.5,
+          tokens = c => TextAnalysis.byteNgrams(c, 2))
+        .orderBy(col("id"))
+    },
+
+    // BYTE-feature unigram LM score — q150's corpus-as-its-own-model
+    // perplexity filter on byte 3-grams over the four-script fixture: a
+    // byte-LM prices EVERY script (the word-token leg prices non-Latin
+    // text at n_tok=0/NULL), which is what the quantile-selection and
+    // mixing layers need for multilingual corpora.
+    QueryDef.sql(
+      "q185_unigram_logprob_bytes",
+      s"""WITH mdocs AS ($multiDocsSql),
+         |terms AS (SELECT doc_id AS id, unnest(${byteNgramSql("t", 3)}) AS term FROM mdocs),
+         |tf AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS c FROM terms GROUP BY 1, 2),
+         |model AS (SELECT term, CAST(SUM(c) AS BIGINT) AS ct FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM tf),
+         |doc AS (
+         |  SELECT id, CAST(SUM(c) AS BIGINT) AS n_tok,
+         |    SUM(c * ln(CAST(ct AS DOUBLE) / t)) / SUM(c) AS lp
+         |  FROM tf JOIN model USING (term) CROSS JOIN tot GROUP BY id)
+         |SELECT m.doc_id AS id, COALESCE(doc.n_tok, 0) AS n_tok,
+         |  ROUND(doc.lp, 6) AS avg_logp
+         |FROM mdocs m LEFT JOIN doc ON doc.id = m.doc_id
+         |ORDER BY id""".stripMargin) { (s, d) =>
+      TextAnalysis.unigramLogProb(multiDocs(s, d), "doc_id", "t",
+          tokens = c => TextAnalysis.byteNgrams(c, 3))
+        .orderBy(col("id"))
     }
   )
 
@@ -3368,4 +3505,71 @@ object LlmQueries {
       .otherwise(
         concat(lit("https://shop.example.com/?utm=abc&id="), id, lit("&")))
   }
+
+  /** Four-script multilingual phrase bank (zh / ru / ar / en; index =
+    * doc_id % 4, three phrase variants per language) — ONE definition
+    * feeding both the Spark fixture builder and the oracle SQL literals,
+    * so the byte-feature gate rows (q183-q185) see the identical
+    * non-Latin corpus on both engines. Phrases are each language's
+    * most-common function words: byte-disjoint across scripts, which is
+    * what lets LlmSpec assert perfect held-out separation.
+    */
+  private lazy val multiPhrases: Seq[(String, Seq[String])] = Seq(
+    "zh" -> Seq(
+      "的 是 不 了 人 我 在 有 他 这",
+      "中 大 来 上 国 个 到 说 们 为",
+      "子 和 你 地 出 道 也 时 年 得"),
+    "ru" -> Seq(
+      "и в не на я что он как по это",
+      "она так его но да ты к у мы за",
+      "вы со бы же от все о мне было еще"),
+    "ar" -> Seq(
+      "في من على أن هذا إلى كان التي عن مع",
+      "هو كل لم ما أو وقد لا كما فيه قال",
+      "ذلك أي أكثر عند غير بين بعد حيث لكن منذ"),
+    "en" -> Seq(
+      "the and of to in it is was he for",
+      "that on with as at by this had not are",
+      "but from or have an they which one you were"))
+
+  /** The multilingual fixture as a DuckDB CTE body: (doc_id, lang, t)
+    * with lang = doc_id % 4 over [[multiPhrases]], phrase variant
+    * (doc_id % 12) // 4, and the doc id appended so texts stay unique.
+    */
+  private lazy val multiDocsSql: String = {
+    val langCase = multiPhrases.zipWithIndex
+      .map { case ((l, _), i) => s"WHEN $i THEN '$l'" }.mkString(" ")
+    val textCase = multiPhrases.zipWithIndex.map { case ((_, ps), i) =>
+      s"WHEN $i THEN (CASE (doc_id % 12) // 4 WHEN 0 THEN ${sqlQuote(ps(0))} " +
+        s"WHEN 1 THEN ${sqlQuote(ps(1))} ELSE ${sqlQuote(ps(2))} END)"
+    }.mkString(" ")
+    s"SELECT doc_id, CASE doc_id % 4 $langCase END AS lang, " +
+      s"(CASE doc_id % 4 $textCase END) || ' doc ' || CAST(doc_id AS VARCHAR) AS t " +
+      "FROM documents"
+  }
+
+  /** Column twin of [[multiDocsSql]]: (doc_id, lang, t). */
+  private def multiDocs(s: org.apache.spark.sql.SparkSession, d: String):
+      org.apache.spark.sql.DataFrame = {
+    val docId = col("doc_id")
+    val variant = floor(pmod(docId, lit(12)) / 4).cast("int")
+    val lang = multiPhrases.zipWithIndex.foldLeft(when(lit(false), lit(""))) {
+      case (acc, ((l, _), i)) => acc.when(pmod(docId, lit(4)) === i, lit(l)) }
+    val phrase = multiPhrases.zipWithIndex.foldLeft(when(lit(false), lit(""))) {
+      case (acc, ((_, ps), i)) =>
+        ps.zipWithIndex.foldLeft(acc) { case (a, (p, v)) =>
+          a.when(pmod(docId, lit(4)) === i && variant === v, lit(p)) }
+    }
+    Tables.documents(s, d).select(docId, lang.as("lang"),
+      concat(phrase, lit(" doc "), docId.cast("string")).as("t"))
+  }
+
+  /** DuckDB replay of [[TextAnalysis.byteNgrams]] over SQL expression
+    * `expr`: the 2n-hex-char slices of hex(encode(expr)) at odd offsets —
+    * the q172 hex-recovery contract applied to sliding windows. Empty
+    * when the text holds fewer than n bytes (range upper bound < 1).
+    */
+  private def byteNgramSql(expr: String, n: Int): String =
+    s"list_transform(range(1, octet_length(encode($expr)) - $n + 2), " +
+      s"i -> substr(hex(encode($expr)), 2*i - 1, ${2 * n}))"
 }

@@ -48,6 +48,23 @@ object KernelLaws extends Properties("graft.kernels") {
       StrKernels.simHash64(u(a)) == ha && d >= 0 && d <= 64
     }
 
+  private val scriptMixText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar, 2 -> Gen.const(' '),
+      2 -> Gen.oneOf('的', 'и', 'ف', 'é', '€'))).map(_.mkString)
+
+  property("byteNgrams = 2n-hex slices of the UTF-8 hex encoding at every offset") =
+    forAll(scriptMixText, Gen.choose(1, 4)) { (s, n) =>
+      val arr = TextKernels.byteNgrams(u(s), n)
+      val got = (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+      val bytes = s.getBytes("UTF-8")
+      val hex = bytes.map(b => f"${b & 0xff}%02X").mkString
+      val ref =
+        if (bytes.length < n) Seq.empty
+        else (0 to bytes.length - n).map(i => hex.substring(2 * i, 2 * i + 2 * n))
+      got == ref
+    }
+
   property("shingles(1) = distinct lowercase [a-z]+ tokens in order") =
     forAll(asciiText) { s =>
       val got = {

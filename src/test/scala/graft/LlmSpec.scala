@@ -1145,6 +1145,47 @@ class LlmSpec extends SparkSpec {
       math.abs(bw(0).getLong(0) - math.log(1.0 / 32) * 1e9) < 2)
   }
 
+  test("byte-ngram features: non-Latin scripts separate in trained lang-ID where word tokens are blind") {
+    import graft.llm.{Classify, TextAnalysis}
+    val docs = (0L until 48L).map { i =>
+      val (label, phrase) = (i % 4) match {
+        case 0 => ("zh", "的 是 不 了 人 我 在 有")
+        case 1 => ("ru", "и в не на я что он как")
+        case 2 => ("ar", "في من على أن هذا إلى")
+        case _ => ("en", "the and of to in it is")
+      }
+      (i, label, s"$phrase ${i}") // digit suffix only: non-Latin docs have ZERO [A-Za-z]+ tokens
+    }
+    val df = docs.toDF("id", "label", "text")
+    val train = df.filter(col("id") % 5 =!= 0)
+    // the blindness this path fixes: under word tokens every non-Latin doc
+    // presents zero features → n_tok 0, NULL prediction
+    val wordModel = Classify.nbTrain(train, "label", "text", buckets = 64, alpha = 0.5)
+    val wordOut = Classify.nbClassify(df, "id", "text", wordModel, buckets = 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) null else r.getString(2))).toMap
+    docs.filter(d => d._2 != "en").foreach { case (i, _, _) =>
+      assert(wordOut(i) === ((0L, null)), s"word path should be blind to doc $i")
+    }
+    // byte 3-grams: every doc carries features and separates PERFECTLY,
+    // including the held-out ids (id % 5 == 0)
+    val bytes3: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => TextAnalysis.byteNgrams(c, 3)
+    val byteModel = Classify.nbTrain(train, "label", "text",
+      buckets = 256, alpha = 0.5, tokens = bytes3)
+    val byteOut = Classify.nbClassify(df, "id", "text", byteModel,
+        buckets = 256, tokens = bytes3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    docs.foreach { case (i, label, _) =>
+      assert(byteOut(i)._1 > 0L, s"doc $i presented no byte features")
+      assert(byteOut(i)._2 === label, s"doc $i misclassified on byte features")
+    }
+    // kernel shape: grams are 2n uppercase-hex chars, count = bytes-n+1
+    val grams = df.sparkSession.range(1).select(
+      TextAnalysis.byteNgrams(lit("abc"), 2).as("g")).collect()(0).getSeq[String](0)
+    assert(grams === Seq("6162", "6263"))
+  }
+
   test("fuzzyOverlap: max-Jaccard argmax, row-preserving, null text reports 0 grams") {
     import graft.llm.Decontaminate
     val train = Seq(
