@@ -440,6 +440,154 @@ object TextAnalysis {
           _.groupBy(col("id"), col("term")).agg(sum(col("c")).as("c")))
     }
 
+  /** STREAMING quality-quantile selection against a generationally FROZEN
+    * model — the scale-safe twin of [[qualityQuantileStreaming]] and the
+    * shape the original pipeline actually runs (CCNet scores against a
+    * FIXED reference LM; it never re-scores the corpus per batch). Where
+    * the moving-model leg re-reads all settled history and re-scores
+    * every document ever seen on every trigger (O(corpus) work and I/O
+    * per trigger, forever — the history-length axis that kills it at
+    * 100 TB), this one:
+    *
+    *   - freezes the unigram model and the quantile cutoff ONCE per
+    *     generation (`generationEvery` batches): generation g ≥ 1 scores
+    *     against the counts of batches [0, g·G) and the p-q cutoff over
+    *     those batches' ARRIVAL scores; generation 0 boots on batch 0's
+    *     own counts and scores (the only self-referential step, same as
+    *     the batch semantics on a one-batch corpus);
+    *   - scores each batch's documents ONCE, on arrival, against the
+    *     current generation summary — a document's score is final (the
+    *     CCNet contract), terms outside the frozen vocabulary are
+    *     dropped from both numerator and denominator, and a document
+    *     with no in-model terms surfaces as (n_tok=0, NULL, kept=false);
+    *   - emits keep-set DELTAS — each snapshot holds only that batch's
+    *     documents (the q127 diff shape), not the full cumulative set.
+    *
+    * Per-trigger read = the generation summary (vocabulary-bounded model
+    * + 1-row cutoff) + the batch. Boundary triggers additionally fold the
+    * settled term counts (Heaps-bounded) and read settled arrival scores
+    * once (O(docs), amortized 1/G). State: `terms/` epoch-partitioned
+    * batch vocab counts, `scores/` epoch-partitioned arrival scores,
+    * `models/` + `cuts/` gen-partitioned frozen summaries — all writes
+    * dynamic-overwrite, so at-least-once re-runs converge (a re-run
+    * boundary re-derives the identical summary from settled state).
+    *
+    * Returns the snapshots read back from `outDir`:
+    * (batch_id, id, n_tok, avg_logp, kept).
+    */
+  def qualityQuantileStreamingFrozen(spark: org.apache.spark.sql.SparkSession,
+      stagedDir: String, schema: org.apache.spark.sql.types.StructType,
+      idCol: String, textCol: String,
+      q: Double, stateDir: String, outDir: String,
+      checkpointDir: Option[String] = None,
+      shufflePartitions: Int = 0,
+      generationEvery: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(q > 0 && q < 1, s"quantile must be in (0,1): $q")
+    require(generationEvery >= 1, s"generation width must be >= 1: $generationEvery")
+    EpochStream.run(spark, stagedDir, schema, checkpointDir,
+        shufflePartitions, outDir) { (batch, batchId) =>
+      val gen = batchId / generationEvery
+      val tf = batchTermCounts(batch, idCol, textCol).persist()
+      graft.ops.CacheRegistry.register(tf)
+      val tc = tf.filter(col("term").isNotNull)
+        .groupBy(col("term")).agg(sum(col("c")).as("c"))
+      EpochStream.appendEpoch(tc, stateDir + "/terms", batchId)
+      val boundary = batchId % generationEvery == 0
+      if (boundary) {
+        // freeze generation g's model: batch 0 boots on its own counts,
+        // later boundaries fold the settled (Heaps-bounded) term state
+        val model =
+          if (batchId == 0) tc.select(col("term"), col("c").as("ct"))
+          else EpochStream.settled(tc, stateDir + "/terms", batchId)
+            .groupBy(col("term")).agg(sum(col("c")).as("ct"))
+        model.withColumn("gen", lit(gen))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("gen").parquet(stateDir + "/models")
+      }
+      val scored = frozenGenScoreFrame(tf, stateDir, gen)
+      if (boundary) {
+        // freeze generation g's cutoff over ARRIVAL scores: batch 0 over
+        // its own (just computed against its own frozen model), later
+        // generations over all settled scores — the amortized O(docs) read
+        val cutSrc =
+          if (batchId == 0) scored
+          else EpochStream.settled(scored, stateDir + "/scores", batchId)
+        graft.ops.Percentiles.exactPercentiles(
+            cutSrc.filter(col("avg_logp").isNotNull).withColumn("__g", lit(1)),
+            "__g", "avg_logp", Seq(q), Seq("c"))
+          .agg(max(col("c")).as("cutoff"))
+          .withColumn("gen", lit(gen))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("gen").parquet(stateDir + "/cuts")
+      }
+      val verdicts = frozenGenVerdicts(scored, stateDir, gen).persist()
+      graft.ops.CacheRegistry.register(verdicts)
+      EpochStream.appendEpoch(
+        verdicts.select(col("id"), col("n_tok"), col("avg_logp")),
+        stateDir + "/scores", batchId)
+      EpochStream.writeSnapshot(verdicts, outDir, batchId)
+    }
+  }
+
+  /** The batch's `(id, term, c)` count triplets with a NULL-term sentinel
+    * (c = 0) per zero-token document, so those stay in the id universe.
+    */
+  private def batchTermCounts(batch: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    batch.select(col(idCol).as("id"),
+        explode_outer(wordTokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(sum(when(col("term").isNotNull, 1L).otherwise(0L)).as("c"))
+
+  /** Arrival scores of a batch's count triplets against the FROZEN
+    * generation-`gen` model at rest: inner join on the frozen vocabulary
+    * (out-of-model terms drop from numerator and denominator), left join
+    * back to the batch's id universe so featureless docs surface as
+    * (n_tok=0, NULL). Reads ONLY `models/gen=` — the per-trigger input
+    * bound ScaleSpec asserts.
+    */
+  private[graft] def frozenGenScoreFrame(tf: org.apache.spark.sql.DataFrame,
+      stateDir: String, gen: Long): org.apache.spark.sql.DataFrame = {
+    val s = tf.sparkSession
+    val model = s.read.schema("term STRING, ct BIGINT, gen BIGINT")
+      .parquet(stateDir + "/models").filter(col("gen") === gen)
+      .select(col("term"), col("ct"))
+    val total = model.agg(sum(col("ct")).cast("double").as("t"))
+    val scoredRaw = tf.filter(col("term").isNotNull)
+      .join(model, "term").crossJoin(broadcast(total))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_tok"),
+        (sum(col("c") * log(col("ct").cast("double") / col("t"))) / sum(col("c")))
+          .as("lp"))
+    tf.select(col("id")).distinct().join(scoredRaw, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        round(col("lp"), 6).as("avg_logp"))
+  }
+
+  /** Keep verdicts under the frozen generation-`gen` cutoff (1-row read
+    * from `cuts/gen=`; NULL cutoff — no scoreable history — keeps nothing).
+    */
+  private[graft] def frozenGenVerdicts(scored: org.apache.spark.sql.DataFrame,
+      stateDir: String, gen: Long): org.apache.spark.sql.DataFrame = {
+    val cut = scored.sparkSession.read.schema("cutoff DOUBLE, gen BIGINT")
+      .parquet(stateDir + "/cuts").filter(col("gen") === gen)
+      .select(col("cutoff"))
+    scored.crossJoin(broadcast(cut))
+      .select(col("id"), col("n_tok"), col("avg_logp"),
+        coalesce(col("avg_logp") >= col("cutoff"), lit(false)).as("kept"))
+  }
+
+  /** [[frozenGenScoreFrame]] + [[frozenGenVerdicts]] straight from a raw
+    * batch — the one-call form a spec uses to PLAN a non-boundary trigger
+    * and assert its input set (generation summary + batch, nothing else).
+    */
+  private[graft] def frozenQuantileVerdicts(batch: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, stateDir: String,
+      gen: Long): org.apache.spark.sql.DataFrame =
+    frozenGenVerdicts(
+      frozenGenScoreFrame(batchTermCounts(batch, idCol, textCol), stateDir, gen),
+      stateDir, gen)
+
   /** Per-source token-distribution divergence from the whole corpus:
     * KL(p_source ‖ p_corpus) over word unigrams — the mixture-drift
     * diagnostic of multi-source pretraining corpora (which slice's

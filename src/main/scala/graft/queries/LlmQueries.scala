@@ -182,6 +182,46 @@ object LlmQueries {
     staged.toString
   }
 
+  /** [[stageParitySplits]] generalized to `mod` deterministic slices
+    * (doc_id % mod = 0 .. mod−1, forged ascending mtimes so the file
+    * stream drains them in slice order) — the 3-batch staging the
+    * frozen-generation streaming rows need to exercise boot + frozen
+    * reuse + a real boundary fold in one run.
+    */
+  private def stageModSplits(corpus: org.apache.spark.sql.DataFrame, d: String,
+      tag: String, mod: Int): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val staged = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_${tag}_staged_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    Files.createDirectories(staged)
+    val srcMtime = Files.getLastModifiedTime(
+      Paths.get(d, "documents.parquet")).toMillis
+    val marker = staged.resolve("_src_mtime")
+    val names = (0 until mod).map(i => s"${('a' + i).toChar}_m$i.parquet")
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker)).trim == srcMtime.toString &&
+      names.forall(n => Files.exists(staged.resolve(n)))
+    if (!fresh) {
+      Files.deleteIfExists(marker)
+      names.zipWithIndex.foreach { case (name, i) =>
+        val tmpDir = Files.createTempDirectory(s"graft_${tag}_tmp_")
+        val tmp = tmpDir.toString + "/p"
+        corpus.filter(pmod(col("doc_id"), lit(mod)) === i).coalesce(1).write.parquet(tmp)
+        val part = scala.util.Using.resource(Files.list(Paths.get(tmp))) { st =>
+          st.toArray.map(_.toString)
+            .find(f => f.endsWith(".parquet") && !f.contains("_SUCCESS")).get
+        }
+        Files.copy(Paths.get(part), staged.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(staged.resolve(name),
+          FileTime.fromMillis((1000000000L + 100L * i) * 1000))
+        graft.ops.Layout.deleteRecursively(tmpDir)
+      }
+      Files.write(marker, srcMtime.toString.getBytes)
+    }
+    staged.toString
+  }
+
   private val lastRunDirs =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
@@ -3461,6 +3501,73 @@ object LlmQueries {
       TextAnalysis.unigramLogProb(multiDocs(s, d), "doc_id", "t",
           tokens = c => TextAnalysis.byteNgrams(c, 3))
         .orderBy(col("id"))
+    },
+
+    // STREAMING quality-quantile selection against a generationally
+    // FROZEN model — the scale-safe v2 of q170 (the CCNet shape: the
+    // reference LM is frozen; documents are scored ONCE on arrival and
+    // never re-scored). Three staged batches (doc_id % 3) with
+    // generationEvery = 2 exercise all three trigger shapes: batch 0
+    // boots generation 0 on its own counts/scores, batch 1 reuses the
+    // frozen generation-0 summary (model + cutoff; out-of-vocabulary
+    // terms drop), batch 2 is a real boundary — generation 1 folds
+    // batches 0-1's term counts and freezes the cutoff over their
+    // arrival scores. Snapshots are keep-set DELTAS (each batch's docs
+    // only). The oracle replays all three generations from scratch —
+    // frozen semantics, so the replay is three independent score/cutoff
+    // chains, not a cumulative re-score.
+    QueryDef.sql(
+      "q186_stream_quality_frozen", {
+        def tfOf(sfx: String, w: String) =
+          s"""u$sfx AS (SELECT doc_id AS id FROM documents $w),
+             |tf$sfx AS (
+             |  SELECT doc_id AS id, term, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM (SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS term
+             |        FROM documents $w)
+             |  GROUP BY 1, 2)""".stripMargin
+        def scoreOf(sfx: String, tfSfx: String, mSfx: String) =
+          s"""sc$sfx AS (
+             |  SELECT u$tfSfx.id, COALESCE(d.n_tok, 0) AS n_tok, d.lp AS avg_logp
+             |  FROM u$tfSfx LEFT JOIN (
+             |    SELECT id, CAST(SUM(c) AS BIGINT) AS n_tok,
+             |      ROUND(SUM(c * ln(CAST(ct AS DOUBLE) / t)) / SUM(c), 6) AS lp
+             |    FROM tf$tfSfx JOIN m$mSfx USING (term) CROSS JOIN t$mSfx GROUP BY id) d
+             |  USING (id))""".stripMargin
+        s"""WITH
+           |${tfOf("0", "WHERE doc_id % 3 = 0")},
+           |${tfOf("1", "WHERE doc_id % 3 = 1")},
+           |${tfOf("2", "WHERE doc_id % 3 = 2")},
+           |m0 AS (SELECT term, CAST(SUM(c) AS BIGINT) AS ct FROM tf0 GROUP BY 1),
+           |t0 AS (SELECT CAST(SUM(ct) AS DOUBLE) AS t FROM m0),
+           |${scoreOf("0", "0", "0")},
+           |cut0 AS (SELECT quantile_cont(avg_logp, 0.4) AS cutoff FROM sc0 WHERE avg_logp IS NOT NULL),
+           |${scoreOf("1", "1", "0")},
+           |m1 AS (SELECT term, CAST(SUM(c) AS BIGINT) AS ct
+           |       FROM (SELECT * FROM tf0 UNION ALL SELECT * FROM tf1) GROUP BY 1),
+           |t1 AS (SELECT CAST(SUM(ct) AS DOUBLE) AS t FROM m1),
+           |cut1 AS (SELECT quantile_cont(avg_logp, 0.4) AS cutoff
+           |         FROM (SELECT avg_logp FROM sc0 UNION ALL SELECT avg_logp FROM sc1)
+           |         WHERE avg_logp IS NOT NULL),
+           |${scoreOf("2", "2", "1")},
+           |k0 AS (SELECT CAST(0 AS BIGINT) AS batch_id, id, n_tok, avg_logp,
+           |         COALESCE(avg_logp >= cutoff, false) AS kept FROM sc0 CROSS JOIN cut0),
+           |k1 AS (SELECT CAST(1 AS BIGINT) AS batch_id, id, n_tok, avg_logp,
+           |         COALESCE(avg_logp >= cutoff, false) AS kept FROM sc1 CROSS JOIN cut0),
+           |k2 AS (SELECT CAST(2 AS BIGINT) AS batch_id, id, n_tok, avg_logp,
+           |         COALESCE(avg_logp >= cutoff, false) AS kept FROM sc2 CROSS JOIN cut1)
+           |SELECT * FROM k0 UNION ALL SELECT * FROM k1 UNION ALL SELECT * FROM k2
+           |ORDER BY batch_id, id""".stripMargin
+      }) { (s, d) =>
+      val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val staged = stageModSplits(corpus, d, "q186", 3)
+      val base = java.nio.file.Files.createTempDirectory("graft_q186_").toString
+      rotateRunDirs("q186", Seq(base))
+      TextAnalysis.qualityQuantileStreamingFrozen(s, staged, corpus.schema,
+          "doc_id", "text", q = 0.4, base + "/state", base + "/out",
+          generationEvery = 2)
+        .select(col("batch_id").cast("long").as("batch_id"), col("id"),
+          col("n_tok"), col("avg_logp"), col("kept"))
+        .orderBy(col("batch_id"), col("id"))
     }
   )
 

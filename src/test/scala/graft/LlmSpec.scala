@@ -374,6 +374,81 @@ class LlmSpec extends SparkSpec {
     graft.ops.Layout.deleteRecursively(Paths.get(base))
   }
 
+  test("frozen quantile streaming: snapshots are deltas and match a from-scratch generational replay") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val base = Files.createTempDirectory("graft_frozen_q_").toString
+    val staged = Paths.get(base, "staged"); Files.createDirectories(staged)
+    def stage(parity: Int, name: String, mtimeSec: Long): Unit = {
+      val tmp = Paths.get(base, "tmp_" + name).toString
+      corpus.filter(pmod(col("doc_id"), lit(4)) === parity).coalesce(1).write.parquet(tmp)
+      val part = scala.util.Using.resource(Files.list(Paths.get(tmp))) { s =>
+        s.toArray.map(_.toString)
+          .find(f => f.endsWith(".parquet") && !f.contains("_SUCCESS")).get
+      }
+      val dest = staged.resolve(name)
+      Files.copy(Paths.get(part), dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeSec * 1000))
+    }
+    (0 until 4).foreach(p => stage(p, s"${('a' + p).toChar}_q$p.parquet", 1000000000L + 100 * p))
+    val got = TextAnalysis.qualityQuantileStreamingFrozen(spark, staged.toString,
+        corpus.schema, "doc_id", "text", q = 0.4,
+        s"$base/state", s"$base/out", generationEvery = 2)
+      .collect()
+      .map(r => (r.getAs[Number]("batch_id").longValue(), r.getAs[Long]("id")) ->
+        (r.getAs[Long]("n_tok"),
+          Option(r.getAs[java.lang.Double]("avg_logp")).map(_.doubleValue()),
+          r.getAs[Boolean]("kept"))).toMap
+    // DELTAS: each snapshot holds exactly its batch's doc ids
+    val slices = (0 until 4).map(p =>
+      corpus.filter(pmod(col("doc_id"), lit(4)) === p)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet)
+    (0 until 4).foreach { b =>
+      assert(got.keySet.filter(_._1 == b).map(_._2) === slices(b), s"batch $b not a delta")
+    }
+    // from-scratch generational replay with plain BATCH operators: the
+    // frozen model of gen g >= 1 = counts of batches [0, 2g); gen 0 boots
+    // on batch 0; cutoff of gen g over those batches' ARRIVAL scores
+    def tfOf(p: Int) = corpus.filter(pmod(col("doc_id"), lit(4)) === p)
+      .select(col("doc_id").as("id"), explode(TextAnalysis.wordTokens(col("text"))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("c"))
+    def score(p: Int, modelOf: Seq[Int]) = {
+      val model = modelOf.map(tfOf).reduce(_ unionByName _)
+        .groupBy(col("term")).agg(sum(col("c")).as("ct"))
+      val total = model.agg(sum(col("ct")).cast("double").as("t"))
+      val raw = tfOf(p).join(model, "term").crossJoin(total)
+        .groupBy(col("id"))
+        .agg(sum(col("c")).as("n_tok"),
+          (sum(col("c") * log(col("ct").cast("double") / col("t"))) / sum(col("c"))).as("lp"))
+      corpus.filter(pmod(col("doc_id"), lit(4)) === p).select(col("doc_id").as("id"))
+        .join(raw, Seq("id"), "left")
+        .select(col("id"), coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+          round(col("lp"), 6).as("avg_logp"))
+    }
+    def cutoff(scored: org.apache.spark.sql.DataFrame) =
+      graft.ops.Percentiles.exactPercentiles(
+          scored.filter(col("avg_logp").isNotNull).withColumn("__g", lit(1)),
+          "__g", "avg_logp", Seq(0.4), Seq("c"))
+        .agg(max(col("c"))).collect()(0).getDouble(0)
+    val s0 = score(0, Seq(0)); val s1 = score(1, Seq(0))
+    val s2 = score(2, Seq(0, 1)); val s3 = score(3, Seq(0, 1))
+    val cut0 = cutoff(s0)
+    val cut1 = cutoff(s0.unionByName(s1))
+    val expect = Seq((0, s0, cut0), (1, s1, cut0), (2, s2, cut1), (3, s3, cut1))
+    expect.foreach { case (b, scored, cut) =>
+      scored.collect().foreach { r =>
+        val id = r.getLong(0)
+        val lp = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+        val kept = lp.exists(_ >= cut)
+        assert(got((b.toLong, id)) === ((r.getLong(1), lp, kept)),
+          s"batch $b doc $id diverges from the from-scratch replay")
+      }
+    }
+    graft.ops.Layout.deleteRecursively(Paths.get(base))
+  }
+
   test("streaming near-dedup equals the same-split batch increments") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime

@@ -570,6 +570,48 @@ class ScaleSpec extends SparkSpec {
       s"increment result should read the scratch parquet:\n$plan")
   }
 
+  test("frozen quantile streaming: a non-boundary trigger reads only the generation summary + batch") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import graft.llm.TextAnalysis
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val base = Files.createTempDirectory("graft_frozen_plan_").toString
+    val staged = Paths.get(base, "staged"); Files.createDirectories(staged)
+    def stage(parity: Int, name: String, mtimeSec: Long): Unit = {
+      val tmp = Paths.get(base, "tmp_" + name).toString
+      corpus.filter(pmod(col("doc_id"), lit(2)) === parity).coalesce(1).write.parquet(tmp)
+      val part = scala.util.Using.resource(Files.list(Paths.get(tmp))) { s =>
+        s.toArray.map(_.toString)
+          .find(f => f.endsWith(".parquet") && !f.contains("_SUCCESS")).get
+      }
+      val dest = staged.resolve(name)
+      Files.copy(Paths.get(part), dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeSec * 1000))
+    }
+    stage(0, "a_even.parquet", 1000000000L)
+    stage(1, "b_odd.parquet", 1000000100L)
+    TextAnalysis.qualityQuantileStreamingFrozen(spark, staged.toString,
+      corpus.schema, "doc_id", "text", q = 0.4,
+      s"$base/state", s"$base/out", generationEvery = 2).collect()
+    // PLAN (not run) the non-boundary trigger over the populated state:
+    // its file scans must touch ONLY the frozen generation summary
+    // (models/ + cuts/ — vocabulary-bounded + 1 row), never the
+    // corpus-sized scores/ history or the terms/ epochs. This is the
+    // input bound that makes per-trigger work O(batch), where the
+    // moving-model leg (q170) reads the whole cumulative corpus forever.
+    val plan = TextAnalysis.frozenQuantileVerdicts(
+      corpus.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+      s"$base/state", 0L).queryExecution.executedPlan.toString
+    assert(plan.contains("models"), s"plan must read the frozen model:\n$plan")
+    assert(plan.contains("cuts"), s"plan must read the frozen cutoff:\n$plan")
+    assert(!plan.contains("/scores"),
+      s"non-boundary trigger reads the corpus-sized score history:\n$plan")
+    assert(!plan.contains("/terms"),
+      s"non-boundary trigger reads the term-count epochs:\n$plan")
+    graft.ops.Layout.deleteRecursively(Paths.get(base))
+  }
+
   test("NB classifier: model broadcasts into scoring; no sort-merge, no corpus-sized window spill") {
     import graft.llm.Classify
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
