@@ -3568,6 +3568,92 @@ object LlmQueries {
         .select(col("batch_id").cast("long").as("batch_id"), col("id"),
           col("n_tok"), col("avg_logp"), col("kept"))
         .orderBy(col("batch_id"), col("id"))
+    },
+
+    // WARC container ingest — the crawl layer run from AT-REST crawl
+    // bytes: synthetic pages (the q175 page shape + the q167 messy URLs)
+    // are serialized into a real multi-member .warc.gz (warcinfo lead
+    // record, one gzip member per record, one deliberately
+    // length-forged trailer), read back through the byte-walking record
+    // parser, and the extracted HTML runs the q175 strip chain. The
+    // oracle reconstructs every record directly from the documents table
+    // (same builders), plus the warcinfo and forged-trailer rows by
+    // construction — so record framing, payload recovery, the HTTP
+    // split, the corruption guard, AND the downstream extraction are all
+    // pinned in one hash.
+    QueryDef.sql(
+      "q187_warc_ingest", {
+        val entityFold = graft.llm.Html.Entities.foldLeft("no_tags") {
+          case (acc, (e, r)) =>
+            val rq = r.replace("'", "''")
+            s"replace($acc, '$e', '$rq')"
+        }
+        val titleFold = graft.llm.Html.Entities.foldLeft(
+          "regexp_extract(html, '(?s)<title[^>]*>(.*?)</title>', 1)") {
+          case (acc, (e, r)) =>
+            val rq = r.replace("'", "''")
+            s"replace($acc, '$e', '$rq')"
+        }
+        s"""WITH p AS (
+           |  SELECT doc_id, $urlGenSql AS url,
+           |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+           |    ' &amp; co</title><script>var a = 1;</script>' ||
+           |    '<!-- note --></head><body><p>' || text ||
+           |    '</p><a href="/x">x</a>&nbsp;end</body></html>' AS html
+           |  FROM documents WHERE doc_id < 250),
+           |s1 AS (SELECT doc_id, url, html,
+           |    regexp_replace(regexp_replace(regexp_replace(html,
+           |      '${graft.llm.Html.Comment}', ' ', 'g'),
+           |      '${graft.llm.Html.ScriptBlock}', ' ', 'g'),
+           |      '${graft.llm.Html.StyleBlock}', ' ', 'g') AS no_blocks
+           |  FROM p),
+           |s2 AS (SELECT doc_id, url, html,
+           |    regexp_replace(no_blocks, '${graft.llm.Html.Tag}', ' ', 'g') AS no_tags
+           |  FROM s1),
+           |resp AS (
+           |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS record_idx,
+           |    'response' AS warc_type, url, CAST(200 AS INT) AS http_status, true AS ok,
+           |    $titleFold AS title,
+           |    trim(regexp_replace($entityFold, '[ \\t\\n\\f\\r]+', ' ', 'g')) AS text,
+           |    CAST(len(regexp_extract_all(
+           |      regexp_replace(html, '${graft.llm.Html.Comment}', ' ', 'g'),
+           |      '(?i)<a[ \\t\\n\\f\\r>]')) AS BIGINT) AS n_links
+           |  FROM s2),
+           |info AS (
+           |  SELECT CAST(0 AS BIGINT) AS record_idx, 'warcinfo' AS warc_type,
+           |    CAST(NULL AS VARCHAR) AS url, CAST(NULL AS INT) AS http_status, true AS ok,
+           |    CAST(NULL AS VARCHAR) AS title, CAST(NULL AS VARCHAR) AS text,
+           |    CAST(NULL AS BIGINT) AS n_links),
+           |forged AS (
+           |  SELECT CAST((SELECT COUNT(*) + 1 FROM p) AS BIGINT) AS record_idx,
+           |    'response' AS warc_type, 'urn:forged:0' AS url,
+           |    CAST(NULL AS INT) AS http_status, false AS ok,
+           |    CAST(NULL AS VARCHAR) AS title, CAST(NULL AS VARCHAR) AS text,
+           |    CAST(NULL AS BIGINT) AS n_links)
+           |SELECT * FROM info UNION ALL SELECT * FROM resp UNION ALL SELECT * FROM forged
+           |ORDER BY record_idx""".stripMargin
+      }) { (s, d) =>
+      import graft.llm.Html
+      import graft.sources.Warc
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit(" &amp; co</title><script>var a = 1;</script>"),
+        lit("<!-- note --></head><body><p>"), col("text"),
+        lit("</p><a href=\"/x\">x</a>&nbsp;end</body></html>"))
+      val pages = Tables.documents(s, d).filter(col("doc_id") < 250)
+        .select(col("doc_id"), urlColumn(col("doc_id")).as("url"), html.as("html"))
+        .orderBy(col("doc_id")).coalesce(1)
+      val dir = java.nio.file.Files.createTempDirectory("graft_q187_").toString
+      rotateRunDirs("q187", Seq(dir))
+      Warc.writeWarcGz(pages, "url", "html", dir + "/warc", forgeTrailer = true)
+      val isResp = col("warc_type") === "response" && col("ok")
+      Warc.readWarc(s, dir + "/warc")
+        .select(col("record_idx"), col("warc_type"), col("url"),
+          col("http_status"), col("ok"),
+          when(isResp, Html.title(col("html"))).as("title"),
+          when(isResp, Html.extractText(col("html"))).as("text"),
+          when(isResp, Html.linkCount(col("html"))).as("n_links"))
+        .orderBy(col("record_idx"))
     }
   )
 

@@ -72,4 +72,71 @@ class TextSourcesSpec extends SparkSpec {
     assert(q.exists(_.contains("not-a-number")) && q.exists(_.contains("not json")) &&
       q.exists(_.contains("BROKEN")))
   }
+
+  test("WARC round trip: multi-member gz, warcinfo lead, payload recovery, HTTP split") {
+    import graft.sources.Warc
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_rt").toString
+    val pages = Seq(
+      (0L, "http://a.example/one", "<html><body>alpha &amp; beta</body></html>"),
+      (1L, "http://b.example/two", "<html><body>second page</body></html>"),
+      (2L, "http://c.example/three", "")) // empty body is a legal record
+      .toDF("id", "url", "html").orderBy("id").coalesce(1)
+    Warc.writeWarcGz(pages, "url", "html", dir)
+    val got = Warc.readWarc(spark, dir).orderBy(col("record_idx")).collect()
+    assert(got.length === 4)
+    assert(got(0).getString(2) === "warcinfo" && got(0).getBoolean(5))
+    assert(got(0).isNullAt(3) && got(0).isNullAt(6)) // no URI, no response body
+    Seq((1, "http://a.example/one", "<html><body>alpha &amp; beta</body></html>"),
+        (2, "http://b.example/two", "<html><body>second page</body></html>"),
+        (3, "http://c.example/three", "")).foreach { case (i, url, html) =>
+      assert(got(i).getString(2) === "response")
+      assert(got(i).getString(3) === url)
+      assert(got(i).getInt(4) === 200)
+      assert(got(i).getBoolean(5), s"record $i not ok")
+      assert(got(i).getString(6) === html, s"record $i payload drifted")
+    }
+    graft.ops.Layout.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("WARC guard battery: forged length, truncated tail, garbage preamble all resync") {
+    import graft.sources.Warc
+    import java.nio.charset.StandardCharsets.UTF_8
+    def parse(bytes: Array[Byte]): Array[org.apache.spark.sql.Row] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_warc_g")
+      java.nio.file.Files.write(dir.resolve("x.warc"), bytes)
+      val rows = Warc.readWarc(spark, dir.toString).orderBy(col("record_idx")).collect()
+      graft.ops.Layout.deleteRecursively(dir)
+      rows
+    }
+    val good = Warc.responseRecord("http://ok.example/", "<p>fine</p>")
+    // 1. FORGED length mid-file: the corrupt record surfaces ok=false with
+    //    its parsed headers, and the walk resyncs — the following record
+    //    still parses (one bad record never swallows the file)
+    val forged = Warc.responseRecord("http://bad.example/", "<p>x</p>", forgeDelta = 7)
+    val r1 = parse(forged ++ good)
+    assert(r1.length === 2)
+    assert(!r1(0).getBoolean(5) && r1(0).getString(3) === "http://bad.example/")
+    assert(r1(0).isNullAt(4) && r1(0).isNullAt(6)) // no status, no payload
+    assert(r1(1).getBoolean(5) && r1(1).getString(3) === "http://ok.example/")
+    // 2. TRUNCATED tail (declared length overruns EOF): guard row, stop
+    val r2 = parse(good ++ Warc.responseRecord("http://cut.example/", "tail").dropRight(20))
+    assert(r2.length === 2)
+    assert(r2(0).getBoolean(5))
+    assert(!r2(1).getBoolean(5) && r2(1).getString(3) === "http://cut.example/")
+    // 3. GARBAGE preamble (bad magic): one unknown guard row, then resync
+    //    onto the real record
+    val r3 = parse("NOT A WARC FILE AT ALL\r\n".getBytes(UTF_8) ++ good)
+    assert(r3.length === 2)
+    assert(!r3(0).getBoolean(5) && r3(0).isNullAt(2) && r3(0).isNullAt(3))
+    assert(r3(1).getBoolean(5) && r3(1).getString(3) === "http://ok.example/")
+    // 4. Content-Length missing entirely: guard row with parsed type/URI
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://nolen.example/\r\n\r\nHTTP/1.1 200 OK\r\n\r\nbody")
+      .getBytes(UTF_8)
+    val r4 = parse(noLen ++ "\r\n\r\n".getBytes(UTF_8) ++ good)
+    assert(r4.length === 2)
+    assert(!r4(0).getBoolean(5) && r4(0).getString(3) === "http://nolen.example/")
+    assert(r4(1).getBoolean(5))
+  }
 }
