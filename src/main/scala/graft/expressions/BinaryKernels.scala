@@ -106,3 +106,122 @@ object WavHeader {
       Array[Any](rate, channels, bits, dataOff, dataLen))
   }
 }
+
+/** s16le PCM sample values of a binary payload as array<int> (ragged
+  * trailing byte dropped) — the debug/oracle surface of the PCM family:
+  * integer samples compare cell-exactly in SQL where byte strings can't.
+  */
+case class PcmSamples(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pcm_samples"
+  override protected def nullSafeEval(v: Any): Any =
+    PcmKernels.samples(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expressions.PcmKernels.samples($v)")
+  override protected def withNewChildInternal(c: Expression): PcmSamples = copy(child = c)
+}
+
+/** Interleaved N-channel s16le PCM → mono by per-group channel average
+  * (floor division — engine-portable via FLOOR(sum/n) on the oracle
+  * side). `channels` rides as an expression so the PARSED WAV header
+  * drives it ([[WavHeader]]'s channels field). Ragged trailing bytes and
+  * partial sample groups drop; channels ≤ 0 yields an empty payload
+  * (total function — no codegen null path).
+  */
+case class PcmMonoMix(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with Serializable {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pcm_mono_mix"
+  override protected def nullSafeEval(data: Any, ch: Any): Any =
+    PcmKernels.monoMix(data.asInstanceOf[Array[Byte]], ch.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (d, c) => s"graft.expressions.PcmKernels.monoMix($d, $c)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PcmMonoMix =
+    copy(left = l, right = r)
+}
+
+/** Integer sample-rate conversion of mono s16le PCM: output sample n maps
+  * to input position n·src/dst in exact long arithmetic — nearest
+  * (`linear = false`) takes the floor index; linear interpolates
+  * `floor((a·(dst−frac) + b·frac)/dst)` with the final sample clamped.
+  * The source rate rides as an expression (the parsed WAV header);
+  * non-positive rates yield an empty payload. Equal rates pass through
+  * (ragged byte still trimmed).
+  */
+case class PcmResample(left: Expression, right: Expression,
+    dstRate: Int, linear: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with Serializable {
+  require(dstRate > 0, s"target rate must be positive: $dstRate")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = if (linear) "pcm_resample_linear" else "pcm_resample_nearest"
+  override protected def nullSafeEval(data: Any, sr: Any): Any =
+    PcmKernels.resample(data.asInstanceOf[Array[Byte]], sr.asInstanceOf[Int],
+      dstRate, linear)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (d, r) => s"graft.expressions.PcmKernels.resample($d, $r, $dstRate, $linear)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PcmResample =
+    copy(left = l, right = r)
+}
+
+object PcmKernels {
+  private def s16(b: Array[Byte], i: Int): Int = (b(2 * i) & 0xff) | (b(2 * i + 1) << 8)
+  private def w16(out: Array[Byte], i: Int, v: Int): Unit = {
+    out(2 * i) = (v & 0xff).toByte
+    out(2 * i + 1) = ((v >> 8) & 0xff).toByte
+  }
+
+  /** s16le samples as boxed ints (ragged trailing byte dropped). */
+  def samples(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = b.length / 2
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) { out(i) = s16(b, i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Channel-average mono mix (floor division; total function). */
+  def monoMix(b: Array[Byte], channels: Int): Array[Byte] = {
+    if (channels <= 0) return Array.emptyByteArray
+    val groups = (b.length / 2) / channels
+    val out = new Array[Byte](groups * 2)
+    var g = 0
+    while (g < groups) {
+      var sum = 0L
+      var c = 0
+      while (c < channels) { sum += s16(b, g * channels + c); c += 1 }
+      w16(out, g, Math.floorDiv(sum, channels).toInt)
+      g += 1
+    }
+    out
+  }
+
+  /** Integer nearest/linear rate conversion of mono s16le (total). */
+  def resample(b: Array[Byte], srcRate: Int, dstRate: Int,
+      linear: Boolean): Array[Byte] = {
+    if (srcRate <= 0 || dstRate <= 0) return Array.emptyByteArray
+    val nIn = b.length / 2
+    val nOut = (nIn.toLong * dstRate / srcRate).toInt
+    val out = new Array[Byte](nOut * 2)
+    var n = 0
+    while (n < nOut) {
+      val pos = n.toLong * srcRate
+      val i = (pos / dstRate).toInt
+      val v =
+        if (!linear) s16(b, i)
+        else {
+          val frac = pos - i.toLong * dstRate
+          val a = s16(b, i)
+          val c = s16(b, math.min(i + 1, nIn - 1))
+          Math.floorDiv(a * (dstRate - frac) + c * frac, dstRate).toInt
+        }
+      w16(out, n, v)
+      n += 1
+    }
+    out
+  }
+}

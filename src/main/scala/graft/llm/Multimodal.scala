@@ -177,6 +177,34 @@ object Multimodal {
         col("payload").substr(col("__start") + 1, col("__fb")).as("frame"))
   }
 
+  /** s16le sample values of a PCM payload as array<int> — the
+    * cell-exact oracle/debug surface of the PCM chain.
+    */
+  def pcmSamples(payload: Column): Column =
+    toCol(graft.expressions.PcmSamples(toExpr(payload.cast("binary"))))
+
+  /** Interleaved N-channel s16le PCM → mono by per-group channel average
+    * (floor division). `channels` is a COLUMN so the parsed WAV header
+    * drives it ([[asWavTable]]'s channels field) — every ASR-prep
+    * pipeline mixes down before framing. Oracle replay:
+    * FLOOR((s_L + s_R + …)/n).
+    */
+  def monoMixPcm(payload: Column, channels: Column): Column =
+    toCol(graft.expressions.PcmMonoMix(
+      toExpr(payload.cast("binary")), toExpr(channels.cast("int"))))
+
+  /** Integer sample-rate conversion of mono s16le PCM to `dstRate`:
+    * nearest (`linear = false`) indexes input sample ⌊n·src/dst⌋; linear
+    * interpolates in exact long arithmetic with the final sample
+    * clamped. `srcRate` is a COLUMN (the parsed header's rate), so mixed
+    * input rates in one table all land on the same target — the
+    * normalization step before [[frameSlices]].
+    */
+  def resamplePcm(payload: Column, srcRate: Column, dstRate: Int,
+      linear: Boolean = true): Column =
+    toCol(graft.expressions.PcmResample(
+      toExpr(payload.cast("binary")), toExpr(srcRate.cast("int")), dstRate, linear))
+
   /** Video table from any (id, binary) source: payload treated as raw
     * frame-major video (`frameBytes` per frame at `fps` — the rawvideo
     * layout) with a typed meta struct. Same honest-stub stance as

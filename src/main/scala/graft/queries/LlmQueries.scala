@@ -3654,6 +3654,65 @@ object LlmQueries {
           when(isResp, Html.extractText(col("html"))).as("text"),
           when(isResp, Html.linkCount(col("html"))).as("n_links"))
         .orderBy(col("record_idx"))
+    },
+
+    // Audio mono-mix + integer resample — the two PCM steps every
+    // ASR-prep pipeline runs between container parse (q169) and framing
+    // (q107): stereo 16-bit WAVs (multilingual text as the waveform, so
+    // negative samples are exercised) are parsed, channel-averaged to
+    // mono (floor division), then rate-converted 8 kHz → 6 kHz by
+    // nearest index and 8 kHz → 12 kHz by exact-integer linear
+    // interpolation. The oracle recovers every s16le sample from
+    // hex(encode(…)) and replays the index maps and interpolation
+    // arithmetic cell-for-cell — output rows are integer SAMPLES, so
+    // the comparison is value-grade, not digest-grade.
+    QueryDef.sql(
+      "q188_audio_resample", {
+        def by(off: Int) =
+          s"((strpos('0123456789ABCDEF', substr(h, 4*CAST(k AS INT)+${off * 2 + 1}, 1))-1)*16" +
+            s" + (strpos('0123456789ABCDEF', substr(h, 4*CAST(k AS INT)+${off * 2 + 2}, 1))-1))"
+        val sample =
+          s"CASE WHEN ${by(1)} >= 128 THEN ${by(0)} + 256*${by(1)} - 65536 " +
+            s"ELSE ${by(0)} + 256*${by(1)} END"
+        s"""WITH mdocs AS ($multiDocsSql),
+           |src AS (SELECT doc_id, rpad(t, 256, 'x') AS p FROM mdocs WHERE doc_id < 120),
+           |b AS (SELECT doc_id, substr(hex(encode(p)), 1, 512) AS h,
+           |        least(octet_length(encode(p)), 256) AS nb FROM src),
+           |sm AS (SELECT doc_id, list_transform(range(0, nb // 2), k -> $sample) AS sams FROM b),
+           |mo AS (SELECT doc_id, list_transform(range(0, len(sams) // 2), g ->
+           |    CAST(FLOOR((sams[2*CAST(g AS INT)+1] + sams[2*CAST(g AS INT)+2]) / 2.0) AS INT)) AS mono FROM sm),
+           |mr0 AS (SELECT doc_id, mono, unnest(range(0, len(mono))) AS i FROM mo),
+           |mr AS (SELECT doc_id AS media_id, 'mono' AS kind, CAST(i AS BIGINT) AS idx,
+           |        CAST(mono[CAST(i AS INT)+1] AS INT) AS sample FROM mr0),
+           |nr0 AS (SELECT doc_id, mono, unnest(range(0, (len(mono)*6000) // 8000)) AS i FROM mo),
+           |nr AS (SELECT doc_id AS media_id, 'near' AS kind, CAST(i AS BIGINT) AS idx,
+           |        CAST(mono[CAST((i*8000) // 6000 AS INT) + 1] AS INT) AS sample FROM nr0),
+           |lr0 AS (SELECT doc_id, mono, unnest(range(0, (len(mono)*12000) // 8000)) AS i FROM mo),
+           |lr AS (SELECT doc_id AS media_id, 'lin' AS kind, CAST(i AS BIGINT) AS idx,
+           |        CAST(FLOOR((mono[CAST(i*8000 // 12000 AS INT)+1] * (12000 - (i*8000 - (i*8000 // 12000)*12000))
+           |              + mono[least(CAST(i*8000 // 12000 AS INT)+2, len(mono))] * (i*8000 - (i*8000 // 12000)*12000)) / 12000.0) AS INT) AS sample FROM lr0)
+           |SELECT * FROM mr UNION ALL SELECT * FROM nr UNION ALL SELECT * FROM lr
+           |ORDER BY media_id, kind, idx""".stripMargin
+      }) { (s, d) =>
+      val header = lit(Multimodal.wavHeaderBytes(8000, 2, 16, 256))
+      val payload = concat(header, rpad(col("t"), 256, "x").cast("binary"))
+      val docs = multiDocs(s, d).filter(col("doc_id") < 120)
+        .select(col("doc_id"), payload.as("p"))
+      val wav = Multimodal.asWavTable(docs, "doc_id", "p")
+      val mono = wav.select(col("media_id"),
+        col("meta.sample_rate").as("sr"),
+        Multimodal.monoMixPcm(col("payload"), col("channels")).as("mono"))
+      def rows(kind: String, c: org.apache.spark.sql.Column) =
+        mono.select(col("media_id"), lit(kind).as("kind"),
+          posexplode(Multimodal.pcmSamples(c)).as(Seq("idx", "sample")))
+      rows("mono", col("mono"))
+        .unionByName(rows("near",
+          Multimodal.resamplePcm(col("mono"), col("sr"), 6000, linear = false)))
+        .unionByName(rows("lin",
+          Multimodal.resamplePcm(col("mono"), col("sr"), 12000, linear = true)))
+        .select(col("media_id"), col("kind"), col("idx").cast("long").as("idx"),
+          col("sample"))
+        .orderBy(col("media_id"), col("kind"), col("idx"))
     }
   )
 

@@ -374,6 +374,51 @@ class LlmSpec extends SparkSpec {
     graft.ops.Layout.deleteRecursively(Paths.get(base))
   }
 
+  test("PCM mono-mix + resample edge battery: odd lengths, up/down, passthrough, negatives, clamp") {
+    import graft.llm.Multimodal
+    import spark.implicits._
+    def pcm(samples: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(v => bb.putShort(v.toShort))
+      bb.array()
+    }
+    def run(payload: Array[Byte], ch: Int, src: Int, dst: Int,
+        linear: Boolean): (Seq[Int], Seq[Int]) = {
+      val df = Seq((1L, payload)).toDF("id", "p")
+        .select(Multimodal.monoMixPcm(col("p"), lit(ch)).as("m"))
+        .select(Multimodal.pcmSamples(col("m")).as("ms"),
+          Multimodal.pcmSamples(
+            Multimodal.resamplePcm(col("m"), lit(src), dst, linear)).as("rs"))
+        .collect()(0)
+      (df.getSeq[Int](0), df.getSeq[Int](1))
+    }
+    // stereo mix with NEGATIVE samples: floor division (-5 + -6)/2 = -6
+    // (not the Java-truncating -5), odd trailing byte dropped
+    val (m1, r1) = run(pcm(-5, -6, 100, 101) :+ 0x7f.toByte, ch = 2,
+      src = 8000, dst = 8000, linear = true)
+    assert(m1 === Seq(-6, 100))
+    assert(r1 === Seq(-6, 100)) // equal rates pass through
+    // mono passthrough: channels = 1 mixes to itself
+    val (m2, _) = run(pcm(7, -8, 9), ch = 1, src = 8000, dst = 8000, linear = false)
+    assert(m2 === Seq(7, -8, 9))
+    // DOWN 4:1 nearest: every 4th sample
+    val (_, r3) = run(pcm(0 until 16: _*), ch = 1, src = 8000, dst = 2000, linear = false)
+    assert(r3 === Seq(0, 4, 8, 12))
+    // UP 1:2 linear: midpoints exactly interpolate, final sample CLAMPS
+    val (_, r4) = run(pcm(0, 10, -10), ch = 1, src = 4000, dst = 8000, linear = true)
+    assert(r4 === Seq(0, 5, 10, 0, -10, -10))
+    // negative midpoint floors: (-5 + 0)/2 -> -3 (floor of -2.5)
+    val (_, r5) = run(pcm(-5, 0), ch = 1, src = 4000, dst = 8000, linear = true)
+    assert(r5 === Seq(-5, -3, 0, 0))
+    // empty payload and sub-sample payloads produce empty streams
+    val (m6, r6) = run(Array.emptyByteArray, ch = 2, src = 8000, dst = 4000, linear = true)
+    assert(m6.isEmpty && r6.isEmpty)
+    // 3-channel mix averages all three
+    val (m7, _) = run(pcm(3, 4, 6, -1, -2, -4), ch = 3, src = 1, dst = 1, linear = false)
+    assert(m7 === Seq(4, -3)) // floor(13/3)=4, floor(-7/3)=-3
+  }
+
   test("frozen quantile streaming: snapshots are deltas and match a from-scratch generational replay") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
