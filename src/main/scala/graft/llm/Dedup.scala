@@ -492,7 +492,7 @@ object Dedup {
     * Spark checkpoint directory). Read-back pins the writer's schema
     * explicitly so an all-empty write (dup-free batch) is still readable.
     */
-  private def materializeScratch(indexDir: String, family: String,
+  private[llm] def materializeScratch(indexDir: String, family: String,
       epoch: Long, lazyDf: DataFrame): DataFrame = {
     // unique attempt subdir per call: an at-least-once RE-RUN of the same
     // epoch writes a fresh attempt instead of overwriting files an earlier

@@ -105,6 +105,85 @@ object Substrings {
         (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** INCREMENTAL duplicate-span removal against a persistent k-gram
+    * fingerprint index — [[removeDuplicateSpans]]'s first-owner rule
+    * extended across ingest batches on the (fp, epoch) index contract
+    * ([[Dedup.exactDedupIncrement]]'s layout, a sibling `gram_state`
+    * directory): a k-gram owned by ANY earlier epoch stays cut forever —
+    * the batch document covering it loses those tokens; within the
+    * batch the rule is exactly the batch operator's (owner = smallest
+    * doc id among ≥ 2 holders keeps its copy), so epoch 0 of the
+    * increment IS [[removeDuplicateSpans]] (LlmSpec-pinned).
+    *
+    * 100 TB shape: the index stores only (fp, epoch) — 8-byte gram
+    * fingerprints, one row per distinct gram ever seen; per increment
+    * the history is SCANNED with the batch's distinct fp set broadcast
+    * into it (nothing index-sized shuffles), only NEW fps append, and
+    * the covered-position set is materialized to epoch-scoped scratch
+    * inside the lease (storage-backed — the exactDedupIncrement
+    * contract, so the lazy result never re-reads files a compaction may
+    * rewrite, and nothing data-sized crosses to the driver). Same
+    * single-writer lease, same crash/re-run convergence by epoch
+    * isolation.
+    *
+    * Output: (id, clean_text, n_kept, n_removed) — every batch document
+    * appears, even fully-deduplicated ones.
+    */
+  def removeDuplicateSpansIncrement(batch: DataFrame, idCol: String,
+      textCol: String, indexDir: String, epoch: Long, k: Int = 8): DataFrame =
+    Dedup.withIndexLock(batch.sparkSession, indexDir,
+        s"gram-span-increment epoch=$epoch") {
+      require(k >= 1, s"gram width must be positive: $k")
+      val spark = batch.sparkSession
+      val statePath = indexDir.stripSuffix("/") + "/gram_state"
+      val grams = gramFingerprints(batch, idCol, textCol, k).persist()
+      graft.ops.CacheRegistry.register(grams)
+      val hasIndex = {
+        val p = new org.apache.hadoop.fs.Path(statePath)
+        graft.ops.Layout.hasParquetData(
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+      }
+      val batchFps = grams.select(col("fp")).distinct()
+      // history grams hit by this batch: history scanned, batch fps broadcast
+      val seen = if (!hasIndex) batchFps.limit(0) else
+        spark.read.parquet(statePath).filter(col("epoch") < epoch)
+          .join(broadcast(batchFps), Seq("fp"), "left_semi")
+          .select(col("fp")).distinct()
+      val owners = grams.groupBy(col("fp"))
+        .agg(min(col("id")).as("owner"), max(col("id")).as("__mx"))
+        .select(col("fp"), col("owner"),
+          (col("owner") =!= col("__mx")).as("__batch_dup"))
+      // an occurrence loses its text when its gram is history-owned, or
+      // batch-duplicated with a smaller-id owner
+      val losing = grams.join(owners, "fp")
+        .join(seen.withColumn("__hist", lit(true)), Seq("fp"), "left")
+        .filter(col("__hist").isNotNull ||
+          (col("__batch_dup") && col("id") =!= col("owner")))
+      val coveredLazy = losing
+        .select(col("id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("t"))
+        .distinct()
+      val covered = Dedup.materializeScratch(indexDir, "gram_covered", epoch, coveredLazy)
+      val newFps = batchFps.join(seen, Seq("fp"), "left_anti").persist()
+      graft.ops.CacheRegistry.register(newFps)
+      val outFiles = graft.ops.Layout.sizedFileCount(newFps.count())
+      newFps.withColumn("epoch", lit(epoch)).coalesce(outFiles)
+        .write.mode("append").partitionBy("epoch").parquet(statePath)
+      val toks = batch.select(col(idCol).as("id"),
+        posexplode(TextAnalysis.wordTokens(col(textCol))).as(Seq("t", "tok")))
+      val kept = toks.join(covered, Seq("id", "t"), "left_anti")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(array_sort(collect_list(struct(col("t"), col("tok")))),
+            s => s.getField("tok")), " ").as("clean_text"))
+      val totals = batch.select(col(idCol).as("id"),
+        size(coalesce(TextAnalysis.wordTokens(col(textCol)),
+          array().cast("array<string>"))).cast("long").as("__n"))
+      totals.join(kept, Seq("id"), "left")
+        .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    }
+
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minSpan: Int = 0): DataFrame = {
     require(k >= 1, s"gram width must be positive: $k")

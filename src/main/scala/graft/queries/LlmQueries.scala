@@ -3713,6 +3713,76 @@ object LlmQueries {
         .select(col("media_id"), col("kind"), col("idx").cast("long").as("idx"),
           col("sample"))
         .orderBy(col("media_id"), col("kind"), col("idx"))
+    },
+
+    // INCREMENTAL duplicate-span removal on the persistent (fp, epoch)
+    // k-gram index — the suffix-array-family dedup (q155/q159) as an
+    // ingest loop: three epochs (doc_id % 3) each cut every span owned
+    // by ANY earlier epoch (a planted all-docs tail guarantees
+    // cross-epoch hits) plus the batch-internal first-owner rule. The
+    // oracle replays the first-owner rule from scratch across all three
+    // batches — per-epoch gram tables, an EXISTS over earlier epochs'
+    // fingerprints, and the same island/rebuild chain as q159.
+    QueryDef.sql(
+      "q189_span_dedup_incremental", {
+        val planted = " the quick brown fox jumps over the lazy dog again" +
+          " and again or visit the portal pages for more updates today"
+        s"""WITH p AS (
+           |  SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS ep,
+           |    text || '$planted' AS tx
+           |  FROM documents),
+           |t AS (SELECT doc_id, ep,
+           |        list_transform(regexp_extract_all(tx, '[A-Za-z]+'), x -> lower(x)) AS ws
+           |      FROM p),
+           |g AS (SELECT doc_id, ep, unnest(range(0, len(ws) - 8 + 1)) AS pos, ws
+           |      FROM t WHERE len(ws) >= 8),
+           |grams AS (SELECT doc_id, ep, pos,
+           |            md5(array_to_string(ws[pos+1:pos+8], ' ')) AS fp FROM g),
+           |hist AS (SELECT DISTINCT fp, ep FROM grams),
+           |owners AS (SELECT ep, fp, MIN(doc_id) AS owner, MAX(doc_id) AS mx
+           |           FROM grams GROUP BY 1, 2),
+           |losing AS (
+           |  SELECT g.doc_id, g.pos FROM grams g
+           |  JOIN owners o ON o.ep = g.ep AND o.fp = g.fp
+           |  WHERE EXISTS (SELECT 1 FROM hist h WHERE h.fp = g.fp AND h.ep < g.ep)
+           |     OR (o.owner <> o.mx AND g.doc_id <> o.owner)),
+           |covered AS (SELECT DISTINCT doc_id, pos + u.u AS tt
+           |            FROM losing, (SELECT unnest(range(0, 8)) AS u) u),
+           |toks AS (SELECT doc_id, unnest(ws) AS tok,
+           |           generate_subscripts(ws, 1) - 1 AS tt FROM t),
+           |keptrows AS (
+           |  SELECT k.doc_id, k.tt, k.tok FROM toks k
+           |  LEFT JOIN covered c ON c.doc_id = k.doc_id AND c.tt = k.tt
+           |  WHERE c.doc_id IS NULL),
+           |kept AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           |    string_agg(tok, ' ' ORDER BY tt) AS clean_text
+           |  FROM keptrows GROUP BY doc_id)
+           |SELECT p.doc_id, p.ep, COALESCE(k.clean_text, '') AS clean_text,
+           |  COALESCE(k.n_kept, 0) AS n_kept,
+           |  CAST(COALESCE(len(t.ws), 0) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+           |FROM p JOIN t USING (doc_id) LEFT JOIN kept k ON k.doc_id = p.doc_id
+           |ORDER BY p.doc_id""".stripMargin
+      }) { (s, d) =>
+      import graft.llm.Substrings
+      val planted = " the quick brown fox jumps over the lazy dog again" +
+        " and again or visit the portal pages for more updates today"
+      val aug = Tables.documents(s, d)
+        .select(col("doc_id"), concat(col("text"), lit(planted)).as("tx"))
+        .persist()
+      graft.ops.CacheRegistry.register(aug)
+      val dir = java.nio.file.Files.createTempDirectory("graft_q189_").toString
+      rotateRunDirs("q189", Seq(dir))
+      val results = (0 until 3).map { b =>
+        Substrings.removeDuplicateSpansIncrement(
+            aug.filter(pmod(col("doc_id"), lit(3)) === b), "doc_id", "tx",
+            dir, epoch = b, k = 8)
+          .withColumn("ep", lit(b.toLong))
+      }
+      results.reduce(_.unionByName(_))
+        .select(col("id").as("doc_id"), col("ep"), col("clean_text"),
+          col("n_kept"), col("n_removed"))
+        .orderBy(col("doc_id"))
     }
   )
 

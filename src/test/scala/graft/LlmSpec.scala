@@ -374,6 +374,39 @@ class LlmSpec extends SparkSpec {
     graft.ops.Layout.deleteRecursively(Paths.get(base))
   }
 
+  test("incremental span dedup: epoch 0 equals the batch operator, earlier owners persist, re-runs converge") {
+    import graft.llm.Substrings
+    import spark.implicits._
+    val span = "alpha beta gamma delta epsilon zeta eta theta" // one exact 8-gram
+    val b0 = Seq(
+      (0L, s"intro words here $span closing remarks now"),
+      (1L, s"different opening text $span trailing content words")).toDF("doc_id", "tx")
+    val b1 = Seq(
+      (10L, s"later epoch doc $span more unique material here"),
+      (11L, "completely fresh vocabulary nothing shared with anyone ever")).toDF("doc_id", "tx")
+    val dir = java.nio.file.Files.createTempDirectory("graft_spaninc_").toString
+    def resultMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // epoch 0 of the increment IS the batch operator
+    val inc0 = resultMap(Substrings.removeDuplicateSpansIncrement(b0, "doc_id", "tx", dir, epoch = 0))
+    val batch0 = resultMap(
+      Substrings.removeDuplicateSpans(b0, "doc_id", "tx", k = 8)
+        .select(col("doc_id"), col("clean_text"), col("n_kept"), col("n_removed")))
+    assert(inc0 === batch0)
+    assert(inc0(0L)._3 === 0L)  // owner (min doc) keeps its span
+    assert(inc0(1L)._3 === 8L)  // non-owner loses exactly the 8 covered tokens
+    // a span owned by ANY earlier epoch stays cut — doc 10 shares no doc
+    // in ITS batch, but the gram lives in epoch 0's index
+    val inc1 = resultMap(Substrings.removeDuplicateSpansIncrement(b1, "doc_id", "tx", dir, epoch = 1))
+    assert(inc1(10L)._3 === 8L, "history-owned span must stay cut")
+    assert(!inc1(10L)._1.contains("gamma delta"))
+    assert(inc1(11L)._3 === 0L, "unshared doc must be untouched")
+    // at-least-once: re-running the SAME epoch converges to the same answer
+    val inc1b = resultMap(Substrings.removeDuplicateSpansIncrement(b1, "doc_id", "tx", dir, epoch = 1))
+    assert(inc1b === inc1)
+    graft.ops.Layout.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("PCM mono-mix + resample edge battery: odd lengths, up/down, passthrough, negatives, clamp") {
     import graft.llm.Multimodal
     import spark.implicits._
