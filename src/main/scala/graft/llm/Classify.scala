@@ -112,6 +112,15 @@ object Classify {
     * and `compactEvery` folds settled epochs into one summed generation.
     * State is |labels| × (buckets+1) rows per epoch — a true constant.
     *
+    * `snapshotEvery` > 1 emits the dense model only at GENERATION
+    * boundaries (every `snapshotEvery`-th batch) — the frozen-generation
+    * pattern (q186) applied to training: a non-boundary trigger only
+    * tokenizes its batch and appends count triplets (strictly O(batch)
+    * work, no settled-state read at all), and consumers hold the last
+    * generation's model between boundaries. Counts stay additive, so
+    * each emitted snapshot still equals batch [[nbTrain]] over
+    * everything streamed through it. Default 1 = a snapshot per batch.
+    *
     * Returns the model snapshots read back from `outDir`:
     * (batch_id, label, bucket, w_u, prior_u).
     */
@@ -120,7 +129,9 @@ object Classify {
       buckets: Int, alpha: Double, stateDir: String, outDir: String,
       checkpointDir: Option[String] = None,
       shufflePartitions: Int = 0,
-      compactEvery: Int = 0): DataFrame =
+      compactEvery: Int = 0,
+      snapshotEvery: Int = 1): DataFrame = {
+    require(snapshotEvery >= 1, s"snapshot cadence must be >= 1: $snapshotEvery")
     EpochStream.run(spark, stagedDir, schema, checkpointDir,
         shufflePartitions, outDir) { (batch, batchId) =>
       val tok = batch.select(col(labelCol).as("label"),
@@ -133,18 +144,21 @@ object Classify {
       val bt = tok.unionByName(docRows).persist()
       graft.ops.CacheRegistry.register(bt)
       EpochStream.appendEpoch(bt, stateDir, batchId)
-      val cum = EpochStream.settled(bt, stateDir, batchId).unionByName(bt)
-        .groupBy(col("label"), col("bucket")).agg(sum(col("c")).as("c"))
-        .persist()
-      graft.ops.CacheRegistry.register(cum)
-      EpochStream.writeSnapshot(nbModelFromCounts(
-          cum.filter(col("bucket") >= 0),
-          cum.filter(col("bucket") === -1L).select(col("label"), col("c").as("nd")),
-          buckets, alpha), outDir, batchId)
+      if ((batchId + 1) % snapshotEvery == 0) {
+        val cum = EpochStream.settled(bt, stateDir, batchId).unionByName(bt)
+          .groupBy(col("label"), col("bucket")).agg(sum(col("c")).as("c"))
+          .persist()
+        graft.ops.CacheRegistry.register(cum)
+        EpochStream.writeSnapshot(nbModelFromCounts(
+            cum.filter(col("bucket") >= 0),
+            cum.filter(col("bucket") === -1L).select(col("label"), col("c").as("nd")),
+            buckets, alpha), outDir, batchId)
+      }
       if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
         Dedup.compactEpochPartitions(bt.sparkSession, stateDir)(
           _.groupBy(col("label"), col("bucket")).agg(sum(col("c")).as("c")))
     }
+  }
 
   /** Score + classify `df` under a trained model. Output per document:
     * `score_u` = the nano-unit per-label score prior_u + Σ_t c_t·w_u of

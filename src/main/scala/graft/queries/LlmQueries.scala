@@ -3783,6 +3783,62 @@ object LlmQueries {
         .select(col("id").as("doc_id"), col("ep"), col("clean_text"),
           col("n_kept"), col("n_removed"))
         .orderBy(col("doc_id"))
+    },
+
+    // GENERATION-boundary streaming NB training — q171 on the frozen
+    // cadence (the q186 pattern generalized to training): four staged
+    // batches, model snapshots only at every 2nd (batches 1 and 3), so
+    // non-boundary triggers do strictly O(batch) work — tokenize +
+    // append count triplets, NO settled-state read and no snapshot
+    // write. Counts are additive, so each emitted snapshot must still
+    // equal batch nbTrain over everything streamed through it: the
+    // oracle retrains from scratch at both boundaries (halves 0-1, then
+    // all four).
+    QueryDef.sql(
+      "q190_stream_nb_generational", {
+        def wts(sfx: String, batchId: Int, where: String) =
+          s"""lab$sfx AS (SELECT doc_id,  text,
+             |    CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+             |         THEN 'ref' ELSE 'other' END AS label
+             |  FROM documents $where),
+             |ttok$sfx AS (SELECT label,
+             |    unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS term
+             |  FROM lab$sfx),
+             |tcnt$sfx AS (SELECT label,
+             |    CAST(('0x' || substring(md5(term), 1, 4)) AS BIGINT) % 64 AS bucket,
+             |    CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM ttok$sfx GROUP BY 1, 2),
+             |tot$sfx AS (SELECT label, CAST(SUM(c) AS BIGINT) AS n FROM tcnt$sfx GROUP BY 1),
+             |docs$sfx AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS nd FROM lab$sfx GROUP BY 1),
+             |ndt$sfx AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ndt FROM lab$sfx),
+             |m$sfx AS (SELECT CAST($batchId AS BIGINT) AS batch_id, g.label,
+             |    CAST(g.bucket AS BIGINT) AS bucket,
+             |    CAST(ROUND(ln((COALESCE(c.c, 0) + 0.5) / (g.n + 0.5 * 64)) * 1e9, 0) AS BIGINT) AS w_u,
+             |    CAST(ROUND(ln(g.nd / ndt$sfx.ndt) * 1e9, 0) AS BIGINT) AS prior_u
+             |  FROM (SELECT d.label, b.bucket, COALESCE(t.n, 0) AS n, d.nd
+             |        FROM docs$sfx d LEFT JOIN tot$sfx t USING (label)
+             |        CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) b) g
+             |  LEFT JOIN tcnt$sfx c ON c.label = g.label AND c.bucket = g.bucket
+             |  CROSS JOIN ndt$sfx)""".stripMargin
+        s"""WITH
+           |${wts("0", 1, "WHERE doc_id % 4 IN (0, 1)")},
+           |${wts("1", 3, "")}
+           |SELECT * FROM m0 UNION ALL SELECT * FROM m1
+           |ORDER BY batch_id, label, bucket""".stripMargin
+      }) { (s, d) =>
+      val corpus = Tables.documents(s, d).select(col("doc_id"),
+        when(col("source").isin("src0", "src1", "src2", "src3"), lit("ref"))
+          .otherwise(lit("other")).as("label"),
+        col("text"))
+      val staged = stageModSplits(corpus, d, "q190", 4)
+      val base = java.nio.file.Files.createTempDirectory("graft_q190_").toString
+      rotateRunDirs("q190", Seq(base))
+      graft.llm.Classify.nbTrainStreaming(s, staged, corpus.schema, "label", "text",
+          buckets = 64, alpha = 0.5, base + "/state", base + "/out",
+          compactEvery = 2, snapshotEvery = 2)
+        .select(col("batch_id").cast("long").as("batch_id"), col("label"),
+          col("bucket"), col("w_u"), col("prior_u"))
+        .orderBy(col("batch_id"), col("label"), col("bucket"))
     }
   )
 

@@ -272,6 +272,15 @@ object Events {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // changelog checkpointing measured and REJECTED for this harness
+    // (round-11 A/B, min-of-3 subset bench): ON = sf1 4.64 s / sf10
+    // 40.28 s (factor 8.7), OFF = 3.51 s / 23.69 s (factor 6.75). With a
+    // local-FS checkpoint and O(1)-per-key session state, the per-commit
+    // changelog file writes cost more than the full-snapshot upload they
+    // replace; on a cluster with a remote checkpoint store and
+    // key-sparse updates the trade flips — revisit there, not here.
+    s2.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "false")
     val gapUs = gapMinutes * 60L * 1000000L
     val name = s"graft_events_tws_${counter.incrementAndGet()}"
     val stream = streamEvents(s2, sfDir)
