@@ -319,7 +319,9 @@ object LlmQueries {
   private def srpCosTerm(a: String, b: String, dim: Int = 64): String =
     (0 until dim).map(j => s"$a[${j + 1}]*$b[${j + 1}]").mkString(" + ")
 
-  val defs: Seq[QueryDef] = Seq(
+  val defs: Seq[QueryDef] = defsMain ++ defsTail
+
+  private lazy val defsMain: Seq[QueryDef] = Seq(
 
     // Exact dedup via hash-groupBy (keep min id per key).
     QueryDef.sql(
@@ -3124,7 +3126,79 @@ object LlmQueries {
     // the composition fails the hash, the strongest whole-pipeline pin
     // beside q76's curation e2e.
     QueryDef.sql(
-      "q178_crawl_to_packed", {
+      "q178_crawl_to_packed", crawlToPackedOracleSql) { (s, d) =>
+      import graft.llm.{Html, Dedup}
+      crawlToPackedChain(s, d, crawlPageHtml)
+    },
+
+    // The q178 crawl→packed chain run from AT-REST WARC BYTES: the same
+    // synthetic pages are serialized into a real multi-member .warc.gz
+    // (q187's sink), read back through the byte-walking record parser,
+    // and the doc id recovered from each record's WARC-Target-URI — then
+    // the identical extraction → quality gate → dedup → BPE pricing →
+    // packing chain runs on the RECOVERED html. The oracle is q178's
+    // verbatim: the container round trip must be lossless for the hash
+    // to land, so this row pins "true end-to-end from crawl storage".
+    QueryDef.sql(
+      "q191_warc_to_packed", crawlToPackedOracleSql) { (s, d) =>
+      import graft.sources.Warc
+      val pages = Tables.documents(s, d).filter(col("doc_id") < 250)
+        .select(col("doc_id"),
+          concat(lit("http://crawl.example/doc/"), col("doc_id").cast("string")).as("url"),
+          crawlPageHtml.as("html"))
+        .orderBy(col("doc_id")).coalesce(1)
+      val dir = java.nio.file.Files.createTempDirectory("graft_q191_").toString
+      rotateRunDirs("q191", Seq(dir))
+      Warc.writeWarcGz(pages, "url", "html", dir + "/warc")
+      val recovered = Warc.readWarc(s, dir + "/warc")
+        .filter(col("warc_type") === "response" && col("ok"))
+        .select(regexp_extract(col("url"), "doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("html"))
+      crawlToPackedChainFrom(recovered)
+    }
+  )
+
+  /** q178/q191's synthetic crawl page (planted ~10% boilerplate). */
+  private def crawlPageHtml: org.apache.spark.sql.Column =
+    concat(lit("<html><head><title>"),
+      when(pmod(col("doc_id"), lit(10)) === 7, lit("Landing"))
+        .otherwise(concat(lit("Doc "), col("doc_id").cast("string"))),
+      lit("</title><script>var x = 1;</script><style>.c { color: red }</style>"),
+      lit("</head><body><p>"),
+      when(pmod(col("doc_id"), lit(10)) === 7, lit(crawlBoilerplate)).otherwise(col("text")),
+      lit("</p>&nbsp;fin</body></html>"))
+
+  /** The q178 chain from the documents table (builds the page inline). */
+  private def crawlToPackedChain(s: org.apache.spark.sql.SparkSession, d: String,
+      html: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    crawlToPackedChainFrom(Tables.documents(s, d).filter(col("doc_id") < 250)
+      .select(col("doc_id"), html.as("html")))
+
+  /** The shared crawl→packed chain over any (doc_id, html) frame:
+    * extraction → ws-token quality gate → exact dedup → BPE pricing →
+    * 512-token greedy packing (q178's body, reused verbatim by the
+    * WARC-fed twin q191).
+    */
+  private def crawlToPackedChainFrom(
+      pages: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.llm.{Html, Dedup}
+    val ext = pages.select(col("doc_id"), Html.extractText(col("html")).as("t"))
+    val kept = ext.filter(TextAnalysis.tokenCountWs(col("t")) >= 25)
+      .withColumn("f", TextAnalysis.md5Fingerprint(col("t")))
+    val keepIds = Dedup.exact(kept, col("f"), col("doc_id"))
+      .select(col("keep_id").as("doc_id"))
+    val surv = kept.join(keepIds, Seq("doc_id")).select(col("doc_id"), col("t"))
+    val toks = surv.select(col("doc_id"),
+      graft.llm.Bpe.countTokens(col("t")).as("n_tokens"))
+    graft.llm.Packing.packSequences(toks, "n_tokens", 512L, Seq(col("doc_id")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q178/q191's shared oracle: the whole crawl→packed chain as one
+    * WITH-RECURSIVE replay (page build, strip chain, quality gate, exact
+    * dedup, BPE merge fold, greedy packing).
+    */
+  private lazy val crawlToPackedOracleSql: String = {
         import graft.llm.Html
         val entityFold = Html.Entities.foldLeft("no_tags") { case (acc, (e, r)) =>
           s"replace($acc, '$e', '${r.replace("'", "''")}')" }
@@ -3174,28 +3248,9 @@ object LlmQueries {
            |  CASE WHEN n_tokens > 0 THEN (cum - 1) // 512
            |       ELSE (cum - n_tokens) // 512 END AS end_bin
            |FROM cc ORDER BY doc_id""".stripMargin
-      }) { (s, d) =>
-      import graft.llm.{Html, Dedup}
-      val boiler = crawlBoilerplate
-      val html = concat(lit("<html><head><title>"),
-        when(pmod(col("doc_id"), lit(10)) === 7, lit("Landing"))
-          .otherwise(concat(lit("Doc "), col("doc_id").cast("string"))),
-        lit("</title><script>var x = 1;</script><style>.c { color: red }</style>"),
-        lit("</head><body><p>"),
-        when(pmod(col("doc_id"), lit(10)) === 7, lit(boiler)).otherwise(col("text")),
-        lit("</p>&nbsp;fin</body></html>"))
-      val ext = Tables.documents(s, d).filter(col("doc_id") < 250)
-        .select(col("doc_id"), Html.extractText(html).as("t"))
-      val kept = ext.filter(TextAnalysis.tokenCountWs(col("t")) >= 25)
-        .withColumn("f", TextAnalysis.md5Fingerprint(col("t")))
-      val keepIds = Dedup.exact(kept, col("f"), col("doc_id"))
-        .select(col("keep_id").as("doc_id"))
-      val surv = kept.join(keepIds, Seq("doc_id")).select(col("doc_id"), col("t"))
-      val toks = surv.select(col("doc_id"),
-        graft.llm.Bpe.countTokens(col("t")).as("n_tokens"))
-      graft.llm.Packing.packSequences(toks, "n_tokens", 512L, Seq(col("doc_id")))
-        .orderBy(col("doc_id"))
-    },
+  }
+
+  private lazy val defsTail: Seq[QueryDef] = Seq(
 
     // INCREMENTAL line dedup (q173's first-owner rule as an ingest loop,
     // the q141 proof pattern at LINE grain): two epochs by doc parity

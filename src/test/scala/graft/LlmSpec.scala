@@ -374,6 +374,27 @@ class LlmSpec extends SparkSpec {
     graft.ops.Layout.deleteRecursively(Paths.get(base))
   }
 
+  test("tokenBudgetEpochs: auto-sized rounds spend the whole budget where a fixed 4 under-allocates") {
+    import graft.llm.Mixing
+    import spark.implicits._
+    // 8 sources whose caps cascade over MORE than 4 water-filling rounds
+    // (searched fixture): alpha 0.2, epoch cap 1.5, budget 1305823 —
+    // iters = 4 leaves ~3491 tokens silently unspent; the auto default
+    // (|sources| rounds) converges to a fully-spent budget
+    val ns = Seq(35644L, 40300L, 66538L, 103207L, 125833L, 158534L, 165653L, 189237L)
+    val df = ns.zipWithIndex.map { case (n, i) => (s"s$i", n) }.toDF("source", "n_tokens")
+    def spent(iters: Int): Double =
+      Mixing.tokenBudgetEpochs(df, "n_tokens", "source",
+          alpha = 0.2, budgetTokens = 1305823L, maxEpochs = 1.5, iters = iters)
+        .agg(sum(col("alloc_tok"))).collect()(0).getDouble(0)
+    val fixed4 = spent(4)
+    val auto = Mixing.tokenBudgetEpochs(df, "n_tokens", "source",
+        alpha = 0.2, budgetTokens = 1305823L, maxEpochs = 1.5)
+      .agg(sum(col("alloc_tok"))).collect()(0).getDouble(0)
+    assert(1305823.0 - fixed4 > 1000.0, s"fixture should under-allocate at 4 rounds: $fixed4")
+    assert(math.abs(1305823.0 - auto) < 1.0, s"auto rounds must spend the budget: $auto")
+  }
+
   test("incremental span dedup: epoch 0 equals the batch operator, earlier owners persist, re-runs converge") {
     import graft.llm.Substrings
     import spark.implicits._
