@@ -97,6 +97,39 @@ case class ByteNgrams(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): ByteNgrams = copy(child = c)
 }
 
+/** Byte-class profile of the UTF-8 stream in one pass — the script /
+  * encoding-health signal of multilingual curation: counts of ASCII
+  * letters, digits, whitespace, UTF-8 lead bytes by width (2/3/4), and
+  * everything else (other ASCII + continuation + invalid). Lead-byte
+  * widths separate scripts cheaply (CJK ⇒ 3-byte leads, Cyrillic/Arabic
+  * ⇒ 2-byte), and a lead/continuation imbalance is the classic mojibake
+  * tell. All counts exact longs — no float surface for an oracle to
+  * drift on; DuckDB replays them as integer range filters over the
+  * recovered byte list (the q188 hex contract).
+  */
+case class ByteClassStats(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ByteClassStats.schema
+  override def prettyName: String = "byte_class_stats"
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.byteClassStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.expressions.TextKernels.byteClassStats($v)")
+  override protected def withNewChildInternal(c: Expression): ByteClassStats = copy(child = c)
+}
+
+object ByteClassStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("n_letter", LongType, nullable = false),
+    StructField("n_digit", LongType, nullable = false),
+    StructField("n_ws", LongType, nullable = false),
+    StructField("n_lead2", LongType, nullable = false),
+    StructField("n_lead3", LongType, nullable = false),
+    StructField("n_lead4", LongType, nullable = false),
+    StructField("n_other", LongType, nullable = false)))
+}
+
 /** k-permutation MinHash signature of the document's n-shingle set, in one
   * pass: tokenize → shingle → FNV-1a hash → k universal-hash minima over
   * the 31-bit prime field. Permutation constants derive deterministically
@@ -186,6 +219,27 @@ object TextKernels {
       j += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Exact byte-class counts (see [[graft.expressions.ByteClassStats]]). */
+  def byteClassStats(s: UTF8String): InternalRow = {
+    val b = s.getBytes
+    var letter = 0L; var digit = 0L; var ws = 0L
+    var lead2 = 0L; var lead3 = 0L; var lead4 = 0L; var other = 0L
+    var i = 0
+    while (i < b.length) {
+      val v = b(i) & 0xff
+      if ((v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z')) letter += 1
+      else if (v >= '0' && v <= '9') digit += 1
+      else if (v == ' ' || v == '\t' || v == '\n' || v == '\f' || v == '\r') ws += 1
+      else if (v >= 0xc0 && v <= 0xdf) lead2 += 1
+      else if (v >= 0xe0 && v <= 0xef) lead3 += 1
+      else if (v >= 0xf0 && v <= 0xf7) lead4 += 1
+      else other += 1 // other ASCII, continuation bytes, invalid leads
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](b.length.toLong, letter, digit, ws, lead2, lead3, lead4, other))
   }
 
   /** Lowercased ASCII letter-run tokens, multiplicity preserved. */

@@ -35,6 +35,14 @@ object TextAnalysis {
   def byteNgrams(c: Column, n: Int): Column =
     toCol(graft.expressions.ByteNgrams(toExpr(c.cast("string")), n))
 
+  /** Byte-class profile struct (n_bytes, n_letter, n_digit, n_ws,
+    * n_lead2, n_lead3, n_lead4, n_other) — one codegen pass; the cheap
+    * script signal (CJK ⇒ 3-byte leads, Cyrillic/Arabic ⇒ 2-byte) and
+    * the mojibake tell (lead/continuation imbalance), exact longs only.
+    */
+  def byteClassStats(c: Column): Column =
+    toCol(graft.expressions.ByteClassStats(toExpr(c.cast("string"))))
+
   /** Repetition filters (the public Gopher/MassiveText quality-rule family):
     * fraction of distinct unigrams and the duplicate-bigram fraction. High
     * repetition marks boilerplate/generated text. `toks` must be a
@@ -330,9 +338,10 @@ object TextAnalysis {
     * left join — a filter must see them, not silently drop them.
     */
   def bigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, lambda: Double = 0.7): org.apache.spark.sql.DataFrame = {
+      textCol: String, lambda: Double = 0.7,
+      tokens: Column => Column = wordTokens): org.apache.spark.sql.DataFrame = {
     require(lambda > 0 && lambda < 1, s"interpolation weight must be in (0,1): $lambda")
-    val toks = df.select(col(idCol).as("id"), wordTokens(col(textCol)).as("ws"))
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("ws"))
     // adjacent pairs: zip ws with its own 1-shift (slice is 1-based)
     val pairRows = toks.filter(size(col("ws")) >= 2)
       .select(col("id"), explode(zip_with(
@@ -373,8 +382,9 @@ object TextAnalysis {
     * (zero-token docs) get an explicit kept=false.
     */
   def selectByQualityQuantile(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, q: Double): org.apache.spark.sql.DataFrame =
-    selectByQuantileFromScores(unigramLogProb(df, idCol, textCol), q)
+      textCol: String, q: Double,
+      tokens: Column => Column = wordTokens): org.apache.spark.sql.DataFrame =
+    selectByQuantileFromScores(unigramLogProb(df, idCol, textCol, tokens), q)
 
   /** The cutoff-and-keep half of [[selectByQualityQuantile]], over an
     * already-scored `(id, n_tok, avg_logp)` frame — shared by the batch
@@ -603,8 +613,9 @@ object TextAnalysis {
     * per source.
     */
   def sourceTokenKL(df: org.apache.spark.sql.DataFrame, srcCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame = {
-    val st = df.select(col(srcCol).as("source"), explode(wordTokens(col(textCol))).as("term"))
+      textCol: String,
+      tokens: Column => Column = wordTokens): org.apache.spark.sql.DataFrame = {
+    val st = df.select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
       .persist() // the marginal and the totals both re-aggregate these counts
     graft.ops.CacheRegistry.register(st)

@@ -3155,6 +3155,47 @@ object LlmQueries {
         .select(regexp_extract(col("url"), "doc/([0-9]+)$", 1).cast("long").as("doc_id"),
           col("html"))
       crawlToPackedChainFrom(recovered)
+    },
+
+    // Byte-class script profile — the cheap script / encoding-health
+    // signal beside the trained lang-ID (q183): per-document counts of
+    // ASCII letters / digits / whitespace and UTF-8 lead bytes by width
+    // (CJK ⇒ 3-byte, Cyrillic/Arabic ⇒ 2-byte; a lead/continuation
+    // imbalance is the mojibake tell), plus a script hint from pure
+    // integer comparisons. One codegen pass, exact longs only; the
+    // oracle recovers every byte from hex(encode) and replays the class
+    // ranges as integer filters.
+    QueryDef.sql(
+      "q192_script_profile",
+      s"""WITH mdocs AS ($multiDocsSql),
+         |b AS (SELECT doc_id, hex(encode(t)) AS h, octet_length(encode(t)) AS nb FROM mdocs),
+         |bl AS (SELECT doc_id, nb, list_transform(range(0, nb), k ->
+         |    (strpos('0123456789ABCDEF', substr(h, 2*CAST(k AS INT)+1, 1))-1)*16
+         |    + (strpos('0123456789ABCDEF', substr(h, 2*CAST(k AS INT)+2, 1))-1)) AS bs FROM b),
+         |c AS (SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
+         |  CAST(len(list_filter(bs, x -> (x BETWEEN 65 AND 90) OR (x BETWEEN 97 AND 122))) AS BIGINT) AS n_letter,
+         |  CAST(len(list_filter(bs, x -> x BETWEEN 48 AND 57)) AS BIGINT) AS n_digit,
+         |  CAST(len(list_filter(bs, x -> x IN (32, 9, 10, 12, 13))) AS BIGINT) AS n_ws,
+         |  CAST(len(list_filter(bs, x -> x BETWEEN 192 AND 223)) AS BIGINT) AS n_lead2,
+         |  CAST(len(list_filter(bs, x -> x BETWEEN 224 AND 239)) AS BIGINT) AS n_lead3,
+         |  CAST(len(list_filter(bs, x -> x BETWEEN 240 AND 247)) AS BIGINT) AS n_lead4
+         |  FROM bl)
+         |SELECT doc_id, n_bytes, n_letter, n_digit, n_ws, n_lead2, n_lead3, n_lead4,
+         |  n_bytes - n_letter - n_digit - n_ws - n_lead2 - n_lead3 - n_lead4 AS n_other,
+         |  CASE WHEN n_lead3 > 0 AND n_lead3 >= n_lead2 THEN 'cjk'
+         |       WHEN n_lead2 > 0 THEN 'twobyte' ELSE 'ascii' END AS script_hint
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      multiDocs(s, d)
+        .select(col("doc_id"), TextAnalysis.byteClassStats(col("t")).as("st"))
+        .select(col("doc_id"), col("st.n_bytes").as("n_bytes"),
+          col("st.n_letter").as("n_letter"), col("st.n_digit").as("n_digit"),
+          col("st.n_ws").as("n_ws"), col("st.n_lead2").as("n_lead2"),
+          col("st.n_lead3").as("n_lead3"), col("st.n_lead4").as("n_lead4"),
+          col("st.n_other").as("n_other"),
+          when(col("st.n_lead3") > 0 && col("st.n_lead3") >= col("st.n_lead2"), lit("cjk"))
+            .when(col("st.n_lead2") > 0, lit("twobyte"))
+            .otherwise(lit("ascii")).as("script_hint"))
+        .orderBy(col("doc_id"))
     }
   )
 
