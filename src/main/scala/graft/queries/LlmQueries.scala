@@ -3196,6 +3196,139 @@ object LlmQueries {
             .when(col("st.n_lead2") > 0, lit("twobyte"))
             .otherwise(lit("ascii")).as("script_hint"))
         .orderBy(col("doc_id"))
+    },
+
+    // PII scrubbing — the redaction pass before any corpus release:
+    // planted emails / SSN-shaped ids / IPv4s / phone numbers (4 of 5
+    // docs; every doc also keeps its organic text, which both engines
+    // scan with the same regexes). Patterns apply in a staged order
+    // (email, SSN, IP, then the looser phone) with counts at each turn,
+    // so counts equal replacements and the narrow patterns are consumed
+    // before the broad one can swallow them. Output: per-pattern counts
+    // + the fully-redacted text, all Java∩RE2-replayable.
+    QueryDef.sql(
+      "q193_pii_redact", {
+        val plant =
+          "' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.org or visit 10.2.' ||" +
+            " CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) ||" +
+            " ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||" +
+            " ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' end'"
+        val stages = graft.llm.Pii.Patterns.zipWithIndex
+        val cte = stages.map { case ((name, re, repl), i) =>
+          s"""s${i + 1} AS (SELECT doc_id,
+             |  CAST(len(regexp_extract_all(t$i, '$re')) AS BIGINT) AS n_$name,
+             |  regexp_replace(t$i, '$re', '$repl', 'g') AS t${i + 1}
+             |  FROM s$i)""".stripMargin
+        }.mkString(",\n")
+        val nCols = stages.map { case ((name, _, _), i) =>
+          s"(SELECT n_$name FROM s${i + 1} x WHERE x.doc_id = s4.doc_id) AS n_$name"
+        }.mkString(", ")
+        s"""WITH s0 AS (
+           |  SELECT doc_id,
+           |    text || CASE WHEN doc_id % 5 = 0 THEN '' ELSE $plant END AS t0
+           |  FROM documents),
+           |$cte
+           |SELECT doc_id, $nCols, t4 AS redacted
+           |FROM s4 ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val plant = concat(lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.org or visit 10.2."),
+        pmod(col("doc_id"), lit(200)).cast("string"), lit("."),
+        pmod(col("doc_id"), lit(250)).cast("string"),
+        lit(" ssn 123-45-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" call +1 (555) 010-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" end"))
+      val t = concat(col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit("")).otherwise(plant))
+      Tables.documents(s, d)
+        .select(col("doc_id") +: graft.llm.Pii.redactReport(t): _*)
+        .orderBy(col("doc_id"))
+    },
+
+    // Bad-word document filter — the C4 blocklist rule (any flagged word
+    // drops the document): a planted neutral blocklist hits two doc
+    // slices; output = token counts, flagged-token count (multiplicity),
+    // and the conjunctive keep. The wordlist broadcasts by construction
+    // (a literal array); at fleet scale the same shape joins a broadcast
+    // wordlist table.
+    QueryDef.sql(
+      "q194_badword_filter",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 7 = 3 THEN ' casino jackpot tonight'
+        |                 WHEN doc_id % 7 = 5 THEN ' lottery winner announcement'
+        |                 ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t, '[A-Za-z]+')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(list_transform(regexp_extract_all(t, '[A-Za-z]+'), x -> lower(x)),
+        |      x -> x IN ('casino', 'jackpot', 'lottery', 'winner'))) AS BIGINT) AS n_flagged
+        |  FROM t)
+        |SELECT doc_id, n_tok, n_flagged, n_flagged = 0 AS kept
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val badwords = Seq("casino", "jackpot", "lottery", "winner")
+      val t = concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 3, lit(" casino jackpot tonight"))
+          .when(pmod(col("doc_id"), lit(7)) === 5, lit(" lottery winner announcement"))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.wordTokens(t).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+          size(filter(col("toks"),
+            x => array_contains(array(badwords.map(lit): _*), x)))
+            .cast("long").as("n_flagged"))
+        .select(col("doc_id"), col("n_tok"), col("n_flagged"),
+          (col("n_flagged") === 0).as("kept"))
+        .orderBy(col("doc_id"))
+    },
+
+    // CCNet head/middle/tail perplexity buckets — the published CCNet
+    // sharding rule: within each SOURCE, docs bucket by unigram-LM score
+    // terciles (head = closest to the corpus distribution). Reuses the
+    // session-shared q150 score frame; the per-source cutoffs come from
+    // the exact-percentile machinery (q69's bracketing = quantile_cont)
+    // and broadcast into the verdict join. Zero-token docs carry a NULL
+    // bucket — a sharding pass must see them, not silently tail them.
+    QueryDef.sql(
+      "q195_ccnet_buckets",
+      """WITH terms AS (
+        |  SELECT doc_id AS id, unnest(list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x))) AS term
+        |  FROM documents),
+        |tf AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS c FROM terms GROUP BY 1, 2),
+        |model AS (SELECT term, CAST(SUM(c) AS BIGINT) AS ct FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM tf),
+        |doc AS (
+        |  SELECT id, CAST(SUM(c) AS BIGINT) AS n_tok,
+        |    SUM(c * ln(CAST(ct AS DOUBLE) / t)) / SUM(c) AS lp
+        |  FROM tf JOIN model USING (term) CROSS JOIN tot GROUP BY id),
+        |scored AS (
+        |  SELECT d.doc_id AS id, d.source, COALESCE(doc.n_tok, 0) AS n_tok,
+        |    ROUND(doc.lp, 6) AS avg_logp
+        |  FROM documents d LEFT JOIN doc ON doc.id = d.doc_id),
+        |cuts AS (
+        |  SELECT source, quantile_cont(avg_logp, 1.0/3) AS p33,
+        |    quantile_cont(avg_logp, 2.0/3) AS p66
+        |  FROM scored WHERE avg_logp IS NOT NULL GROUP BY source)
+        |SELECT s.id, s.source, s.n_tok, s.avg_logp,
+        |  CASE WHEN s.avg_logp IS NULL THEN NULL
+        |       WHEN s.avg_logp >= c.p66 THEN 'head'
+        |       WHEN s.avg_logp >= c.p33 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scored s LEFT JOIN cuts c USING (source)
+        |ORDER BY s.id""".stripMargin) { (s, d) =>
+      val src = Tables.documents(s, d).select(col("doc_id").as("id"), col("source"))
+      val scored = unigramScores(s, d).join(src, "id")
+      val cuts = graft.ops.Percentiles.exactPercentiles(
+        scored.filter(col("avg_logp").isNotNull), "source", "avg_logp",
+        Seq(1.0 / 3, 2.0 / 3), Seq("p33", "p66"))
+      scored.join(broadcast(cuts), Seq("source"), "left")
+        .select(col("id"), col("source"), col("n_tok"), col("avg_logp"),
+          when(col("avg_logp").isNull, lit(null).cast("string"))
+            .when(col("avg_logp") >= col("p66"), lit("head"))
+            .when(col("avg_logp") >= col("p33"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+        .orderBy(col("id"))
     }
   )
 

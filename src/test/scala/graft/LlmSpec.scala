@@ -374,6 +374,27 @@ class LlmSpec extends SparkSpec {
     graft.ops.Layout.deleteRecursively(Paths.get(base))
   }
 
+  test("PII redaction: staged order keeps narrow patterns out of the phone pattern's mouth") {
+    import graft.llm.Pii
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail a.b+c@x-y.co.uk now"),               // email with +/- and multi-label domain
+      (2L, "ssn 123-45-6789 and ip 10.0.0.1 here"),   // ssn + ip, NOT phone-swallowed
+      (3L, "call +44 (20) 7946 0958 ok"),             // phone only
+      (4L, "id 123-45-6789 call +1 555 010 2222"),    // ssn AND phone in one doc
+      (5L, "nothing sensitive at all"))
+      .toDF("id", "t")
+    val out = rows.select(col("id") +: Pii.redactReport(col("t")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    assert(out(1L) === ((1L, 0L, 0L, 0L, "mail [EMAIL] now")))
+    assert(out(2L) === ((0L, 1L, 1L, 0L, "ssn [SSN] and ip [IP] here")))
+    assert(out(3L)._4 === 1L)
+    assert(out(3L)._5 === "call [PHONE] ok")
+    assert(out(4L) === ((0L, 1L, 0L, 1L, "id [SSN] call [PHONE]")))
+    assert(out(5L) === ((0L, 0L, 0L, 0L, "nothing sensitive at all")))
+  }
+
   test("tokenBudgetEpochs: auto-sized rounds spend the whole budget where a fixed 4 under-allocates") {
     import graft.llm.Mixing
     import spark.implicits._
