@@ -3329,6 +3329,59 @@ object LlmQueries {
             .when(col("avg_logp") >= col("p33"), lit("middle"))
             .otherwise(lit("tail")).as("bucket"))
         .orderBy(col("id"))
+    },
+
+    // Exact-integer PageRank over a synthetic outlink graph — crawl
+    // frontier prioritization (which pages to fetch/keep first), the
+    // power-iteration step above q177's edge extraction. Ranks are
+    // nano-scaled longs and every contribution is floor-division
+    // arithmetic, so all sums are order-independent: bit-identical
+    // across engines, partitionings, and addition orders (a double
+    // PageRank can't hash-verify). Two deterministic out-edges per doc;
+    // every 11th doc is DANGLING and its mass redistributes uniformly.
+    // The oracle unrolls the identical three power steps.
+    QueryDef.sql(
+      "q196_pagerank", {
+        def iter(k: Int) =
+          s"""dang$k AS (
+             |  SELECT CAST(COALESCE(SUM(pr), 0) AS BIGINT) AS dm
+             |  FROM p${k - 1} LEFT JOIN outdeg ON p${k - 1}.id = outdeg.src
+             |  WHERE d IS NULL),
+             |c$k AS (
+             |  SELECT e.dst AS id,
+             |    CAST(SUM(((p.pr * 85) // 100) // o.d) AS BIGINT) AS contrib
+             |  FROM edges e JOIN p${k - 1} p ON p.id = e.src
+             |  JOIN outdeg o ON o.src = e.src GROUP BY 1),
+             |p$k AS (
+             |  SELECT nd.id,
+             |    (SELECT base FROM consts) + COALESCE(c.contrib, 0)
+             |      + (((SELECT dm FROM dang$k) * 85) // 100) // (SELECT n FROM consts) AS pr
+             |  FROM nodes nd LEFT JOIN c$k c USING (id))""".stripMargin
+        s"""WITH cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+           |consts AS (SELECT n, ((15 * 1000000000000) // 100) // n AS base FROM cnt),
+           |nodes AS (SELECT doc_id AS id FROM documents),
+           |edges AS (
+           |  SELECT doc_id AS src, (doc_id * 7 + 3) % (SELECT n FROM consts) AS dst
+           |  FROM documents WHERE doc_id % 11 <> 0
+           |  UNION ALL
+           |  SELECT doc_id, (doc_id * 13 + 5) % (SELECT n FROM consts)
+           |  FROM documents WHERE doc_id % 11 <> 0),
+           |outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+           |p0 AS (SELECT id, 1000000000000 // (SELECT n FROM consts) AS pr FROM nodes),
+           |${(1 to 3).map(iter).mkString(",\n")}
+           |SELECT id, CAST(pr AS BIGINT) AS pr_u FROM p3 ORDER BY id""".stripMargin
+      }) { (s, d) =>
+      import graft.llm.Graphs
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val linked = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+      val edges = linked.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 3, lit(n)).as("dst"))
+        .unionByName(linked.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 13 + 5, lit(n)).as("dst")))
+      Graphs.pageRankExact(edges, "src", "dst",
+          docs.select(col("doc_id")), "doc_id", iters = 3)
+        .orderBy(col("id"))
     }
   )
 

@@ -374,6 +374,28 @@ class LlmSpec extends SparkSpec {
     graft.ops.Layout.deleteRecursively(Paths.get(base))
   }
 
+  test("exact-integer PageRank: mass bound, dangling redistribution, partition-order independence") {
+    import graft.llm.Graphs
+    import spark.implicits._
+    val nodes = (0L until 4L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst") // node 3 dangling
+    val pr = Graphs.pageRankExact(edges, "src", "dst", nodes, "id", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scale = 1000000000000L
+    // total mass conserved up to the documented floor-division leak
+    val total = pr.values.sum
+    assert(total <= scale && scale - total < 4L * 5L * 200L, s"mass drifted: $total")
+    // the dangling node only ever holds base + uniform dangling share —
+    // strictly the smallest rank; the cycle nodes share the rest
+    assert(pr(3L) === pr.values.min)
+    assert(pr.values.forall(_ > 0L))
+    // ORDER INDEPENDENCE: shuffling edge partitioning cannot move a unit
+    val pr2 = Graphs.pageRankExact(edges.repartition(7), "src", "dst",
+      nodes.repartition(3), "id", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr2 === pr)
+  }
+
   test("PII redaction: staged order keeps narrow patterns out of the phone pattern's mouth") {
     import graft.llm.Pii
     import spark.implicits._
