@@ -3382,6 +3382,42 @@ object LlmQueries {
       Graphs.pageRankExact(edges, "src", "dst",
           docs.select(col("doc_id")), "doc_id", iters = 3)
         .orderBy(col("id"))
+    },
+
+    // Tokenizer FERTILITY by script — bytes per BPE subword for each
+    // language slice of the four-script fixture: the mixture-correction
+    // signal multilingual recipes weight by (a script the tokenizer
+    // fragments pays more sequence length per byte of content, so
+    // token-budget mixing over-samples it unless corrected). Real frozen
+    // multilingual BPE (q172's machinery) prices every doc; the oracle
+    // re-runs the merge fold over the distinct pre-token vocabulary and
+    // rolls up the identical per-source sums.
+    QueryDef.sql(
+      "q197_bpe_fertility", {
+        s"""WITH RECURSIVE mdocs AS ($multiDocsSql),
+           |${bpeOraclePrefixOver("t", "", "mdocs")},
+           |wl AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM enc WHERE r = $bpeNumMerges),
+           |dw AS (SELECT doc_id, lang, unnest(regexp_extract_all(t, '$bpePreTokRe')) AS w FROM mdocs),
+           |ds AS (SELECT doc_id, lang, CAST(SUM(n_sub) AS BIGINT) AS ns
+           |       FROM dw JOIN wl USING (w) GROUP BY 1, 2),
+           |b AS (SELECT doc_id, lang, CAST(octet_length(encode(t)) AS BIGINT) AS nb FROM mdocs)
+           |SELECT b.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(b.nb) AS BIGINT) AS n_bytes,
+           |  CAST(SUM(COALESCE(ds.ns, 0)) AS BIGINT) AS n_subwords,
+           |  ROUND(CAST(SUM(b.nb) AS DOUBLE) / SUM(COALESCE(ds.ns, 0)), 6) AS bytes_per_token
+           |FROM b LEFT JOIN ds ON ds.doc_id = b.doc_id
+           |GROUP BY b.lang ORDER BY b.lang""".stripMargin
+      }) { (s, d) =>
+      multiDocs(s, d)
+        .select(col("lang"),
+          length(col("t").cast("binary")).cast("long").as("nb"),
+          graft.llm.Bpe.countTokens(col("t")).as("ns"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nb")).as("n_bytes"),
+          sum(col("ns")).as("n_subwords"),
+          round(sum(col("nb")).cast("double") / sum(col("ns")), 6).as("bytes_per_token"))
+        .orderBy(col("lang"))
     }
   )
 
