@@ -3418,6 +3418,47 @@ object LlmQueries {
           sum(col("ns")).as("n_subwords"),
           round(sum(col("nb")).cast("double") / sum(col("ns")), 6).as("bytes_per_token"))
         .orderBy(col("lang"))
+    },
+
+    // Right-to-be-forgotten DELETE on the at-rest corpus — the
+    // compliance verb beside q122's MERGE: a delete-list (three sources'
+    // doomed ids, plus absent keys that must no-op) removes rows from a
+    // source-partitioned parquet corpus with a PARTITION-LIMITED rewrite
+    // (only partitions holding a doomed key are read and swapped), and
+    // the audit frame records per-partition before/deleted/after. The
+    // gate reads the corpus BACK after the delete, so n_after verifies
+    // the physical rewrite — including that untouched sources kept every
+    // row — not just the audit arithmetic.
+    QueryDef.sql(
+      "q198_corpus_delete",
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_orig,
+        |  CAST(SUM(CASE WHEN doc_id % 17 = 3 AND source IN ('src0', 'src1', 'src2')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+        |  CAST(COUNT(*) - SUM(CASE WHEN doc_id % 17 = 3 AND source IN ('src0', 'src1', 'src2')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      import graft.sources.Sinks
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_q198_").toString
+      rotateRunDirs("q198", Seq(dir))
+      Sinks.writePartitioned(docs, dir + "/corpus", Seq("source"))
+      val deletes = docs
+        .filter(pmod(col("doc_id"), lit(17)) === 3 &&
+          col("source").isin("src0", "src1", "src2"))
+        .select(col("doc_id"))
+        .unionByName(docs.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 10000000L).as("doc_id"))) // absent keys: no-op
+      val audit = Sinks.deleteByKeys(s, dir + "/corpus", deletes,
+        Seq("doc_id"), "source")
+      val after = Sinks.readPartitioned(s, dir + "/corpus")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_after"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_orig"))
+        .join(audit.select(col("source"), col("n_deleted")), Seq("source"), "left")
+        .join(after, Seq("source"), "left")
+        .select(col("source"), col("n_orig"),
+          coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"))
+        .orderBy(col("source"))
     }
   )
 

@@ -265,6 +265,75 @@ object Sinks {
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
 
+  /** Targeted DELETE from a partitioned parquet layout — the
+    * right-to-be-forgotten / retention verb beside [[mergeUpsert]]'s
+    * upsert: rows whose keys appear in `deletes` are removed, and the
+    * rewrite is PARTITION-LIMITED — only partitions actually HOLDING a
+    * doomed key are read, anti-joined and swapped via dynamic partition
+    * overwrite (a 100 TB corpus with one user's deletion request
+    * rewrites that user's partitions, not the table). Deleting keys that
+    * do not exist is a no-op. A partition whose every row is deleted is
+    * REMOVED outright (dynamic overwrite alone would silently leave its
+    * old files alive — it only replaces partitions present in the new
+    * data).
+    *
+    * Returns the audit frame every compliance pipeline must file:
+    * (partition value, n_before, n_deleted, n_after) for each REWRITTEN
+    * partition — computed eagerly before the swap (|hit partitions|
+    * rows; the result must not lazily re-read files the swap replaces).
+    */
+  def deleteByKeys(spark: SparkSession, path: String,
+      deletes: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      partitionCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val target = spark.read.parquet(path)
+    val delKeys = deletes.select(keys.map(col): _*).distinct()
+    // partitions holding a doomed key: bounded metadata collect (the
+    // mergeUpsert convention)
+    val hits = target.join(broadcast(delKeys), keys, "left_semi")
+      .select(col(partitionCol)).distinct().collect().map(_.get(0))
+    val auditSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(partitionCol,
+        target.schema(partitionCol).dataType),
+      org.apache.spark.sql.types.StructField("n_before",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_deleted",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_after",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    if (hits.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), auditSchema)
+    val affected = target.filter(col(partitionCol).isin(hits.toIndexedSeq: _*))
+    val remaining = affected.join(broadcast(delKeys), keys, "left_anti")
+    // audit BEFORE the swap, eagerly (|partitions| rows)
+    val auditRows = affected.groupBy(col(partitionCol)).agg(count(lit(1)).as("n_before"))
+      .join(remaining.groupBy(col(partitionCol)).agg(count(lit(1)).as("n_after")),
+        Seq(partitionCol), "left")
+      .select(col(partitionCol), col("n_before"),
+        (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_deleted"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .collect()
+    // durable stage, then dynamic overwrite (the mergeUpsert contract)
+    val stage = path.stripSuffix("/") + ".__graft_delete_stage"
+    remaining.write.mode("overwrite").parquet(stage)
+    spark.read.parquet(stage).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    // fully-emptied partitions: absent from the stage, so the overwrite
+    // left their old files — remove the partition directories explicitly
+    auditRows.filter(_.getAs[Long]("n_after") == 0L).foreach { r =>
+      val v = java.net.URLEncoder.encode(String.valueOf(r.get(0)), "UTF-8")
+      fs.delete(new org.apache.hadoop.fs.Path(
+        path.stripSuffix("/") + s"/$partitionCol=$v"), true)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(auditRows: _*), auditSchema)
+  }
+
   /** Manifest-pruned read: keep only files whose [min,max] range on `c`
     * can overlap [lo, hi], then apply the residual row filter. With a
     * z-ordered or sorted layout most files drop out at the MANIFEST

@@ -258,4 +258,44 @@ class SinkSpec extends SparkSpec {
     }
     assert(ex2.getMessage.contains("STALE"))
   }
+
+  test("deleteByKeys: partition-limited rewrite, untouched files keep mtimes, emptied partition removed") {
+    import graft.sources.Sinks
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_del_").toString + "/t"
+    val rows = Seq(
+      (1L, "a", "one"), (2L, "a", "two"), (3L, "a", "three"),
+      (10L, "b", "ten"), (11L, "b", "eleven"),
+      (20L, "c", "twenty")).toDF("id", "p", "v")
+    Sinks.writePartitioned(rows, dir, Seq("p"))
+    def files(part: String) = {
+      val d = java.nio.file.Paths.get(dir, s"p=$part")
+      scala.util.Using.resource(java.nio.file.Files.list(d)) { s =>
+        s.toArray.map(_.toString).filter(_.endsWith(".parquet"))
+          .map(f => f -> java.nio.file.Files.getLastModifiedTime(
+            java.nio.file.Paths.get(f)).toMillis).sorted.toSeq
+      }
+    }
+    val bFilesBefore = files("b")
+    Thread.sleep(1100) // mtime resolution guard
+    // delete: one row from a, ALL of c, an absent key (no-op)
+    val audit = Sinks.deleteByKeys(spark, dir,
+        Seq(2L, 20L, 999L).toDF("id"), Seq("id"), "p")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(audit === Map("a" -> ((3L, 1L, 2L)), "c" -> ((1L, 1L, 0L))))
+    // partition b held no doomed key: its FILES must be untouched
+    assert(files("b") === bFilesBefore, "untouched partition was rewritten")
+    // fully-emptied partition directory is gone (dynamic overwrite alone
+    // would have left its old files alive)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "p=c")))
+    // read-back: survivors only, absent-key delete was a no-op
+    val back = Sinks.readPartitioned(spark, dir)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(back === Set(1L, 3L, 10L, 11L))
+    // deleting from a table with NO hits returns an empty audit and
+    // touches nothing
+    val none = Sinks.deleteByKeys(spark, dir, Seq(777L).toDF("id"), Seq("id"), "p")
+    assert(none.count() === 0L)
+    assert(files("b") === bFilesBefore)
+  }
 }
