@@ -120,10 +120,14 @@ object Dedup {
       df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig")), maxHamming)
 
   /** Pigeonhole pairing over a prebuilt (id, sig: long) frame — shared by
-    * the production kernel signature ([[simHash]]) and the portable md5
-    * signature ([[simHashMd5Sigs]]).
+    * the production kernel signature ([[simHash]]), the portable md5
+    * signature ([[simHashMd5Sigs]]), and the image dHash
+    * ([[Multimodal.dHashPairs]]). `keepSigs` threads sig1/sig2 into the
+    * output (sig is functionally determined by id, so the distinct is
+    * unchanged) — callers that pin signature values avoid a re-join.
     */
-  def simHashPairsFromSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+  def simHashPairsFromSigs(sigs: DataFrame, maxHamming: Int,
+      keepSigs: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in [0, 64): $maxHamming")
     val nChunks = maxHamming + 1
     // 64 bits split as evenly as possible: first (64 % n) chunks get an extra bit
@@ -138,11 +142,16 @@ object Dedup {
       .select(col("id"), col("sig"), col("bb.band"), col("bb.chunk"))
     val l = banded.select(col("band"), col("chunk"), col("id").as("id1"), col("sig").as("sig1"))
     val r = banded.select(col("band"), col("chunk"), col("id").as("id2"), col("sig").as("sig2"))
-    l.join(r, Seq("band", "chunk")).filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        bit_count(col("sig1").bitwiseXOR(col("sig2"))).cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    val hammingCol =
+      bit_count(col("sig1").bitwiseXOR(col("sig2"))).cast("long").as("hamming")
+    val picked =
+      if (keepSigs)
+        l.join(r, Seq("band", "chunk")).filter(col("id1") < col("id2"))
+          .select(col("id1"), col("id2"), hammingCol, col("sig1"), col("sig2"))
+      else
+        l.join(r, Seq("band", "chunk")).filter(col("id1") < col("id2"))
+          .select(col("id1"), col("id2"), hammingCol)
+    picked.distinct().filter(col("hamming") <= maxHamming)
   }
 
   /** ENGINE-PORTABLE 64-bit SimHash on the SAME feature basis as the

@@ -558,6 +558,134 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  // ---------------------------------------------------------------------
+  // Perceptual image hashing (dHash) + Hamming near-dup pairs
+  // ---------------------------------------------------------------------
+
+  private val dHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("sig", LongType, nullable = true)))
+
+  /** 64-bit difference hash (dHash) over REAL decoded pixels: downscale to
+    * a 9×8 grid of block means — cell (tx, ty) averages the source block
+    * [⌊tx·w/9⌋, ⌊(tx+1)·w/9⌋) × [⌊ty·h/8⌋, ⌊(ty+1)·h/8⌋) with integer
+    * floor division (never a float resampling filter, so any engine
+    * replays the grid bit-for-bit; degenerate blocks on tiny images clamp
+    * to one pixel) — then bit ty·8+tx = cell(tx,ty) > cell(tx+1,ty).
+    * Uniform brightness/contrast shifts preserve every gradient sign,
+    * which is what makes dHash the standard re-encode/brightness-robust
+    * image dedup key where the exact byte hash breaks on any metadata
+    * touch. One decode per image in the per-partition batch loop (the
+    * justified codec family). Undecodable → ok = false, NULL sig.
+    */
+  def dHashSigs(spark: SparkSession, media: DataFrame): DataFrame = {
+    val rdd = media.select(col("media_id"), col("payload")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        decodeGray(r.getAs[Array[Byte]](1)) match {
+          case None => Row(id, false, null)
+          case Some((w, h, px)) =>
+            val cells = Array.ofDim[Long](8, 9) // [ty][tx]
+            var ty = 0
+            while (ty < 8) {
+              val yLo = ty * h / 8
+              val yHiRaw = (ty + 1) * h / 8
+              val yHi = if (yHiRaw <= yLo) yLo + 1 else yHiRaw
+              var tx = 0
+              while (tx < 9) {
+                val xLo = tx * w / 9
+                val xHiRaw = (tx + 1) * w / 9
+                val xHi = if (xHiRaw <= xLo) xLo + 1 else xHiRaw
+                var sum = 0L
+                var y = yLo
+                while (y < yHi) {
+                  var x = xLo
+                  val base = y * w
+                  while (x < xHi) { sum += px(base + x); x += 1 }
+                  y += 1
+                }
+                cells(ty)(tx) = sum / ((yHi - yLo).toLong * (xHi - xLo))
+                tx += 1
+              }
+              ty += 1
+            }
+            var sig = 0L
+            ty = 0
+            while (ty < 8) {
+              var tx = 0
+              while (tx < 8) {
+                if (cells(ty)(tx) > cells(ty)(tx + 1)) sig |= 1L << (ty * 8 + tx)
+                tx += 1
+              }
+              ty += 1
+            }
+            Row(id, true, sig)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, dHashSchema)
+  }
+
+  /** Near-duplicate IMAGE pairs at Hamming distance ≤ maxHamming over
+    * [[dHashSigs]] signatures, via the pigeonhole chunk-bucket join
+    * ([[Dedup.simHashPairsFromSigs]] — candidate recall exactly 1, never
+    * an all-pairs stage; images shuffle as (id, 64-bit sig) rows only,
+    * payloads never leave their scan partition). Output: id1, id2,
+    * hamming, sig1, sig2 — the signatures ride along so a gate row pins
+    * the hash values themselves, not just their xor popcount.
+    */
+  def dHashPairs(spark: SparkSession, media: DataFrame, maxHamming: Int): DataFrame =
+    Dedup.simHashPairsFromSigs(
+      dHashSigs(spark, media).filter(col("ok"))
+        .select(col("media_id").as("id"), col("sig")),
+      maxHamming, keepSigs = true)
+
+  /** dHash gate fixture pixel formula (closed-form, oracle-replayable):
+    * base v = 30 + (b·31 + x·7 + y·13 + x·y·(b mod 7 + 1)) mod 180 where
+    * b = id mod 1e6 — the x·y texture term decorrelates different ids'
+    * gradient fields (without it the sawtooth makes every image a phase
+    * shift of every other), and the [30, 209] range means the planted +3
+    * brightness shift never clamps at 255. id ∈ [1e6, 2e6): uniform +3
+    * brightness variant — dHash-invariant by construction, the planted
+    * hamming-0 near-dup a byte-exact hash misses. id ≥ 2e6: sparse noise
+    * variant (+40 where (x·5 + y·3) mod 37 = 0) — a few flipped gradient
+    * bits, the small-hamming near-dup.
+    */
+  def dhashSynthPixel(id: Long, x: Int, y: Int): Int = {
+    val b = id % 1000000L
+    val v = (30L + (b * 31 + x * 7 + y * 13 + x.toLong * y * (b % 7 + 1)) % 180).toInt
+    if (id >= 2000000L) v + (if ((x * 5 + y * 3) % 37 == 0) 40 else 0)
+    else if (id >= 1000000L) v + 3
+    else v
+  }
+
+  /** Synthetic PNG table for the dHash gate row: one base image per id
+    * (w = 20 + id mod 6, h = 16 + id mod 5 — always a true downscale to
+    * the 9×8 grid), plus a planted brightness variant (id + 1e6) for ids
+    * ≡ 0 (mod 4) and a sparse-noise variant (id + 2e6) for ids ≡ 1
+    * (mod 4). Real PNG encode here, real ImageIO decode in [[dHashSigs]]
+    * — the container round trip is part of what the gate row pins.
+    */
+  def dhashImageTable(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val base = r.getLong(0)
+        val variantIds =
+          (if (base % 4 == 0) Seq(base + 1000000L) else Seq.empty) ++
+            (if (base % 4 == 1) Seq(base + 2000000L) else Seq.empty)
+        (base +: variantIds).iterator.map { id =>
+          val w = (20 + base % 6).toInt
+          val h = (16 + base % 5).toInt
+          val px = Array.tabulate(w * h)(i => dhashSynthPixel(id, i % w, i / w))
+          val png = encodeGrayPng(w, h, px)
+          Row(id, png, Row("image/png", w, h, png.length.toLong))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   /** Frame/patch sampling stub: emits `n` deterministic byte-slices per
     * payload (what frame-sampling does to video), as its own rows —
     * explode keeps it fully distributed.

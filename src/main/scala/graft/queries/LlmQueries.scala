@@ -3459,6 +3459,68 @@ object LlmQueries {
           coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
           coalesce(col("n_after"), lit(0L)).as("n_after"))
         .orderBy(col("source"))
+    },
+
+    // Perceptual IMAGE near-dup detection — the multimodal sibling of
+    // q33's SimHash: real PNG encode → ImageIO decode → 64-bit dHash
+    // (9×8 integer block-mean grid, row-wise gradient signs) → pigeonhole
+    // hamming bucket join (candidate recall 1, never all-pairs; images
+    // shuffle as 8-byte sigs, payloads stay in their scan partition). The
+    // fixture plants two duplicate classes a byte-exact hash misses: a
+    // uniform +3 brightness variant (dHash-invariant ⇒ hamming 0) and a
+    // sparse +40 noise variant (a few flipped gradient bits). The oracle
+    // replays pixels in closed form, the full grid/bit arithmetic, and
+    // brute-force all-pairs — so decode, downscale, hashing AND the
+    // bucketed join's exact-recall claim are all pinned (sig1/sig2 ride
+    // along, pinning the 64-bit values themselves). doc_id < 400: the
+    // verify-bounded codec-family convention (q169/q174); the pair
+    // machinery's corpus-scale story is q33/q34's.
+    QueryDef.sql(
+      "q199_image_dhash",
+      """WITH ids AS (SELECT doc_id AS base FROM documents WHERE doc_id < 400),
+        |imgs AS (
+        |  SELECT base, base AS id FROM ids
+        |  UNION ALL SELECT base, base + 1000000 FROM ids WHERE base % 4 = 0
+        |  UNION ALL SELECT base, base + 2000000 FROM ids WHERE base % 4 = 1),
+        |dims AS (SELECT id, CAST(20 + base % 6 AS BIGINT) AS w,
+        |                CAST(16 + base % 5 AS BIGINT) AS h FROM imgs),
+        |cb AS (
+        |  SELECT id, w, h, c.c // 9 AS ty, c.c % 9 AS tx
+        |  FROM dims, (SELECT unnest(range(0, 72)) AS c) c),
+        |cb2 AS (
+        |  SELECT id, ty, tx, (tx*w)//9 AS xlo, ((tx+1)*w)//9 AS xhi,
+        |         (ty*h)//8 AS ylo, ((ty+1)*h)//8 AS yhi
+        |  FROM cb),
+        |cm AS (
+        |  SELECT id, ty, tx,
+        |    list_sum(list_transform(range(0, (xhi-xlo)*(yhi-ylo)), i ->
+        |      30 + ((id % 1000000)*31 + (xlo + i % (xhi-xlo))*7 + (ylo + i // (xhi-xlo))*13
+        |          + (xlo + i % (xhi-xlo))*(ylo + i // (xhi-xlo))*((id % 1000000) % 7 + 1)) % 180
+        |      + CASE WHEN id >= 2000000
+        |             AND ((xlo + i % (xhi-xlo))*5 + (ylo + i // (xhi-xlo))*3) % 37 = 0
+        |             THEN 40 ELSE 0 END
+        |      + CASE WHEN id >= 1000000 AND id < 2000000 THEN 3 ELSE 0 END
+        |    )) // ((xhi-xlo)*(yhi-ylo)) AS cell
+        |  FROM cb2),
+        |sl AS (SELECT id, list(cell ORDER BY ty, tx) AS cl FROM cm GROUP BY id),
+        |sg AS (SELECT id, list_sum(list_transform(range(0,64), k ->
+        |    CASE WHEN cl[CAST((k//8)*9 + (k%8) + 1 AS INT)] > cl[CAST((k//8)*9 + (k%8) + 2 AS INT)]
+        |    THEN CAST(1 AS HUGEINT) << CAST(k AS INT) ELSE CAST(0 AS HUGEINT) END)) AS s FROM sl),
+        |sigs AS (SELECT id,
+        |  CAST(CASE WHEN s >= CAST(9223372036854775808 AS HUGEINT)
+        |       THEN s - CAST(18446744073709551616 AS HUGEINT) ELSE s END AS BIGINT) AS sig
+        |  FROM sg),
+        |pairs AS (
+        |  SELECT a.id AS id1, b.id AS id2,
+        |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming,
+        |    a.sig AS sig1, b.sig AS sig2
+        |  FROM sigs a JOIN sigs b ON a.id < b.id)
+        |SELECT id1, id2, hamming, sig1, sig2
+        |FROM pairs WHERE hamming <= 8 ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      val media = Multimodal.dhashImageTable(s,
+        Tables.documents(s, d).filter(col("doc_id") < 400), "doc_id")
+      Multimodal.dHashPairs(s, media, maxHamming = 8)
+        .orderBy(col("id1"), col("id2"))
     }
   )
 

@@ -742,6 +742,47 @@ class LlmSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("image dHash: brightness-invariant, noise-robust, recall 1 vs brute force") {
+    import graft.llm.Multimodal
+    val ids = (0L until 60L).toDF("doc_id")
+    val media = Multimodal.dhashImageTable(spark, ids, "doc_id").persist()
+    val sigs = Multimodal.dHashSigs(spark, media).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.get(2))).toMap
+    // every synthetic PNG decodes
+    assert(sigs.values.forall(_._1), "all fixture images must decode")
+    val sigOf = sigs.map { case (id, (_, s)) => id -> s.asInstanceOf[Long] }
+    // planted +3 brightness variants: dHash EXACTLY invariant (hamming 0)
+    for (b <- 0L until 60L if b % 4 == 0)
+      assert(sigOf(b) === sigOf(b + 1000000L), s"brightness variant of $b must hash equal")
+    // sparse-noise variants: small hamming (the near-dup band), never far
+    val noiseH = (0L until 60L).filter(_ % 4 == 1)
+      .map(b => java.lang.Long.bitCount(sigOf(b) ^ sigOf(b + 2000000L)))
+    assert(noiseH.forall(_ <= 8), s"noise variants must stay near: $noiseH")
+    // unrelated images are far apart (texture term decorrelates)
+    val far = for (i <- 0L until 20L; j <- i + 1 until 20L)
+      yield java.lang.Long.bitCount(sigOf(i) ^ sigOf(j))
+    assert(far.forall(_ > 8), s"distinct images must be far: min=${far.min}")
+    // pigeonhole pair join finds EXACTLY the brute-force pair set
+    val bucketed = Multimodal.dHashPairs(spark, media, maxHamming = 8)
+      .select(col("id1"), col("id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = sigOf.toSeq
+    val brute = (for {
+      (i1, s1) <- all; (i2, s2) <- all
+      if i1 < i2 && java.lang.Long.bitCount(s1 ^ s2) <= 8
+    } yield (i1, i2)).toSet
+    assert(bucketed === brute, s"missed ${brute -- bucketed}, extra ${bucketed -- brute}")
+    // an undecodable payload is audited (ok = false), never a crash
+    val junk = Seq((99L, Array[Byte](1, 2, 3), ("image/png", 0, 0, 3L)))
+      .toDF("media_id", "payload", "m")
+      .select(col("media_id"), col("payload"),
+        struct(col("m._1").as("format"), col("m._2").as("width"),
+          col("m._3").as("height"), col("m._4").as("n_bytes")).as("meta"))
+    val bad = Multimodal.dHashSigs(spark, junk).collect()
+    assert(bad.length === 1 && !bad(0).getBoolean(1) && bad(0).isNullAt(2))
+    media.unpersist()
+  }
+
   test("ngram jaccard: exact dup = 1.0, disjoint absent") {
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
