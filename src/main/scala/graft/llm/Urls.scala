@@ -173,4 +173,103 @@ object Urls {
         TextAnalysis.tokenCountWs(col(textCol)).as("n_tok"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+
+  // ---------------------------------------------------------------------
+  // robots.txt — Robots Exclusion Protocol (RFC 9309, wildcard-free core)
+  // ---------------------------------------------------------------------
+
+  /** URL path (no query, no fragment; empty → "/" per REP matching). */
+  def pathOf(u: Column): Column = {
+    val pq = regexp_replace(afterScheme(noFragment(u)), "^[^/?]*", "")
+    val p = regexp_extract(pq, "^([^?]*)", 1)
+    when(p === "", lit("/")).otherwise(p)
+  }
+
+  /** Parse robots.txt bodies into the applicable rule set for one crawler
+    * agent — the RFC 9309 core without `*`/`$` wildcards (documented
+    * simplification; rules are matched as literal path PREFIXES, the
+    * dominant case in real robots files):
+    *
+    *  - lines are `Directive: value`; `#` comments stripped; directive
+    *    names case-insensitive; unknown directives ignored,
+    *  - consecutive `User-agent` lines form one group header; following
+    *    Allow/Disallow rules belong to every agent in the header; a
+    *    `User-agent` line after a rule line starts a NEW group,
+    *  - rules before any group header are ignored (RFC: rules must
+    *    belong to a group),
+    *  - groups naming `agent` exactly (case-insensitive) win; only if a
+    *    host has none do its `*` groups apply (RFC precedence); multiple
+    *    matching groups merge,
+    *  - empty rule values (`Disallow:` = allow-everything idiom) drop.
+    *
+    * Everything is line-explode + regex + two host-partitioned windows —
+    * robots files are KB-sized per host, so the window partitions are
+    * tiny and the output rule set is broadcast-sized by construction
+    * (the blocklist argument, [[dropBlockedDomains]]).
+    * Output: (host, rule_path, is_allow).
+    */
+  def robotsRules(robots: DataFrame, hostCol: String, txtCol: String,
+      agent: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = robots.select(col(hostCol).as("host"),
+        posexplode(split(col(txtCol), "\n")).as(Seq("ln", "raw")))
+      .withColumn("clean", trim(regexp_replace(col("raw"), "#.*", "")))
+      .withColumn("directive",
+        lower(regexp_extract(col("clean"), "^([A-Za-z-]+)\\s*:", 1)))
+      .withColumn("value",
+        trim(regexp_extract(col("clean"), "^[A-Za-z-]+\\s*:(.*)$", 1)))
+      .filter(col("directive").isin("user-agent", "allow", "disallow"))
+    val w = Window.partitionBy(col("host")).orderBy(col("ln"))
+    val grouped = lines
+      .withColumn("isua", col("directive") === "user-agent")
+      .withColumn("newg",
+        (col("isua") && !coalesce(lag(col("isua"), 1).over(w), lit(false))).cast("int"))
+      .withColumn("grp", sum(col("newg")).over(w))
+      .filter(col("grp") >= 1)
+    val agents = grouped.filter(col("isua"))
+      .select(col("host"), col("grp"), lower(col("value")).as("ua"))
+    val rules = grouped.filter(!col("isua") && col("value") =!= "")
+      .select(col("host"), col("grp"), col("value").as("rule_path"),
+        (col("directive") === "allow").as("is_allow"))
+    val gflag = agents.groupBy(col("host"), col("grp")).agg(
+      max((col("ua") === lit(agent.toLowerCase)).cast("int")).as("specific"),
+      max((col("ua") === "*").cast("int")).as("star"))
+    val hostHasSpecific = gflag.groupBy(col("host"))
+      .agg(max(col("specific")).as("has_specific"))
+    val picked = gflag.join(hostHasSpecific, Seq("host"))
+      .filter((col("has_specific") === 1 && col("specific") === 1) ||
+        (col("has_specific") === 0 && col("star") === 1))
+      .select(col("host"), col("grp"))
+    rules.join(picked, Seq("host", "grp"))
+      .select(col("host"), col("rule_path"), col("is_allow"))
+  }
+
+  /** Crawl-frontier verdict against a parsed [[robotsRules]] set:
+    * longest-matching-rule wins, Allow wins length ties (the Google/RFC
+    * tiebreak), no matching rule (or no robots at all for the host) ⇒
+    * allowed. The rule set BROADCASTS (robots rules are KB per host);
+    * the frontier itself shuffles only for the per-URL argmax, keyed by
+    * the caller's id — at 100 TB the frontier streams through one
+    * broadcast-join + one key-local aggregate, no all-rules scan per
+    * row beyond the host's own rules. Output: id, url, host, path,
+    * rule_path (NULL when unmatched), allowed.
+    */
+  def robotsFilter(frontier: DataFrame, idCol: String, urlCol: String,
+      rules: DataFrame): DataFrame = {
+    val f = frontier.select(col(idCol).as("id"), col(urlCol).as("url"))
+      .withColumn("host", hostOf(col("url")))
+      .withColumn("path", pathOf(col("url")))
+    val r = rules.select(col("host").as("r_host"), col("rule_path"), col("is_allow"))
+    val cand = f.join(broadcast(r),
+      col("host") === col("r_host") && col("path").startsWith(col("rule_path")))
+    // lexicographic struct max = (longest rule, then Allow over Disallow,
+    // then max path string) — fully deterministic tiebreak chain
+    val best = cand.groupBy(col("id")).agg(
+      max(struct(length(col("rule_path")).as("l"), col("is_allow"),
+        col("rule_path"))).as("b"))
+    f.join(best, Seq("id"), "left")
+      .select(col("id"), col("url"), col("host"), col("path"),
+        col("b.rule_path").as("rule_path"),
+        coalesce(col("b.is_allow"), lit(true)).as("allowed"))
+  }
 }

@@ -3521,6 +3521,84 @@ object LlmQueries {
         Tables.documents(s, d).filter(col("doc_id") < 400), "doc_id")
       Multimodal.dHashPairs(s, media, maxHamming = 8)
         .orderBy(col("id1"), col("id2"))
+    },
+
+    // robots.txt — the crawl-politeness gate that runs BEFORE any fetch
+    // (completes the crawl layer: q167 normalize → q200 robots → q168
+    // domain caps → q196 frontier ranking). RFC 9309 core without
+    // wildcards: grouped User-agent headers, agent-specific groups
+    // beating `*`, longest-path-match, Allow-wins-ties, empty-Disallow
+    // no-op, unknown directives skipped. The oracle replays the entire
+    // parse (line split, comment strip, group-boundary windows, agent
+    // precedence) and the verdict argmax over the q167 frontier — rules
+    // broadcast, the frontier never all-pairs-scans.
+    QueryDef.sql(
+      "q200_robots_filter", {
+        val robotsSql = robotsFixture.map { case (h, ls) =>
+          val txt = ls.map(l => "'" + l.replace("'", "''") + "'")
+            .mkString(" || chr(10) || ")
+          s"SELECT '$h' AS host, $txt AS txt"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH robots AS (
+           |  $robotsSql),
+           |rl AS (SELECT host, generate_subscripts(string_split(txt, chr(10)), 1) AS ln,
+           |              unnest(string_split(txt, chr(10))) AS raw FROM robots),
+           |cl AS (SELECT host, ln, trim(regexp_replace(raw, '#.*', '')) AS clean FROM rl),
+           |d AS (SELECT host, ln,
+           |        lower(regexp_extract(clean, '^([A-Za-z-]+)\\s*:', 1)) AS directive,
+           |        trim(regexp_extract(clean, '^[A-Za-z-]+\\s*:(.*)$$', 1)) AS value
+           |      FROM cl
+           |      WHERE lower(regexp_extract(clean, '^([A-Za-z-]+)\\s*:', 1))
+           |            IN ('user-agent', 'allow', 'disallow')),
+           |g1 AS (SELECT *, (directive = 'user-agent') AS isua FROM d),
+           |g2 AS (SELECT *, CASE WHEN isua AND NOT coalesce(
+           |          lag(isua) OVER (PARTITION BY host ORDER BY ln), false)
+           |        THEN 1 ELSE 0 END AS newg FROM g1),
+           |g3 AS (SELECT *, SUM(newg) OVER (PARTITION BY host ORDER BY ln) AS grp FROM g2),
+           |agents AS (SELECT host, grp, lower(value) AS ua FROM g3 WHERE isua AND grp >= 1),
+           |rules0 AS (SELECT host, grp, value AS rule_path, directive = 'allow' AS is_allow
+           |           FROM g3 WHERE NOT isua AND value <> '' AND grp >= 1),
+           |gflag AS (SELECT host, grp,
+           |            MAX(CASE WHEN ua = 'graftbot' THEN 1 ELSE 0 END) AS specific,
+           |            MAX(CASE WHEN ua = '*' THEN 1 ELSE 0 END) AS star
+           |          FROM agents GROUP BY 1, 2),
+           |hs AS (SELECT host, MAX(specific) AS has_specific FROM gflag GROUP BY 1),
+           |picked AS (SELECT g.host, g.grp FROM gflag g JOIN hs USING (host)
+           |           WHERE (has_specific = 1 AND specific = 1)
+           |              OR (has_specific = 0 AND star = 1)),
+           |rules AS (SELECT r.host, rule_path, is_allow
+           |          FROM rules0 r JOIN picked p ON r.host = p.host AND r.grp = p.grp),
+           |u AS (SELECT doc_id, $urlGenSql AS url FROM documents),
+           |f AS (SELECT doc_id, url,
+           |        lower(regexp_replace(regexp_extract(regexp_replace(regexp_replace(url, '#.*', ''),
+           |          '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?]*)', 1), ':[0-9]+$$', '')) AS host,
+           |        regexp_extract(regexp_replace(regexp_replace(regexp_replace(url, '#.*', ''),
+           |          '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?]*', ''), '^([^?]*)', 1) AS path0
+           |      FROM u),
+           |f2 AS (SELECT doc_id, url, host,
+           |         CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path FROM f),
+           |cand AS (SELECT doc_id, rule_path, is_allow
+           |         FROM f2 JOIN rules r ON f2.host = r.host
+           |          AND substr(f2.path, 1, len(rule_path)) = rule_path),
+           |rk AS (SELECT doc_id, rule_path, is_allow,
+           |         ROW_NUMBER() OVER (PARTITION BY doc_id
+           |           ORDER BY len(rule_path) DESC, is_allow DESC, rule_path DESC) AS rn
+           |       FROM cand)
+           |SELECT f2.doc_id, f2.url, f2.host, f2.path, rk.rule_path,
+           |       COALESCE(rk.is_allow, true) AS allowed
+           |FROM f2 LEFT JOIN rk ON rk.doc_id = f2.doc_id AND rk.rn = 1
+           |ORDER BY f2.doc_id""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      import graft.llm.Urls
+      val robots = robotsFixture.map { case (h, ls) => (h, ls.mkString("\n")) }
+        .toDF("host", "txt")
+      val rules = Urls.robotsRules(robots, "host", "txt", "GraftBot")
+      Urls.robotsFilter(
+        Tables.documents(s, d).select(col("doc_id"), urlColumn(col("doc_id")).as("url")),
+        "doc_id", "url", rules)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -4275,6 +4353,53 @@ object LlmQueries {
     "migration tips and general company announcements every single week"
 
   /** The q167/q168/q177 deterministic messy-URL generator, SQL form. */
+  /** q200's robots.txt fixture (host → lines): exercises agent-specific
+    * group precedence over `*`, multi-agent group headers, longest-match,
+    * the Allow-wins-ties rule, empty-Disallow no-op, unknown directives
+    * (Crawl-delay), comments, mixed-case directives/agents, a host whose
+    * only group names another agent (no applicable rules ⇒ allowed), and
+    * hosts with no robots at all. Shared constant: the Spark side builds
+    * the DataFrame from it, the oracle renders it as literals — one
+    * source of truth.
+    */
+  private lazy val robotsFixture: Seq[(String, Seq[String])] = Seq(
+    "www.example.com" -> Seq(
+      "# site rules",
+      "User-AGENT: GraftBot",
+      "Disallow: /Articles/",
+      "Allow: /Articles/4",
+      "Allow: /Articles/1",
+      "Disallow: /Articles/1",
+      "",
+      "User-agent: *",
+      "Disallow: /"),
+    "news.example.co.uk" -> Seq(
+      "User-agent: *",
+      "Disallow: /story/1",
+      "Allow: /story/12",
+      "Disallow:",
+      "Crawl-delay: 10"),
+    "cdn0.example.net" -> Seq(
+      "User-agent: otherbot",
+      "Disallow: /"),
+    "cdn1.example.net" -> Seq(
+      "User-agent: *",
+      "Disallow: /assets/"),
+    // the only cdn host the q167 frontier can hit (doc_id ≡ 2 mod 6 ⇒
+    // doc_id mod 3 = 2): another agent's group is skipped, the `*`
+    // group's partial path block applies
+    "cdn2.example.net" -> Seq(
+      "User-agent: otherbot",
+      "Disallow: /",
+      "",
+      "User-agent: *",
+      "Disallow: /assets/img1"),
+    "shop.example.com" -> Seq(
+      "User-agent: helperbot",
+      "User-agent: graftbot",
+      "Disallow: /",
+      "Allow: /public/"))
+
   private lazy val urlGenSql: String =
     """CASE doc_id % 6
       |    WHEN 0 THEN 'HTTP://WWW.Example.COM:80/Articles/' || CAST(doc_id AS VARCHAR) || '/?b=2&a=1#frag'

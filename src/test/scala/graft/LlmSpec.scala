@@ -742,6 +742,48 @@ class LlmSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("robots.txt: group precedence, longest match, allow-tie, edge cases") {
+    import graft.llm.Urls
+    val robots = Seq(
+      // rules BEFORE any group header are ignored (RFC: rules need a group)
+      ("a.com", "Disallow: /orphan\nUser-agent: graftbot\nDisallow: /x\nAllow: /x/pub"),
+      // multi-agent header: both agents own the rules; case-insensitive
+      ("b.com", "User-AGENT: other\nuser-agent: GRAFTBOT\nDisallow: /priv"),
+      // only another agent's group -> no applicable rules for us
+      ("c.com", "User-agent: other\nDisallow: /"),
+      // star fallback only when no specific group exists
+      ("d.com", "User-agent: *\nDisallow: /s\n\nUser-agent: graftbot\nAllow: /s"),
+      // empty Disallow is a no-op, unknown directives skipped
+      ("e.com", "User-agent: *\nDisallow:\nCrawl-delay: 5\nSitemap: http://e.com/s.xml")
+    ).toDF("host", "txt")
+    val rules = Urls.robotsRules(robots, "host", "txt", "graftbot")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(rules === Set(
+      ("a.com", "/x", false), ("a.com", "/x/pub", true),
+      ("b.com", "/priv", false),
+      ("d.com", "/s", true)), s"parsed rules: $rules")
+    val frontier = Seq(
+      (1L, "http://a.com/x/page"),      // /x disallow wins (no longer match)
+      (2L, "http://a.com/x/pub/page"),  // /x/pub allow is longer -> allowed
+      (3L, "http://a.com/orphan"),      // orphan rule ignored -> allowed
+      (4L, "http://b.com/priv/doc"),    // multi-agent header blocks
+      (5L, "http://c.com/anything"),    // other agent's rules don't apply
+      (6L, "http://d.com/s/page"),      // specific group overrides star
+      (7L, "http://e.com/whatever"),    // empty disallow = no rule
+      (8L, "http://norobots.com/p")     // host absent from robots
+    ).toDF("id", "url")
+    val out = Urls.robotsFilter(frontier, "id", "url",
+        Urls.robotsRules(robots, "host", "txt", "graftbot"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(out === Map(1L -> false, 2L -> true, 3L -> true, 4L -> false,
+      5L -> true, 6L -> true, 7L -> true, 8L -> true), s"verdicts: $out")
+    // allow/disallow same path, same length: Allow wins the tie
+    val tie = Seq(("t.com", "User-agent: *\nDisallow: /p\nAllow: /p")).toDF("host", "txt")
+    val tieOut = Urls.robotsFilter(Seq((1L, "http://t.com/page")).toDF("id", "url"),
+      "id", "url", Urls.robotsRules(tie, "host", "txt", "graftbot")).collect()
+    assert(tieOut(0).getBoolean(5), "Allow must win the equal-length tie")
+  }
+
   test("image dHash: brightness-invariant, noise-robust, recall 1 vs brute force") {
     import graft.llm.Multimodal
     val ids = (0L until 60L).toDF("doc_id")
