@@ -638,4 +638,33 @@ object Similarity {
       .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** SEMANTIC decontamination — the embedding-space sibling of the
+    * n-gram benchmark filters (q87 exact, q164 fuzzy): flag every corpus
+    * item whose max cosine similarity to ANY benchmark vector reaches
+    * `threshold` (paraphrased eval leakage that token overlap misses),
+    * with the argmax benchmark id as evidence. Ranking runs on
+    * round(cos, 4) with a smallest-bench-id tiebreak, the q35
+    * determinism discipline.
+    *
+    * Scale shape: the benchmark set BROADCASTS (eval suites are
+    * thousands of vectors); the per-row max collapses in the map-side
+    * partial aggregate, so the one exchange carries exactly one
+    * (id, best) pair per corpus row — the corpus' own vectors never
+    * shuffle. Output: id, bench_id, cos, contaminated.
+    */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+      threshold: Double, idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("cv"))
+    val b = bench.select(col(idCol).as("bid"), col(vecCol).cast("array<double>").as("bv"))
+    c.crossJoin(broadcast(b))
+      .select(col("id"),
+        struct(round(cosine(col("cv"), col("bv")), 4).as("cos"),
+          (-col("bid")).as("nbid")).as("s"))
+      .groupBy(col("id"))
+      .agg(max(col("s")).as("best"))
+      .select(col("id"), (-col("best.nbid")).as("bench_id"),
+        col("best.cos").as("cos"),
+        (col("best.cos") >= threshold).as("contaminated"))
+  }
 }

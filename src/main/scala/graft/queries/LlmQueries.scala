@@ -3599,6 +3599,36 @@ object LlmQueries {
         "doc_id", "url", rules)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    },
+
+    // SEMANTIC decontamination — the embedding-space rung of the
+    // benchmark-leakage ladder (q87 exact n-grams, q164 fuzzy Jaccard,
+    // q201 paraphrase-level): every corpus vector scored against the
+    // broadcast benchmark set, argmax bench id as evidence, flagged at
+    // max-cos ≥ 0.3. Ranking on round(cos, 4) with smallest-bench-id
+    // ties (the q35 discipline) keeps the argmax engine-stable; the
+    // map-side partial max means the single exchange carries one row per
+    // corpus vector, never the N×B score matrix.
+    QueryDef.sql(
+      "q201_semantic_decontam",
+      """WITH b AS (SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS bv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings WHERE vec_id % 50 <> 0),
+        |s AS (SELECT id, bid, ROUND(list_cosine_similarity(cv, bv), 4) AS cos
+        |      FROM c CROSS JOIN b),
+        |rk AS (SELECT id, bid, cos,
+        |         row_number() OVER (PARTITION BY id ORDER BY cos DESC, bid) AS rn
+        |       FROM s)
+        |SELECT id AS vec_id, bid AS bench_id, cos, cos >= 0.3 AS contaminated
+        |FROM rk WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.semanticDecontaminate(
+          emb.filter(col("vec_id") % 50 =!= 0).select(col("vec_id").as("id"), col("embedding").as("vec")),
+          emb.filter(col("vec_id") % 50 === 0).select(col("vec_id").as("id"), col("embedding").as("vec")),
+          threshold = 0.3)
+        .select(col("id").as("vec_id"), col("bench_id"), col("cos"), col("contaminated"))
+        .orderBy(col("vec_id"))
     }
   )
 

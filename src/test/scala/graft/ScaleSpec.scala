@@ -570,6 +570,24 @@ class ScaleSpec extends SparkSpec {
       s"increment result should read the scratch parquet:\n$plan")
   }
 
+  test("semantic decontamination: bench broadcasts, partial agg collapses before the exchange") {
+    import graft.llm.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.semanticDecontaminate(
+      emb.filter(col("vec_id") % 50 =!= 0).select(col("vec_id").as("id"), col("embedding").as("vec")),
+      emb.filter(col("vec_id") % 50 === 0).select(col("vec_id").as("id"), col("embedding").as("vec")),
+      threshold = 0.3)
+    val plan = out.queryExecution.executedPlan.toString
+    // the bench side must ride a broadcast (never a shuffled join), and
+    // the per-row argmax must partial-aggregate map-side so the one
+    // exchange carries (id, best) pairs, not the N×B score matrix
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"bench set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus pays a join shuffle:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("partial"),
+      s"no map-side partial aggregate before the exchange:\n$plan")
+  }
+
   test("frozen quantile streaming: a non-boundary trigger reads only the generation summary + batch") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
