@@ -639,6 +639,55 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Per-vector symmetric int8 scalar quantization — the storage tier
+    * between raw float vectors and PQ codes (4× smaller than float32,
+    * exact integer dot products): scale = max|x_i|, q_i =
+    * ⌊x_i/scale·127 + 0.5⌋ clamped to [-127, 127]. Half-up via explicit
+    * floor(·+0.5), NOT round() — floor of an IEEE double is exact and
+    * identical in every engine, so the codes (and everything ranked on
+    * them) replay bit-for-bit cross-engine. Zero vectors quantize to
+    * zeros with scale 0. Pure codegen column HOFs, shuffle-free.
+    * Output: id, qvec (array<int>), scale.
+    */
+  def int8Quantize(df: DataFrame, idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val scale = array_max(transform(v, x => abs(x)))
+    df.select(col(idCol).as("id"),
+      when(scale === 0.0, transform(v, _ => lit(0)))
+        .otherwise(transform(v, x =>
+          greatest(lit(-127), least(lit(127),
+            floor(x / scale * 127 + lit(0.5)).cast("int"))))).as("qvec"),
+      scale.as("scale"))
+  }
+
+  /** Top-k cosine search over int8-quantized vectors: dot products and
+    * norms are EXACT integer arithmetic (the whole point of symmetric
+    * quantization — only the final cosine division touches floats, and
+    * ranking runs on round(qcos, 4) with the nid tiebreak, the q35
+    * discipline). Queries broadcast; the corpus scans once. Output:
+    * qid, nid, qcos.
+    */
+  def int8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    val q = int8Quantize(queries, idCol, vecCol)
+      .select(col("id").as("qid"), col("qvec").as("qq"))
+      .withColumn("na", idot(col("qq"), col("qq")))
+    val c = int8Quantize(corpus, idCol, vecCol)
+      .select(col("id").as("nid"), col("qvec").as("nq"))
+      .withColumn("nb", idot(col("nq"), col("nq")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        when(col("na") === 0L || col("nb") === 0L, lit(0.0))
+          .otherwise(idot(col("qq"), col("nq")).cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))).as("qcos"))
+    val w = Window.partitionBy(col("qid")).orderBy(round(col("qcos"), 4).desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
   /** SEMANTIC decontamination — the embedding-space sibling of the
     * n-gram benchmark filters (q87 exact, q164 fuzzy): flag every corpus
     * item whose max cosine similarity to ANY benchmark vector reaches

@@ -3629,6 +3629,68 @@ object LlmQueries {
           threshold = 0.3)
         .select(col("id").as("vec_id"), col("bench_id"), col("cos"), col("contaminated"))
         .orderBy(col("vec_id"))
+    },
+
+    // int8 scalar quantization + quantized top-k — the storage rung of
+    // the ANN ladder between raw floats (q35) and PQ codes (q130): 4×
+    // compression with EXACT integer dot products. Quantization uses
+    // floor(x/scale·127 + 0.5), never round() — floor of a double is
+    // exact in every engine, so codes, integer norms, and the ranked
+    // search all replay bit-for-bit; only the final cosine division is
+    // float, ranked at round(·,4) with the nid tiebreak (q35
+    // discipline). in_exact marks overlap with the float-exact top-5 —
+    // the recall evidence, replayed identically by the oracle.
+    QueryDef.sql(
+      "q202_int8_quant_topk",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+        |qz AS (SELECT vec_id,
+        |         CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |              ELSE list_transform(v, x -> GREATEST(-127, LEAST(127,
+        |                     CAST(floor(x / scale * 127 + 0.5) AS BIGINT)))) END AS qv
+        |       FROM sc),
+        |qn AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x*x)) AS nrm FROM qz),
+        |qq AS (SELECT vec_id AS qid, qv AS a, nrm AS na FROM qn WHERE vec_id < 10),
+        |cc AS (SELECT vec_id AS nid, qv AS b, nrm AS nb FROM qn),
+        |s AS (SELECT qid, nid,
+        |        CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |             ELSE CAST(list_sum(list_transform(range(1, len(a)+1),
+        |                    i -> a[CAST(i AS INT)]*b[CAST(i AS INT)])) AS DOUBLE)
+        |                  / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END AS qcos
+        |      FROM qq CROSS JOIN cc WHERE qid <> nid),
+        |rk AS (SELECT qid, nid, qcos,
+        |         row_number() OVER (PARTITION BY qid ORDER BY ROUND(qcos, 4) DESC, nid) AS rn
+        |       FROM s),
+        |ex AS (SELECT qid, nid FROM (
+        |        SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |          row_number() OVER (PARTITION BY q.vec_id
+        |            ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 4) DESC, c.vec_id) AS rn
+        |        FROM e q CROSS JOIN e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |       WHERE rn <= 5)
+        |SELECT rk.qid, rk.nid, ROUND(rk.qcos, 4) AS qcos,
+        |       (ex.nid IS NOT NULL) AS in_exact
+        |FROM rk LEFT JOIN ex ON ex.qid = rk.qid AND ex.nid = rk.nid
+        |WHERE rk.rn <= 5
+        |ORDER BY rk.qid, rk.nid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qtop = Similarity.int8TopK(queries, corpus, 5)
+      val exact = {
+        val qv = queries.select(col("id").as("qid"), col("vec").cast("array<double>").as("qv"))
+        val cv = corpus.select(col("id").as("nid"), col("vec").cast("array<double>").as("nv"))
+        val sc = cv.crossJoin(broadcast(qv)).filter(col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            round(Similarity.cosine(col("qv"), col("nv")), 4).as("cos"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+        sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("qid"), col("nid"))
+      }
+      qtop.join(exact.withColumn("in_exact", lit(true)), Seq("qid", "nid"), "left")
+        .select(col("qid"), col("nid"), round(col("qcos"), 4).as("qcos"),
+          coalesce(col("in_exact"), lit(false)).as("in_exact"))
+        .orderBy(col("qid"), col("nid"))
     }
   )
 

@@ -742,6 +742,39 @@ class LlmSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("int8 quantization: codes exact, zero vector safe, reconstruction bounded") {
+    import graft.llm.Similarity
+    val vecs = Seq(
+      (1L, Array(0.5f, -0.25f, 0.124f, -0.5f)),  // |max| element -> ±127
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),       // zero vector -> zeros, scale 0
+      (3L, Array(1e-8f, -1e-8f, 0.0f, 1e-8f))    // tiny scale still quantizes
+    ).toDF("id", "vec")
+    val out = Similarity.int8Quantize(vecs).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 === Seq(127, -63, 31, -127), s"codes: ${out(1L)}")
+    assert(out(2L)._1 === Seq(0, 0, 0, 0) && out(2L)._2 === 0.0)
+    assert(out(3L)._1 === Seq(127, -127, 0, 127))
+    // reconstruction q·scale/127 is within half a step of the original
+    val (codes, scale) = out(1L)
+    val orig = Seq(0.5, -0.25, 0.124, -0.5)
+    codes.zip(orig).foreach { case (q, x) =>
+      assert(math.abs(q * scale / 127 - x) <= scale / 127 / 2 + 1e-12,
+        s"reconstruction off: q=$q x=$x")
+    }
+    // quantized search still finds the planted exact-duplicate direction
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val top = Similarity.int8TopK(emb.filter(col("id") < 3), emb, k = 5)
+    assert(top.count() === 15) // 3 query vectors × top-5
+    // int8 cosine must agree with float cosine within quantization noise
+    val qcos = top.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val fcos = Similarity.bruteForceTopK(emb.filter(col("id") < 3), emb, k = 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    qcos.foreach { case (k, qc) =>
+      fcos.get(k).foreach(fc => assert(math.abs(qc - fc) < 0.05, s"$k: $qc vs $fc"))
+    }
+  }
+
   test("robots.txt: group precedence, longest match, allow-tie, edge cases") {
     import graft.llm.Urls
     val robots = Seq(
