@@ -3691,6 +3691,46 @@ object LlmQueries {
         .select(col("qid"), col("nid"), round(col("qcos"), 4).as("qcos"),
           coalesce(col("in_exact"), lit(false)).as("in_exact"))
         .orderBy(col("qid"), col("nid"))
+    },
+
+    // Mojibake repair — the encoding-fix stage every web corpus runs
+    // before any tokenization (CCNet/ftfy's core case: UTF-8 read as
+    // cp1252 and re-encoded, `café` → `cafÃ©`, `’` → `â€™`). The repair
+    // table is GENERATED from the JVM cp1252 codec (one source of truth;
+    // the oracle gets the identical table as literals), applied as a
+    // sequential longest-first chained replace — pure projection, no
+    // shuffle. The fixture plants real round-trip damage (mojibakeOf of
+    // a letters+punctuation phrase) on 2 of 3 docs; the oracle replays
+    // plant, chain, and the chars-saved arithmetic, pinning the repaired
+    // text verbatim.
+    QueryDef.sql(
+      "q203_mojibake_fix", {
+        val clean = "café – ‘déjà vu’ … «naïve» °C ±1 €5 ‰ œuf Žš ™"
+        val moji = graft.llm.Encoding.mojibakeOf(clean).replace("'", "''")
+        val chain = graft.llm.Encoding.fixMojibakeSql("orig")
+        s"""WITH t AS (SELECT doc_id,
+           |  text || CASE WHEN doc_id % 3 = 0 THEN '' ELSE ' $moji' END AS orig
+           |  FROM documents),
+           |f AS (SELECT doc_id, orig, $chain AS fixed FROM t)
+           |SELECT doc_id, fixed,
+           |  CAST(length(orig) - length(fixed) AS BIGINT) AS n_saved,
+           |  (length(orig) - length(fixed)) > 0 AS repaired
+           |FROM f ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      import graft.llm.Encoding
+      val clean = "café – ‘déjà vu’ … «naïve» °C ±1 €5 ‰ œuf Žš ™"
+      val moji = Encoding.mojibakeOf(clean)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(3)) === 0, lit(""))
+              .otherwise(lit(" " + moji))).as("orig"))
+        .select(col("doc_id"), Encoding.fixMojibake(col("orig")).as("fixed"),
+          (length(col("orig")) - length(Encoding.fixMojibake(col("orig"))))
+            .cast("long").as("n_saved"))
+        .select(col("doc_id"), col("fixed"), col("n_saved"),
+          (col("n_saved") > 0).as("repaired"))
+        .orderBy(col("doc_id"))
     }
   )
 

@@ -742,6 +742,47 @@ class LlmSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("mojibake repair: round-trip inverse on covered chars, clean text untouched") {
+    import graft.llm.Encoding
+    // repair(damage(x)) == x for any text over the covered alphabet
+    val phrases = Seq(
+      "café au lait — c'est ‘très’ bon…",
+      "Müller & Søren: «Ærø» ±2°C ½ ¾ ¿qué? ¡sí!",
+      "€99 · œuvre · Žižek š ™ ‰ †‡ ƒ",
+      "plain ASCII stays plain ASCII",
+      // full Latin-1 letter block EXCEPT the five cp1252 holes
+      // (Á Í Ï Ð Ý — their mojibake is U+FFFD, unrepairable by design);
+      // built from codepoints so no editor/paste step can swap in a
+      // visual lookalike (a pasted ×Ø once arrived as Hebrew resh)
+      ((0xC0 to 0xFF).toSet -- Set(0xC1, 0xCD, 0xCF, 0xD0, 0xDD))
+        .toSeq.sorted.map(_.toChar).mkString)
+    val df = phrases.zipWithIndex
+      .map { case (p, i) => (i.toLong, Encoding.mojibakeOf(p), p) }
+      .toDF("id", "damaged", "expected")
+    val out = df.select(col("id"), Encoding.fixMojibake(col("damaged")).as("fixed"),
+        col("expected")).collect()
+    out.foreach(r => assert(r.getString(1) === r.getString(2),
+      s"row ${r.getLong(0)}: '${r.getString(1)}' != '${r.getString(2)}'"))
+    // clean text (including already-correct accents) is untouched
+    val clean = Seq((1L, "déjà vu — naïve…")).toDF("id", "t")
+      .select(Encoding.fixMojibake(col("t"))).collect()(0).getString(0)
+    assert(clean === "déjà vu — naïve…")
+    // pair table sanity: longest-first, no control chars, no identity
+    // pairs, and — critically — no duplicate patterns (the cp1252 holes
+    // all decode to U+FFFD; keeping them would make five originals share
+    // one pattern and silently rewrite Í to Á)
+    val lens = Encoding.MojibakePairs.map(_._1.length)
+    assert(lens === lens.sortBy(-(_: Int)), "patterns must be longest-first")
+    assert(Encoding.MojibakePairs.forall { case (m, o) =>
+      m != o && m.forall(ch => ch >= 0x20 && !(ch >= 0x7f && ch <= 0x9f)) })
+    val pats = Encoding.MojibakePairs.map(_._1)
+    assert(pats.distinct.size === pats.size, "ambiguous duplicate patterns")
+    // a hole character's damage passes through unrepaired, never misrepaired
+    val hole = Seq((1L, Encoding.mojibakeOf("Í"))).toDF("id", "t")
+      .select(Encoding.fixMojibake(col("t"))).collect()(0).getString(0)
+    assert(hole === Encoding.mojibakeOf("Í"), "hole damage must pass through as-is")
+  }
+
   test("int8 quantization: codes exact, zero vector safe, reconstruction bounded") {
     import graft.llm.Similarity
     val vecs = Seq(
