@@ -1,0 +1,59 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Instruction/SFT conversation operators: the validation and rendering
+  * layer between raw multi-turn data and a chat-templated training set.
+  * Every SFT pipeline runs exactly these checks before templating
+  * (role-alternation, user-first/assistant-last framing, empty-turn
+  * rejection) — a malformed conversation silently teaches the model the
+  * wrong turn structure, so the verdicts must be exact, auditable
+  * per-conversation columns rather than a lossy drop.
+  *
+  * Scale shape: one window + one aggregate, both keyed by conversation
+  * id — partitions are conversation-sized (tens of turns), never
+  * corpus-sized; rendering is an ordered in-group fold, not a global
+  * sort. 100 TB of chat data shuffles once, as (conv, turn) rows.
+  */
+object Chat {
+
+  /** Per-conversation validation + template rendering over a turns table
+    * (convCol, idxCol: 0-based turn order, roleCol: 'user'/'assistant',
+    * contentCol). Output one row per conversation:
+    *
+    *  - n_turns, starts_user, alternates (no adjacent same-role turns),
+    *    has_empty (any whitespace-only content), ends_assistant,
+    *  - valid = starts_user ∧ alternates ∧ ¬has_empty ∧ ends_assistant
+    *    (the standard SFT framing contract),
+    *  - rendered: `<|role|>content` pieces concatenated in turn order
+    *    (the chat-template form token pricing runs on),
+    *  - n_tok: whitespace token count of the rendered conversation.
+    */
+  def validateConversations(turns: DataFrame, convCol: String, idxCol: String,
+      roleCol: String, contentCol: String): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("idx"))
+    val flagged = turns.select(
+        col(convCol).as("conv_id"), col(idxCol).as("idx"),
+        col(roleCol).as("role"), col(contentCol).as("content"))
+      .withColumn("same_as_prev",
+        coalesce(col("role") === lag(col("role"), 1).over(w), lit(false)))
+    flagged.groupBy(col("conv_id")).agg(
+        count(lit(1)).as("n_turns"),
+        max(when(col("idx") === 0, col("role") === "user")).as("starts_user"),
+        (!max(col("same_as_prev"))).as("alternates"),
+        max(trim(col("content")) === "").as("has_empty"),
+        max(struct(col("idx"), col("role"))).getField("role").as("__last_role"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"),
+            concat(lit("<|"), col("role"), lit("|>"), col("content")).as("piece")))),
+            x => x.getField("piece")), "").as("rendered"))
+      .withColumn("ends_assistant", col("__last_role") === "assistant")
+      .withColumn("valid",
+        col("starts_user") && col("alternates") && !col("has_empty") &&
+          col("ends_assistant"))
+      .withColumn("n_tok", TextAnalysis.tokenCountWs(col("rendered")))
+      .drop("__last_role")
+  }
+}

@@ -3731,6 +3731,65 @@ object LlmQueries {
         .select(col("doc_id"), col("fixed"), col("n_saved"),
           (col("n_saved") > 0).as("repaired"))
         .orderBy(col("doc_id"))
+    },
+
+    // SFT conversation validation + chat-template rendering — the
+    // instruction-tuning layer's intake gate: role alternation,
+    // user-first/assistant-last framing, empty-turn rejection, and the
+    // templated form token pricing runs on. The fixture derives
+    // multi-turn conversations from documents and PLANTS each defect
+    // class (doc%7=3: repeated role; doc%11=5: assistant-first;
+    // doc%13=7: empty first turn; odd turn counts: user-last). The
+    // oracle replays turn synthesis, the lag-window alternation check,
+    // the ordered template fold, and every verdict column.
+    QueryDef.sql(
+      "q204_conversation_validate",
+      """WITH t0 AS (SELECT doc_id, text, 2 + doc_id % 5 AS n FROM documents),
+        |tr AS (SELECT doc_id, text, CAST(unnest(range(0, n)) AS INT) AS idx FROM t0),
+        |r0 AS (SELECT *, CASE WHEN doc_id % 11 = 5 THEN 'assistant' ELSE 'user' END AS role0 FROM tr),
+        |tt AS (SELECT doc_id, idx,
+        |        CASE WHEN doc_id % 7 = 3 AND idx = 1 THEN role0
+        |             WHEN idx % 2 = 0 THEN role0
+        |             ELSE (CASE WHEN role0 = 'user' THEN 'assistant' ELSE 'user' END) END AS role,
+        |        CASE WHEN doc_id % 13 = 7 AND idx = 0 THEN ''
+        |             ELSE 'm' || CAST(idx AS VARCHAR) || ' ' || substr(text, idx*16+1, 12) END AS content
+        |      FROM r0),
+        |lg AS (SELECT *, coalesce(role = lag(role) OVER (PARTITION BY doc_id ORDER BY idx), false) AS same_as_prev FROM tt),
+        |agg AS (SELECT doc_id AS conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+        |        bool_or(idx = 0 AND role = 'user') AS starts_user,
+        |        NOT bool_or(same_as_prev) AS alternates,
+        |        bool_or(trim(content) = '') AS has_empty,
+        |        arg_max(role, idx) AS last_role,
+        |        string_agg('<|' || role || '|>' || content, '' ORDER BY idx) AS rendered
+        |        FROM lg GROUP BY doc_id)
+        |SELECT conv_id, n_turns, starts_user, alternates, has_empty,
+        |  (last_role = 'assistant') AS ends_assistant,
+        |  (starts_user AND alternates AND NOT has_empty
+        |    AND last_role = 'assistant') AS valid,
+        |  rendered,
+        |  CAST(CASE WHEN length(trim(rendered)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(rendered), '\s+')) END AS BIGINT) AS n_tok
+        |FROM agg ORDER BY conv_id""".stripMargin) { (s, d) =>
+      import graft.llm.Chat
+      val docs = Tables.documents(s, d)
+      val role0 = when(pmod(col("doc_id"), lit(11)) === 5, lit("assistant"))
+        .otherwise(lit("user"))
+      val other = when(role0 === "user", lit("assistant")).otherwise(lit("user"))
+      val turns = docs
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), (lit(1) + pmod(col("doc_id"), lit(5))).cast("int"))).as("idx"))
+        .select(col("doc_id"), col("idx"),
+          when(pmod(col("doc_id"), lit(7)) === 3 && col("idx") === 1, role0)
+            .otherwise(when(pmod(col("idx"), lit(2)) === 0, role0).otherwise(other))
+            .as("role"),
+          when(pmod(col("doc_id"), lit(13)) === 7 && col("idx") === 0, lit(""))
+            .otherwise(concat(lit("m"), col("idx").cast("string"), lit(" "),
+              col("text").substr(col("idx") * 16 + 1, lit(12)))).as("content"))
+      Chat.validateConversations(turns, "doc_id", "idx", "role", "content")
+        .select(col("conv_id"), col("n_turns"), col("starts_user"),
+          col("alternates"), col("has_empty"), col("ends_assistant"),
+          col("valid"), col("rendered"), col("n_tok"))
+        .orderBy(col("conv_id"))
     }
   )
 

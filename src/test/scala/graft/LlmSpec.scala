@@ -742,6 +742,23 @@ class LlmSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("conversation validation: framing contract verdicts and ordered rendering") {
+    import graft.llm.Chat
+    val turns = Seq(
+      (1L, 0, "user", "hi"), (1L, 1, "assistant", "hello"),          // valid
+      (2L, 0, "assistant", "hi"), (2L, 1, "user", "??"),             // wrong start+end
+      (3L, 0, "user", "a"), (3L, 1, "user", "b"), (3L, 2, "assistant", "c"), // repeat
+      (4L, 0, "user", "  "), (4L, 1, "assistant", "ok")              // empty turn
+    ).toDF("conv", "i", "r", "c")
+    val out = Chat.validateConversations(turns, "conv", "i", "r", "c")
+      .collect().map(r => r.getAs[Long]("conv_id") ->
+        ((r.getAs[Boolean]("valid"), r.getAs[String]("rendered")))).toMap
+    assert(out(1L) === ((true, "<|user|>hi<|assistant|>hello")))
+    assert(!out(2L)._1 && !out(3L)._1 && !out(4L)._1)
+    assert(out(3L)._2 === "<|user|>a<|user|>b<|assistant|>c",
+      "rendering must preserve turn order")
+  }
+
   test("mojibake repair: round-trip inverse on covered chars, clean text untouched") {
     import graft.llm.Encoding
     // repair(damage(x)) == x for any text over the covered alphabet
