@@ -56,4 +56,29 @@ object Chat {
       .withColumn("n_tok", TextAnalysis.tokenCountWs(col("rendered")))
       .drop("__last_role")
   }
+
+  /** Loss-mask token accounting — the budget arithmetic behind SFT loss
+    * masking (train on assistant turns, mask user/prompt turns): per
+    * conversation, total content tokens, trainable (assistant) tokens,
+    * the trainable fraction (NULL when the conversation has no content
+    * tokens at all), and the assistant turn count. A pipeline uses this
+    * to price an SFT mixture in TRAINABLE tokens rather than raw tokens
+    * — a long-prompt corpus can be 10× its useful size. One grouped
+    * aggregate over (conv, turn) rows; map-side partial sums.
+    */
+  def lossMaskCounts(turns: DataFrame, convCol: String, idxCol: String,
+      roleCol: String, contentCol: String): DataFrame = {
+    val tok = TextAnalysis.tokenCountWs(col(contentCol))
+    turns.groupBy(col(convCol).as("conv_id"))
+      .agg(
+        sum(tok).as("n_tok_total"),
+        sum(when(col(roleCol) === "assistant", tok).otherwise(lit(0L)))
+          .as("n_tok_trainable"),
+        sum(when(col(roleCol) === "assistant", 1L).otherwise(0L))
+          .as("n_assistant_turns"))
+      .withColumn("trainable_frac",
+        when(col("n_tok_total") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_tok_trainable").cast("double") /
+            col("n_tok_total"), 6)))
+  }
 }

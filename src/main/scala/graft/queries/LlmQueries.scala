@@ -3744,16 +3744,7 @@ object LlmQueries {
     // the ordered template fold, and every verdict column.
     QueryDef.sql(
       "q204_conversation_validate",
-      """WITH t0 AS (SELECT doc_id, text, 2 + doc_id % 5 AS n FROM documents),
-        |tr AS (SELECT doc_id, text, CAST(unnest(range(0, n)) AS INT) AS idx FROM t0),
-        |r0 AS (SELECT *, CASE WHEN doc_id % 11 = 5 THEN 'assistant' ELSE 'user' END AS role0 FROM tr),
-        |tt AS (SELECT doc_id, idx,
-        |        CASE WHEN doc_id % 7 = 3 AND idx = 1 THEN role0
-        |             WHEN idx % 2 = 0 THEN role0
-        |             ELSE (CASE WHEN role0 = 'user' THEN 'assistant' ELSE 'user' END) END AS role,
-        |        CASE WHEN doc_id % 13 = 7 AND idx = 0 THEN ''
-        |             ELSE 'm' || CAST(idx AS VARCHAR) || ' ' || substr(text, idx*16+1, 12) END AS content
-        |      FROM r0),
+      s"""WITH $sftTurnsSql,
         |lg AS (SELECT *, coalesce(role = lag(role) OVER (PARTITION BY doc_id ORDER BY idx), false) AS same_as_prev FROM tt),
         |agg AS (SELECT doc_id AS conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
         |        bool_or(idx = 0 AND role = 'user') AS starts_user,
@@ -3768,30 +3759,82 @@ object LlmQueries {
         |    AND last_role = 'assistant') AS valid,
         |  rendered,
         |  CAST(CASE WHEN length(trim(rendered)) = 0 THEN 0
-        |       ELSE len(string_split_regex(trim(rendered), '\s+')) END AS BIGINT) AS n_tok
+        |       ELSE len(string_split_regex(trim(rendered), '\\s+')) END AS BIGINT) AS n_tok
         |FROM agg ORDER BY conv_id""".stripMargin) { (s, d) =>
       import graft.llm.Chat
-      val docs = Tables.documents(s, d)
-      val role0 = when(pmod(col("doc_id"), lit(11)) === 5, lit("assistant"))
-        .otherwise(lit("user"))
-      val other = when(role0 === "user", lit("assistant")).otherwise(lit("user"))
-      val turns = docs
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(0), (lit(1) + pmod(col("doc_id"), lit(5))).cast("int"))).as("idx"))
-        .select(col("doc_id"), col("idx"),
-          when(pmod(col("doc_id"), lit(7)) === 3 && col("idx") === 1, role0)
-            .otherwise(when(pmod(col("idx"), lit(2)) === 0, role0).otherwise(other))
-            .as("role"),
-          when(pmod(col("doc_id"), lit(13)) === 7 && col("idx") === 0, lit(""))
-            .otherwise(concat(lit("m"), col("idx").cast("string"), lit(" "),
-              col("text").substr(col("idx") * 16 + 1, lit(12)))).as("content"))
-      Chat.validateConversations(turns, "doc_id", "idx", "role", "content")
+      Chat.validateConversations(sftTurns(s, d), "doc_id", "idx", "role", "content")
         .select(col("conv_id"), col("n_turns"), col("starts_user"),
           col("alternates"), col("has_empty"), col("ends_assistant"),
           col("valid"), col("rendered"), col("n_tok"))
         .orderBy(col("conv_id"))
+    },
+
+    // SFT loss-mask token accounting — pricing an instruction corpus in
+    // TRAINABLE tokens (assistant turns only; user/prompt turns are
+    // loss-masked): total vs trainable token mass, assistant turn count,
+    // and the trainable fraction per conversation. The mixture operators
+    // (q149/q182) should budget on THIS number — a long-prompt corpus
+    // can be 10× its useful size. Same planted turn fixture as q204; one
+    // grouped aggregate, map-side partial sums.
+    QueryDef.sql(
+      "q205_sft_loss_mask",
+      s"""WITH $sftTurnsSql,
+        |tok AS (SELECT doc_id, role,
+        |  CAST(CASE WHEN length(trim(content)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(content), '\\s+')) END AS BIGINT) AS nt
+        |  FROM tt)
+        |SELECT doc_id AS conv_id,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tok_total,
+        |  CAST(SUM(CASE WHEN role = 'assistant' THEN nt ELSE 0 END) AS BIGINT) AS n_tok_trainable,
+        |  CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant_turns,
+        |  CASE WHEN SUM(nt) = 0 THEN NULL
+        |       ELSE ROUND(CAST(SUM(CASE WHEN role = 'assistant' THEN nt ELSE 0 END) AS DOUBLE)
+        |            / SUM(nt), 6) END AS trainable_frac
+        |FROM tok GROUP BY doc_id ORDER BY conv_id""".stripMargin) { (s, d) =>
+      import graft.llm.Chat
+      Chat.lossMaskCounts(sftTurns(s, d), "doc_id", "idx", "role", "content")
+        .select(col("conv_id"), col("n_tok_total"), col("n_tok_trainable"),
+          col("n_assistant_turns"), col("trainable_frac"))
+        .orderBy(col("conv_id"))
     }
   )
+
+  /** q204/q205's shared SFT turn fixture as oracle CTEs ending in
+    * tt(doc_id, idx, role, content) — planted defects: doc%7=3 repeated
+    * role at turn 1, doc%11=5 assistant-first, doc%13=7 empty first
+    * turn, odd turn counts end on user.
+    */
+  private lazy val sftTurnsSql: String =
+    """t0 AS (SELECT doc_id, text, 2 + doc_id % 5 AS n FROM documents),
+      |tr AS (SELECT doc_id, text, CAST(unnest(range(0, n)) AS INT) AS idx FROM t0),
+      |r0 AS (SELECT *, CASE WHEN doc_id % 11 = 5 THEN 'assistant' ELSE 'user' END AS role0 FROM tr),
+      |tt AS (SELECT doc_id, idx,
+      |        CASE WHEN doc_id % 7 = 3 AND idx = 1 THEN role0
+      |             WHEN idx % 2 = 0 THEN role0
+      |             ELSE (CASE WHEN role0 = 'user' THEN 'assistant' ELSE 'user' END) END AS role,
+      |        CASE WHEN doc_id % 13 = 7 AND idx = 0 THEN ''
+      |             ELSE 'm' || CAST(idx AS VARCHAR) || ' ' || substr(text, idx*16+1, 12) END AS content
+      |      FROM r0)""".stripMargin
+
+  /** The identical turn fixture as a DataFrame (Column twin of
+    * [[sftTurnsSql]]).
+    */
+  private def sftTurns(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val role0 = when(pmod(col("doc_id"), lit(11)) === 5, lit("assistant"))
+      .otherwise(lit("user"))
+    val other = when(role0 === "user", lit("assistant")).otherwise(lit("user"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), (lit(1) + pmod(col("doc_id"), lit(5))).cast("int"))).as("idx"))
+      .select(col("doc_id"), col("idx"),
+        when(pmod(col("doc_id"), lit(7)) === 3 && col("idx") === 1, role0)
+          .otherwise(when(pmod(col("idx"), lit(2)) === 0, role0).otherwise(other))
+          .as("role"),
+        when(pmod(col("doc_id"), lit(13)) === 7 && col("idx") === 0, lit(""))
+          .otherwise(concat(lit("m"), col("idx").cast("string"), lit(" "),
+            col("text").substr(col("idx") * 16 + 1, lit(12)))).as("content"))
+  }
 
   /** q178/q191's synthetic crawl page (planted ~10% boilerplate). */
   private def crawlPageHtml: org.apache.spark.sql.Column =
