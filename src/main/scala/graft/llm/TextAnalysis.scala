@@ -197,6 +197,56 @@ object TextAnalysis {
     size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
   }
 
+  /** Abbreviations whose trailing period is NOT a sentence boundary —
+    * the [[splitSentences]] guard list, shared with the oracle (compared
+    * lowercase against the whole whitespace token).
+    */
+  val SentenceAbbrevs: Seq[String] = Seq(
+    "mr.", "mrs.", "ms.", "dr.", "prof.", "jr.", "sr.", "st.", "no.",
+    "fig.", "vs.", "etc.", "e.g.", "i.e.", "jan.", "feb.", "mar.",
+    "apr.", "jun.", "jul.", "aug.", "sep.", "oct.", "nov.", "dec.")
+
+  /** Rule-based sentence segmentation — the unit C4-style line rules,
+    * sentence-level dedup, and fixed-span chunking actually want (a
+    * chunk boundary mid-sentence costs coherence). Token-walk splitter,
+    * deliberately regex-lookaround-free so ANY engine replays it (RE2
+    * has no lookbehind): a whitespace token ENDS a sentence when it ends
+    * with `.`/`!`/`?` (optionally followed by closing quotes/brackets)
+    * and is neither a listed abbreviation ([[SentenceAbbrevs]]) nor a
+    * single capital initial (`E.`). Sentences are in-document ordered
+    * token folds; a trailing unterminated fragment is kept with
+    * terminated = false (auditable, never silently dropped — decimals
+    * like `3.14` never match because they end in a digit).
+    *
+    * Scale shape: one document-partitioned window (documents are
+    * KB-sized) + one (doc, sentence) aggregate; tokens shuffle once as
+    * (id, idx, token) rows. Output: id, sent_idx, sentence, n_tok,
+    * terminated.
+    */
+  def splitSentences(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("tidx", "tok")))
+      .filter(col("tok") =!= "")
+    val isEnd = col("tok").rlike("[.!?][\"')\\]]*$")
+    val isAbbrev = lower(col("tok")).isin(SentenceAbbrevs: _*)
+    val isInitial = col("tok").rlike("^[A-Z][.]$")
+    val flagged = toks.withColumn("bnd",
+      (isEnd && !isAbbrev && !isInitial).cast("int"))
+    val w = Window.partitionBy(col("id")).orderBy(col("tidx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    flagged
+      .withColumn("sent_idx", coalesce(sum(col("bnd")).over(w), lit(0L)).cast("int"))
+      .groupBy(col("id"), col("sent_idx"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("tidx"), col("tok").as("t")))),
+          x => x.getField("t")), " ").as("sentence"),
+        count(lit(1)).as("n_tok"),
+        (max(col("bnd")) === 1).as("terminated"))
+  }
+
   /** TF-IDF top-k terms per document. tf = termCount/docLen, idf =
     * ln(N/df). Two aggregations (per-(doc,term) counts, per-term doc
     * frequency) + a bounded per-doc top-k window — the standard

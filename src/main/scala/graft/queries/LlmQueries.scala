@@ -3796,6 +3796,55 @@ object LlmQueries {
         .select(col("conv_id"), col("n_tok_total"), col("n_tok_trainable"),
           col("n_assistant_turns"), col("trainable_frac"))
         .orderBy(col("conv_id"))
+    },
+
+    // Rule-based sentence segmentation — the unit sentence-level dedup,
+    // C4 line rules, and chunking want. Token-walk splitter (NO regex
+    // lookbehind, so RE2/DuckDB replays it): boundary = token ending
+    // .!? (+closing quotes/brackets) that is neither a listed
+    // abbreviation nor a single capital initial; decimals never match
+    // (they end in a digit); the trailing unterminated fragment is kept
+    // with terminated = false. Planted prose tails exercise every guard
+    // (abbrevs, initials, 3.14, quotes, ?!). Oracle replays tokenization,
+    // the guard battery, the boundary-prefix-sum window, and the ordered
+    // sentence fold verbatim.
+    QueryDef.sql(
+      "q206_sentence_split", {
+        val abbrevs = TextAnalysis.SentenceAbbrevs.map(a => s"'$a'").mkString(", ")
+        s"""WITH t AS (SELECT doc_id, text || CASE doc_id % 4
+           |    WHEN 0 THEN ' Dr. Smith met Mr. Jones on Jan. 5. It cost 3.14 dollars.'
+           |    WHEN 1 THEN ' Was it fast? It was! He said "done." Then quiet.'
+           |    WHEN 3 THEN ' E. Codd wrote it etc. and more i.e. relational stuff. Fin!'
+           |    ELSE '' END AS prose FROM documents),
+           |tk AS (SELECT doc_id, unnest(string_split_regex(trim(prose), '\\s+')) AS tok,
+           |       generate_subscripts(string_split_regex(trim(prose), '\\s+'), 1) AS tidx FROM t),
+           |tk2 AS (SELECT * FROM tk WHERE tok <> ''),
+           |fl AS (SELECT doc_id, tidx, tok,
+           |        CASE WHEN regexp_matches(tok, '[.!?]["'')\\]]*$$')
+           |              AND NOT lower(tok) IN ($abbrevs)
+           |              AND NOT regexp_matches(tok, '^[A-Z][.]$$')
+           |        THEN 1 ELSE 0 END AS bnd
+           |       FROM tk2),
+           |sx AS (SELECT *, CAST(coalesce(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY tidx
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS sent_idx FROM fl)
+           |SELECT doc_id, sent_idx, string_agg(tok, ' ' ORDER BY tidx) AS sentence,
+           |  CAST(COUNT(*) AS BIGINT) AS n_tok, (MAX(bnd) = 1) AS terminated
+           |FROM sx GROUP BY doc_id, sent_idx ORDER BY doc_id, sent_idx""".stripMargin
+      }) { (s, d) =>
+      val prose = concat(col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit(" Dr. Smith met Mr. Jones on Jan. 5. It cost 3.14 dollars."))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            lit(" Was it fast? It was! He said \"done.\" Then quiet."))
+          .when(pmod(col("doc_id"), lit(4)) === 3,
+            lit(" E. Codd wrote it etc. and more i.e. relational stuff. Fin!"))
+          .otherwise(lit("")))
+      TextAnalysis.splitSentences(
+          Tables.documents(s, d).select(col("doc_id"), prose.as("prose")),
+          "doc_id", "prose")
+        .select(col("id").as("doc_id"), col("sent_idx"), col("sentence"),
+          col("n_tok"), col("terminated"))
+        .orderBy(col("doc_id"), col("sent_idx"))
     }
   )
 
