@@ -513,15 +513,23 @@ object Dedup {
     lazyDf.write.mode("overwrite").parquet(path)
     // reclaim ORPHANED sibling attempts past a retention window: a re-run
     // of the same epoch otherwise accumulates scratch copies unboundedly
-    // until the whole index dir is retired. The window (1 h) is far longer
-    // than any plan keeps a lazy scratch reader open mid-query, so an
-    // earlier attempt's reader is never yanked; deletion is best-effort
-    // (another writer racing the same cleanup is harmless).
+    // until the whole index dir is retired. The window must comfortably
+    // exceed both (a) how long ANY caller lazily holds a scratch reader —
+    // multi-epoch training jobs routinely run for hours between
+    // materializing an increment and consuming it — and (b) plausible
+    // clock skew between writers on a shared store, since the comparison
+    // is this JVM's clock vs the store's mtimes. Default 7 days (a
+    // crashed-attempt copy is ~the dropped-id set, cheap to retain a
+    // week); tune with spark.graft.index.scratchTtlMs. Deletion is
+    // best-effort (another writer racing the same cleanup is harmless).
     try {
       val conf = lazyDf.sparkSession.sparkContext.hadoopConfiguration
       val dir = new org.apache.hadoop.fs.Path(epochDir)
       val fs = dir.getFileSystem(conf)
-      val cutoff = System.currentTimeMillis() - 3600L * 1000L
+      val ttlMs = lazyDf.sparkSession.conf
+        .getOption("spark.graft.index.scratchTtlMs").map(_.toLong)
+        .getOrElse(7L * 24 * 3600 * 1000)
+      val cutoff = System.currentTimeMillis() - ttlMs
       fs.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
         if (name.startsWith("attempt_") && name != new org.apache.hadoop.fs.Path(path).getName

@@ -325,11 +325,18 @@ object Sinks {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     // fully-emptied partitions: absent from the stage, so the overwrite
-    // left their old files — remove the partition directories explicitly
+    // left their old files — remove the partition directories explicitly.
+    // Directory names must match what Spark's dynamic-partition writer
+    // produced: Hive-style escapePathName (space stays literal, '*' →
+    // %2A, …) with NULL as __HIVE_DEFAULT_PARTITION__ — URL encoding
+    // targets a different alphabet and would leave the old files alive,
+    // silently resurrecting the supposedly-deleted rows on read.
     auditRows.filter(_.getAs[Long]("n_after") == 0L).foreach { r =>
-      val v = java.net.URLEncoder.encode(String.valueOf(r.get(0)), "UTF-8")
+      val dir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(partitionCol,
+          if (r.isNullAt(0)) null else String.valueOf(r.get(0)))
       fs.delete(new org.apache.hadoop.fs.Path(
-        path.stripSuffix("/") + s"/$partitionCol=$v"), true)
+        path.stripSuffix("/") + "/" + dir), true)
     }
     spark.createDataFrame(java.util.Arrays.asList(auditRows: _*), auditSchema)
   }

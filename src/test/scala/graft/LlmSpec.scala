@@ -210,6 +210,47 @@ class LlmSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.index.leaseTtlMs")
   }
 
+  test("scratch attempt reclamation: TTL-expired orphans go, recent siblings stay") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_scratch_ttl_").toString
+    val fp = md5(col("t"))
+    def inc(): Unit = Dedup.exactDedupIncrement(
+      Seq((1L, "aa"), (2L, "aa")).toDF("id", "t"), "id", fp, dir, 0L).collect()
+    inc() // creates scratch/exact_dropped/epoch=0/attempt_<uuid>
+    val epochDir = java.nio.file.Paths.get(dir, "scratch", "exact_dropped", "epoch=0")
+    def attempts() = scala.util.Using.resource(java.nio.file.Files.list(epochDir))(
+      _.toArray.map(_.toString).filter(_.contains("attempt_")).toSet)
+    val first = attempts()
+    assert(first.size === 1)
+    // plant an orphaned attempt aged past the default 7-day window AND
+    // one aged 2 h (inside the default window — a long-lived caller may
+    // still hold its reader; the old 1 h wall-clock rule yanked these)
+    def plant(name: String, ageMs: Long): java.nio.file.Path = {
+      val p = epochDir.resolve(name)
+      java.nio.file.Files.createDirectory(p)
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+      p
+    }
+    val ancient = plant("attempt_ancient", 8L * 24 * 3600 * 1000)
+    val recent = plant("attempt_recent", 2L * 3600 * 1000)
+    inc() // re-run = fresh attempt + cleanup pass
+    val after = attempts()
+    assert(!java.nio.file.Files.exists(ancient), "TTL-expired orphan not reclaimed")
+    assert(java.nio.file.Files.exists(recent),
+      "recent sibling yanked — a live reader inside the window would break")
+    assert(after.exists(first.contains), "previous real attempt should be within TTL")
+    // conf override shrinks the window
+    spark.conf.set("spark.graft.index.scratchTtlMs", "1000")
+    try {
+      java.nio.file.Files.setLastModifiedTime(recent,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 5000))
+      inc()
+      assert(!java.nio.file.Files.exists(recent), "configured TTL not honored")
+    } finally spark.conf.unset("spark.graft.index.scratchTtlMs")
+    graft.ops.Layout.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("exactDedupIncrement: first-epoch-wins, null fps exempt, crash re-run converges") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_exact_inc_").toString
@@ -2177,5 +2218,30 @@ class LlmSpec extends SparkSpec {
         alpha = 0.5, budgetTokens = 1000000L, maxEpochs = 2.0)
       .collect().map(r => (r.getAs[Double]("epochs"), r.getAs[Boolean]("capped")))
     assert(all.forall { case (e, c) => c && math.abs(e - 2.0) < 1e-9 }, all.toSeq)
+  }
+
+  test("splitSentences: abbrev/initial/decimal guards, quote tails, unterminated fragment") {
+    def split(text: String): Seq[(String, Boolean)] =
+      TextAnalysis.splitSentences(Seq((0L, text)).toDF("doc_id", "t"), "doc_id", "t")
+        .orderBy(col("sent_idx")).collect()
+        .map(r => r.getAs[String]("sentence") -> r.getAs[Boolean]("terminated")).toSeq
+    // plain boundaries: . ! ?
+    assert(split("One here. Two there! Three maybe?") ===
+      Seq("One here." -> true, "Two there!" -> true, "Three maybe?" -> true))
+    // abbreviations and single capital initials do NOT split
+    assert(split("Dr. Smith met Mr. Jones. E. Codd agreed etc. and left.") ===
+      Seq("Dr. Smith met Mr. Jones." -> true,
+        "E. Codd agreed etc. and left." -> true))
+    // decimals never match (token ends in a digit)
+    assert(split("It cost 3.14 dollars. Cheap.") ===
+      Seq("It cost 3.14 dollars." -> true, "Cheap." -> true))
+    // closing quotes/brackets after the terminator still end the sentence
+    assert(split("He said \"done.\" Then (quietly.) Left.") ===
+      Seq("He said \"done.\"" -> true, "Then (quietly.)" -> true, "Left." -> true))
+    // trailing unterminated fragment kept, flagged
+    assert(split("Complete sentence. dangling fragment") ===
+      Seq("Complete sentence." -> true, "dangling fragment" -> false))
+    // whitespace-only runs collapse; leading/trailing space harmless
+    assert(split("  Spaced   out.  ") === Seq("Spaced out." -> true))
   }
 }

@@ -45,10 +45,17 @@ class PlanSweepSpec extends SparkSpec {
     *   - q35/q36/q72/q130/q131: ANN top-k — crossJoin/nested-loop against the
     *     BROADCAST probe/query set (driver-bounded, llm/Similarity.scala);
     *     the corpus side streams through it exactly once.
+    *   - q201: semantic decontamination — cross against the BROADCAST
+    *     benchmark set (driver-bounded Array, Similarity.semanticDecontaminate);
+    *     map-side partial max means one row per corpus vector reaches the
+    *     exchange (ScaleSpec-asserted).
+    *   - q202: int8 quantized top-k — the same bounded-query-set broadcast
+    *     contract as q35 (Similarity.int8TopK takes a driver Array of queries).
     */
   private val boundedCrossAllowlist: Set[String] =
     Set("q35_cosine_topk", "q36_cosine_lsh_topk", "q72_ivf_topk",
-      "q130_pq_topk", "q131_ivfpq_topk")
+      "q130_pq_topk", "q131_ivfpq_topk",
+      "q201_semantic_decontam", "q202_int8_quant_topk")
 
   private def violations(name: String, plan: LogicalPlan): Seq[String] = {
     // A cross join where one side is PROVABLY at most one row (Catalyst's

@@ -298,4 +298,30 @@ class SinkSpec extends SparkSpec {
     assert(none.count() === 0L)
     assert(files("b") === bFilesBefore)
   }
+
+  test("deleteByKeys: emptied partitions with Hive-escaped values are physically removed") {
+    import graft.sources.Sinks
+    import spark.implicits._
+    // values whose Hive dir encoding differs from URL encoding: a space
+    // (Hive keeps it literal; URL encoding would emit '+'), a '*' (Hive
+    // writes %2A; URL keeps '*'), and NULL (__HIVE_DEFAULT_PARTITION__).
+    // The right-to-be-forgotten contract is PHYSICAL removal — a
+    // mis-encoded delete target silently resurrects the rows on read.
+    val dir = java.nio.file.Files.createTempDirectory("graft_del_esc_").toString + "/t"
+    Seq((1L, Some("has space"), "x"), (2L, Some("st*r"), "y"),
+        (3L, Option.empty[String], "z"), (4L, Some("keep"), "w"))
+      .toDF("id", "p", "v")
+      .write.partitionBy("p").parquet(dir)
+    for (d <- Seq("p=has space", "p=st%2Ar", "p=__HIVE_DEFAULT_PARTITION__"))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, d)),
+        s"fixture layout surprise: $d missing")
+    val audit = Sinks.deleteByKeys(spark, dir,
+      Seq(1L, 2L, 3L).toDF("id"), Seq("id"), "p")
+    assert(audit.filter(col("n_after") === 0).count() === 3L)
+    for (d <- Seq("p=has space", "p=st%2Ar", "p=__HIVE_DEFAULT_PARTITION__"))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, d)),
+        s"emptied partition dir survived the delete: $d")
+    val back = spark.read.parquet(dir).select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(back === Set(4L), s"deleted rows resurrected: $back")
+  }
 }
