@@ -55,3 +55,47 @@ class TopK(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
 }
+
+/** [[TopK]] with a carried payload: keeps the k largest (score, id)
+  * triples under the SAME total order (score DESC, id ASC, -0.0/NaN
+  * normalized identically), but each kept entry carries an extra Double
+  * the ordering never consults. Exists for rank-on-rounded contracts
+  * (int8TopK ranks on round(cos, 4) but must RETURN the raw cosine):
+  * without the payload the raw value would need a second corpus scan to
+  * recover. Same algebraic scale story as [[TopK]] — partial aggregation
+  * caps state at k triples per group per map task.
+  */
+class TopKCarry(k: Int)
+    extends Aggregator[(Double, Long, Double), Seq[(Double, Long, Double)], Seq[(Double, Long, Double)]] {
+  require(k > 0, s"k must be positive: $k")
+
+  private def better(a: (Double, Long, Double), b: (Double, Long, Double)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
+
+  private def norm(v: (Double, Long, Double)): (Double, Long, Double) =
+    if (v._1 == 0.0) (0.0, v._2, v._3) else v
+
+  private def insert(buf: Seq[(Double, Long, Double)],
+      v: (Double, Long, Double)): Seq[(Double, Long, Double)] = {
+    val at = buf.indexWhere(x => better(v, x)) match {
+      case -1 => buf.length
+      case i => i
+    }
+    if (at >= k) buf
+    else (buf.take(at) :+ v) ++ buf.drop(at).take(k - at - 1)
+  }
+
+  override def zero: Seq[(Double, Long, Double)] = Vector.empty
+  override def reduce(buf: Seq[(Double, Long, Double)],
+      in: (Double, Long, Double)): Seq[(Double, Long, Double)] =
+    insert(buf, norm(in))
+  override def merge(a: Seq[(Double, Long, Double)],
+      b: Seq[(Double, Long, Double)]): Seq[(Double, Long, Double)] =
+    b.foldLeft(a)(insert)
+  override def finish(buf: Seq[(Double, Long, Double)]): Seq[(Double, Long, Double)] = buf
+  override def bufferEncoder: Encoder[Seq[(Double, Long, Double)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long, Double)]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long, Double)]] = bufferEncoder
+}

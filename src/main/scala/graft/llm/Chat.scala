@@ -41,15 +41,24 @@ object Chat {
         coalesce(col("role") === lag(col("role"), 1).over(w), lit(false)))
     flagged.groupBy(col("conv_id")).agg(
         count(lit(1)).as("n_turns"),
-        max(when(col("idx") === 0, col("role") === "user")).as("starts_user"),
+        // coalesce to false: a 1-based-index conversation has no idx=0
+        // row (the max() is NULL, not false), and NULL content poisons
+        // the trim comparison — either way the verdict must stay a
+        // definite boolean or the row drops out of BOTH filter(valid)
+        // and filter(!valid), contradicting the auditable contract.
+        // NULL content counts as an empty turn.
+        coalesce(max(when(col("idx") === 0, col("role") === "user")),
+          lit(false)).as("starts_user"),
         (!max(col("same_as_prev"))).as("alternates"),
-        max(trim(col("content")) === "").as("has_empty"),
+        coalesce(max(coalesce(trim(col("content")) === "", lit(true))),
+          lit(false)).as("has_empty"),
         max(struct(col("idx"), col("role"))).getField("role").as("__last_role"),
         array_join(
           transform(array_sort(collect_list(struct(col("idx"),
             concat(lit("<|"), col("role"), lit("|>"), col("content")).as("piece")))),
             x => x.getField("piece")), "").as("rendered"))
-      .withColumn("ends_assistant", col("__last_role") === "assistant")
+      .withColumn("ends_assistant",
+        coalesce(col("__last_role") === "assistant", lit(false)))
       .withColumn("valid",
         col("starts_user") && col("alternates") && !col("has_empty") &&
           col("ends_assistant"))

@@ -495,10 +495,12 @@ object Dedup {
     * Attempt-scoped writes keep at-least-once re-runs idempotent AND
     * race-free: a crashed (or re-run) epoch writes a fresh attempt subdir,
     * never touching files an earlier attempt's reader may still be on.
-    * Scratch epochs are retained until the caller retires the index dir —
-    * compaction must NOT reclaim them, since an arbitrarily old result
-    * plan may still be reading its epoch (same lifetime contract as a
-    * Spark checkpoint directory). Read-back pins the writer's schema
+    * Scratch attempts are reclaimed only by a TTL-based orphan sweep
+    * (default 7 days, spark.graft.index.scratchTtlMs): compaction never
+    * touches them, and the window is sized so an arbitrarily old result
+    * plan still mid-read on its attempt is safe — only attempts older
+    * than the TTL (crashed or superseded re-runs) are deleted, on a
+    * best-effort basis. Read-back pins the writer's schema
     * explicitly so an all-empty write (dup-free batch) is still readable.
     */
   private[llm] def materializeScratch(indexDir: String, family: String,
@@ -506,8 +508,8 @@ object Dedup {
     // unique attempt subdir per call: an at-least-once RE-RUN of the same
     // epoch writes a fresh attempt instead of overwriting files an earlier
     // caller's still-lazy plan may be mid-read (each returned reader pins
-    // its own attempt; orphaned attempts share the scratch-area lifetime —
-    // retained until the caller retires the index dir)
+    // its own attempt; orphaned sibling attempts are reclaimed below once
+    // they age past the configurable TTL)
     val epochDir = indexDir.stripSuffix("/") + s"/scratch/$family/epoch=$epoch"
     val path = epochDir + s"/attempt_${java.util.UUID.randomUUID()}"
     lazyDf.write.mode("overwrite").parquet(path)
@@ -522,13 +524,20 @@ object Dedup {
     // crashed-attempt copy is ~the dropped-id set, cheap to retain a
     // week); tune with spark.graft.index.scratchTtlMs. Deletion is
     // best-effort (another writer racing the same cleanup is harmless).
+    // Parse the TTL OUTSIDE the best-effort sweep: a malformed conf value
+    // must surface as an error, not silently disable reclamation forever.
+    val ttlMs = lazyDf.sparkSession.conf
+      .getOption("spark.graft.index.scratchTtlMs").map { v =>
+        try v.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.index.scratchTtlMs must be a long (ms), got: '$v'")
+        }
+      }
+      .getOrElse(7L * 24 * 3600 * 1000)
     try {
       val conf = lazyDf.sparkSession.sparkContext.hadoopConfiguration
       val dir = new org.apache.hadoop.fs.Path(epochDir)
       val fs = dir.getFileSystem(conf)
-      val ttlMs = lazyDf.sparkSession.conf
-        .getOption("spark.graft.index.scratchTtlMs").map(_.toLong)
-        .getOrElse(7L * 24 * 3600 * 1000)
       val cutoff = System.currentTimeMillis() - ttlMs
       fs.listStatus(dir).foreach { st =>
         val name = st.getPath.getName

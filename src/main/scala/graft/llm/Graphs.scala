@@ -52,9 +52,17 @@ object Graphs {
     // convention) — every divisor below is a literal thereafter
     val n = ids.count()
     require(n > 0, "empty node universe")
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d")).persist()
+    graft.ops.CacheRegistry.register(outdeg)
     val base = Math.floorDiv(Math.floorDiv(15L * Scale, 100L), n)
     var pr = ids.select(col("id"), lit(Math.floorDiv(Scale, n)).as("pr_u"))
+    // Each step reads the previous ranks TWICE (dangling-mass aggregate
+    // + contribution join). Persist every iteration's ranks and cut the
+    // predecessor loose only after the successor is MATERIALIZED —
+    // otherwise iteration i's plan re-executes iteration i−1's full
+    // lineage twice, i.e. ~2^iters total recomputation on an
+    // unpersisted chain (crawl-scale killer).
+    var prevCached: DataFrame = null
     for (_ <- 1 to iters) {
       val withDeg = pr.join(outdeg, pr("id") === outdeg("src"), "left")
       val dangling = withDeg.filter(col("d").isNull)
@@ -64,11 +72,17 @@ object Graphs {
         .select(col("dst").as("id"),
           idiv(idiv(col("pr_u") * 85, lit(100)), col("d")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
-      pr = ids.join(contrib, Seq("id"), "left")
+      val next = ids.join(contrib, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("id"),
           (lit(base) + coalesce(col("contrib"), lit(0L)) +
             idiv(idiv(col("dm") * 85, lit(100)), lit(n))).as("pr_u"))
+        .persist()
+      graft.ops.CacheRegistry.register(next)
+      next.count() // materialize BEFORE dropping the predecessor
+      if (prevCached != null) prevCached.unpersist(false)
+      prevCached = next
+      pr = next
     }
     pr
   }

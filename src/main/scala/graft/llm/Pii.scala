@@ -25,7 +25,21 @@ object Pii {
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
     ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "[SSN]"),
     ("ipv4", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "[IP]"),
-    ("phone", "\\+?[0-9][0-9() -]{7,}[0-9]", "[PHONE]"))
+    // Phone: each branch demands either a +/( anchor or consistent
+    // -/. separators with a 4-digit tail — the old catch-all
+    // [0-9() -]{7,} swallowed ANY spaced digit run ("1999 2000 2001",
+    // score lists) and collapsed numeric prose to [PHONE]. Dates
+    // (2024-12-25) miss the {4}-tail branches; bare digit runs and
+    // space-separated groups without an anchor are deliberately NOT
+    // phones. Still Java∩RE2 (no lookaround/backrefs) so the DuckDB
+    // oracle replays identical matches.
+    ("phone",
+      "\\+[0-9]{1,3}[ -]?(\\([0-9]{1,4}\\)[ -]?)?[0-9]{2,4}([ -]?[0-9]{2,4}){0,3}\\b" +
+        "|\\([0-9]{3,4}\\)[ -]?[0-9]{3,4}[ -]?[0-9]{3,4}\\b" +
+        "|\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b" +
+        "|\\b[0-9]{3}\\.[0-9]{3}\\.[0-9]{4}\\b" +
+        "|\\b[0-9]{3}-[0-9]{4}\\b",
+      "[PHONE]"))
 
   /** Per-document redaction report: one count column per pattern
     * (`n_email`, `n_ssn`, `n_ipv4`, `n_phone` — matches at that

@@ -665,7 +665,16 @@ object Similarity {
     * quantization — only the final cosine division touches floats, and
     * ranking runs on round(qcos, 4) with the nid tiebreak, the q35
     * discipline). Queries broadcast; the corpus scans once. Output:
-    * qid, nid, qcos.
+    * qid, nid, qcos (the RAW cosine — ranking rounds, the result does
+    * not).
+    *
+    * Scale shape: the k-bounded [[graft.functions.TopKCarry]] aggregate,
+    * NOT a rank window — a window partitioned by qid would drag every
+    * (corpus × query) score of one query onto ONE task and sort it
+    * (corpus-sized partitions at |q| ≪ cores); the algebraic aggregator
+    * caps map-side state at k entries per query, so the single exchange
+    * carries ≤ k·|q| rows per partition regardless of corpus size (the
+    * q91 contract).
     */
   def int8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "id", vecCol: String = "vec"): DataFrame = {
@@ -684,8 +693,11 @@ object Similarity {
         when(col("na") === 0L || col("nb") === 0L, lit(0.0))
           .otherwise(idot(col("qq"), col("nq")).cast("double") /
             (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))).as("qcos"))
-    val w = Window.partitionBy(col("qid")).orderBy(round(col("qcos"), 4).desc, col("nid"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    val topk = udaf(new graft.functions.TopKCarry(k))
+    scored.groupBy(col("qid"))
+      .agg(topk(round(col("qcos"), 4), col("nid"), col("qcos")).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t._2").as("nid"), col("t._3").as("qcos"))
   }
 
   /** SEMANTIC decontamination — the embedding-space sibling of the

@@ -197,26 +197,57 @@ object TextAnalysis {
     size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
   }
 
-  /** Abbreviations whose trailing period is NOT a sentence boundary —
-    * the [[splitSentences]] guard list, shared with the oracle (compared
-    * lowercase against the whole whitespace token).
+  /** Per-language abbreviation tables: tokens whose trailing period is
+    * NOT a sentence boundary, compared lowercase against the whole
+    * whitespace token. [[splitSentences]] guards with the union of the
+    * requested languages; [[SentenceAbbrevs]] (the English table) stays
+    * the default so existing callers and oracles are unchanged.
     */
-  val SentenceAbbrevs: Seq[String] = Seq(
-    "mr.", "mrs.", "ms.", "dr.", "prof.", "jr.", "sr.", "st.", "no.",
-    "fig.", "vs.", "etc.", "e.g.", "i.e.", "jan.", "feb.", "mar.",
-    "apr.", "jun.", "jul.", "aug.", "sep.", "oct.", "nov.", "dec.")
+  val SentenceAbbrevsByLang: Map[String, Seq[String]] = Map(
+    "en" -> Seq(
+      "mr.", "mrs.", "ms.", "dr.", "prof.", "jr.", "sr.", "st.", "no.",
+      "fig.", "vs.", "etc.", "e.g.", "i.e.", "jan.", "feb.", "mar.",
+      "apr.", "jun.", "jul.", "aug.", "sep.", "oct.", "nov.", "dec."),
+    "de" -> Seq("z.b.", "bzw.", "usw.", "ca.", "nr.", "bspw.", "evtl.", "ggf."),
+    "es" -> Seq("sr.", "sra.", "srta.", "ud.", "uds.", "av.", "pág."),
+    "fr" -> Seq("m.", "mme.", "mlle.", "av.", "p.ex."))
+
+  /** The English table — the [[splitSentences]] default guard list. */
+  val SentenceAbbrevs: Seq[String] = SentenceAbbrevsByLang("en")
+
+  /** Sentence terminators beyond ASCII `.!?`: ideographic full stop,
+    * fullwidth !/?, Arabic question mark, ellipsis. CJK and Arabic prose
+    * terminates sentences WITHOUT a following space (scriptio continua),
+    * so [[splitSentences]] force-splits after any run of these (plus
+    * trailing fullwidth/curly closers) before tokenizing — each CJK
+    * sentence then arrives as exactly one whitespace token and the
+    * ASCII token-walk boundary logic applies unchanged. Both regexes
+    * stay in the Java∩RE2 subset (literal BMP chars, no lookaround) so
+    * the oracle replays them verbatim.
+    */
+  private[llm] val MbTerminators = "。！？؟…"
+  private[llm] val MbClosers = "」』）】》〉”’"
+  /** Match pattern for the post-terminator split point (capture group 1
+    * is re-emitted, a space is appended). Shared with the oracle.
+    */
+  val MbBoundaryRe: String = s"([$MbTerminators]+[$MbClosers]*)"
 
   /** Rule-based sentence segmentation — the unit C4-style line rules,
     * sentence-level dedup, and fixed-span chunking actually want (a
     * chunk boundary mid-sentence costs coherence). Token-walk splitter,
     * deliberately regex-lookaround-free so ANY engine replays it (RE2
     * has no lookbehind): a whitespace token ENDS a sentence when it ends
-    * with `.`/`!`/`?` (optionally followed by closing quotes/brackets)
-    * and is neither a listed abbreviation ([[SentenceAbbrevs]]) nor a
-    * single capital initial (`E.`). Sentences are in-document ordered
-    * token folds; a trailing unterminated fragment is kept with
-    * terminated = false (auditable, never silently dropped — decimals
-    * like `3.14` never match because they end in a digit).
+    * with `.`/`!`/`?` or a multibyte terminator ([[MbTerminators]]:
+    * 。！？؟…, optionally followed by closing quotes/brackets, ASCII or
+    * fullwidth) and is neither a listed abbreviation (the union of the
+    * requested [[SentenceAbbrevsByLang]] tables) nor a single capital
+    * initial (`E.`). CJK/Arabic scriptio continua is handled by a
+    * pre-tokenize force-split after terminator runs ([[MbBoundaryRe]]),
+    * so `你好。世界` yields two tokens and the same walk applies.
+    * Sentences are in-document ordered token folds; a trailing
+    * unterminated fragment is kept with terminated = false (auditable,
+    * never silently dropped — decimals like `3.14` never match because
+    * they end in a digit).
     *
     * Scale shape: one document-partitioned window (documents are
     * KB-sized) + one (doc, sentence) aggregate; tokens shuffle once as
@@ -224,13 +255,17 @@ object TextAnalysis {
     * terminated.
     */
   def splitSentences(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame = {
+      textCol: String, langs: Seq[String] = Seq("en")): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val abbrevs = langs.flatMap(l => SentenceAbbrevsByLang.getOrElse(l,
+      throw new IllegalArgumentException(s"no abbreviation table for language: $l")))
+      .distinct
+    val pre = regexp_replace(trim(col(textCol)), MbBoundaryRe, "$1 ")
     val toks = df.select(col(idCol).as("id"),
-        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("tidx", "tok")))
+        posexplode(split(pre, "\\s+")).as(Seq("tidx", "tok")))
       .filter(col("tok") =!= "")
-    val isEnd = col("tok").rlike("[.!?][\"')\\]]*$")
-    val isAbbrev = lower(col("tok")).isin(SentenceAbbrevs: _*)
+    val isEnd = col("tok").rlike(s"[.!?$MbTerminators][\"')\\]$MbClosers]*$$")
+    val isAbbrev = lower(col("tok")).isin(abbrevs: _*)
     val isInitial = col("tok").rlike("^[A-Z][.]$")
     val flagged = toks.withColumn("bnd",
       (isEnd && !isAbbrev && !isInitial).cast("int"))

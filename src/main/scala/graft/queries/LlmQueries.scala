@@ -3801,13 +3801,17 @@ object LlmQueries {
     // Rule-based sentence segmentation — the unit sentence-level dedup,
     // C4 line rules, and chunking want. Token-walk splitter (NO regex
     // lookbehind, so RE2/DuckDB replays it): boundary = token ending
-    // .!? (+closing quotes/brackets) that is neither a listed
-    // abbreviation nor a single capital initial; decimals never match
-    // (they end in a digit); the trailing unterminated fragment is kept
-    // with terminated = false. Planted prose tails exercise every guard
-    // (abbrevs, initials, 3.14, quotes, ?!). Oracle replays tokenization,
-    // the guard battery, the boundary-prefix-sum window, and the ordered
-    // sentence fold verbatim.
+    // .!? or a multibyte terminator 。！？؟… (+closing quotes/brackets,
+    // ASCII or fullwidth) that is neither a listed abbreviation nor a
+    // single capital initial; decimals never match (they end in a
+    // digit); the trailing unterminated fragment is kept with
+    // terminated = false. CJK/Arabic scriptio continua is force-split
+    // after terminator runs BEFORE tokenizing (no space after 。 in real
+    // prose). Planted prose tails exercise every guard (abbrevs,
+    // initials, 3.14, quotes, ?!, and a multi-script CJK/Arabic/ellipsis
+    // tail). Oracle replays the force-split, tokenization, the guard
+    // battery, the boundary-prefix-sum window, and the ordered sentence
+    // fold verbatim.
     QueryDef.sql(
       "q206_sentence_split", {
         val abbrevs = TextAnalysis.SentenceAbbrevs.map(a => s"'$a'").mkString(", ")
@@ -3815,12 +3819,15 @@ object LlmQueries {
            |    WHEN 0 THEN ' Dr. Smith met Mr. Jones on Jan. 5. It cost 3.14 dollars.'
            |    WHEN 1 THEN ' Was it fast? It was! He said "done." Then quiet.'
            |    WHEN 3 THEN ' E. Codd wrote it etc. and more i.e. relational stuff. Fin!'
-           |    ELSE '' END AS prose FROM documents),
-           |tk AS (SELECT doc_id, unnest(string_split_regex(trim(prose), '\\s+')) AS tok,
-           |       generate_subscripts(string_split_regex(trim(prose), '\\s+'), 1) AS tidx FROM t),
+           |    ELSE ' 你好世界。这很快！真的吗？「引用。」هل؟ نعم. 然后…完' END AS prose
+           |  FROM documents),
+           |tp AS (SELECT doc_id, regexp_replace(trim(prose),
+           |         '([。！？؟…]+[」』）】》〉”’]*)', '\\1 ', 'g') AS prose FROM t),
+           |tk AS (SELECT doc_id, unnest(string_split_regex(prose, '\\s+')) AS tok,
+           |       generate_subscripts(string_split_regex(prose, '\\s+'), 1) AS tidx FROM tp),
            |tk2 AS (SELECT * FROM tk WHERE tok <> ''),
            |fl AS (SELECT doc_id, tidx, tok,
-           |        CASE WHEN regexp_matches(tok, '[.!?]["'')\\]]*$$')
+           |        CASE WHEN regexp_matches(tok, '[.!?。！？؟…]["'')\\]」』）】》〉”’]*$$')
            |              AND NOT lower(tok) IN ($abbrevs)
            |              AND NOT regexp_matches(tok, '^[A-Z][.]$$')
            |        THEN 1 ELSE 0 END AS bnd
@@ -3838,7 +3845,7 @@ object LlmQueries {
             lit(" Was it fast? It was! He said \"done.\" Then quiet."))
           .when(pmod(col("doc_id"), lit(4)) === 3,
             lit(" E. Codd wrote it etc. and more i.e. relational stuff. Fin!"))
-          .otherwise(lit("")))
+          .otherwise(lit(" 你好世界。这很快！真的吗？「引用。」هل؟ نعم. 然后…完")))
       TextAnalysis.splitSentences(
           Tables.documents(s, d).select(col("doc_id"), prose.as("prose")),
           "doc_id", "prose")

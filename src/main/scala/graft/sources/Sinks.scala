@@ -304,15 +304,33 @@ object Sinks {
     if (hits.isEmpty)
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), auditSchema)
-    val affected = target.filter(col(partitionCol).isin(hits.toIndexedSeq: _*))
+    // NULL-safe partition membership: SQL IN over a list containing NULL
+    // returns NULL (not true) for a NULL probe, so a plain isin() would
+    // silently SKIP the NULL partition — its doomed rows would never be
+    // rewritten. Split the hit set instead.
+    val nonNullHits = hits.filter(_ != null)
+    val hasNullHit = hits.exists(_ == null)
+    val partHit = {
+      val inNonNull = if (nonNullHits.isEmpty) lit(false)
+        else col(partitionCol).isin(nonNullHits.toIndexedSeq: _*)
+      if (hasNullHit) inNonNull || col(partitionCol).isNull else inNonNull
+    }
+    val affected = target.filter(partHit)
     val remaining = affected.join(broadcast(delKeys), keys, "left_anti")
-    // audit BEFORE the swap, eagerly (|partitions| rows)
+    // audit BEFORE the swap, eagerly (|partitions| rows). The
+    // before⋈after join must be NULL-SAFE (<=>): an equi-join would drop
+    // the NULL partition's n_after and mis-report it as fully deleted.
+    // __pstr renders the partition value with Spark's own Cast-to-string
+    // — the exact rendering the dynamic-partition writer uses for dir
+    // names (java.sql.Timestamp.toString would append '.0' and miss).
+    val after = remaining.groupBy(col(partitionCol).as("__pc2"))
+      .agg(count(lit(1)).as("n_after"))
     val auditRows = affected.groupBy(col(partitionCol)).agg(count(lit(1)).as("n_before"))
-      .join(remaining.groupBy(col(partitionCol)).agg(count(lit(1)).as("n_after")),
-        Seq(partitionCol), "left")
+      .join(after, col(partitionCol) <=> col("__pc2"), "left")
       .select(col(partitionCol), col("n_before"),
         (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_deleted"),
-        coalesce(col("n_after"), lit(0L)).as("n_after"))
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        col(partitionCol).cast(org.apache.spark.sql.types.StringType).as("__pstr"))
       .collect()
     // durable stage, then dynamic overwrite (the mergeUpsert contract)
     val stage = path.stripSuffix("/") + ".__graft_delete_stage"
@@ -333,12 +351,13 @@ object Sinks {
     // silently resurrecting the supposedly-deleted rows on read.
     auditRows.filter(_.getAs[Long]("n_after") == 0L).foreach { r =>
       val dir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .getPartitionPathString(partitionCol,
-          if (r.isNullAt(0)) null else String.valueOf(r.get(0)))
+        .getPartitionPathString(partitionCol, r.getAs[String]("__pstr"))
       fs.delete(new org.apache.hadoop.fs.Path(
         path.stripSuffix("/") + "/" + dir), true)
     }
-    spark.createDataFrame(java.util.Arrays.asList(auditRows: _*), auditSchema)
+    val outRows = auditRows.map(r => org.apache.spark.sql.Row(
+      r.get(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    spark.createDataFrame(java.util.Arrays.asList(outRows: _*), auditSchema)
   }
 
   /** Manifest-pruned read: keep only files whose [min,max] range on `c`

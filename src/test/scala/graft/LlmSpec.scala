@@ -437,6 +437,48 @@ class LlmSpec extends SparkSpec {
     assert(pr2 === pr)
   }
 
+  test("PageRank lineage is cut per iteration: plan size constant in iters, ranks read from cache") {
+    import graft.llm.Graphs
+    import spark.implicits._
+    // Before the per-iteration persist, iteration i's plan embedded the
+    // FULL lineage of iteration i−1 twice (dangling aggregate +
+    // contribution join) — the returned plan grew ~2^iters and so did
+    // execution. With the lineage cut, the final plan reads the previous
+    // ranks from an InMemoryRelation and its size is CONSTANT in iters.
+    val nodes = (0L until 6L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    // Inspect the LAST iteration's physical plan (the cached plan inside
+    // the returned frame's InMemoryRelation). SparkPlan.collect does not
+    // traverse an InMemoryTableScan's relation, so its node count is the
+    // true lineage size of one step.
+    def stats(iters: Int): (Int, Int) = {
+      val pr = Graphs.pageRankExact(edges, "src", "dst", nodes, "id", iters)
+      val imr = pr.queryExecution.withCachedData.collectFirst {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }.getOrElse(fail("returned ranks are not cached — lineage cut missing"))
+      // the count() in each step finalized the adaptive plan; AQE query
+      // stages are leaf wrappers, so recurse into them explicitly
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+        case q: QueryStageExec => q +: flatten(q.plan)
+        case other => other +: other.children.flatMap(flatten)
+      }
+      val flat = flatten(imr.cacheBuilder.cachedPlan)
+      (flat.size,
+        flat.count(_.getClass.getSimpleName.contains("InMemoryTableScan")))
+    }
+    val (n2, scans2) = stats(2)
+    val (n5, scans5) = stats(5)
+    assert(scans2 > 0 && scans5 > 0,
+      "previous-iteration ranks must be read via InMemoryTableScan, not recomputed")
+    // allow AQE shape noise (reused exchanges vary run-to-run) but not
+    // growth: the unpersisted chain doubled the plan per extra iteration
+    assert(n5 <= n2 + 15,
+      s"last-step plan grows with iters (lineage not cut): iters=2 -> $n2, iters=5 -> $n5")
+  }
+
   test("PII redaction: staged order keeps narrow patterns out of the phone pattern's mouth") {
     import graft.llm.Pii
     import spark.implicits._
@@ -456,6 +498,27 @@ class LlmSpec extends SparkSpec {
     assert(out(3L)._5 === "call [PHONE] ok")
     assert(out(4L) === ((0L, 1L, 0L, 1L, "id [SSN] call [PHONE]")))
     assert(out(5L) === ((0L, 0L, 0L, 0L, "nothing sensitive at all")))
+  }
+
+  test("PII phone pattern: needs a +/( anchor or consistent separators — numeric prose survives") {
+    import graft.llm.Pii
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "years 1999 2000 2001 and 2002"),          // spaced digit runs are NOT phones
+      (2L, "final score 100-99 in overtime"),          // short dashed pair
+      (3L, "released 2024-12-25 and 1999-01-02"),      // dates miss the 4-digit-tail branches
+      (4L, "ids 12345678901234567890 and 123456789"),  // bare unanchored digit runs
+      (5L, "call 555-123-4567 or 555.123.4567 or 555-0100"),
+      (6L, "intl +44 20 7946 0958 and us (555) 010-2222"))
+      .toDF("id", "t")
+    val out = rows.select(col("id") +: Pii.redactReport(col("t")): _*)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getString(5)))).toMap
+    assert(out(1L) === ((0L, "years 1999 2000 2001 and 2002")))
+    assert(out(2L) === ((0L, "final score 100-99 in overtime")))
+    assert(out(3L) === ((0L, "released 2024-12-25 and 1999-01-02")))
+    assert(out(4L) === ((0L, "ids 12345678901234567890 and 123456789")))
+    assert(out(5L) === ((3L, "call [PHONE] or [PHONE] or [PHONE]")))
+    assert(out(6L) === ((2L, "intl [PHONE] and us [PHONE]")))
   }
 
   test("tokenBudgetEpochs: auto-sized rounds spend the whole budget where a fixed 4 under-allocates") {
@@ -800,6 +863,33 @@ class LlmSpec extends SparkSpec {
       "rendering must preserve turn order")
   }
 
+  test("conversation validation: 1-based indices and NULL content still get definite verdicts") {
+    import graft.llm.Chat
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("conv", LongType), StructField("i", IntegerType),
+      StructField("r", StringType), StructField("c", StringType)))
+    // conv 1 is 1-BASED (no idx=0 row): starts_user must be a definite
+    // false, not NULL — a NULL verdict drops the row from BOTH
+    // filter(valid) and filter(!valid). conv 2 has NULL content, which
+    // counts as an empty turn (not a NULL has_empty).
+    val turns = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, 1, "user", "hi"), Row(1L, 2, "assistant", "hello"),
+      Row(2L, 0, "user", null), Row(2L, 1, "assistant", "ok"))), schema)
+    val df = Chat.validateConversations(turns, "conv", "i", "r", "c")
+    val out = df.collect().map(r => r.getAs[Long]("conv_id") -> r).toMap
+    for ((_, r) <- out;
+         c <- Seq("starts_user", "alternates", "has_empty", "ends_assistant", "valid"))
+      assert(!r.isNullAt(r.fieldIndex(c)), s"NULL verdict '$c' for conv ${r.get(0)}")
+    assert(out(1L).getAs[Boolean]("starts_user") === false)
+    assert(out(1L).getAs[Boolean]("valid") === false)
+    assert(out(2L).getAs[Boolean]("has_empty") === true)
+    assert(out(2L).getAs[Boolean]("valid") === false)
+    assert(df.filter(col("valid")).count() + df.filter(!col("valid")).count() === 2L,
+      "every conversation must land in exactly one verdict bucket")
+  }
+
   test("mojibake repair: round-trip inverse on covered chars, clean text untouched") {
     import graft.llm.Encoding
     // repair(damage(x)) == x for any text over the covered alphabet
@@ -872,6 +962,22 @@ class LlmSpec extends SparkSpec {
     qcos.foreach { case (k, qc) =>
       fcos.get(k).foreach(fc => assert(math.abs(qc - fc) < 0.05, s"$k: $qc vs $fc"))
     }
+  }
+
+  test("int8TopK plans the k-bounded aggregate, not a rank window") {
+    import graft.llm.Similarity
+    // a window partitioned by qid drags every (corpus × query) score of
+    // one query onto ONE task and sorts it — corpus-sized partitions at
+    // |q| ≪ cores. The TopKCarry aggregate caps map-side state at k and
+    // the exchange at k·|q| rows per partition (the q91 contract).
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val top = Similarity.int8TopK(emb.filter(col("id") < 3), emb, k = 5)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"rank window found in int8TopK plan:\n$plan")
+    assert(plan.toLowerCase.contains("topkcarry"),
+      s"bounded TopKCarry aggregate missing from plan:\n$plan")
   }
 
   test("robots.txt: group precedence, longest match, allow-tie, edge cases") {
@@ -2243,5 +2349,43 @@ class LlmSpec extends SparkSpec {
       Seq("Complete sentence." -> true, "dangling fragment" -> false))
     // whitespace-only runs collapse; leading/trailing space harmless
     assert(split("  Spaced   out.  ") === Seq("Spaced out." -> true))
+  }
+
+  test("splitSentences: multibyte terminators split scriptio continua (CJK/Arabic/ellipsis)") {
+    def split(text: String): Seq[(String, Boolean)] =
+      TextAnalysis.splitSentences(Seq((0L, text)).toDF("doc_id", "t"), "doc_id", "t")
+        .orderBy(col("sent_idx")).collect()
+        .map(r => r.getAs[String]("sentence") -> r.getAs[Boolean]("terminated")).toSeq
+    // CJK prose has NO space after 。！？ — each sentence must still split
+    assert(split("你好世界。这很快！真的吗？") ===
+      Seq("你好世界。" -> true, "这很快！" -> true, "真的吗？" -> true))
+    // fullwidth closers after the terminator stay attached, still a boundary
+    assert(split("「引用。」然后走了。") ===
+      Seq("「引用。」" -> true, "然后走了。" -> true))
+    // Arabic question mark terminates; ASCII period in Arabic prose too
+    assert(split("هل هذا سؤال؟ نعم.") ===
+      Seq("هل هذا سؤال؟" -> true, "نعم." -> true))
+    // ellipsis terminates; trailing CJK fragment kept unterminated
+    assert(split("等一下…完") === Seq("等一下…" -> true, "完" -> false))
+    // mixed-script line: ASCII walk and multibyte force-split compose
+    assert(split("First one. 第二句。Third?") ===
+      Seq("First one." -> true, "第二句。" -> true, "Third?" -> true))
+  }
+
+  test("splitSentences: per-language abbreviation tables guard their own boundaries") {
+    def split(text: String, langs: Seq[String]): Seq[(String, Boolean)] =
+      TextAnalysis.splitSentences(Seq((0L, text)).toDF("doc_id", "t"), "doc_id", "t", langs)
+        .orderBy(col("sent_idx")).collect()
+        .map(r => r.getAs[String]("sentence") -> r.getAs[Boolean]("terminated")).toSeq
+    // German z.B. splits under the English-only table, guards under de
+    val de = "Obst z.B. Äpfel ist gesund. Mehr usw. folgt."
+    assert(split(de, Seq("en")) ===
+      Seq("Obst z.B." -> true, "Äpfel ist gesund." -> true, "Mehr usw." -> true,
+        "folgt." -> true))
+    assert(split(de, Seq("en", "de")) ===
+      Seq("Obst z.B. Äpfel ist gesund." -> true, "Mehr usw. folgt." -> true))
+    // unknown language is an error, not a silent no-guard walk
+    val err = intercept[IllegalArgumentException](split("x.", Seq("xx")))
+    assert(err.getMessage.contains("xx"))
   }
 }

@@ -45,12 +45,12 @@ class PlanSweepSpec extends SparkSpec {
     *   - q35/q36/q72/q130/q131: ANN top-k — crossJoin/nested-loop against the
     *     BROADCAST probe/query set (driver-bounded, llm/Similarity.scala);
     *     the corpus side streams through it exactly once.
-    *   - q201: semantic decontamination — cross against the BROADCAST
-    *     benchmark set (driver-bounded Array, Similarity.semanticDecontaminate);
-    *     map-side partial max means one row per corpus vector reaches the
-    *     exchange (ScaleSpec-asserted).
-    *   - q202: int8 quantized top-k — the same bounded-query-set broadcast
-    *     contract as q35 (Similarity.int8TopK takes a driver Array of queries).
+    *   - q201: semantic decontamination — cross against the benchmark
+    *     DataFrame, which is BROADCAST (a bounded set by contract,
+    *     Similarity.semanticDecontaminate); map-side partial max means one
+    *     row per corpus vector reaches the exchange (ScaleSpec-asserted).
+    *   - q202: int8 quantized top-k — the same bounded-broadcast contract
+    *     as q35 (Similarity.int8TopK's query DataFrame is broadcast).
     */
   private val boundedCrossAllowlist: Set[String] =
     Set("q35_cosine_topk", "q36_cosine_lsh_topk", "q72_ivf_topk",

@@ -324,4 +324,29 @@ class SinkSpec extends SparkSpec {
     val back = spark.read.parquet(dir).select(col("id")).collect().map(_.getLong(0)).toSet
     assert(back === Set(4L), s"deleted rows resurrected: $back")
   }
+
+  test("deleteByKeys: emptied TIMESTAMP partition dir is rendered the writer's way and removed") {
+    import graft.sources.Sinks
+    import spark.implicits._
+    // java.sql.Timestamp.toString renders '...00:00:00.0'; the writer's
+    // dir name uses Spark's Cast-to-string ('...00:00:00', ':' → %3A).
+    // A String.valueOf-built delete target misses the dir and the
+    // "deleted" rows resurrect on read.
+    val dir = java.nio.file.Files.createTempDirectory("graft_del_ts_").toString + "/t"
+    val ts0 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2020-06-15 12:30:00")
+    Seq((1L, ts0, "a"), (2L, ts0, "b"), (3L, ts1, "c")).toDF("id", "p", "v")
+      .write.partitionBy("p").parquet(dir)
+    val before = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("p="))
+    assert(before.length === 2 && before.forall(!_.contains(".0")),
+      s"fixture layout surprise: ${before.toSeq}")
+    val audit = Sinks.deleteByKeys(spark, dir, Seq(1L, 2L).toDF("id"), Seq("id"), "p")
+      .collect()
+    assert(audit.length === 1 && audit(0).getLong(3) === 0L)
+    val after = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("p="))
+    assert(after.toSeq.length === 1 && after(0).contains("2020-06-15"),
+      s"emptied timestamp partition survived: ${after.toSeq}")
+    val back = spark.read.parquet(dir).select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(back === Set(3L), s"deleted rows resurrected: $back")
+  }
 }
