@@ -19,6 +19,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object Chat {
 
+  /** Default chat template: each turn renders as `<|role|>content`.
+    * Any (role, content) => piece Column function works — e.g. a
+    * ChatML-style `<|im_start|>role\ncontent<|im_end|>` — and flows
+    * through [[validateConversations]] / [[validatePreferencePairs]]
+    * rendering unchanged (validation verdicts never depend on the
+    * template; only `rendered`/`n_tok` do).
+    */
+  val DefaultTemplate: (Column, Column) => Column =
+    (role, content) => concat(lit("<|"), role, lit("|>"), content)
+
   /** Per-conversation validation + template rendering over a turns table
     * (convCol, idxCol: 0-based turn order, roleCol: 'user'/'assistant',
     * contentCol). Output one row per conversation:
@@ -27,12 +37,13 @@ object Chat {
     *    has_empty (any whitespace-only content), ends_assistant,
     *  - valid = starts_user ∧ alternates ∧ ¬has_empty ∧ ends_assistant
     *    (the standard SFT framing contract),
-    *  - rendered: `<|role|>content` pieces concatenated in turn order
-    *    (the chat-template form token pricing runs on),
+    *  - rendered: `template` pieces concatenated in turn order (the
+    *    chat-template form token pricing runs on; default `<|role|>content`),
     *  - n_tok: whitespace token count of the rendered conversation.
     */
   def validateConversations(turns: DataFrame, convCol: String, idxCol: String,
-      roleCol: String, contentCol: String): DataFrame = {
+      roleCol: String, contentCol: String,
+      template: (Column, Column) => Column = DefaultTemplate): DataFrame = {
     val w = Window.partitionBy(col("conv_id")).orderBy(col("idx"))
     val flagged = turns.select(
         col(convCol).as("conv_id"), col(idxCol).as("idx"),
@@ -55,7 +66,7 @@ object Chat {
         max(struct(col("idx"), col("role"))).getField("role").as("__last_role"),
         array_join(
           transform(array_sort(collect_list(struct(col("idx"),
-            concat(lit("<|"), col("role"), lit("|>"), col("content")).as("piece")))),
+            template(col("role"), col("content")).as("piece")))),
             x => x.getField("piece")), "").as("rendered"))
       .withColumn("ends_assistant",
         coalesce(col("__last_role") === "assistant", lit(false)))
@@ -64,6 +75,97 @@ object Chat {
           col("ends_assistant"))
       .withColumn("n_tok", TextAnalysis.tokenCountWs(col("rendered")))
       .drop("__last_role")
+  }
+
+  /** Preference-pair (RLHF/DPO) validation over a turn-level table with a
+    * `side` column ('chosen'/'rejected'). A DPO pair is two conversations
+    * sharing every turn EXCEPT the final assistant completion; training on
+    * a malformed pair (mismatched prompts, identical completions, a
+    * missing side) silently corrupts the reward signal, so — like
+    * [[validateConversations]] — every verdict is a definite, auditable
+    * boolean (coalesced, never NULL). Output one row per pair:
+    *
+    *  - has_both: both sides present; has_unknown_side: a side value
+    *    outside {chosen, rejected} appeared,
+    *  - chosen_valid / rejected_valid: each side passes the q204 framing
+    *    contract (user-first, alternating, non-empty, assistant-last),
+    *  - prompts_match: the two sides' shared prefixes (all turns before
+    *    the final one — idx, role AND content) are identical,
+    *  - divergent: the final completions differ (trimmed) — an identical
+    *    pair carries zero preference signal,
+    *  - valid = has_both ∧ ¬has_unknown_side ∧ both sides valid ∧
+    *    prompts_match ∧ divergent,
+    *  - rendered_chosen / rendered_rejected: template renders (NULL for a
+    *    missing side).
+    *
+    * Scale shape: one window + two grouped aggregates, keyed (pair, side)
+    * then pair — partitions are conversation-sized, the prefix collapses
+    * to an md5 fingerprint before the pair-level shuffle, so the second
+    * exchange carries two fingerprint rows per pair, never turn text.
+    */
+  def validatePreferencePairs(turns: DataFrame, pairCol: String, sideCol: String,
+      idxCol: String, roleCol: String, contentCol: String,
+      template: (Column, Column) => Column = DefaultTemplate): DataFrame = {
+    val wOrd = Window.partitionBy(col("pair_id"), col("side")).orderBy(col("idx"))
+    val wAll = Window.partitionBy(col("pair_id"), col("side"))
+    val t = turns.select(col(pairCol).as("pair_id"), col(sideCol).as("side"),
+        col(idxCol).as("idx"), col(roleCol).as("role"), col(contentCol).as("content"))
+      .withColumn("same_as_prev",
+        coalesce(col("role") === lag(col("role"), 1).over(wOrd), lit(false)))
+      .withColumn("max_idx", max(col("idx")).over(wAll))
+    val perSide = t.groupBy(col("pair_id"), col("side")).agg(
+        count(lit(1)).as("n_turns"),
+        coalesce(max(when(col("idx") === 0, col("role") === "user")),
+          lit(false)).as("starts_user"),
+        (!max(col("same_as_prev"))).as("alternates"),
+        coalesce(max(coalesce(trim(col("content")) === "", lit(true))),
+          lit(false)).as("has_empty"),
+        max(struct(col("idx"), col("role"))).getField("role").as("__last_role"),
+        // prefix fingerprint: idx + role + content of every turn BEFORE
+        // the final completion, idx-ordered (collect_list drops the NULL
+        // the when() leaves on the final turn); md5 bounds what the
+        // pair-level shuffle carries
+        md5(array_join(transform(array_sort(collect_list(
+          when(col("idx") < col("max_idx"),
+            struct(col("idx"), concat_ws("\u0001", col("idx").cast("string"),
+              coalesce(col("role"), lit("")),
+              coalesce(col("content"), lit(""))).as("piece"))))),
+          x => x.getField("piece")), "\n").cast("binary")).as("prefix_fp"),
+        max(struct(col("idx"), col("content"))).getField("content").as("last_content"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"),
+            template(col("role"), col("content")).as("piece")))),
+            x => x.getField("piece")), "").as("rendered"))
+      .withColumn("ends_assistant",
+        coalesce(col("__last_role") === "assistant", lit(false)))
+      .withColumn("side_valid",
+        col("starts_user") && col("alternates") && !col("has_empty") &&
+          col("ends_assistant"))
+    perSide.groupBy(col("pair_id")).agg(
+        coalesce(max(when(col("side") === "chosen", lit(true))), lit(false))
+          .as("has_chosen"),
+        coalesce(max(when(col("side") === "rejected", lit(true))), lit(false))
+          .as("has_rejected"),
+        coalesce(max(when(!col("side").isin("chosen", "rejected"), lit(true))),
+          lit(false)).as("has_unknown_side"),
+        coalesce(max(when(col("side") === "chosen", col("side_valid"))), lit(false))
+          .as("chosen_valid"),
+        coalesce(max(when(col("side") === "rejected", col("side_valid"))), lit(false))
+          .as("rejected_valid"),
+        max(when(col("side") === "chosen", col("prefix_fp"))).as("__cfp"),
+        max(when(col("side") === "rejected", col("prefix_fp"))).as("__rfp"),
+        max(when(col("side") === "chosen", col("last_content"))).as("__cl"),
+        max(when(col("side") === "rejected", col("last_content"))).as("__rl"),
+        max(when(col("side") === "chosen", col("rendered"))).as("rendered_chosen"),
+        max(when(col("side") === "rejected", col("rendered"))).as("rendered_rejected"))
+      .withColumn("has_both", col("has_chosen") && col("has_rejected"))
+      .withColumn("prompts_match", coalesce(col("__cfp") === col("__rfp"), lit(false)))
+      .withColumn("divergent",
+        coalesce(trim(col("__cl")) =!= trim(col("__rl")), lit(false)))
+      .withColumn("valid",
+        col("has_both") && !col("has_unknown_side") && col("chosen_valid") &&
+          col("rejected_valid") && col("prompts_match") && col("divergent"))
+      .drop("__cfp", "__rfp", "__cl", "__rl")
   }
 
   /** Loss-mask token accounting — the budget arithmetic behind SFT loss

@@ -3608,11 +3608,15 @@ object LlmQueries {
     // max-cos ≥ 0.3. Ranking on round(cos, 4) with smallest-bench-id
     // ties (the q35 discipline) keeps the argmax engine-stable; the
     // map-side partial max means the single exchange carries one row per
-    // corpus vector, never the N×B score matrix.
+    // corpus vector, never the N×B score matrix. The bench side is
+    // pinned to replica-0 ids (vec_id < 1e9): an eval suite is FIXED by
+    // nature, and letting the GenScale replicas inflate it would measure
+    // a quadratic fixture, not the operator (the q104 lesson) — at
+    // driver SFs every vec_id is < 1e9, so gate rows are unchanged.
     QueryDef.sql(
       "q201_semantic_decontam",
       """WITH b AS (SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS bv
-        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |           FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 1000000000),
         |c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS cv
         |      FROM embeddings WHERE vec_id % 50 <> 0),
         |s AS (SELECT id, bid, ROUND(list_cosine_similarity(cv, bv), 4) AS cos
@@ -3625,7 +3629,8 @@ object LlmQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.semanticDecontaminate(
           emb.filter(col("vec_id") % 50 =!= 0).select(col("vec_id").as("id"), col("embedding").as("vec")),
-          emb.filter(col("vec_id") % 50 === 0).select(col("vec_id").as("id"), col("embedding").as("vec")),
+          emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000000000L)
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
           threshold = 0.3)
         .select(col("id").as("vec_id"), col("bench_id"), col("cos"), col("contaminated"))
         .orderBy(col("vec_id"))
@@ -3852,6 +3857,63 @@ object LlmQueries {
         .select(col("id").as("doc_id"), col("sent_idx"), col("sentence"),
           col("n_tok"), col("terminated"))
         .orderBy(col("doc_id"), col("sent_idx"))
+    },
+
+    // Preference-pair (RLHF/DPO) validation — the q204 framing contract
+    // generalized to chosen/rejected sides: shared-prefix consistency
+    // (idx+role+content of every turn before the final completion),
+    // divergent-completion check, per-side framing verdicts, all
+    // coalesced to definite booleans. Planted defects: doc%5=2 identical
+    // completions, doc%7=3 mismatched prompt turn on the rejected side,
+    // doc%11=5 missing rejected side, doc%13=7 empty chosen turn. Oracle
+    // replays the side aggregates (prefix string compare stands in for
+    // the md5 fingerprint — equality verdicts are identical), the
+    // arg_max last-completion pick, and every coalesce.
+    QueryDef.sql(
+      "q207_dpo_validate",
+      s"""WITH $dpoTurnsSql,
+        |fl AS (SELECT *,
+        |        coalesce(role = lag(role) OVER (PARTITION BY doc_id, side ORDER BY idx),
+        |          false) AS same_prev,
+        |        MAX(idx) OVER (PARTITION BY doc_id, side) AS max_idx FROM dt),
+        |sd AS (SELECT doc_id, side,
+        |        coalesce(MAX(CASE WHEN idx = 0 THEN (role = 'user') END), false) AS starts_user,
+        |        NOT MAX(same_prev) AS alternates,
+        |        coalesce(MAX(coalesce(trim(content) = '', true)), false) AS has_empty,
+        |        coalesce(arg_max(role, idx) = 'assistant', false) AS ends_assistant,
+        |        coalesce(string_agg(CASE WHEN idx < max_idx THEN
+        |            CAST(idx AS VARCHAR) || chr(1) || coalesce(role, '') || chr(1) ||
+        |            coalesce(content, '') END, chr(10) ORDER BY idx), '') AS prefix_str,
+        |        arg_max(content, idx) AS last_content
+        |       FROM fl GROUP BY doc_id, side),
+        |sv AS (SELECT *,
+        |        (starts_user AND alternates AND NOT has_empty AND ends_assistant) AS side_valid
+        |       FROM sd),
+        |pr AS (SELECT doc_id AS pair_id,
+        |        coalesce(MAX(CASE WHEN side = 'chosen' THEN true END), false) AS has_chosen,
+        |        coalesce(MAX(CASE WHEN side = 'rejected' THEN true END), false) AS has_rejected,
+        |        coalesce(MAX(CASE WHEN side = 'chosen' THEN side_valid END), false) AS chosen_valid,
+        |        coalesce(MAX(CASE WHEN side = 'rejected' THEN side_valid END), false) AS rejected_valid,
+        |        MAX(CASE WHEN side = 'chosen' THEN prefix_str END) AS cfp,
+        |        MAX(CASE WHEN side = 'rejected' THEN prefix_str END) AS rfp,
+        |        MAX(CASE WHEN side = 'chosen' THEN last_content END) AS cl,
+        |        MAX(CASE WHEN side = 'rejected' THEN last_content END) AS rl
+        |       FROM sv GROUP BY doc_id)
+        |SELECT pair_id,
+        |  (has_chosen AND has_rejected) AS has_both,
+        |  coalesce(cfp = rfp, false) AS prompts_match,
+        |  coalesce(trim(cl) <> trim(rl), false) AS divergent,
+        |  chosen_valid, rejected_valid,
+        |  (has_chosen AND has_rejected AND chosen_valid AND rejected_valid
+        |    AND coalesce(cfp = rfp, false)
+        |    AND coalesce(trim(cl) <> trim(rl), false)) AS valid
+        |FROM pr ORDER BY pair_id""".stripMargin) { (s, d) =>
+      import graft.llm.Chat
+      Chat.validatePreferencePairs(dpoTurns(s, d), "doc_id", "side", "idx",
+          "role", "content")
+        .select(col("pair_id"), col("has_both"), col("prompts_match"),
+          col("divergent"), col("chosen_valid"), col("rejected_valid"), col("valid"))
+        .orderBy(col("pair_id"))
     }
   )
 
@@ -3891,6 +3953,57 @@ object LlmQueries {
           .otherwise(concat(lit("m"), col("idx").cast("string"), lit(" "),
             col("text").substr(col("idx") * 16 + 1, lit(12)))).as("content"))
   }
+
+  /** q207's DPO pair fixture as oracle CTEs ending in
+    * dt(doc_id, side, idx, role, content): 4 turns per side
+    * (user/assistant/user/assistant), completions diverge at idx 3.
+    * Planted defects: doc%5=2 identical completions, doc%7=3 rejected
+    * prompt turn differs, doc%11=5 rejected side missing, doc%13=7
+    * empty chosen turn 1.
+    */
+  private lazy val dpoTurnsSql: String =
+    """d0 AS (SELECT doc_id, text, unnest(['chosen', 'rejected']) AS side FROM documents),
+      |d1 AS (SELECT * FROM d0 WHERE NOT (doc_id % 11 = 5 AND side = 'rejected')),
+      |d2 AS (SELECT doc_id, side, text, CAST(unnest(range(0, 4)) AS INT) AS idx FROM d1),
+      |dt AS (SELECT doc_id, side, idx,
+      |        CASE WHEN idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+      |        CASE WHEN doc_id % 13 = 7 AND idx = 1 AND side = 'chosen' THEN ''
+      |             WHEN idx = 0 THEN 'p0 ' || substr(text, 1, 10)
+      |             WHEN idx = 1 THEN 'a1 ' || substr(text, 5, 10)
+      |             WHEN idx = 2 THEN (CASE WHEN doc_id % 7 = 3 AND side = 'rejected'
+      |                  THEN 'p2-alt ' ELSE 'p2 ' END) || substr(text, 11, 10)
+      |             ELSE CASE WHEN side = 'chosen' OR doc_id % 5 = 2
+      |                  THEN 'win ' || substr(text, 1, 12)
+      |                  ELSE 'lose ' || substr(text, 3, 12) END END AS content
+      |      FROM d2)""".stripMargin
+
+  /** The identical DPO turn fixture as a DataFrame (Column twin of
+    * [[dpoTurnsSql]]).
+    */
+  private def dpoTurns(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(array(lit("chosen"), lit("rejected"))).as("side"))
+      .filter(!(pmod(col("doc_id"), lit(11)) === 5 && col("side") === "rejected"))
+      .select(col("doc_id"), col("side"), col("text"),
+        explode(sequence(lit(0), lit(3))).as("idx"))
+      .select(col("doc_id"), col("side"), col("idx"),
+        when(pmod(col("idx"), lit(2)) === 0, lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        when(pmod(col("doc_id"), lit(13)) === 7 && col("idx") === 1 &&
+            col("side") === "chosen", lit(""))
+          .when(col("idx") === 0, concat(lit("p0 "), col("text").substr(1, 10)))
+          .when(col("idx") === 1, concat(lit("a1 "), col("text").substr(5, 10)))
+          .when(col("idx") === 2, concat(
+            when(pmod(col("doc_id"), lit(7)) === 3 && col("side") === "rejected",
+              lit("p2-alt ")).otherwise(lit("p2 ")),
+            col("text").substr(11, 10)))
+          .otherwise(
+            when(col("side") === "chosen" || pmod(col("doc_id"), lit(5)) === 2,
+              concat(lit("win "), col("text").substr(1, 12)))
+              .otherwise(concat(lit("lose "), col("text").substr(3, 12))))
+          .as("content"))
 
   /** q178/q191's synthetic crawl page (planted ~10% boilerplate). */
   private def crawlPageHtml: org.apache.spark.sql.Column =

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.hadoop.fs.Path
@@ -110,130 +109,246 @@ object Warc {
     * `html` is the HTTP response body for type=response records (other
     * types carry NULL); `ok = false` marks records the guard rejected
     * (forged length, malformed headers, bad magic).
+    *
+    * Memory contract: the walk is INCREMENTAL — the per-task buffer is
+    * bounded by the largest single record (plus a 64 KiB floor), never
+    * the decompressed file. Real Common-Crawl members are ~1 GB gzip /
+    * 4-5 GB raw; a whole-file materialization × 32 concurrent tasks
+    * would exhaust any executor, while per-record buffering holds one
+    * page-sized payload at a time. Gzip decodes through a streaming
+    * (multi-member) GZIPInputStream; rows are emitted lazily from the
+    * iterator, so Spark's pipelined consumers (filters, projections)
+    * never see the whole file either.
     */
   def readWarc(spark: SparkSession, dir: String): DataFrame = {
     val rows = spark.sparkContext.binaryFiles(dir + "/*.warc*")
       .flatMap { case (file, stream) =>
         val name = new Path(file).getName
-        val raw = stream.toArray()
-        val bytes =
-          if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
-            gunzipAll(raw)
+        val raw = new java.io.PushbackInputStream(
+          new java.io.BufferedInputStream(stream.open(), 64 * 1024), 2)
+        val b0 = raw.read(); val b1 = raw.read()
+        if (b1 >= 0) raw.unread(b1)
+        if (b0 >= 0) raw.unread(b0)
+        val in =
+          if (b0 == 0x1f && b1 == 0x8b)
+            new java.util.zip.GZIPInputStream(raw, 64 * 1024)
           else raw
-        parseRecords(bytes).zipWithIndex.map { case (r, i) =>
+        parseRecords(in).zipWithIndex.map { case (r, i) =>
           Row(name, i.toLong, r.warcType, r.url, r.status, r.ok, r.html)
         }
       }
     spark.createDataFrame(rows, schema)
   }
 
-  /** Decompress a (possibly multi-member) gzip stream fully. */
-  private def gunzipAll(raw: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(raw), 8192)
-    val out = new ByteArrayOutputStream(raw.length * 4)
-    val buf = new Array[Byte](8192)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
-  }
-
   private final case class Rec(warcType: String, url: String,
       status: java.lang.Integer, ok: Boolean, html: String)
 
-  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
-    var i = math.max(from, 0)
-    while (i <= hay.length - needle.length) {
-      var j = 0
-      while (j < needle.length && hay(i + j) == needle(j)) j += 1
-      if (j == needle.length) return i
-      i += 1
+  /** Header block cap: real WARC headers are < 1 KiB; a block with no
+    * `\r\n\r\n` inside 1 MiB is treated as malformed (guard row + resync)
+    * rather than buffered without bound — the one place the streaming
+    * walk is deliberately STRICTER than an in-memory scan.
+    */
+  private val MaxHeaderBytes = 1 << 20
+
+  /** Sliding window over the stream for the record walk: bytes are held
+    * from the current record's start only until the record is accepted
+    * or rejected, so peak buffering is ONE record (header + payload +
+    * separator), not the file. Resync discards as it scans, keeping only
+    * a magic-sized tail.
+    */
+  private final class ByteWindow(in: java.io.InputStream) {
+    private var buf = new Array[Byte](64 * 1024)
+    private var len = 0
+    private var pos = 0
+    private var eof = false
+
+    /** Current buffer capacity — the walk's peak memory (test hook). */
+    def capacity: Int = buf.length
+
+    def available: Int = len - pos
+
+    private def fill(): Boolean = {
+      if (eof) return false
+      if (pos > 0) { System.arraycopy(buf, pos, buf, 0, len - pos); len -= pos; pos = 0 }
+      if (len == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      val n = in.read(buf, len, buf.length - len)
+      if (n < 0) { eof = true; false } else { len += n; true }
     }
-    -1
+
+    /** Grow until at least n bytes are windowed (or EOF); true if n are. */
+    def ensure(n: Int): Boolean = {
+      while (available < n && fill()) ()
+      available >= n
+    }
+
+    /** True when the next bytes (at relative offset `at`) equal `p`. */
+    def matchesAt(at: Int, p: Array[Byte]): Boolean =
+      ensure(at + p.length) && {
+        var j = 0
+        while (j < p.length && buf(pos + at + j) == p(j)) j += 1
+        j == p.length
+      }
+
+    /** Relative offset of `needle` at/after `from`, growing the window up
+      * to `cap` bytes; -1 = EOF before a match, -2 = cap exceeded.
+      */
+    def indexOf(needle: Array[Byte], from: Int, cap: Int): Int = {
+      var i = from
+      while (true) {
+        while (i + needle.length > available) {
+          if (i > cap) return -2
+          if (!fill()) return -1
+        }
+        if (i > cap) return -2
+        var j = 0
+        while (j < needle.length && buf(pos + i + j) == needle(j)) j += 1
+        if (j == needle.length) return i
+        i += 1
+      }
+      -1 // unreachable
+    }
+
+    def slice(from: Int, until: Int): String =
+      new String(buf, pos + from, until - from, UTF_8)
+
+    def consume(n: Int): Unit = { pos += math.min(n, available) }
+
+    /** Discard-as-you-scan search for `p` starting at relative `from`:
+      * positions the window ON the match (true) or exhausts the stream
+      * (false). Keeps at most |p|-1 tail bytes while scanning, so resync
+      * over an arbitrarily long corrupt region is O(|p|) memory.
+      */
+    def skipToMatch(p: Array[Byte], from: Int): Boolean = {
+      consume(from)
+      while (true) {
+        val i = {
+          var k = 0; var found = -1
+          while (found < 0 && k + p.length <= available) {
+            var j = 0
+            while (j < p.length && buf(pos + k + j) == p(j)) j += 1
+            if (j == p.length) found = k else k += 1
+          }
+          found
+        }
+        if (i >= 0) { consume(i); return true }
+        consume(math.max(0, available - (p.length - 1)))
+        if (!fill()) { consume(available); return false }
+      }
+      false // unreachable
+    }
   }
 
-  private def startsWith(b: Array[Byte], at: Int, p: Array[Byte]): Boolean =
-    at + p.length <= b.length && {
-      var j = 0
-      while (j < p.length && b(at + j) == p(j)) j += 1
-      j == p.length
-    }
-
-  /** The record walk: parse records at cursor, resync to the next magic
-    * after any malformation. Corrupt records keep whatever headers
-    * parsed (type/URI) with ok=false and NULL payload fields.
+  /** Test hook: peak window capacity (bytes) of the last walk COMPLETED
+    * on this thread — the bounded-buffering spec asserts it tracks the
+    * largest record, not the file.
     */
-  private def parseRecords(bytes: Array[Byte]): Seq[Rec] = {
+  private[graft] val lastPeakWindow = new ThreadLocal[Integer]
+
+  /** The record walk: parse records at the window cursor, resync to the
+    * next magic after any malformation. Corrupt records keep whatever
+    * headers parsed (type/URI) with ok=false and NULL payload fields.
+    * Emits lazily; closes `in` when the stream is exhausted.
+    */
+  private[graft] def parseRecordRows(in: java.io.InputStream): Iterator[(String, String, java.lang.Integer, Boolean, String)] =
+    parseRecords(in).map(r => (r.warcType, r.url, r.status, r.ok, r.html))
+
+  private def parseRecords(in: java.io.InputStream): Iterator[Rec] = {
     val sep = "\r\n\r\n".getBytes(UTF_8)
-    val out = scala.collection.mutable.ArrayBuffer.empty[Rec]
-    var cursor = 0
-    var going = bytes.nonEmpty
-    def resync(from: Int): Unit = {
-      val next = indexOf(bytes, Magic, from)
-      if (next < 0) going = false else cursor = next
-    }
-    while (going && cursor < bytes.length) {
-      if (!startsWith(bytes, cursor, Magic)) {
-        out += Rec(null, null, null, ok = false, null)
-        resync(cursor + 1)
-      } else {
-        val headEnd = indexOf(bytes, sep, cursor)
-        if (headEnd < 0) {
-          out += Rec(null, null, null, ok = false, null)
-          going = false
+    val crlf = "\r\n".getBytes(UTF_8)
+    val w = new ByteWindow(in)
+    new Iterator[Rec] {
+      private var nextRec: Rec = _
+      private var done = false
+      private var stopAfter = false // original walk's going=false states
+
+      private def close(): Unit = {
+        done = true
+        lastPeakWindow.set(w.capacity)
+        try in.close() catch { case _: Exception => () }
+      }
+
+      private def advance(): Unit = {
+        nextRec = null
+        if (done) return
+        if (stopAfter || !w.ensure(1)) { close(); return }
+        if (!w.matchesAt(0, Magic)) {
+          nextRec = Rec(null, null, null, ok = false, null)
+          if (!w.skipToMatch(Magic, 1)) stopAfter = true
+          return
+        }
+        val headEnd = w.indexOf(sep, 0, MaxHeaderBytes)
+        if (headEnd == -1) { // EOF before the header separator: one guard row, stop
+          nextRec = Rec(null, null, null, ok = false, null)
+          stopAfter = true
+          return
+        }
+        if (headEnd == -2) { // unbounded header block: guard row + resync
+          nextRec = Rec(null, null, null, ok = false, null)
+          if (!w.skipToMatch(Magic, 1)) stopAfter = true
+          return
+        }
+        val headers = w.slice(0, headEnd)
+          .split("\r\n").drop(1) // drop the version line
+          .flatMap { l =>
+            val c = l.indexOf(':')
+            if (c <= 0) None
+            else Some(l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim)
+          }.toMap
+        val wt = headers.get("warc-type").orNull
+        val uri = headers.get("warc-target-uri").orNull
+        val lenOpt = headers.get("content-length").flatMap(_.toLongOption)
+        val payloadStart = headEnd + sep.length
+        // a single record must fit one JVM array (its body becomes one
+        // String row anyway); beyond that is treated like an overrun
+        val fits = lenOpt.exists(l => l >= 0 && l <= Int.MaxValue - payloadStart - 8)
+        val bodyInWindow = fits && w.ensure(payloadStart + lenOpt.get.toInt)
+        // the declared length must land ON the record separator (or
+        // exactly at EOF): an in-bounds FORGED length lands mid-next-
+        // record instead — without this check it would silently absorb
+        // foreign bytes into the payload
+        val atEofExactly = bodyInWindow &&
+          !w.ensure(payloadStart + lenOpt.get.toInt + 1)
+        val sepFollows = bodyInWindow && !atEofExactly &&
+          w.matchesAt(payloadStart + lenOpt.get.toInt, sep)
+        if (bodyInWindow && (atEofExactly || sepFollows)) {
+          val len = lenOpt.get.toInt
+          val pEnd = payloadStart + len
+          val html =
+            if (wt == "response") {
+              val bodyAt = w.indexOf(sep, payloadStart, pEnd) match {
+                case b if b >= 0 && b + sep.length <= pEnd => b + sep.length
+                case _ => pEnd // headerless/degenerate HTTP: empty body
+              }
+              w.slice(bodyAt, pEnd)
+            } else null
+          val status =
+            if (wt == "response") {
+              val lineEnd = w.indexOf(crlf, payloadStart, pEnd) match {
+                case e if e >= 0 => e
+                case _ => payloadStart
+              }
+              val toks = w.slice(payloadStart, lineEnd).split(" ")
+              if (toks.length >= 2) toks(1).toIntOption.map(Int.box).orNull else null
+            } else null
+          nextRec = Rec(wt, uri, status.asInstanceOf[java.lang.Integer], ok = true, html)
+          if (sepFollows) w.consume(pEnd + sep.length)
+          else { w.consume(pEnd); stopAfter = true } // EOF landed exactly at payload end
         } else {
-          val headers = new String(bytes, cursor, headEnd - cursor, UTF_8)
-            .split("\r\n").drop(1) // drop the version line
-            .flatMap { l =>
-              val c = l.indexOf(':')
-              if (c <= 0) None
-              else Some(l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim)
-            }.toMap
-          val wt = headers.get("warc-type").orNull
-          val uri = headers.get("warc-target-uri").orNull
-          val lenOpt = headers.get("content-length").flatMap(s => s.toLongOption)
-          val payloadStart = headEnd + sep.length
-          lenOpt match {
-            case Some(len) if len >= 0 && payloadStart + len <= bytes.length &&
-                // the declared length must land ON the record separator
-                // (or exactly at EOF): an in-bounds FORGED length lands
-                // mid-next-record instead — without this check it would
-                // silently absorb foreign bytes into the payload
-                (payloadStart + len == bytes.length ||
-                  startsWith(bytes, payloadStart + len.toInt, sep)) =>
-              val html =
-                if (wt == "response") {
-                  val pEnd = payloadStart + len.toInt
-                  val bodyAt = indexOf(bytes, sep, payloadStart) match {
-                    case b if b >= 0 && b + sep.length <= pEnd => b + sep.length
-                    case _ => pEnd // headerless/degenerate HTTP: empty body
-                  }
-                  new String(bytes, bodyAt, pEnd - bodyAt, UTF_8)
-                } else null
-              val status =
-                if (wt == "response") {
-                  val lineEnd = indexOf(bytes, "\r\n".getBytes(UTF_8), payloadStart)
-                  val line = new String(bytes, payloadStart,
-                    (if (lineEnd < 0) payloadStart else lineEnd) - payloadStart, UTF_8)
-                  val toks = line.split(" ")
-                  if (toks.length >= 2) toks(1).toIntOption
-                    .map(Int.box).orNull
-                  else null
-                } else null
-              out += Rec(wt, uri, status.asInstanceOf[java.lang.Integer],
-                ok = true, html)
-              cursor = payloadStart + len.toInt
-              if (startsWith(bytes, cursor, sep)) cursor += sep.length
-              else going = false // EOF landed exactly at payload end
-            case _ =>
-              // forged/overrunning length or unparseable header: the
-              // guard row, then resync past this record's magic
-              out += Rec(wt, uri, null, ok = false, null)
-              resync(cursor + 1)
-          }
+          // forged/overrunning length or unparseable header: the guard
+          // row, then resync past this record's magic
+          nextRec = Rec(wt, uri, null, ok = false, null)
+          if (!w.skipToMatch(Magic, 1)) stopAfter = true
         }
       }
+
+      override def hasNext: Boolean = {
+        if (nextRec == null && !done) { advance(); if (nextRec == null) close() }
+        nextRec != null
+      }
+      override def next(): Rec = {
+        if (!hasNext) throw new NoSuchElementException("exhausted WARC walk")
+        val r = nextRec; nextRec = null; r
+      }
     }
-    out.toSeq
   }
 }

@@ -890,6 +890,65 @@ class LlmSpec extends SparkSpec {
       "every conversation must land in exactly one verdict bucket")
   }
 
+  test("DPO pair validation: defect battery — identical, mismatched-prompt, missing-side, invalid-side") {
+    import graft.llm.Chat
+    import spark.implicits._
+    // (pair, side, idx, role, content)
+    val turns = Seq(
+      // pair 1: clean — shared prompt, divergent completions
+      (1L, "chosen", 0, "user", "what is 2+2?"), (1L, "chosen", 1, "assistant", "4"),
+      (1L, "rejected", 0, "user", "what is 2+2?"), (1L, "rejected", 1, "assistant", "5"),
+      // pair 2: identical completions — zero preference signal
+      (2L, "chosen", 0, "user", "hi"), (2L, "chosen", 1, "assistant", "hello"),
+      (2L, "rejected", 0, "user", "hi"), (2L, "rejected", 1, "assistant", "hello"),
+      // pair 3: prompts diverge (different user turn)
+      (3L, "chosen", 0, "user", "tell me A"), (3L, "chosen", 1, "assistant", "A it is"),
+      (3L, "rejected", 0, "user", "tell me B"), (3L, "rejected", 1, "assistant", "B then"),
+      // pair 4: rejected side missing
+      (4L, "chosen", 0, "user", "alone?"), (4L, "chosen", 1, "assistant", "yes"),
+      // pair 5: clean but an unknown side value rides along
+      (5L, "chosen", 0, "user", "q"), (5L, "chosen", 1, "assistant", "a1"),
+      (5L, "rejected", 0, "user", "q"), (5L, "rejected", 1, "assistant", "a2"),
+      (5L, "bonus", 0, "user", "q"), (5L, "bonus", 1, "assistant", "a3"),
+      // pair 6: chosen side breaks framing (assistant-first)
+      (6L, "chosen", 0, "assistant", "me first"), (6L, "chosen", 1, "user", "?"),
+      (6L, "rejected", 0, "user", "ok"), (6L, "rejected", 1, "assistant", "fine"))
+      .toDF("pair", "side", "i", "r", "c")
+    val out = Chat.validatePreferencePairs(turns, "pair", "side", "i", "r", "c")
+      .collect().map(r => r.getAs[Long]("pair_id") -> r).toMap
+    def b(p: Long, c: String) = out(p).getAs[Boolean](c)
+    assert(b(1L, "valid") && b(1L, "has_both") && b(1L, "prompts_match") && b(1L, "divergent"))
+    assert(!b(2L, "valid") && !b(2L, "divergent") && b(2L, "prompts_match"))
+    assert(!b(3L, "valid") && !b(3L, "prompts_match") && b(3L, "divergent"))
+    assert(!b(4L, "valid") && !b(4L, "has_both") && b(4L, "chosen_valid"))
+    assert(!b(5L, "valid") && b(5L, "has_both") && out(5L).getAs[Boolean]("has_unknown_side"))
+    assert(!b(6L, "valid") && !b(6L, "chosen_valid") && b(6L, "rejected_valid"))
+    // every verdict column is a definite boolean on every row
+    for ((_, r) <- out; c <- Seq("has_both", "prompts_match", "divergent",
+        "chosen_valid", "rejected_valid", "valid", "has_unknown_side"))
+      assert(!r.isNullAt(r.fieldIndex(c)), s"NULL verdict $c for pair ${r.get(0)}")
+    // rendered sides carry the template; missing side renders NULL
+    assert(out(1L).getAs[String]("rendered_chosen") === "<|user|>what is 2+2?<|assistant|>4")
+    assert(out(4L).isNullAt(out(4L).fieldIndex("rendered_rejected")))
+  }
+
+  test("chat template is configurable: ChatML-style render flows through validation untouched") {
+    import graft.llm.Chat
+    import spark.implicits._
+    val chatml: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+      (role, content) => concat(lit("<|im_start|>"), role, lit("\n"), content, lit("<|im_end|>"))
+    val turns = Seq((1L, 0, "user", "hi"), (1L, 1, "assistant", "hello"))
+      .toDF("conv", "i", "r", "c")
+    val df = Chat.validateConversations(turns, "conv", "i", "r", "c", chatml).collect()(0)
+    assert(df.getAs[Boolean]("valid"))
+    assert(df.getAs[String]("rendered") ===
+      "<|im_start|>user\nhi<|im_end|><|im_start|>assistant\nhello<|im_end|>")
+    // verdicts identical under any template (template affects rendering only)
+    val def0 = Chat.validateConversations(turns, "conv", "i", "r", "c").collect()(0)
+    assert(def0.getAs[Boolean]("valid") === df.getAs[Boolean]("valid"))
+    assert(def0.getAs[String]("rendered") === "<|user|>hi<|assistant|>hello")
+  }
+
   test("mojibake repair: round-trip inverse on covered chars, clean text untouched") {
     import graft.llm.Encoding
     // repair(damage(x)) == x for any text over the covered alphabet

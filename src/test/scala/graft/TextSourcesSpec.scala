@@ -139,4 +139,62 @@ class TextSourcesSpec extends SparkSpec {
     assert(!r4(0).getBoolean(5) && r4(0).getString(3) === "http://nolen.example/")
     assert(r4(1).getBoolean(5))
   }
+
+  test("WARC walk is incrementally buffered: peak window tracks the largest record, not the file") {
+    import graft.sources.Warc
+    // 400 records × ~32 KiB ≈ 13 MiB of container bytes. A whole-file
+    // materialization would need ≥ 13 MiB; the streaming walk's window
+    // must stay near the LARGEST single record (64 KiB floor, ×2 growth).
+    val body = "x" * (32 * 1024)
+    val one = Warc.responseRecord("http://big.example/", body)
+    val all = Array.fill(400)(one).flatten[Byte]
+    assert(all.length > 12 * 1024 * 1024)
+    val rows = Warc.parseRecordRows(new java.io.ByteArrayInputStream(all)).toVector
+    assert(rows.length === 400 && rows.forall(_._4), "all records must parse ok")
+    assert(rows.forall(_._5 == body), "payloads must survive the windowed walk")
+    val peak = Warc.lastPeakWindow.get()
+    assert(peak != null && peak <= 4 * one.length + 64 * 1024,
+      s"window grew past one-record scale: peak=$peak bytes for a ${one.length}-byte record")
+    assert(peak < all.length / 10,
+      s"window scales with the file, not the record: peak=$peak of ${all.length}")
+  }
+
+  test("WARC walk is lazy: rows stream out without exhausting the container first") {
+    import graft.sources.Warc
+    // An input stream that fails PAST the first two records: take(2) must
+    // succeed without ever reading that far — proof rows are emitted
+    // incrementally, not parsed-then-returned.
+    val good = Warc.responseRecord("http://lazy.example/", "<p>ok</p>")
+    val prefix = good ++ good
+    val in = new java.io.InputStream {
+      private var at = 0
+      override def read(): Int =
+        if (at < prefix.length) { val b = prefix(at) & 0xff; at += 1; b }
+        else throw new java.io.IOException("read past the lazy horizon")
+      override def read(b: Array[Byte], off: Int, n: Int): Int = {
+        if (at >= prefix.length) throw new java.io.IOException("read past the lazy horizon")
+        val m = math.min(n, prefix.length - at)
+        System.arraycopy(prefix, at, b, off, m); at += m; m
+      }
+    }
+    val first2 = Warc.parseRecordRows(in).take(2).toVector
+    assert(first2.length === 2 && first2.forall(_._4))
+    assert(first2.forall(_._5 == "<p>ok</p>"))
+  }
+
+  test("WARC unbounded header block: capped, guarded, resyncs onto the next record") {
+    import graft.sources.Warc
+    import java.nio.charset.StandardCharsets.UTF_8
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_cap")
+    val good = Warc.responseRecord("http://after.example/", "<p>after</p>")
+    // a magic followed by >1 MiB with no \r\n\r\n: the walk must not
+    // buffer it without bound — guard row, then resync onto `good`
+    val junk = ("WARC/1.0\r\nWARC-Type: junkheader\r\n" + "y" * (2 * 1024 * 1024)).getBytes(UTF_8)
+    java.nio.file.Files.write(dir.resolve("x.warc"), junk ++ good)
+    val rows = Warc.readWarc(spark, dir.toString).orderBy(col("record_idx")).collect()
+    graft.ops.Layout.deleteRecursively(dir)
+    assert(rows.length === 2, s"expected guard + good, got ${rows.length}")
+    assert(!rows(0).getBoolean(5))
+    assert(rows(1).getBoolean(5) && rows(1).getString(3) === "http://after.example/")
+  }
 }
