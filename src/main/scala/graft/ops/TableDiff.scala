@@ -37,15 +37,23 @@ object TableDiff {
       }
     }
     val payload = before.columns.filterNot(keys.contains).sorted
-    def packed(df: DataFrame, name: String) = df.select(
-      keys.map(col) :+ struct(payload.map(col): _*).as(name): _*)
-    packed(before, "__b").join(packed(after, "__a"), keys, "full_outer")
+    def packed(df: DataFrame, name: String, pfx: String) = df.select(
+      keys.map(k => col(k).as(pfx + k)) :+ struct(payload.map(col): _*).as(name): _*)
+    // the key match must be NULL-SAFE (<=>): an equi-join would report a
+    // NULL-key row present unchanged in both snapshots as added AND
+    // removed — phantom churn in the one primitive whose job is an exact
+    // change ledger (the deleteByKeys NULL lesson, diff-shaped)
+    val b = packed(before, "__b", "__bk_")
+    val a = packed(after, "__a", "__ak_")
+    val cond = keys.map(k => col("__bk_" + k) <=> col("__ak_" + k)).reduce(_ && _)
+    b.join(a, cond, "full_outer")
       .withColumn("status",
         when(col("__b").isNull, lit("added"))
           .when(col("__a").isNull, lit("removed"))
           .when(!(col("__a") <=> col("__b")), lit("changed")))
       .filter(col("status").isNotNull)
-      .select(keys.map(col) :+ col("status"): _*)
+      .select(keys.map(k =>
+        coalesce(col("__bk_" + k), col("__ak_" + k)).as(k)) :+ col("status"): _*)
   }
 
   /** Additive aggregate maintenance: fold a pre-aggregated `delta` into a

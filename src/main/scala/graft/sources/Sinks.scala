@@ -240,10 +240,21 @@ object Sinks {
     */
   def mergeUpsert(spark: SparkSession, path: String, updates: org.apache.spark.sql.DataFrame,
       keys: Seq[String], partitionCol: String): Unit = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val affected = updates.select(col(partitionCol)).distinct().collect().map(_.get(0))
-    val target = spark.read.parquet(path)
-      .filter(col(partitionCol).isin(affected.toIndexedSeq: _*))
+    // NULL-safe partition membership (the deleteByKeys lesson): isin()
+    // never matches a NULL probe, so a plain filter would SKIP reading
+    // the NULL partition while the dynamic overwrite still REPLACES it
+    // (the updates carry NULL rows into the merged set) — silently
+    // dropping every unmatched row the NULL partition held.
+    val nonNullAffected = affected.filter(_ != null)
+    val hasNullAffected = affected.exists(_ == null)
+    val partHit = {
+      val inNonNull = if (nonNullAffected.isEmpty) lit(false)
+        else col(partitionCol).isin(nonNullAffected.toIndexedSeq: _*)
+      if (hasNullAffected) inNonNull || col(partitionCol).isNull else inNonNull
+    }
+    val target = spark.read.parquet(path).filter(partHit)
     val merged = updates.unionByName(
       target.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"))
     // the overwrite replaces partitions the merge plan READS, so the

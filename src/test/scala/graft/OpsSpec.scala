@@ -154,4 +154,22 @@ class OpsSpec extends SparkSpec {
     // unique keys pass the guard
     assert(TableDiff.diff(b, b, Seq("id"), checkUniqueKeys = true).count() === 0L)
   }
+
+  test("TableDiff.diff matches NULL keys null-safely (no phantom added+removed churn)") {
+    import graft.ops.TableDiff
+    // an equi-join would report the unchanged NULL-key row as added AND
+    // removed — phantom churn in a change ledger (same asOf convention:
+    // NULL keys identify the same row across snapshots)
+    val before = Seq((Some(1L), "x"), (None, "n"), (Some(2L), "gone"))
+      .toDF("id", "v")
+    val after = Seq((Some(1L), "x"), (None, "n2"), (Some(3L), "new"))
+      .toDF("id", "v")
+    val got = TableDiff.diff(before, after, Seq("id")).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1)).toMap
+    assert(got === Map(None -> "changed", Some(2L) -> "removed", Some(3L) -> "added"),
+      s"diff misreported NULL keys: $got")
+    // an unchanged NULL-key row produces NO row at all
+    val same = Seq((None: Option[Long], "n")).toDF("id", "v")
+    assert(TableDiff.diff(same, same, Seq("id")).count() === 0L)
+  }
 }

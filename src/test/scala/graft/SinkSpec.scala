@@ -154,6 +154,29 @@ class SinkSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("mergeUpsert into a NULL partition keeps its unmatched rows (no silent loss)") {
+    import graft.sources.Sinks
+    import spark.implicits._
+    // isin() never matches NULL: without the null-safe read, the NULL
+    // partition is NOT read into the merge while the dynamic overwrite
+    // still REPLACES it (the updates carry NULL rows) — every unmatched
+    // row it held would vanish. The worst merge failure mode: data loss.
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_null_").toString + "/t"
+    Seq((1L, 10.0, Some("a")), (2L, 20.0, None), (3L, 30.0, None))
+      .map { case (k, v, p) => (k, v, p.orNull) }
+      .toDF("id", "v", "p")
+      .write.partitionBy("p").parquet(dir)
+    // update key 2 (NULL partition) and add key 4 (NULL partition);
+    // key 3 in the NULL partition is UNTOUCHED and must survive
+    val updates = Seq((2L, 21.0, null.asInstanceOf[String]),
+      (4L, 40.0, null.asInstanceOf[String])).toDF("id", "v", "p")
+    Sinks.mergeUpsert(spark, dir, updates, Seq("id"), "p")
+    val got = spark.read.parquet(dir).select(col("id"), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(1L -> 10.0, 2L -> 21.0, 3L -> 30.0, 4L -> 40.0),
+      s"NULL-partition merge lost or mangled rows: $got")
+  }
+
   test("stats manifest prunes files on a sorted layout without losing rows") {
     import graft.sources.Sinks
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
