@@ -12,11 +12,22 @@ object Verify {
       if (args.length > 2) Some(args(2).split(',').map(_.trim).toSet) else None
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the single-JVM default — the
+    // cross-JVM smoke runs the SAME dump under local-cluster[n,c,mem]
+    // (real separate executor JVMs), proving broadcasts, codegen
+    // reference objects, custom SparkPlans and typed aggregators
+    // survive executor serialization, not just driver-local state.
+    // SPARK_GRAFT_EXEC_CP adds the compiled classes to the executor
+    // classpath (sbt's target dir isn't on Spark's own).
+    val builder0 = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.executor.memory",
+        sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "1g"))
       .config("spark.ui.enabled", "false")
+    val spark = sys.env.get("SPARK_GRAFT_EXEC_CP")
+      .fold(builder0)(cp => builder0.config("spark.executor.extraClassPath", cp))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
