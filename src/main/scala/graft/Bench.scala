@@ -11,13 +11,25 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER / SPARK_GRAFT_EXEC_CP / SPARK_GRAFT_EXEC_MEM:
+    // same cross-JVM overrides as Verify (local-cluster smoke) — the
+    // single-JVM default is unchanged when unset.
+    val builder0 = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // shuffle partitions default to the core count but scale with SF
+      // via SPARK_GRAFT_SHUFFLE_PARTITIONS: a partition COUNT pinned at
+      // 32 makes per-partition sort state grow linearly with data and
+      // spill (the q206 sf100 knee) — the knob a real cluster turns.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.executor.memory",
+        sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "1g"))
       .config("spark.ui.enabled", "false")
+    val spark = sys.env.get("SPARK_GRAFT_EXEC_CP")
+      .fold(builder0)(cp => builder0.config("spark.executor.extraClassPath", cp))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -27,6 +27,11 @@ object GenScale {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/sfscale"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: per-replica key offset. Composing decades by
+    // re-replicating an ALREADY-scaled dir needs a stride above its key
+    // range (sf10's ids span ~100·1e9, so sf10→sf100 uses 1e12) — the
+    // default stride would collide replica keys with existing ones.
+    val off = if (args.length > 3) args(3).toLong else OFF
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -39,7 +44,7 @@ object GenScale {
       val base = spark.read.parquet(s"$src/$table.parquet")
       val parts = (0 until factor).map { r =>
         val shifted = keyCols.foldLeft(mutate(base, r)) { (df, k) =>
-          df.withColumn(k, col(k) + lit(r * OFF))
+          df.withColumn(k, col(k) + lit(r * off))
         }
         shifted
       }
