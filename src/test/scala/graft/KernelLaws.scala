@@ -436,6 +436,74 @@ object KernelLaws extends Properties("graft.kernels") {
       }
     }
 
+  // ---- TopKCarry algebraic laws (the int8TopK aggregation core) ----
+
+  private val scoredRows: Gen[List[(Double, Long, Double)]] =
+    Gen.choose(0, 40).flatMap { n =>
+      Gen.listOfN(n, for {
+        s <- Gen.frequency(
+          6 -> Gen.choose(-10.0, 10.0),
+          2 -> Gen.oneOf(0.0, -0.0, 1.0, -1.0), // tie + zero-sign pressure
+          1 -> Gen.const(Double.NaN))
+        p <- Gen.choose(-5.0, 5.0)
+      } yield (s, p))
+    }.map(_.zipWithIndex.map { case ((s, p), i) => (s, i.toLong, p) }) // ids unique
+
+  private def topKRef(rows: List[(Double, Long, Double)], k: Int): List[(Double, Long, Double)] =
+    rows.map { case (s, i, p) => (if (s == 0.0) 0.0 else s, i, p) } // -0.0 -> 0.0
+      .sortWith { (a, b) =>
+        val c = java.lang.Double.compare(a._1, b._1)
+        c > 0 || (c == 0 && a._2 < b._2) // score DESC (NaN largest), id ASC
+      }.take(k)
+
+  property("TopKCarry: any partitioning + merge order equals the sorted top-k reference") =
+    forAll(scoredRows, Gen.choose(1, 8), Gen.choose(1, 5)) { (rows, k, nParts) =>
+      val agg = new graft.functions.TopKCarry(k)
+      val parts = rows.grouped(math.max(1, (rows.size + nParts - 1) / nParts)).toList
+      val bufs = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = bufs.foldLeft(agg.zero)(agg.merge)
+      val reversedMerge = bufs.reverse.foldLeft(agg.zero)(agg.merge)
+      val ref = topKRef(rows, k)
+      // NaN-safe compare: tuple == uses Double == (NaN != NaN); bits are exact
+      def canon(xs: Seq[(Double, Long, Double)]) = xs.map { case (s, i, p) =>
+        (java.lang.Double.doubleToLongBits(s), i, java.lang.Double.doubleToLongBits(p))
+      }.toList
+      (canon(agg.finish(merged)) == canon(ref)) :| s"merged=${merged.toList} ref=$ref" &&
+        (canon(agg.finish(reversedMerge)) == canon(ref)) :| "merge order changed the result"
+    }
+
+  // ---- WARC windowed-walk round trip (content-length framing law) ----
+
+  private val htmlGen: Gen[String] =
+    Gen.choose(0, 400).flatMap(n => Gen.listOfN(n, Gen.frequency(
+      6 -> Gen.alphaNumChar, 2 -> Gen.const(' '),
+      1 -> Gen.oneOf('的', 'и', 'ف', 'é', '€'),
+      1 -> Gen.oneOf('\r', '\n', '<', '>', '"')))).map(_.mkString)
+
+  property("WARC walk: random multi-script payloads (embedded CRLFs included) round-trip, gz or raw") =
+    forAll(Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, htmlGen)), Gen.oneOf(true, false)) {
+      (htmls, gzip) =>
+        import graft.sources.Warc
+        val urls = htmls.indices.map(i => s"urn:law:$i")
+        val raw = Warc.warcinfoRecord() ++
+          urls.zip(htmls).flatMap { case (u2, h) => Warc.responseRecord(u2, h) }
+        val bytes = if (!gzip) raw else {
+          // member-per-record, the writeWarcGz layout
+          val bo = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bo)
+          gz.write(raw); gz.finish(); gz.close()
+          bo.toByteArray
+        }
+        val in: java.io.InputStream = if (!gzip)
+          new java.io.ByteArrayInputStream(bytes)
+        else new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+        val rows = Warc.parseRecordRows(in).toVector
+        val resp = rows.filter(_._1 == "response")
+        (rows.forall(_._4) :| s"guard row in a clean stream: $rows") &&
+          (resp.map(_._2) == urls.toVector) :| "urls drifted" &&
+          (resp.map(_._5) == htmls.toVector) :| "payloads drifted"
+    }
+
   property("repetitionStats pins the empty/blank/edge-token contract") = Prop.all(
     { val r = TextKernels.repetitionStats(u(""))
       (r.getLong(0) == 1L && r.getLong(1) == 1L && r.getLong(2) == 1L && r.getLong(3) == 0L) :| "empty" },
