@@ -168,6 +168,35 @@ object Chat {
       .drop("__cfp", "__rfp", "__cl", "__rl")
   }
 
+  /** Context-window trim: fit each conversation into `maxTokens` by
+    * keeping the longest SUFFIX of whole turns whose token sum fits —
+    * the standard SFT trim (recent turns carry the training signal; a
+    * turn is never split mid-content). Every input row comes back with
+    * a definite `kept` boolean (auditable, never a silent drop): a turn
+    * survives iff its reverse-cumulative token count (itself + every
+    * later turn) is within budget, so a single turn larger than the
+    * budget drops entirely. NULL content counts zero tokens (the q204
+    * NULL-verdict lesson — a NULL must not poison the running sum and
+    * void every earlier turn's verdict).
+    *
+    * Output: conv_id, idx, role, content, n_tok, kept.
+    *
+    * Scale shape: one conversation-keyed window (partitions are tens of
+    * turns) — 100 TB of chat data shuffles once as (conv, turn) rows,
+    * same as [[validateConversations]].
+    */
+  def fitToTokenBudget(turns: DataFrame, convCol: String, idxCol: String,
+      roleCol: String, contentCol: String, maxTokens: Long): DataFrame = {
+    require(maxTokens >= 0, s"maxTokens must be non-negative: $maxTokens")
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("idx").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    turns.select(col(convCol).as("conv_id"), col(idxCol).as("idx"),
+        col(roleCol).as("role"), col(contentCol).as("content"))
+      .withColumn("n_tok",
+        coalesce(TextAnalysis.tokenCountWs(col("content")), lit(0L)))
+      .withColumn("kept", sum(col("n_tok")).over(w) <= maxTokens)
+  }
+
   /** Loss-mask token accounting — the budget arithmetic behind SFT loss
     * masking (train on assistant turns, mask user/prompt turns): per
     * conversation, total content tokens, trainable (assistant) tokens,

@@ -3914,6 +3914,31 @@ object LlmQueries {
         .select(col("pair_id"), col("has_both"), col("prompts_match"),
           col("divergent"), col("chosen_valid"), col("rejected_valid"), col("valid"))
         .orderBy(col("pair_id"))
+    },
+
+    // Context-window trim — fit each conversation into a token budget by
+    // keeping the longest SUFFIX of whole turns (the standard SFT trim:
+    // recent turns carry the signal, turns never split). Every row keeps
+    // a definite kept boolean via the reverse-cumulative token window;
+    // NULL/empty content counts zero tokens. Budget 8 over the shared
+    // SFT fixture exercises full keeps, partial trims, and empty-turn
+    // zero-cost rows. Oracle replays the ws-token count (q205's twin)
+    // and the idx-DESC running-sum window verbatim.
+    QueryDef.sql(
+      "q208_context_trim",
+      s"""WITH $sftTurnsSql,
+        |tok AS (SELECT doc_id, idx, role, content,
+        |  CAST(coalesce(CASE WHEN length(trim(content)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(content), '\\s+')) END, 0) AS BIGINT) AS n_tok
+        |  FROM tt)
+        |SELECT doc_id AS conv_id, idx, role, content, n_tok,
+        |  (SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY idx DESC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 8) AS kept
+        |FROM tok ORDER BY conv_id, idx""".stripMargin) { (s, d) =>
+      import graft.llm.Chat
+      Chat.fitToTokenBudget(sftTurns(s, d), "doc_id", "idx", "role", "content",
+          maxTokens = 8L)
+        .orderBy(col("conv_id"), col("idx"))
     }
   )
 

@@ -949,6 +949,36 @@ class LlmSpec extends SparkSpec {
     assert(def0.getAs[String]("rendered") === "<|user|>hi<|assistant|>hello")
   }
 
+  test("fitToTokenBudget: longest whole-turn suffix, oversized turns drop, NULL counts zero") {
+    import graft.llm.Chat
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("conv", LongType), StructField("i", IntegerType),
+      StructField("r", StringType), StructField("c", StringType)))
+    val turns = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      // conv 1: suffix (idx 1,2) = 2+2 = 4 <= 5; adding idx 0 (3 tok) busts
+      Row(1L, 0, "user", "one two three"), Row(1L, 1, "assistant", "four five"),
+      Row(1L, 2, "user", "six seven"),
+      // conv 2: the last turn ALONE exceeds the budget -> nothing kept
+      Row(2L, 0, "user", "a"), Row(2L, 1, "assistant", "t1 t2 t3 t4 t5 t6"),
+      // conv 3: NULL content costs zero — earlier turns still get verdicts
+      Row(3L, 0, "user", "x y"), Row(3L, 1, "assistant", null),
+      Row(3L, 2, "user", "z"))), schema)
+    val out = Chat.fitToTokenBudget(turns, "conv", "i", "r", "c", maxTokens = 5L)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(r.fieldIndex("n_tok")), r.getBoolean(r.fieldIndex("kept"))))).toMap
+    assert(out((1L, 0)) === ((3L, false)) && out((1L, 1)) === ((2L, true)) &&
+      out((1L, 2)) === ((2L, true)))
+    assert(out((2L, 0)) === ((1L, false)) && out((2L, 1)) === ((6L, false)),
+      "an oversized final turn must drop whole, never split")
+    assert(out((3L, 0)) === ((2L, true)) && out((3L, 1)) === ((0L, true)) &&
+      out((3L, 2)) === ((1L, true)),
+      "NULL content must cost zero tokens and not poison earlier verdicts")
+    // every row gets a definite verdict (auditable, no silent drops)
+    assert(out.size === 8)
+  }
+
   test("mojibake repair: round-trip inverse on covered chars, clean text untouched") {
     import graft.llm.Encoding
     // repair(damage(x)) == x for any text over the covered alphabet
