@@ -43,17 +43,23 @@ object Graphs {
   def pageRankExact(edges: DataFrame, srcCol: String, dstCol: String,
       nodes: DataFrame, idCol: String, iters: Int): DataFrame = {
     require(iters >= 1, s"need at least one power step: $iters")
+    // Loop-invariant persists (ids, e, outdeg) are NOT CacheRegistry-
+    // registered: the registry is a FIFO of depth 8, and the loop below
+    // registers one frame per iteration — at iters > 7 the churn would
+    // evict and unpersist these while every remaining iteration still
+    // joins against them, silently recomputing the degree aggregate each
+    // step. They are unpersisted explicitly after the final ranks
+    // materialize (recompute after a later eviction of the RESULT frame
+    // rebuilds them on demand — correct, just slower, per the registry
+    // contract).
     val ids = nodes.select(col(idCol).cast("long").as("id")).distinct().persist()
-    graft.ops.CacheRegistry.register(ids)
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).persist()
-    graft.ops.CacheRegistry.register(e)
     // node count: a bounded metadata pass (the tokenBudgetEpochs
     // convention) — every divisor below is a literal thereafter
     val n = ids.count()
     require(n > 0, "empty node universe")
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d")).persist()
-    graft.ops.CacheRegistry.register(outdeg)
     val base = Math.floorDiv(Math.floorDiv(15L * Scale, 100L), n)
     var pr = ids.select(col("id"), lit(Math.floorDiv(Scale, n)).as("pr_u"))
     // Each step reads the previous ranks TWICE (dangling-mass aggregate
@@ -84,6 +90,9 @@ object Graphs {
       prevCached = next
       pr = next
     }
+    // final ranks are materialized (count() above) — the loop invariants
+    // can be released now; they never outlive the call
+    ids.unpersist(false); e.unpersist(false); outdeg.unpersist(false)
     pr
   }
 }

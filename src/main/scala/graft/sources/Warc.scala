@@ -112,7 +112,9 @@ object Warc {
     *
     * Memory contract: the walk is INCREMENTAL — the per-task buffer is
     * bounded by the largest single record (plus a 64 KiB floor), never
-    * the decompressed file. Real Common-Crawl members are ~1 GB gzip /
+    * the decompressed file; [[MaxRecordBytes]] hard-caps that bound even
+    * against a FORGED multi-GiB Content-Length (rejected before
+    * buffering, not after). Real Common-Crawl members are ~1 GB gzip /
     * 4-5 GB raw; a whole-file materialization × 32 concurrent tasks
     * would exhaust any executor, while per-record buffering holds one
     * page-sized payload at a time. Gzip decodes through a streaming
@@ -133,6 +135,15 @@ object Warc {
           if (b0 == 0x1f && b1 == 0x8b)
             new java.util.zip.GZIPInputStream(raw, 64 * 1024)
           else raw
+        // the walk closes `in` only when the iterator is EXHAUSTED; a
+        // consumer that stops early (limit/take, task failure or kill
+        // mid-partition) would leak the file/gzip handle per split —
+        // tie the close to task completion so every exit path releases
+        // it (double-close is a no-op on these streams)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          try in.close() catch { case _: Exception => () }
+        }
         parseRecords(in).zipWithIndex.map { case (r, i) =>
           Row(name, i.toLong, r.warcType, r.url, r.status, r.ok, r.html)
         }
@@ -149,6 +160,19 @@ object Warc {
     * walk is deliberately STRICTER than an in-memory scan.
     */
   private val MaxHeaderBytes = 1 << 20
+
+  /** Payload cap — the record-twin of [[MaxHeaderBytes]]: a record whose
+    * declared Content-Length exceeds this is treated EXACTLY like a
+    * forged length (guard row + resync) WITHOUT buffering it first.
+    * Unbounded, `ensure(payloadStart + len)` would buffer the whole rest
+    * of the stream before the lands-on-separator guard could reject —
+    * i.e. a single corrupt record defeats the bounded-memory contract on
+    * exactly the corrupt inputs the ok=false design exists to survive.
+    * 256 MiB is far above any real crawl record (CC caps fetches at
+    * ~5 MB) while keeping peak window < the 1 GiB point where doubling
+    * growth would overflow Int.
+    */
+  private[graft] val MaxRecordBytes: Int = 1 << 28
 
   /** Sliding window over the stream for the record walk: bytes are held
     * from the current record's start only until the record is accepted
@@ -170,7 +194,17 @@ object Warc {
     private def fill(): Boolean = {
       if (eof) return false
       if (pos > 0) { System.arraycopy(buf, pos, buf, 0, len - pos); len -= pos; pos = 0 }
-      if (len == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      // overflow-safe growth: doubling past 1 GiB would wrap negative and
+      // throw NegativeArraySizeException mid-task; clamp to the JVM's
+      // max array size instead (defense in depth — the MaxRecordBytes /
+      // MaxHeaderBytes caps keep the window far below this in practice)
+      if (len == buf.length) {
+        if (buf.length >= Int.MaxValue - 8) return false // cannot grow further
+        val grown =
+          if (buf.length > (Int.MaxValue - 8) / 2) Int.MaxValue - 8
+          else buf.length * 2
+        buf = java.util.Arrays.copyOf(buf, grown)
+      }
       val n = in.read(buf, len, buf.length - len)
       if (n < 0) { eof = true; false } else { len += n; true }
     }
@@ -298,9 +332,12 @@ object Warc {
         val uri = headers.get("warc-target-uri").orNull
         val lenOpt = headers.get("content-length").flatMap(_.toLongOption)
         val payloadStart = headEnd + sep.length
-        // a single record must fit one JVM array (its body becomes one
-        // String row anyway); beyond that is treated like an overrun
-        val fits = lenOpt.exists(l => l >= 0 && l <= Int.MaxValue - payloadStart - 8)
+        // a declared length over the record cap is rejected BEFORE any
+        // payload byte is buffered — same guard-row + resync outcome as
+        // an overrunning length, but the window never grows toward it
+        // (with the cap, payloadStart + len stays far inside Int range:
+        // MaxHeaderBytes + MaxRecordBytes + separators < 2^29)
+        val fits = lenOpt.exists(l => l >= 0 && l <= MaxRecordBytes)
         val bodyInWindow = fits && w.ensure(payloadStart + lenOpt.get.toInt)
         // the declared length must land ON the record separator (or
         // exactly at EOF): an in-bounds FORGED length lands mid-next-

@@ -197,4 +197,47 @@ class TextSourcesSpec extends SparkSpec {
     assert(!rows(0).getBoolean(5))
     assert(rows(1).getBoolean(5) && rows(1).getString(3) === "http://after.example/")
   }
+
+  test("WARC forged multi-GiB Content-Length: rejected BEFORE buffering, window stays record-sized") {
+    import graft.sources.Warc
+    import java.nio.charset.StandardCharsets.UTF_8
+    // Declared lengths far past MaxRecordBytes (including one that would
+    // overflow payloadStart + len as an Int): each must produce a guard
+    // row WITHOUT the window growing toward the declared size — the
+    // pre-cap walk would buffer the entire rest of the stream (and
+    // NegativeArraySizeException past 1 GiB of doubling) before the
+    // lands-on-separator guard could reject.
+    val good = Warc.responseRecord("http://after.example/", "<p>after</p>")
+    for (forgedLen <- Seq(Warc.MaxRecordBytes.toLong + 1, 3L * 1024 * 1024 * 1024,
+        Int.MaxValue.toLong + 5000)) {
+      val bad = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: http://huge.example/\r\n" +
+        s"Content-Length: $forgedLen\r\n\r\nHTTP/1.1 200 OK\r\n\r\ntiny")
+        .getBytes(UTF_8) ++ "\r\n\r\n".getBytes(UTF_8)
+      val rows = Warc.parseRecordRows(
+        new java.io.ByteArrayInputStream(bad ++ good)).toVector
+      assert(rows.length === 2, s"len=$forgedLen: expected guard + good, got $rows")
+      assert(!rows(0)._4 && rows(0)._2 === "http://huge.example/")
+      assert(rows(1)._4 && rows(1)._2 === "http://after.example/")
+      val peak = Warc.lastPeakWindow.get()
+      assert(peak != null && peak <= 1024 * 1024,
+        s"len=$forgedLen buffered toward the forged size: peak=$peak")
+    }
+  }
+
+  test("WARC early-terminated read (limit) completes and releases the task cleanly") {
+    import graft.sources.Warc
+    import spark.implicits._
+    // limit() stops the per-file iterator before exhaustion; the task-
+    // completion listener (not iterator exhaustion) closes the handle —
+    // this pins the path executes without error under a real task
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_lim").toString
+    val pages = (0 until 50).map(i => (i.toLong, s"http://p$i.example/", s"<p>page $i</p>"))
+      .toDF("id", "url", "html").coalesce(1)
+    Warc.writeWarcGz(pages, "url", "html", dir)
+    val first = Warc.readWarc(spark, dir).filter(col("warc_type") === "response")
+      .limit(3).collect()
+    assert(first.length === 3 && first.forall(_.getBoolean(5)))
+    graft.ops.Layout.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
 }
