@@ -29,6 +29,23 @@ object Chat {
   val DefaultTemplate: (Column, Column) => Column =
     (role, content) => concat(lit("<|"), role, lit("|>"), content)
 
+  /** [[DefaultTemplate]]'s own delimiter strings — the default for the
+    * collision guard below: content CONTAINING these renders
+    * indistinguishably from a real turn boundary (`<|assistant|>` inside
+    * a user turn forges an assistant turn in `rendered` — the classic
+    * chat-template injection hazard). A custom template should pass its
+    * own delimiters alongside.
+    */
+  val DefaultCollisionMarkers: Seq[String] = Seq("<|", "|>")
+
+  /** True when any `collisionMarkers` element occurs in `content`
+    * (NULL-safe: NULL content carries no markers).
+    */
+  private def collidesWith(content: Column, markers: Seq[String]): Column =
+    if (markers.isEmpty) lit(false)
+    else markers.map(m => coalesce(content.contains(lit(m)), lit(false)))
+      .reduce(_ || _)
+
   /** Per-conversation validation + template rendering over a turns table
     * (convCol, idxCol: 0-based turn order, roleCol: 'user'/'assistant',
     * contentCol). Output one row per conversation:
@@ -37,13 +54,24 @@ object Chat {
     *    has_empty (any whitespace-only content), ends_assistant,
     *  - valid = starts_user ∧ alternates ∧ ¬has_empty ∧ ends_assistant
     *    (the standard SFT framing contract),
+    *  - has_template_collision: some turn's CONTENT contains a template
+    *    delimiter (`collisionMarkers`, default [[DefaultCollisionMarkers]])
+    *    — such content forges a turn boundary in `rendered`
+    *    (chat-template injection); flagged as its own auditable boolean,
+    *    NOT folded into `valid` (whether to drop or escape is a policy
+    *    decision, the flag is the fact),
     *  - rendered: `template` pieces concatenated in turn order (the
     *    chat-template form token pricing runs on; default `<|role|>content`),
-    *  - n_tok: whitespace token count of the rendered conversation.
+    *  - n_tok: token count of the rendered conversation under
+    *    `countTokens` (default whitespace; pass `Bpe.countTokens(_)` to
+    *    price in frozen-BPE subwords — the budget convention real
+    *    pipelines need, cf. q157/q161/q162).
     */
   def validateConversations(turns: DataFrame, convCol: String, idxCol: String,
       roleCol: String, contentCol: String,
-      template: (Column, Column) => Column = DefaultTemplate): DataFrame = {
+      template: (Column, Column) => Column = DefaultTemplate,
+      countTokens: Column => Column = TextAnalysis.tokenCountWs,
+      collisionMarkers: Seq[String] = DefaultCollisionMarkers): DataFrame = {
     val w = Window.partitionBy(col("conv_id")).orderBy(col("idx"))
     val flagged = turns.select(
         col(convCol).as("conv_id"), col(idxCol).as("idx"),
@@ -63,6 +91,8 @@ object Chat {
         (!max(col("same_as_prev"))).as("alternates"),
         coalesce(max(coalesce(trim(col("content")) === "", lit(true))),
           lit(false)).as("has_empty"),
+        coalesce(max(collidesWith(col("content"), collisionMarkers)),
+          lit(false)).as("has_template_collision"),
         max(struct(col("idx"), col("role"))).getField("role").as("__last_role"),
         array_join(
           transform(array_sort(collect_list(struct(col("idx"),
@@ -73,7 +103,7 @@ object Chat {
       .withColumn("valid",
         col("starts_user") && col("alternates") && !col("has_empty") &&
           col("ends_assistant"))
-      .withColumn("n_tok", TextAnalysis.tokenCountWs(col("rendered")))
+      .withColumn("n_tok", countTokens(col("rendered")))
       .drop("__last_role")
   }
 
@@ -95,6 +125,9 @@ object Chat {
     *    pair carries zero preference signal,
     *  - valid = has_both ∧ ¬has_unknown_side ∧ both sides valid ∧
     *    prompts_match ∧ divergent,
+    *  - has_template_collision: any turn's content on EITHER side
+    *    contains a template delimiter (see [[validateConversations]] —
+    *    same injection hazard, same flag-not-verdict policy),
     *  - rendered_chosen / rendered_rejected: template renders (NULL for a
     *    missing side).
     *
@@ -105,7 +138,8 @@ object Chat {
     */
   def validatePreferencePairs(turns: DataFrame, pairCol: String, sideCol: String,
       idxCol: String, roleCol: String, contentCol: String,
-      template: (Column, Column) => Column = DefaultTemplate): DataFrame = {
+      template: (Column, Column) => Column = DefaultTemplate,
+      collisionMarkers: Seq[String] = DefaultCollisionMarkers): DataFrame = {
     val wOrd = Window.partitionBy(col("pair_id"), col("side")).orderBy(col("idx"))
     val wAll = Window.partitionBy(col("pair_id"), col("side"))
     val t = turns.select(col(pairCol).as("pair_id"), col(sideCol).as("side"),
@@ -120,6 +154,8 @@ object Chat {
         (!max(col("same_as_prev"))).as("alternates"),
         coalesce(max(coalesce(trim(col("content")) === "", lit(true))),
           lit(false)).as("has_empty"),
+        coalesce(max(collidesWith(col("content"), collisionMarkers)),
+          lit(false)).as("side_collision"),
         max(struct(col("idx"), col("role"))).getField("role").as("__last_role"),
         // prefix fingerprint: idx + role + content of every turn BEFORE
         // the final completion, idx-ordered (collect_list drops the NULL
@@ -148,6 +184,8 @@ object Chat {
           .as("has_rejected"),
         coalesce(max(when(!col("side").isin("chosen", "rejected"), lit(true))),
           lit(false)).as("has_unknown_side"),
+        coalesce(max(col("side_collision")), lit(false))
+          .as("has_template_collision"),
         coalesce(max(when(col("side") === "chosen", col("side_valid"))), lit(false))
           .as("chosen_valid"),
         coalesce(max(when(col("side") === "rejected", col("side_valid"))), lit(false))
@@ -179,6 +217,13 @@ object Chat {
     * NULL-verdict lesson — a NULL must not poison the running sum and
     * void every earlier turn's verdict).
     *
+    * `countTokens` plugs the pricing convention (the
+    * `Chunking.chunkByTokens` pattern): whitespace by default, pass
+    * `Bpe.countTokens(_)` to price the budget in REAL subword tokens — a
+    * ws-token trim misfits an actual model context by the corpus's
+    * fertility factor (the q197 number), so production budgets should
+    * use the BPE form (q209 gates it).
+    *
     * Output: conv_id, idx, role, content, n_tok, kept.
     *
     * Scale shape: one conversation-keyed window (partitions are tens of
@@ -186,14 +231,15 @@ object Chat {
     * same as [[validateConversations]].
     */
   def fitToTokenBudget(turns: DataFrame, convCol: String, idxCol: String,
-      roleCol: String, contentCol: String, maxTokens: Long): DataFrame = {
+      roleCol: String, contentCol: String, maxTokens: Long,
+      countTokens: Column => Column = TextAnalysis.tokenCountWs): DataFrame = {
     require(maxTokens >= 0, s"maxTokens must be non-negative: $maxTokens")
     val w = Window.partitionBy(col("conv_id")).orderBy(col("idx").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     turns.select(col(convCol).as("conv_id"), col(idxCol).as("idx"),
         col(roleCol).as("role"), col(contentCol).as("content"))
       .withColumn("n_tok",
-        coalesce(TextAnalysis.tokenCountWs(col("content")), lit(0L)))
+        coalesce(countTokens(col("content")), lit(0L)))
       .withColumn("kept", sum(col("n_tok")).over(w) <= maxTokens)
   }
 
@@ -205,10 +251,14 @@ object Chat {
     * to price an SFT mixture in TRAINABLE tokens rather than raw tokens
     * — a long-prompt corpus can be 10× its useful size. One grouped
     * aggregate over (conv, turn) rows; map-side partial sums.
+    * `countTokens` plugs the pricing convention as in
+    * [[fitToTokenBudget]] (ws default, `Bpe.countTokens(_)` for real
+    * subword pricing).
     */
   def lossMaskCounts(turns: DataFrame, convCol: String, idxCol: String,
-      roleCol: String, contentCol: String): DataFrame = {
-    val tok = TextAnalysis.tokenCountWs(col(contentCol))
+      roleCol: String, contentCol: String,
+      countTokens: Column => Column = TextAnalysis.tokenCountWs): DataFrame = {
+    val tok = coalesce(countTokens(col(contentCol)), lit(0L))
     turns.groupBy(col(convCol).as("conv_id"))
       .agg(
         sum(tok).as("n_tok_total"),
