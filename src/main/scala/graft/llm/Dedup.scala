@@ -299,6 +299,19 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.v0"), col("bb.v1"), col("bb.v2"), col("bb.v3"))
 
+  /** [[stateBands]] over an epoch-partitioned state read, keeping the
+    * epoch — the on-the-fly fallback for index epochs that predate (or
+    * crash-missed) the at-rest band family.
+    */
+  private def stateBandsKeepEpoch(state: DataFrame): DataFrame =
+    state.select(col("id"), col("epoch").cast("long").as("epoch"),
+        explode(array((0 until 4).map { t =>
+          struct((lit(t).as("band") +:
+            (0 until 4).map(r => col(s"s${t * 4 + r}").as(s"v$r"))): _*)
+        }: _*)).as("bb"))
+      .select(col("id"), col("epoch"), col("bb.band"), col("bb.v0"),
+        col("bb.v1"), col("bb.v2"), col("bb.v3"))
+
   /** Hash-set Jaccard-verified (id1, id2) pairs among banding candidates —
     * the global twin of what [[nearDedupIncrement]] computes batchwise
     * (LlmSpec pins the equality).
@@ -474,6 +487,18 @@ object Dedup {
     try body finally fs.delete(lock, false)
   }
 
+  /** Incremental near-dup dedup of `batch` against the persistent index
+    * at `indexDir` (and within the batch), appending the batch's own
+    * signatures for future increments. Returns (id, kept).
+    *
+    * Per-increment IO contract (the property that holds at unbounded
+    * history): the history probe reads only at-rest band partitions in
+    * the BATCH's bucket set — the `bands` family is partitioned by
+    * (epoch, bucket-of-band-signature) — and the hash-set verify reads
+    * only the epochs that actually produced band candidates. A small
+    * trigger batch against months of history touches O(batch) index
+    * partitions, not O(history).
+    */
   def nearDedupIncrement(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, threshold: Double, epoch: Long): DataFrame =
     withIndexLock(batch.sparkSession, indexDir, s"increment epoch=$epoch") {
@@ -617,6 +642,37 @@ object Dedup {
         .select(col("id"), col("__dropped").isNull.as("kept"))
     }
 
+  /** Band-bucket count for the probe-pruned at-rest layout. FIXED by
+    * contract (an at-rest constant, like the 4×4 banding itself): the
+    * probe computes bucket values with the same function the writer
+    * used, so changing it would silently miss every candidate in
+    * partitions written under the old value.
+    */
+  private[llm] val NumBandBuckets = 64
+
+  /** Deterministic routing bucket of one band row — pure partition
+    * routing, NOT part of candidate semantics (two rows can only be
+    * band-equal if they are bucket-equal), so the oracles are untouched.
+    * All inputs < 2³¹ (mod-p minhashes), so the weighted sum stays far
+    * inside a long.
+    */
+  private def bandBucket: Column =
+    pmod(col("band").cast("long") * 2654435761L + col("v0") * 40503L +
+      col("v1") * 65599L + col("v2") * 31L + col("v3"), lit(NumBandBuckets.toLong))
+      .cast("int")
+
+  /** Epoch-partition directory names under `path` (one listing — the
+    * epoch set is the directory layout, never a distinct job).
+    */
+  private def epochDirs(spark: org.apache.spark.sql.SparkSession,
+      path: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toIndexedSeq.map(_.getPath.getName)
+      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong).toSet
+  }
+
   private def nearDedupIncrementLocked(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, threshold: Double, epoch: Long): DataFrame = {
     val spark = batch.sparkSession
@@ -625,6 +681,7 @@ object Dedup {
     val bands = stateBands(state)
     val keys = Seq("band", "v0", "v1", "v2", "v3")
     val statePath = indexDir.stripSuffix("/") + "/state"
+    val bandsPath = indexDir.stripSuffix("/") + "/bands"
 
     // EPOCH isolation (the transaction-log idea reduced to a partition
     // column): the index is read through `epoch < thisEpoch`, a
@@ -643,28 +700,67 @@ object Dedup {
       graft.ops.Layout.hasParquetData(
         p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
     }
-    val idx = if (!hasIndex) None
-      else Some(spark.read.parquet(statePath).filter(col("epoch") < epoch)
-        .select(state.columns.map(col): _*))
 
     val candNew = bandSelfCands(bands)
-    // historical side: the index scan reads ONLY the sig columns for the
-    // band join (parquet prunes hs) and ONLY (id, hs) for the verify
-    val cand = (idx match {
-      case None => candNew
-      case Some(i) =>
-        val crossCand = stateBands(i).select((keys.map(col) :+ col("id").as("id1")): _*)
-          .join(broadcast(bands.select((keys.map(col) :+ col("id").as("id2")): _*)), keys)
-          .select(col("id1"), col("id2"))
-        candNew.unionByName(crossCand)
-    }).distinct()
+    // PROBE-PRUNED history side: per-increment IO is bounded by the
+    // BATCH's band set, not the index's size. The at-rest `bands` family
+    // is partitioned by (epoch, bucket = hash of the band signature);
+    // the probe reads only partitions whose bucket the batch's own bands
+    // hit — a small trigger batch against months of history touches
+    // O(batch-bands) partitions, where the pre-bucketed layout re-read
+    // the FULL signature index every batch, an IO bill that grew with
+    // history forever. Epochs present in `state` but absent from
+    // `bands` (an index built before this layout; the crash window
+    // between the two family writes; state compacted before bands) fall
+    // back to deriving band rows from state on the fly — correctness
+    // never depends on the routing family being present.
+    val (cand, histHs) = if (!hasIndex) (candNew.distinct(), None) else {
+      val fsStateEpochs = epochDirs(spark, statePath).filter(_ < epoch)
+      val fsBandEpochs = epochDirs(spark, bandsPath).filter(_ < epoch)
+      val routedEpochs = (fsStateEpochs intersect fsBandEpochs).toSeq
+      val legacyEpochs = (fsStateEpochs diff fsBandEpochs).toSeq
+      // the batch's bucket set: a bounded driver pass (≤ NumBandBuckets values)
+      val bkts = bands.select(bandBucket.as("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      // schema pinned from the batch's own band frame (the writer's
+      // schema by construction): no footer-inference read outside the
+      // pruned partition set, and partition values land typed
+      val bandsReadSchema = org.apache.spark.sql.types.StructType(
+        bands.schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("epoch",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.IntegerType)))
+      val routed = if (routedEpochs.isEmpty) None else Some(
+        spark.read.schema(bandsReadSchema).parquet(bandsPath)
+          .filter(col("epoch").isin(routedEpochs: _*) && col("bucket").isin(bkts: _*))
+          .select((col("id") +: col("epoch") +: keys.map(col)): _*))
+      val legacy = if (legacyEpochs.isEmpty) None else Some(
+        stateBandsKeepEpoch(spark.read.parquet(statePath)
+          .filter(col("epoch").isin(legacyEpochs: _*))))
+      val histBands = (routed.toSeq ++ legacy.toSeq).reduce(_ unionByName _)
+      val crossCand = histBands
+        .select((keys.map(col) :+ col("id").as("id1") :+ col("epoch")): _*)
+        .join(broadcast(bands.select((keys.map(col) :+ col("id").as("id2")): _*)), keys)
+        .select(col("id1"), col("id2"), col("epoch"))
+        .persist()
+      graft.ops.CacheRegistry.register(crossCand)
+      // hs fetch pruned to the epochs that actually produced candidates
+      // (bounded metadata pass over the cached candidate frame) — the
+      // verify side stops re-reading every settled epoch's hash sets too
+      val hitEpochs = crossCand.select(col("epoch")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val hist = if (hitEpochs.isEmpty) None else Some(
+        spark.read.parquet(statePath).filter(col("epoch").isin(hitEpochs: _*))
+          .select(col("id"), col("hs")))
+      (candNew.unionByName(crossCand.drop("epoch")).distinct(), hist)
+    }
 
     // the earlier side (id1) may be historical; the later (id2) is
     // always a batch doc
-    val earlier = idx match {
+    val earlier = histHs match {
       case None => state.select(col("id"), col("hs"))
-      case Some(i) => state.select(col("id"), col("hs"))
-        .unionByName(i.select(col("id"), col("hs")))
+      case Some(h) => state.select(col("id"), col("hs")).unionByName(h)
     }
     // materialized INSIDE the lease to epoch-scoped scratch parquet: the
     // returned frame then reads only the batch and these files, never the
@@ -683,6 +779,15 @@ object Dedup {
     // count (the count is a cheap action on the cache the write was
     // about to populate anyway)
     val outFiles = graft.ops.Layout.sizedFileCount(state.count())
+    // band routing family FIRST, then state: a state epoch on disk
+    // thereby implies its band partitions are complete (the probe's
+    // legacy fallback covers the reverse crash window — band rows whose
+    // state epoch never landed are dropped by the hs inner join).
+    // Hash-repartition by bucket so each bucket's rows land in one task
+    // (≤ NumBandBuckets files per epoch, not tasks × buckets).
+    bands.withColumn("bucket", bandBucket).withColumn("epoch", lit(epoch))
+      .repartition(math.max(1, math.min(outFiles, NumBandBuckets)), col("bucket"))
+      .write.mode("append").partitionBy("epoch", "bucket").parquet(bandsPath)
     state.withColumn("epoch", lit(epoch)).coalesce(outFiles)
       .write.mode("append").partitionBy("epoch").parquet(statePath)
 
@@ -819,10 +924,17 @@ object Dedup {
     */
   def nearDedupIndexCompact(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit = withIndexLock(spark, indexDir, "compact") {
-    // both state families share the epoch-partition lifecycle; each
+    // all state families share the epoch-partition lifecycle; each
     // folds settled epochs under its own duplicate key (near-dup rows
-    // are keyed by doc id, exact rows by the fingerprint itself)
+    // are keyed by doc id, exact rows by the fingerprint itself, band
+    // routing rows are whole-row duplicates)
     compactState(spark, indexDir.stripSuffix("/") + "/state", Seq("id"))
+    // the band routing family folds inside the SAME lease, right after
+    // its base family — the increment probe's legacy fallback covers
+    // the crash window where state is compacted but bands is not (the
+    // sentinel epoch is then simply derived from state on the fly)
+    compactEpochPartitions(spark, indexDir.stripSuffix("/") + "/bands",
+      extraPartCols = Seq("bucket"))(_.dropDuplicates())
     compactState(spark, indexDir.stripSuffix("/") + "/exact_state", Seq("fp"))
   }
 
@@ -840,7 +952,8 @@ object Dedup {
     * for every state family (see [[nearDedupIndexCompact]]).
     */
   private[llm] def compactEpochPartitions(spark: org.apache.spark.sql.SparkSession,
-      statePath: String)(foldSettled: DataFrame => DataFrame): Unit = {
+      statePath: String, extraPartCols: Seq[String] = Nil)(
+      foldSettled: DataFrame => DataFrame): Unit = {
     val sp = new org.apache.hadoop.fs.Path(statePath)
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!graft.ops.Layout.hasParquetData(fs, sp)) return
@@ -858,8 +971,15 @@ object Dedup {
     graft.ops.CacheRegistry.register(settled)
     val outFiles = graft.ops.Layout.sizedFileCount(settled.count())
     val stage = statePath + ".__graft_compact_stage"
-    settled.coalesce(outFiles)
-      .write.mode("overwrite").partitionBy("epoch").parquet(stage)
+    // sub-partitioned families (the band routing family's bucket)
+    // cluster rows by the sub-partition key so each lands in one task —
+    // without it every task writes a file into every bucket directory
+    val sized =
+      if (extraPartCols.isEmpty) settled.coalesce(outFiles)
+      else settled.repartition(math.max(1, math.min(outFiles, NumBandBuckets)),
+        extraPartCols.map(col): _*)
+    sized.write.mode("overwrite")
+      .partitionBy(("epoch" +: extraPartCols): _*).parquet(stage)
     // land the new generation first, then retire the old partitions.
     // Hadoop rename signals most failures by returning FALSE, not
     // throwing — an unchecked rename followed by the deletes would be

@@ -127,6 +127,101 @@ class LlmSpec extends SparkSpec {
       "second compaction left duplicate ids")
   }
 
+  test("incremental near-dedup probe is bucket-pruned: non-batch bucket partitions are never read") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch = corpus.filter(col("doc_id") < 20)
+    def bucketDirs(dir: String): Seq[java.nio.file.Path] = {
+      val bands = java.nio.file.Paths.get(dir, "bands")
+      if (!java.nio.file.Files.exists(bands)) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(bands).iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("bucket=")).toSeq
+      }
+    }
+    // the batch's bucket set is observable from its OWN append on a
+    // fresh index: the created bucket= dirs are exactly the buckets the
+    // batch's bands hash to — the same set its later probes read
+    val probeDir = java.nio.file.Files.createTempDirectory("graft_bkt_probe_").toString
+    Dedup.nearDedupIncrement(batch, "doc_id", "text", probeDir, 0.5, epoch = 0).collect()
+    val batchBuckets = bucketDirs(probeDir).map(_.getFileName.toString).toSet
+    assert(batchBuckets.nonEmpty && batchBuckets.size < 64,
+      s"degenerate fixture: batch hits ${batchBuckets.size}/64 buckets — pruning unobservable")
+    // two history indexes with identical multi-epoch content; POISON one:
+    // every band file in a bucket the batch does not hash to is replaced
+    // with garbage bytes. A probe that reads ANY non-batch bucket dies on
+    // the corrupt footer — equal decisions on both indexes prove the
+    // pruned partitions are never opened.
+    val dirClean = java.nio.file.Files.createTempDirectory("graft_bkt_clean_").toString
+    val dirPoison = java.nio.file.Files.createTempDirectory("graft_bkt_poison_").toString
+    for (dir <- Seq(dirClean, dirPoison); e <- 0 until 3) {
+      val hist = corpus.filter(col("doc_id") >= 20 + e * 100 && col("doc_id") < 120 + e * 100)
+      Dedup.nearDedupIncrement(hist, "doc_id", "text", dir, 0.5, epoch = e).collect()
+    }
+    val poisoned = bucketDirs(dirPoison)
+      .filterNot(p => batchBuckets.contains(p.getFileName.toString))
+    assert(poisoned.nonEmpty, "fixture must leave some buckets outside the batch's set")
+    import scala.jdk.CollectionConverters._
+    var nPoisonedFiles = 0
+    poisoned.foreach { bdir =>
+      java.nio.file.Files.list(bdir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
+          java.nio.file.Files.write(f, "NOT PARQUET".getBytes("UTF-8"))
+          nPoisonedFiles += 1
+        }
+    }
+    assert(nPoisonedFiles > 0)
+    def decisions(dir: String) =
+      Dedup.nearDedupIncrement(batch, "doc_id", "text", dir, 0.5, epoch = 7)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(decisions(dirPoison) === decisions(dirClean),
+      "probe decisions drifted between poisoned and clean history")
+  }
+
+  test("incremental near-dedup legacy fallback: an index without the band family still dedups") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val b0 = corpus.filter(col("doc_id") % 2 === 0)
+    val b1 = corpus.filter(col("doc_id") % 2 === 1)
+    val dirRef = java.nio.file.Files.createTempDirectory("graft_legacy_ref_").toString
+    val dirLegacy = java.nio.file.Files.createTempDirectory("graft_legacy_").toString
+    def inc(dir: String, df: org.apache.spark.sql.DataFrame, e: Long) =
+      Dedup.nearDedupIncrement(df, "doc_id", "text", dir, 0.5, epoch = e)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    inc(dirRef, b0, 0); inc(dirLegacy, b0, 0)
+    // simulate a pre-band-family index (or the crash/compaction windows
+    // where bands lag state): delete the routing family entirely —
+    // decisions must come out identical via the derive-from-state path
+    graft.ops.Layout.deleteRecursively(java.nio.file.Paths.get(dirLegacy, "bands"))
+    val ref = inc(dirRef, b1, 1)
+    val legacy = inc(dirLegacy, b1, 1)
+    assert(legacy === ref, "legacy fallback changed keep decisions")
+    assert(ref.exists(!_._2), "expected at least one cross-epoch drop")
+  }
+
+  test("index compaction folds the band routing family with its base family") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bands_cpt_").toString
+    for (e <- 0 until 3)
+      Dedup.nearDedupIncrement(
+        corpus.filter(pmod(col("doc_id"), lit(3)) === e), "doc_id", "text", dir, 0.5,
+        epoch = e).collect()
+    Dedup.nearDedupIndexCompact(spark, dir)
+    def epochsUnder(sub: String): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir, sub)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("epoch=")).toSet
+    }
+    assert(epochsUnder("state") === Set("epoch=-1", "epoch=2"))
+    assert(epochsUnder("bands") === Set("epoch=-1", "epoch=2"),
+      "band family must follow its base family through compaction")
+    // compacted index still decides correctly (probe over the sentinel)
+    val again = Dedup.nearDedupIncrement(
+        corpus.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text", dir, 0.5,
+        epoch = 9)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(again.forall(!_._2), "re-ingesting an indexed batch must drop every doc")
+  }
+
   test("index lease: a second writer fails loudly instead of racing") {
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft_inc_lock_").toString
@@ -166,7 +261,12 @@ class LlmSpec extends SparkSpec {
     java.nio.file.Files.setLastModifiedTime(
       java.nio.file.Paths.get(dir, Dedup.IndexLockFile),
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
-    spark.conf.set("spark.graft.index.leaseTtlMs", "1000")
+    // TTL must be small enough that the PLANTED 60s-old lease is stale,
+    // but large enough that the WINNER's fresh lease cannot also age past
+    // it while the loser is descheduled between its two staleness checks
+    // (a loaded suite run showed >1s scheduling pauses — at a 1s TTL both
+    // racers then steal and the exactly-one assertion flakes)
+    spark.conf.set("spark.graft.index.leaseTtlMs", "10000")
     try {
       // two racers hit the stale lease simultaneously. The winner's body
       // BLOCKS on a latch until the loser's attempt has fully completed,
