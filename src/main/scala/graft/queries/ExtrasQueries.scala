@@ -478,6 +478,44 @@ object ExtrasQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // Partition-incremental OPTIMIZE ZORDER — the bounded-working-set
+    // rewrite (each l_returnflag partition re-laid as its OWN
+    // read→cuts→z-sort→swap job, scratch O(partition) never O(table) —
+    // the granularity real OPTIMIZE runs at, and the reason the
+    // whole-table form died on scratch disk at sf100). The gate reads
+    // the table back AFTER the rewrite and aggregates per partition —
+    // equality against the oracle's direct lineitem scan proves the
+    // swap preserved every row and value; SinkSpec pins the layout
+    // (≤ filesPerPartition files, per-file z-locality), the
+    // marker-based incremental skip, and crash-window self-healing.
+    QueryDef.sql(
+      "q211_optimize_partitioned",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(l_quantity), 2) AS sum_q,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_p,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+        |  CAST(SUM(l_partkey) AS BIGINT) AS sum_pk
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.ops.ZOrder
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_optimize_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+        .repartition(4)
+        .write.partitionBy("l_returnflag").mode("overwrite").parquet(dir)
+      ZOrder.optimizePartitioned(s, dir, "l_returnflag",
+        Seq("l_partkey", "l_suppkey"), filesPerPartition = 2)
+      s.read.parquet(dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_q"),
+          round(sum(col("l_extendedprice")), 2).as("sum_p"),
+          sum(col("l_orderkey")).cast("long").as("sum_ok"),
+          sum(col("l_partkey")).cast("long").as("sum_pk"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // MERGE / upsert (the DML verb): updates replace same-key rows, new
     // keys append, and ONLY the touched partitions rewrite (dynamic
     // partition overwrite — SinkSpec proves untouched partitions keep

@@ -124,6 +124,70 @@ class SinkSpec extends SparkSpec {
     assert(clustered.count() === li.count())
   }
 
+  test("optimizePartitioned: O(partition) rewrite — rows preserved, files bounded, z-local, incremental, crash-healing") {
+    import graft.ops.ZOrder
+    val dir = java.nio.file.Files.createTempDirectory("graft_opt_").toString
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+    li.repartition(6).write.partitionBy("l_returnflag").mode("overwrite").parquet(dir)
+    def snapshot() = spark.read.parquet(dir)
+      .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_returnflag")
+      .collect().map(_.toSeq).toSeq
+    val before = snapshot()
+    val done = ZOrder.optimizePartitioned(spark, dir, "l_returnflag",
+      Seq("l_partkey", "l_suppkey"), filesPerPartition = 8)
+    assert(done.toSet === Set("l_returnflag=A", "l_returnflag=N", "l_returnflag=R"))
+    assert(snapshot() === before, "OPTIMIZE must rewrite layout, never rows")
+    val partDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("l_returnflag=")).sortBy(_.getName)
+    for (p <- partDirs) {
+      val data = p.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(data.length <= 8, s"${p.getName}: ${data.length} files > filesPerPartition")
+      assert(p.listFiles().exists(_.getName == "_GRAFT_OPTIMIZED"), s"${p.getName}: no marker")
+      // within-partition z-locality: avg per-file spread well under the
+      // partition-wide spread on the first clustered dim
+      val spreads = data.map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg((max(col("l_partkey")) - min(col("l_partkey"))).cast("double")).collect()(0)
+        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      }
+      val whole = spark.read.parquet(p.getPath)
+        .agg((max(col("l_partkey")) - min(col("l_partkey"))).cast("double"))
+        .collect()(0).getDouble(0)
+      assert(spreads.sum / spreads.length < whole * 0.6,
+        s"${p.getName}: per-file spread not confined (${spreads.sum / spreads.length} vs $whole)")
+    }
+    // INCREMENTAL: a second run sees fresh markers and rewrites nothing
+    assert(ZOrder.optimizePartitioned(spark, dir, "l_returnflag",
+      Seq("l_partkey", "l_suppkey"), filesPerPartition = 8) === Seq.empty)
+    // new data in ONE partition → exactly that partition rewrites
+    Thread.sleep(1100) // marker/file mtime granularity on local fs
+    li.filter(col("l_returnflag") === "A").drop("l_returnflag").limit(100)
+      .coalesce(1).write.mode("append").parquet(dir + "/l_returnflag=A")
+    val inc = ZOrder.optimizePartitioned(spark, dir, "l_returnflag",
+      Seq("l_partkey", "l_suppkey"), filesPerPartition = 8)
+    assert(inc === Seq("l_returnflag=A"), s"expected only the appended partition, got $inc")
+    val afterAppend = snapshot()
+    // CRASH HEALING: (a) retired-without-live (crash between the two
+    // renames, stage incomplete) rolls back; (b) leftover retired beside
+    // a live partition is swept
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveA = new org.apache.hadoop.fs.Path(dir, "l_returnflag=A")
+    val retiredA = new org.apache.hadoop.fs.Path(dir + "/.__graft_optimize_retired/l_returnflag=A")
+    fs.mkdirs(retiredA.getParent)
+    require(fs.rename(liveA, retiredA))
+    ZOrder.recoverOptimize(spark, dir)
+    assert(fs.exists(liveA) && !fs.exists(retiredA), "rollback recovery failed")
+    assert(snapshot() === afterAppend, "recovery lost rows")
+    fs.mkdirs(retiredA) // leftover beside a live partition
+    ZOrder.recoverOptimize(spark, dir)
+    assert(fs.exists(liveA) && !fs.exists(retiredA), "leftover sweep failed")
+    assert(snapshot() === afterAppend)
+    graft.ops.Layout.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("mergeUpsert rewrites only touched partitions and merges exactly") {
     import graft.sources.Sinks
     val dir = java.nio.file.Files.createTempDirectory("graft_merge_").toString
