@@ -328,6 +328,68 @@ object Multimodal {
   def synthGray(id: Long, x: Int, y: Int): Int =
     ((id * 31 + x * 7 + y * 13) % 256).toInt
 
+  /** Encode row-major gray pixels as a real JPEG at the given quality.
+    * LOSSY — unlike [[encodeGrayPng]] the decode is approximate and
+    * library-dependent, so JPEG evidence is guard-BOUNDED (dims exact,
+    * mean/min/max within tolerance) rather than oracle-exact. The lane
+    * matters because real crawl image corpora are overwhelmingly JPEG;
+    * [[decodeGray]] sniffs the container, so every downstream pixel op
+    * (features, resize, tiles, dHash) consumes JPEG payloads unchanged.
+    */
+  def encodeGrayJpeg(w: Int, h: Int, px: Array[Int],
+      quality: Float = 0.9f): Array[Byte] = {
+    require(px.length == w * h, s"pixel count ${px.length} != $w x $h")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgbs = new Array[Int](px.length)
+    var i = 0
+    while (i < px.length) {
+      val v = px(i) & 0xff
+      rgbs(i) = (v << 16) | (v << 8) | v
+      i += 1
+    }
+    img.setRGB(0, 0, w, h, rgbs, 0, w)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { ios.close(); writer.dispose() }
+    out.toByteArray
+  }
+
+  /** Smooth-gradient fixture pixel for the JPEG lane: a DC-dominated
+    * plane v(id, x, y) = (id mod 64) + 4x + 3y (< 256 at fixture dims),
+    * chosen BECAUSE it is what lossy coding preserves well — the [[
+    * synthGray]] mod-256 sawtooth would put fixture energy exactly where
+    * JPEG quantizes hardest and turn tolerance bounds into noise. Mean,
+    * min and max have closed forms the guard gate replays.
+    */
+  def jpegSynthGray(id: Long, x: Int, y: Int): Int =
+    ((id % 64) + 4L * x + 3L * y).toInt
+
+  /** Media table of REAL synthetic JPEGs — the [[syntheticImageTable]]
+    * twin for the lossy lane: dimensions (8 + id mod 5) × (6 + id mod 4),
+    * pixels from [[jpegSynthGray]], meta format `image/jpeg`.
+    */
+  def syntheticJpegTable(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (8 + (id % 5)).toInt
+        val h = (6 + (id % 4)).toInt
+        val px = Array.tabulate(w * h)(i => jpegSynthGray(id, i % w, i / w))
+        val jpg = encodeGrayJpeg(w, h, px)
+        Row(id, jpg, Row("image/jpeg", w, h, jpg.length.toLong))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   /** Media table of REAL synthetic PNGs, one per input id: dimensions
     * (8 + id mod 5) × (6 + id mod 4), pixels from [[synthGray]] — encoded
     * per-partition (the codec-batch shape), decoded downstream by

@@ -4011,6 +4011,39 @@ object LlmQueries {
         .select(col("conv_id"), col("n_turns"), col("has_template_collision"),
           col("valid"))
         .orderBy(col("conv_id"))
+    },
+
+    // JPEG decode lane — real crawl image corpora are overwhelmingly
+    // JPEG, so the pixel path must consume it. Decode is LOSSY (library-
+    // dependent DCT), so the gate is guard-bounded, not pixel-exact
+    // (q113's pattern): real ImageIO JPEGs of a smooth DC-dominated
+    // gradient fixture, decoded by the same decodeGray lane every other
+    // image op uses; dimensions/pixel-count exact, mean within 3 gray
+    // levels of the closed-form fixture mean, min/max within ringing
+    // tolerance. The oracle expects literal-true on every row; exact
+    // per-pixel error bounds are pinned in LlmSpec.
+    QueryDef.sql(
+      "q212_jpeg_decode",
+      """SELECT doc_id AS media_id, true AS decode_ok, true AS dims_ok,
+        |  true AS npx_ok, true AS mean_close, true AS range_ok
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+      import graft.llm.Multimodal
+      val media = Multimodal.syntheticJpegTable(s,
+        Tables.documents(s, d).select(col("doc_id")), "doc_id")
+      val w = (lit(8) + pmod(col("media_id"), lit(5))).cast("int")
+      val h = (lit(6) + pmod(col("media_id"), lit(4))).cast("int")
+      val base = pmod(col("media_id"), lit(64)).cast("double")
+      val expMean = base + (w - 1).cast("double") * 2.0 + (h - 1).cast("double") * 1.5
+      val expMax = base + (w - 1).cast("double") * 4.0 + (h - 1).cast("double") * 3.0
+      Multimodal.imageFeatures(s, media)
+        .select(col("media_id"),
+          col("width").isNotNull.as("decode_ok"),
+          (col("width") === w && col("height") === h).as("dims_ok"),
+          (col("n_px") === (w * h).cast("long")).as("npx_ok"),
+          (abs(col("mean_gray") - expMean) <= 3.0).as("mean_close"),
+          (col("min_gray").cast("double") >= base - 8.0 &&
+            col("max_gray").cast("double") <= expMax + 8.0).as("range_ok"))
+        .orderBy(col("media_id"))
     }
   )
 

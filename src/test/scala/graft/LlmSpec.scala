@@ -1131,6 +1131,37 @@ class LlmSpec extends SparkSpec {
     assert(lm.getAs[Long]("n_tok_trainable") === exp(1))
   }
 
+  test("JPEG lane: decode error bounded, container sniffed through features/resize, corrupt guarded") {
+    import spark.implicits._
+    // per-pixel error bound at quality 0.9 on the DC-dominated fixture:
+    // the concrete numbers behind q212's guard tolerances
+    val dims = Seq((0L, 8, 6), (7L, 10, 9), (13L, 11, 7), (63L, 12, 8))
+    for ((id, w, h) <- dims) {
+      val px = Array.tabulate(w * h)(i => Multimodal.jpegSynthGray(id, i % w, i / w))
+      val jpg = Multimodal.encodeGrayJpeg(w, h, px)
+      val Some((dw, dh, dpx)) = Multimodal.decodeGray(jpg)
+      assert((dw, dh) === ((w, h)), "JPEG dims must survive exactly")
+      val errs = px.zip(dpx).map { case (a, b) => math.abs(a - b) }
+      assert(errs.sum.toDouble / errs.length <= 2.0,
+        s"id=$id mean abs err ${errs.sum.toDouble / errs.length}")
+      assert(errs.max <= 16, s"id=$id max abs err ${errs.max}")
+    }
+    // the distributed lane sniffs the container: JPEG payloads flow
+    // through imageFeatures and resizeNearest with no format switch
+    val ids = (0L until 24L).toDF("doc_id")
+    val media = Multimodal.syntheticJpegTable(spark, ids, "doc_id")
+    val feats = Multimodal.imageFeatures(spark, media).collect()
+    assert(feats.length === 24 && feats.forall(!_.isNullAt(1)), "all JPEGs must decode")
+    val resized = Multimodal.resizeNearest(spark, media, 4, 4).collect()
+    assert(resized.forall(_.getAs[Array[Byte]]("payload").length === 16),
+      "resize must emit the 4x4 gray plane from JPEG input")
+    // corrupt payload: guard row (NULL stats), never an executor crash
+    val bad = media.limit(2).select(col("media_id"),
+      lit(Array[Byte](0xff.toByte, 0xd8.toByte, 1, 2, 3)).as("payload"), col("meta"))
+    val badFeats = Multimodal.imageFeatures(spark, bad).collect()
+    assert(badFeats.length === 2 && badFeats.forall(_.isNullAt(1)))
+  }
+
   test("mojibake repair: round-trip inverse on covered chars, clean text untouched") {
     import graft.llm.Encoding
     // repair(damage(x)) == x for any text over the covered alphabet
