@@ -145,18 +145,26 @@ class SinkSpec extends SparkSpec {
       val data = p.listFiles().filter(_.getName.endsWith(".parquet"))
       assert(data.length <= 8, s"${p.getName}: ${data.length} files > filesPerPartition")
       assert(p.listFiles().exists(_.getName == "_GRAFT_OPTIMIZED"), s"${p.getName}: no marker")
-      // within-partition z-locality: avg per-file spread well under the
-      // partition-wide spread on the first clustered dim
-      val spreads = data.map { f =>
-        val r = spark.read.parquet(f.getPath)
-          .agg((max(col("l_partkey")) - min(col("l_partkey"))).cast("double")).collect()(0)
-        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      // within-partition z-locality, bounded by the interleave geometry:
+      // 8 files = 3 z-prefix bits over 2 dims → the SECOND dim holds the
+      // top bit plus one more (~1/4 spread), the first dim one bit
+      // (~1/2 spread). Assert each with margin over its theoretical
+      // confinement (a hash layout gives ~1.0 on both) — a flat 0.6 on
+      // dim0 sits exactly ON the 1-bit bound and flakes on quantile
+      // noise.
+      for ((dim, bound) <- Seq("l_partkey" -> 0.8, "l_suppkey" -> 0.55)) {
+        val spreads = data.map { f =>
+          val r = spark.read.parquet(f.getPath)
+            .agg((max(col(dim)) - min(col(dim))).cast("double")).collect()(0)
+          if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+        }
+        val whole = spark.read.parquet(p.getPath)
+          .agg((max(col(dim)) - min(col(dim))).cast("double"))
+          .collect()(0).getDouble(0)
+        assert(spreads.sum / spreads.length < whole * bound,
+          s"${p.getName}/$dim: per-file spread not confined " +
+            s"(${spreads.sum / spreads.length} vs $whole, bound $bound)")
       }
-      val whole = spark.read.parquet(p.getPath)
-        .agg((max(col("l_partkey")) - min(col("l_partkey"))).cast("double"))
-        .collect()(0).getDouble(0)
-      assert(spreads.sum / spreads.length < whole * 0.6,
-        s"${p.getName}: per-file spread not confined (${spreads.sum / spreads.length} vs $whole)")
     }
     // INCREMENTAL: a second run sees fresh markers and rewrites nothing
     assert(ZOrder.optimizePartitioned(spark, dir, "l_returnflag",
