@@ -492,12 +492,13 @@ object Dedup {
     * signatures for future increments. Returns (id, kept).
     *
     * Per-increment IO contract (the property that holds at unbounded
-    * history): the history probe reads only at-rest band partitions in
-    * the BATCH's bucket set — the `bands` family is partitioned by
-    * (epoch, bucket-of-band-signature) — and the hash-set verify reads
-    * only the epochs that actually produced band candidates. A small
-    * trigger batch against months of history touches O(batch) index
-    * partitions, not O(history).
+    * history): the history probe pushes the BATCH's band-bucket set
+    * into the at-rest `bands` family scan — epoch-partitioned files,
+    * range-clustered and sorted on a hash of the band signature, so
+    * row groups outside the batch's band set skip on footer stats —
+    * and the hash-set verify reads only the epochs that actually
+    * produced band candidates. A small trigger batch against months of
+    * history reads O(batch)-proportional index bytes, not O(history).
     */
   def nearDedupIncrement(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, threshold: Double, epoch: Long): DataFrame =
@@ -645,8 +646,16 @@ object Dedup {
   /** Band-bucket count for the probe-pruned at-rest layout. FIXED by
     * contract (an at-rest constant, like the 4×4 banding itself): the
     * probe computes bucket values with the same function the writer
-    * used, so changing it would silently miss every candidate in
-    * partitions written under the old value.
+    * used, so changing it would silently miss candidates in files
+    * written under the old value. Buckets are a DATA column the epoch's
+    * files are range-clustered and sorted on — pruning rides parquet
+    * row-group min/max stats via the pushed In filter, NOT directory
+    * partitioning (a bucket=... directory level was measured 2.3×
+    * SLOWER than the full scan at small scale: ~64 files per epoch of
+    * listing/footer tax, the classic small-files bill — and a large
+    * batch saturates every bucket directory anyway, while row-group
+    * skipping degrades gracefully from full-skip to full-scan as the
+    * batch's bucket set grows).
     */
   private[llm] val NumBandBuckets = 64
 
@@ -660,6 +669,18 @@ object Dedup {
     pmod(col("band").cast("long") * 2654435761L + col("v0") * 40503L +
       col("v1") * 65599L + col("v2") * 31L + col("v3"), lit(NumBandBuckets.toLong))
       .cast("int")
+
+  /** The pruned at-rest band probe (test-visible for plan assertions):
+    * epoch partition pruning plus the pushed `bucket IN (...)` filter
+    * that rides parquet row-group min/max stats on the bucket-sorted
+    * files — the scan skips row groups outside the batch's band set
+    * without any directory-level bucket layout.
+    */
+  private[graft] def probeBands(spark: org.apache.spark.sql.SparkSession,
+      bandsPath: String, schema: org.apache.spark.sql.types.StructType,
+      epochs: Seq[Long], bkts: Seq[Int]): DataFrame =
+    spark.read.schema(schema).parquet(bandsPath)
+      .filter(col("epoch").isin(epochs: _*) && col("bucket").isin(bkts: _*))
 
   /** Epoch-partition directory names under `path` (one listing — the
     * epoch set is the directory layout, never a distinct job).
@@ -702,18 +723,21 @@ object Dedup {
     }
 
     val candNew = bandSelfCands(bands)
-    // PROBE-PRUNED history side: per-increment IO is bounded by the
-    // BATCH's band set, not the index's size. The at-rest `bands` family
-    // is partitioned by (epoch, bucket = hash of the band signature);
-    // the probe reads only partitions whose bucket the batch's own bands
-    // hit — a small trigger batch against months of history touches
-    // O(batch-bands) partitions, where the pre-bucketed layout re-read
+    // PROBE-PRUNED history side: per-increment IO tracks the BATCH, not
+    // the index. The at-rest `bands` family is epoch-partitioned (same
+    // file sizing as its base family — no small-files tax), each epoch's
+    // files range-clustered and sorted on a bucket = hash of the band
+    // signature; the probe pushes `bucket IN (batch's buckets)` into
+    // the parquet scan, so row groups outside the batch's band set are
+    // skipped on footer stats — where the pre-bucketed layout re-read
     // the FULL signature index every batch, an IO bill that grew with
-    // history forever. Epochs present in `state` but absent from
-    // `bands` (an index built before this layout; the crash window
-    // between the two family writes; state compacted before bands) fall
-    // back to deriving band rows from state on the fly — correctness
-    // never depends on the routing family being present.
+    // history forever. The hash-set verify below is pruned harder
+    // still: only epochs that actually produced band candidates are
+    // read. Epochs present in `state` but absent from `bands` (an index
+    // built before this layout; the crash window between the two family
+    // writes; state compacted before bands) fall back to deriving band
+    // rows from state on the fly — correctness never depends on the
+    // routing family being present.
     val (cand, histHs) = if (!hasIndex) (candNew.distinct(), None) else {
       val fsStateEpochs = epochDirs(spark, statePath).filter(_ < epoch)
       val fsBandEpochs = epochDirs(spark, bandsPath).filter(_ < epoch)
@@ -723,17 +747,16 @@ object Dedup {
       val bkts = bands.select(bandBucket.as("bucket")).distinct()
         .collect().map(_.getInt(0)).toSeq
       // schema pinned from the batch's own band frame (the writer's
-      // schema by construction): no footer-inference read outside the
-      // pruned partition set, and partition values land typed
+      // schema by construction): no footer-inference listing/read cost,
+      // and partition values land typed
       val bandsReadSchema = org.apache.spark.sql.types.StructType(
         bands.schema.fields ++ Seq(
-          org.apache.spark.sql.types.StructField("epoch",
-            org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("bucket",
-            org.apache.spark.sql.types.IntegerType)))
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("epoch",
+            org.apache.spark.sql.types.LongType)))
       val routed = if (routedEpochs.isEmpty) None else Some(
-        spark.read.schema(bandsReadSchema).parquet(bandsPath)
-          .filter(col("epoch").isin(routedEpochs: _*) && col("bucket").isin(bkts: _*))
+        probeBands(spark, bandsPath, bandsReadSchema, routedEpochs, bkts)
           .select((col("id") +: col("epoch") +: keys.map(col)): _*))
       val legacy = if (legacyEpochs.isEmpty) None else Some(
         stateBandsKeepEpoch(spark.read.parquet(statePath)
@@ -778,16 +801,23 @@ object Dedup {
     // FILE SIZING: size the epoch's file count to its materialized row
     // count (the count is a cheap action on the cache the write was
     // about to populate anyway)
-    val outFiles = graft.ops.Layout.sizedFileCount(state.count())
+    val stateRows = state.count()
+    val outFiles = graft.ops.Layout.sizedFileCount(stateRows)
     // band routing family FIRST, then state: a state epoch on disk
-    // thereby implies its band partitions are complete (the probe's
-    // legacy fallback covers the reverse crash window — band rows whose
-    // state epoch never landed are dropped by the hs inner join).
-    // Hash-repartition by bucket so each bucket's rows land in one task
-    // (≤ NumBandBuckets files per epoch, not tasks × buckets).
+    // thereby implies its band files are complete (the probe's legacy
+    // fallback covers the reverse crash window — band rows whose state
+    // epoch never landed are dropped by the hs inner join). Files are
+    // range-clustered and sorted on bucket so the probe's pushed IN
+    // filter skips row groups on footer stats; the 8 MiB row-group size
+    // keeps the skip granularity fine on large epochs (band rows are
+    // ~40 bytes — a default 128 MiB group would put millions of rows
+    // behind one min/max).
     bands.withColumn("bucket", bandBucket).withColumn("epoch", lit(epoch))
-      .repartition(math.max(1, math.min(outFiles, NumBandBuckets)), col("bucket"))
-      .write.mode("append").partitionBy("epoch", "bucket").parquet(bandsPath)
+      .repartitionByRange(math.max(1, graft.ops.Layout.sizedFileCount(4L *
+        stateRows)), col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("band"))
+      .write.mode("append").option("parquet.block.size", 8 * 1024 * 1024)
+      .partitionBy("epoch").parquet(bandsPath)
     state.withColumn("epoch", lit(epoch)).coalesce(outFiles)
       .write.mode("append").partitionBy("epoch").parquet(statePath)
 
@@ -932,9 +962,15 @@ object Dedup {
     // the band routing family folds inside the SAME lease, right after
     // its base family — the increment probe's legacy fallback covers
     // the crash window where state is compacted but bands is not (the
-    // sentinel epoch is then simply derived from state on the fly)
+    // sentinel epoch is then simply derived from state on the fly).
+    // The fold re-clusters the sentinel on bucket so row-group pruning
+    // survives compaction (a plain coalesce would interleave buckets
+    // and turn every min/max span into the full domain).
     compactEpochPartitions(spark, indexDir.stripSuffix("/") + "/bands",
-      extraPartCols = Seq("bucket"))(_.dropDuplicates())
+      layout = (df, n) => df.repartitionByRange(math.max(1, n), col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("band")),
+      options = Map("parquet.block.size" -> (8 * 1024 * 1024).toString))(
+      _.dropDuplicates())
     compactState(spark, indexDir.stripSuffix("/") + "/exact_state", Seq("fp"))
   }
 
@@ -952,7 +988,9 @@ object Dedup {
     * for every state family (see [[nearDedupIndexCompact]]).
     */
   private[llm] def compactEpochPartitions(spark: org.apache.spark.sql.SparkSession,
-      statePath: String, extraPartCols: Seq[String] = Nil)(
+      statePath: String,
+      layout: (DataFrame, Int) => DataFrame = (df, n) => df.coalesce(n),
+      options: Map[String, String] = Map.empty)(
       foldSettled: DataFrame => DataFrame): Unit = {
     val sp = new org.apache.hadoop.fs.Path(statePath)
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -971,15 +1009,11 @@ object Dedup {
     graft.ops.CacheRegistry.register(settled)
     val outFiles = graft.ops.Layout.sizedFileCount(settled.count())
     val stage = statePath + ".__graft_compact_stage"
-    // sub-partitioned families (the band routing family's bucket)
-    // cluster rows by the sub-partition key so each lands in one task —
-    // without it every task writes a file into every bucket directory
-    val sized =
-      if (extraPartCols.isEmpty) settled.coalesce(outFiles)
-      else settled.repartition(math.max(1, math.min(outFiles, NumBandBuckets)),
-        extraPartCols.map(col): _*)
-    sized.write.mode("overwrite")
-      .partitionBy(("epoch" +: extraPartCols): _*).parquet(stage)
+    // `layout` sizes/clusters the settled generation (default coalesce;
+    // the band family re-range-sorts on bucket to keep its row-group
+    // pruning stats tight)
+    layout(settled, outFiles).write.mode("overwrite").options(options)
+      .partitionBy("epoch").parquet(stage)
     // land the new generation first, then retire the old partitions.
     // Hadoop rename signals most failures by returning FALSE, not
     // throwing — an unchecked rename followed by the deletes would be

@@ -127,55 +127,50 @@ class LlmSpec extends SparkSpec {
       "second compaction left duplicate ids")
   }
 
-  test("incremental near-dedup probe is bucket-pruned: non-batch bucket partitions are never read") {
+  test("incremental near-dedup probe: bucket IN pushed to parquet, epoch partition-pruned, files bucket-sorted") {
+    import org.apache.spark.sql.types._
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
-    val batch = corpus.filter(col("doc_id") < 20)
-    def bucketDirs(dir: String): Seq[java.nio.file.Path] = {
-      val bands = java.nio.file.Paths.get(dir, "bands")
-      if (!java.nio.file.Files.exists(bands)) Seq.empty
-      else {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(bands).iterator().asScala
-          .filter(p => p.getFileName.toString.startsWith("bucket=")).toSeq
-      }
+    val dir = java.nio.file.Files.createTempDirectory("graft_probe_plan_").toString
+    for (e <- 0 until 3)
+      Dedup.nearDedupIncrement(
+        corpus.filter(pmod(col("doc_id"), lit(3)) === e), "doc_id", "text", dir, 0.5,
+        epoch = e).collect()
+    val bandsPath = dir + "/bands"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("band", IntegerType),
+      StructField("v0", LongType), StructField("v1", LongType),
+      StructField("v2", LongType), StructField("v3", LongType),
+      StructField("bucket", IntegerType), StructField("epoch", LongType)))
+    val probe = Dedup.probeBands(spark, bandsPath, schema, Seq(0L, 1L), Seq(3, 7, 11))
+    val scan = probe.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
-    // the batch's bucket set is observable from its OWN append on a
-    // fresh index: the created bucket= dirs are exactly the buckets the
-    // batch's bands hash to — the same set its later probes read
-    val probeDir = java.nio.file.Files.createTempDirectory("graft_bkt_probe_").toString
-    Dedup.nearDedupIncrement(batch, "doc_id", "text", probeDir, 0.5, epoch = 0).collect()
-    val batchBuckets = bucketDirs(probeDir).map(_.getFileName.toString).toSet
-    assert(batchBuckets.nonEmpty && batchBuckets.size < 64,
-      s"degenerate fixture: batch hits ${batchBuckets.size}/64 buckets — pruning unobservable")
-    // two history indexes with identical multi-epoch content; POISON one:
-    // every band file in a bucket the batch does not hash to is replaced
-    // with garbage bytes. A probe that reads ANY non-batch bucket dies on
-    // the corrupt footer — equal decisions on both indexes prove the
-    // pruned partitions are never opened.
-    val dirClean = java.nio.file.Files.createTempDirectory("graft_bkt_clean_").toString
-    val dirPoison = java.nio.file.Files.createTempDirectory("graft_bkt_poison_").toString
-    for (dir <- Seq(dirClean, dirPoison); e <- 0 until 3) {
-      val hist = corpus.filter(col("doc_id") >= 20 + e * 100 && col("doc_id") < 120 + e * 100)
-      Dedup.nearDedupIncrement(hist, "doc_id", "text", dir, 0.5, epoch = e).collect()
-    }
-    val poisoned = bucketDirs(dirPoison)
-      .filterNot(p => batchBuckets.contains(p.getFileName.toString))
-    assert(poisoned.nonEmpty, "fixture must leave some buckets outside the batch's set")
+    assert(scan.nonEmpty, "probe must be a parquet file scan")
+    // the bucket restriction reaches the parquet reader (row-group
+    // min/max skipping), and the epoch restriction prunes partitions
+    // before any IO — the two layers the at-rest layout exists for
+    assert(scan.head.metadata("PushedFilters").contains("In(bucket"),
+      s"bucket IN not pushed: ${scan.head.metadata("PushedFilters")}")
+    assert(scan.head.partitionFilters.exists(_.references.exists(_.name == "epoch")),
+      "epoch must prune at the partition level")
+    // pruned read ≡ read-then-filter (no row lost to pruning)
+    val viaFilter = spark.read.parquet(bandsPath)
+      .filter(col("epoch").cast("long").isin(0L, 1L) && col("bucket").isin(3, 7, 11))
+      .select(col("id"), col("band"), col("v0"), col("bucket"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val viaProbe = probe.select(col("id"), col("band"), col("v0"), col("bucket"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(viaProbe === viaFilter)
+    // the stats the skip rides on: every band file is bucket-ascending
     import scala.jdk.CollectionConverters._
-    var nPoisonedFiles = 0
-    poisoned.foreach { bdir =>
-      java.nio.file.Files.list(bdir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
-          java.nio.file.Files.write(f, "NOT PARQUET".getBytes("UTF-8"))
-          nPoisonedFiles += 1
-        }
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(bandsPath))
+      .iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).map(_.toString).toSeq
+    assert(files.nonEmpty)
+    for (f <- files) {
+      val bkts = spark.read.parquet(f).select(col("bucket")).collect().map(_.getInt(0))
+      assert(bkts.sameElements(bkts.sorted), s"$f not bucket-sorted")
     }
-    assert(nPoisonedFiles > 0)
-    def decisions(dir: String) =
-      Dedup.nearDedupIncrement(batch, "doc_id", "text", dir, 0.5, epoch = 7)
-        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
-    assert(decisions(dirPoison) === decisions(dirClean),
-      "probe decisions drifted between poisoned and clean history")
   }
 
   test("incremental near-dedup legacy fallback: an index without the band family still dedups") {
