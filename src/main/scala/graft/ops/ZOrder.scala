@@ -110,10 +110,18 @@ object ZOrder {
       fs.delete(stage, true)
       fs.mkdirs(stage.getParent)
       // O(partition) job: read ONLY this partition's files; cuts, range
-      // partitioning and sort all see one partition of rows
-      clusterByQuantile(spark.read.parquet(live.toString), dims,
-        filesPerPartition, bits)
+      // partitioning and sort all see one partition of rows. The rewrite
+      // otherwise scans its input three times (quantile pass, range
+      // sample, write) — persist for the job's duration; the cache is
+      // itself bounded by the op's O(partition) working-set contract.
+      // relErr 0.01: OPTIMIZE cuts only ROUTE rows to files — a slightly
+      // uneven lane costs a few percent of file-size balance, while the
+      // default 0.001 GK sketch was measured dominating the rewrite
+      // (255 quantiles x 2 dims at 1e-3 precision per partition).
+      val part = spark.read.parquet(live.toString).persist()
+      try clusterByQuantile(part, dims, filesPerPartition, bits, relErr = 0.01)
         .write.mode("overwrite").parquet(stage.toString)
+      finally part.unpersist(blocking = false)
       // staged-rename-then-delete (the compaction crash ordering): any
       // interruption below is healed by recoverOptimize on the next call
       fs.mkdirs(retired.getParent)
@@ -186,11 +194,27 @@ object ZOrder {
   }
 
   /** Rank of a value against precomputed cutpoints: |{cut <= v}| ∈
-    * [0, 2^bits) — a codegen HOF scan over a broadcast literal array.
-    * NULLs rank 0 (lowest lane), keeping them clustered together.
+    * [0, 2^bits) — a BINARY-SEARCH CASE tree over the literal (sorted)
+    * cut array: `bits` comparisons per row, fully whole-stage-codegen'd.
+    * Array higher-order functions (filter/aggregate) are NOT codegen'd —
+    * an HOF formulation ran ~2^bits interpreted lambda steps per row per
+    * dim and was measured dominating a 6M-row OPTIMIZE end to end.
+    * NULLs rank 0 (lowest lane, via three-valued logic: every comparison
+    * is NULL, every branch falls to the low side), keeping them
+    * clustered together.
     */
-  def quantileRank(c: Column, cuts: Array[Double]): Column =
-    coalesce(size(filter(lit(cuts), x => x <= c.cast("double"))), lit(0))
+  def quantileRank(c: Column, cuts: Array[Double]): Column = {
+    val v = c.cast("double")
+    // rank in [lo, hi] — invariant: cuts(lo-1) <= v (when lo > 0) and
+    // v < cuts(hi) (when hi < cuts.length)
+    def go(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(lit(cuts(mid)) <= v, go(mid + 1, hi)).otherwise(go(lo, mid))
+      }
+    go(0, cuts.length)
+  }
 
   /** Z-cluster on quantile-NORMALIZED dimensions: every dim fills its
     * lane regardless of distribution or unit (the skew-proof form of
@@ -200,13 +224,25 @@ object ZOrder {
     * rewrite costs two passes regardless of dimension count.
     */
   def clusterByQuantile(df: DataFrame, dims: Seq[String], numFiles: Int,
-      bits: Int = 8): DataFrame = {
+      bits: Int = 8, relErr: Double = 0.001): DataFrame = {
     require(bits >= 1 && bits <= 10,
       s"quantile normalization supports bits <= 10; got $bits")
     val lanes = 1 << bits
     val probs = (1 until lanes).map(_.toDouble / lanes).toArray
-    val allCuts = df.stat.approxQuantile(dims.toArray, probs, 0.001)
-    val ranked = dims.zip(allCuts).map { case (d, cuts) => quantileRank(col(d), cuts) }
-    cluster(df, ranked, numFiles, bits)
+    val allCuts = df.stat.approxQuantile(dims.toArray, probs, relErr)
+    // materialize each rank ONCE per row before interleaving: zValue
+    // references every dim expression `bits` times (one shift per bit),
+    // and an inlined rank fold re-evaluates its 2^bits-step scan per
+    // reference — measured 20× the whole rewrite's cost at sf1. A named
+    // projection makes the interleave read attribute refs instead
+    // (CollapseProject keeps multi-referenced non-trivial expressions
+    // out of line).
+    val rankCols = dims.indices.map(i => s"__graft_rank_$i")
+    val withRanks = df.select(col("*") +:
+      dims.zip(allCuts).zipWithIndex.map { case ((d, cuts), i) =>
+        quantileRank(col(d), cuts).as(rankCols(i))
+      }: _*)
+    cluster(withRanks, rankCols.map(col), numFiles, bits)
+      .drop(rankCols: _*)
   }
 }

@@ -505,7 +505,7 @@ object ExtrasQueries {
         .repartition(4)
         .write.partitionBy("l_returnflag").mode("overwrite").parquet(dir)
       ZOrder.optimizePartitioned(s, dir, "l_returnflag",
-        Seq("l_partkey", "l_suppkey"), filesPerPartition = 2)
+        Seq("l_partkey", "l_suppkey"), filesPerPartition = 8)
       s.read.parquet(dir)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
