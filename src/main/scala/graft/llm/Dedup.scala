@@ -659,6 +659,16 @@ object Dedup {
     */
   private[llm] val NumBandBuckets = 64
 
+  /** Histories at or below this many epochs take the plain column-pruned
+    * scan instead of the probe (the probe's two extra driver actions
+    * cost more than a few-epoch scan saves; measured crossover between
+    * 4 and 10 epochs on this box — at 10+ the probe's per-trigger cost
+    * is flat in history while the plain scan grows). The band family is
+    * ALWAYS written, so the probe engages seamlessly once history
+    * deepens.
+    */
+  private[llm] val ProbeMinEpochs = 4
+
   /** Deterministic routing bucket of one band row — pure partition
     * routing, NOT part of candidate semantics (two rows can only be
     * band-equal if they are bucket-equal), so the oracles are untouched.
@@ -741,6 +751,23 @@ object Dedup {
     val (cand, histHs) = if (!hasIndex) (candNew.distinct(), None) else {
       val fsStateEpochs = epochDirs(spark, statePath).filter(_ < epoch)
       val fsBandEpochs = epochDirs(spark, bandsPath).filter(_ < epoch)
+      if (fsStateEpochs.size <= ProbeMinEpochs) {
+        // SHALLOW history: the probe's extra driver round trips (bucket
+        // set, candidate-epoch set — each a job with a ~0.1-0.2 s floor)
+        // cost more than they save when there are only a few epochs to
+        // scan (measured crossover ~4-10 epochs; at 10+ the probe wins
+        // and its per-trigger cost stays flat while this path grows
+        // with history). Take the plain column-pruned scan: sig columns
+        // for the band join, (id, hs) for the verify.
+        val i = spark.read.parquet(statePath).filter(col("epoch") < epoch)
+          .select(state.columns.map(col): _*)
+        val crossCand = stateBands(i)
+          .select((keys.map(col) :+ col("id").as("id1")): _*)
+          .join(broadcast(bands.select((keys.map(col) :+ col("id").as("id2")): _*)), keys)
+          .select(col("id1"), col("id2"))
+        (candNew.unionByName(crossCand).distinct(),
+          Some(i.select(col("id"), col("hs"))))
+      } else {
       val routedEpochs = (fsStateEpochs intersect fsBandEpochs).toSeq
       val legacyEpochs = (fsStateEpochs diff fsBandEpochs).toSeq
       // the batch's bucket set: a bounded driver pass (≤ NumBandBuckets values)
@@ -777,6 +804,7 @@ object Dedup {
         spark.read.parquet(statePath).filter(col("epoch").isin(hitEpochs: _*))
           .select(col("id"), col("hs")))
       (candNew.unionByName(crossCand.drop("epoch")).distinct(), hist)
+      }
     }
 
     // the earlier side (id1) may be historical; the later (id2) is
@@ -812,10 +840,17 @@ object Dedup {
     // keeps the skip granularity fine on large epochs (band rows are
     // ~40 bytes — a default 128 MiB group would put millions of rows
     // behind one min/max).
-    bands.withColumn("bucket", bandBucket).withColumn("epoch", lit(epoch))
-      .repartitionByRange(math.max(1, graft.ops.Layout.sizedFileCount(4L *
-        stateRows)), col("bucket"))
-      .sortWithinPartitions(col("bucket"), col("band"))
+    val bandRows = bands.withColumn("bucket", bandBucket)
+      .withColumn("epoch", lit(epoch))
+    val nBandFiles = graft.ops.Layout.sizedFileCount(4L * stateRows)
+    // single-file epochs skip the range shuffle entirely (its sampling
+    // pass alone was a measurable per-increment tax at trigger-batch
+    // sizes): one task sorts the narrow band rows in place, and the
+    // sorted single file prunes by row group exactly the same
+    val clustered =
+      if (nBandFiles <= 1) bandRows.coalesce(1)
+      else bandRows.repartitionByRange(nBandFiles, col("bucket"))
+    clustered.sortWithinPartitions(col("bucket"), col("band"))
       .write.mode("append").option("parquet.block.size", 8 * 1024 * 1024)
       .partitionBy("epoch").parquet(bandsPath)
     state.withColumn("epoch", lit(epoch)).coalesce(outFiles)

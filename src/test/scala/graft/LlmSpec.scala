@@ -64,6 +64,31 @@ class LlmSpec extends SparkSpec {
     assert(droppedGlobal.nonEmpty && kept.nonEmpty)
   }
 
+  test("incremental near-dedup DEEP history (probe path) equals the global first-occurrence rule") {
+    // 6 epochs crosses ProbeMinEpochs, so epochs 5+ take the pruned
+    // probe (bucket IN + candidate-epoch hs fetch) — this pins the deep
+    // path's DECISIONS against the same global rule the shallow test
+    // uses; the shallow/deep split must be invisible in results
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_deep_").toString
+    val kept = (0 until 6).map { b =>
+        Dedup.nearDedupIncrement(
+          corpus.filter(pmod(col("doc_id"), lit(6)) === b), "doc_id", "text", dir, 0.5,
+          epoch = b)
+      }.reduce(_.unionByName(_))
+      .filter(col("kept")).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    val pairs = Dedup.portableHashedPairs(corpus, "doc_id", "text", 0.5)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def prec(a: Long, b: Long): Boolean =
+      a % 6 < b % 6 || (a % 6 == b % 6 && a < b)
+    val droppedGlobal = pairs.map { case (a, b) => if (prec(a, b)) b else a }.toSet
+    val allIds = corpus.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept === (allIds -- droppedGlobal))
+    assert(droppedGlobal.nonEmpty)
+  }
+
   test("near-dedup survives an all-empty-shingle first increment") {
     val dir = java.nio.file.Files.createTempDirectory("graft_inc_empty_").toString
     val empty = Seq((100L, ""), (101L, "!!! ???")).toDF("doc_id", "text")
