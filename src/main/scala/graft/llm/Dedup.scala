@@ -994,24 +994,62 @@ object Dedup {
     // are keyed by doc id, exact rows by the fingerprint itself, band
     // routing rows are whole-row duplicates)
     compactState(spark, indexDir.stripSuffix("/") + "/state", Seq("id"))
-    // the band routing family folds inside the SAME lease, right after
-    // its base family — the increment probe's legacy fallback covers
-    // the crash window where state is compacted but bands is not (the
-    // sentinel epoch is then simply derived from state on the fly).
-    // The fold re-clusters the sentinel on bucket so row-group pruning
-    // survives compaction (a plain coalesce would interleave buckets
-    // and turn every min/max span into the full domain).
-    compactEpochPartitions(spark, indexDir.stripSuffix("/") + "/bands",
-      layout = (df, n) => df.repartitionByRange(math.max(1, n), col("bucket"))
-        .sortWithinPartitions(col("bucket"), col("band")),
-      options = Map("parquet.block.size" -> (8 * 1024 * 1024).toString))(
-      _.dropDuplicates())
+    // the band routing family is REBUILT from the compacted state, not
+    // folded in place: folding would give the bands sentinel the same
+    // DIRECTORY NAME as the state sentinel without the same CONTENT
+    // whenever any state epoch predates the band family (legacy index,
+    // crash window) — and the probe's fallback is keyed on directory-
+    // name presence, so name parity without content parity silently
+    // loses cross-epoch candidates. Deriving from state makes content
+    // parity true by construction, for every epoch.
+    rebuildBandsFromState(spark, indexDir)
     compactState(spark, indexDir.stripSuffix("/") + "/exact_state", Seq("fp"))
   }
 
   private def compactState(spark: org.apache.spark.sql.SparkSession,
       statePath: String, dedupCols: Seq[String]): Unit =
     compactEpochPartitions(spark, statePath)(_.dropDuplicates(dedupCols))
+
+  /** Rebuild the band routing family wholesale from the (just-compacted)
+    * state family: derive band rows + bucket for EVERY state epoch,
+    * stage them bucket-clustered, and swap the whole bands directory.
+    * Crash windows all degrade to correct-but-slower: bands missing →
+    * the increment derives bands from state on the fly; a leftover
+    * stage/old dir is swept on the next rebuild.
+    */
+  private[llm] def rebuildBandsFromState(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    val statePath = indexDir.stripSuffix("/") + "/state"
+    val bandsPath = indexDir.stripSuffix("/") + "/bands"
+    val bp = new org.apache.hadoop.fs.Path(bandsPath)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(bandsPath + ".__graft_rebuild_stage")
+    val old = new org.apache.hadoop.fs.Path(bandsPath + ".__graft_rebuild_old")
+    fs.delete(stage, true); fs.delete(old, true) // sweep prior crashes
+    val sp = new org.apache.hadoop.fs.Path(statePath)
+    if (!graft.ops.Layout.hasParquetData(fs, sp)) { fs.delete(bp, true); return }
+    val st = spark.read.parquet(statePath)
+    // persist is strictly intra-call (count + write) and must be RELEASED
+    // here, not registered: a registered cache over state files outlives
+    // the NEXT compaction's rewrite of those files, and CacheManager
+    // substitutes the stale relation into any later matching plan
+    // (FILE_NOT_EXIST on the deleted sentinel)
+    val bandRows = stateBandsKeepEpoch(st).withColumn("bucket", bandBucket)
+      .persist()
+    try {
+      val n = graft.ops.Layout.sizedFileCount(bandRows.count())
+      bandRows.repartitionByRange(math.max(1, n), col("epoch"), col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("band"))
+        .write.mode("overwrite").option("parquet.block.size", 8 * 1024 * 1024)
+        .partitionBy("epoch").parquet(stage.toString)
+    } finally bandRows.unpersist(blocking = false)
+    // land-then-retire: a crash leaves either the old bands (still
+    // content-correct for its own epochs… superseded names are swept
+    // above) or NO bands (the derive-on-the-fly fallback)
+    if (fs.exists(bp)) require(fs.rename(bp, old), "bands retire rename failed")
+    require(fs.rename(stage, bp), "bands land rename failed")
+    fs.delete(old, true)
+  }
 
   /** The shared fold-settled-epochs-into-a-generation machinery: every
     * epoch partition strictly below the current maximum is rewritten —
@@ -1031,9 +1069,9 @@ object Dedup {
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!graft.ops.Layout.hasParquetData(fs, sp)) return
     // the epoch set IS the partition directory names — one listing, not
-    // a distinct job over the whole index
-    val epochs = fs.listStatus(sp).toIndexedSeq.map(_.getPath.getName)
-      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong).sorted
+    // a distinct job over the whole index (shared helper: the probe's
+    // shallow/deep routing and compaction must agree on what exists)
+    val epochs = epochDirs(spark, statePath).toIndexedSeq.sorted
     if (epochs.length <= 1) return // nothing settled to fold
     val all = spark.read.parquet(statePath)
     val maxEpoch = epochs.last

@@ -69,6 +69,7 @@ object Graphs {
     // lineage twice, i.e. ~2^iters total recomputation on an
     // unpersisted chain (crawl-scale killer).
     var prevCached: DataFrame = null
+    try {
     for (_ <- 1 to iters) {
       val withDeg = pr.join(outdeg, pr("id") === outdeg("src"), "left")
       val dangling = withDeg.filter(col("d").isNull)
@@ -90,9 +91,14 @@ object Graphs {
       prevCached = next
       pr = next
     }
-    // final ranks are materialized (count() above) — the loop invariants
-    // can be released now; they never outlive the call
-    ids.unpersist(false); e.unpersist(false); outdeg.unpersist(false)
+    } finally {
+      // final ranks are materialized (count() above) — the loop
+      // invariants can be released now; they never outlive the call.
+      // finally, not fallthrough: these are registered NOWHERE, so an
+      // exception mid-iteration would otherwise pin three graph-sized
+      // caches until spark.stop()
+      ids.unpersist(false); e.unpersist(false); outdeg.unpersist(false)
+    }
     pr
   }
 }

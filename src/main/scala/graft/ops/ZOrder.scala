@@ -66,10 +66,14 @@ object ZOrder {
     * largest partition, which the table's partitioning already sized.
     * This is the Delta/Iceberg OPTIMIZE granularity.
     *
-    * INCREMENTAL: a partition whose `_GRAFT_OPTIMIZED` marker is newer
-    * than every data file is skipped, so a scheduled run rewrites only
-    * partitions with new data since the last pass; `maxPartitionsPerRun`
-    * additionally bounds one run's work (spread a backlog over runs).
+    * INCREMENTAL: the `_GRAFT_OPTIMIZED` marker records the file-name
+    * SET the optimized layout consists of; a partition is skipped iff
+    * its current data files equal that set (set equality, not mtimes —
+    * an mtime check misses appends landing within the marker's
+    * timestamp tick on coarse-granularity stores). Files appended
+    * DURING a rewrite survive it: the swap rescues any retired file not
+    * among the rewrite's recorded inputs back into the partition, where
+    * the set check clusters it in on the next run.
     *
     * Crash contract (no transaction log, so the swap is two directory
     * renames): stage is written complete (with `_SUCCESS`) before any
@@ -95,13 +99,15 @@ object ZOrder {
     recoverOptimize(spark, tablePath)
     val parts = fs.listStatus(root).toIndexedSeq.map(_.getPath)
       .filter(_.getName.startsWith(partCol + "="))
+    // staleness is SET-based, not mtime-based: the marker records the
+    // file names the optimized layout consists of, and a partition is
+    // stale iff its current data-file set differs. An mtime comparison
+    // misses appends landing within the marker's filesystem timestamp
+    // tick (coarse-granularity stores) — those files would stay
+    // unclustered forever.
     val stale = parts.filter { p =>
-      val files = fs.listStatus(p).filter(f => isDataFile(f.getPath.getName))
-      val marker = new org.apache.hadoop.fs.Path(p, OptimizedMarker)
-      files.nonEmpty && (!fs.exists(marker) || {
-        val mm = fs.getFileStatus(marker).getModificationTime
-        files.exists(_.getModificationTime > mm)
-      })
+      val files = fs.listStatus(p).map(_.getPath.getName).filter(isDataFile).toSet
+      files.nonEmpty && files != readMarker(fs, p)
     }.sortBy(_.getName).take(maxPartitionsPerRun)
     stale.map { live =>
       val name = live.getName
@@ -118,21 +124,37 @@ object ZOrder {
       // uneven lane costs a few percent of file-size balance, while the
       // default 0.001 GK sketch was measured dominating the rewrite
       // (255 quantiles x 2 dims at 1e-3 precision per partition).
-      val part = spark.read.parquet(live.toString).persist()
+      // the rewrite reads EXACTLY the listed files (not the directory):
+      // inputs == sources by construction, so a file landing between
+      // listing and read can neither be half-rewritten nor double-
+      // counted — anything not in this list is a late append the swap
+      // rescues below
+      val inputPaths = fs.listStatus(live).map(_.getPath)
+        .filter(p => isDataFile(p.getName))
+      val inputNames = inputPaths.map(_.getName).toSet
+      val part = spark.read.parquet(inputPaths.map(_.toString): _*).persist()
       try clusterByQuantile(part, dims, filesPerPartition, bits, relErr = 0.01)
         .write.mode("overwrite").parquet(stage.toString)
       finally part.unpersist(blocking = false)
+      // the inputs manifest travels with the stage into the live dir, so
+      // BOTH the swap below and crash recovery can tell a rewritten-away
+      // input from a file some concurrent writer appended mid-rewrite —
+      // appends must survive the swap, not vanish with the retired copy
+      writeLines(fs, new org.apache.hadoop.fs.Path(stage, InputsManifest), inputNames)
+      val stageNames = fs.listStatus(stage).map(_.getPath.getName)
+        .filter(isDataFile).toSet
       // staged-rename-then-delete (the compaction crash ordering): any
       // interruption below is healed by recoverOptimize on the next call
       fs.mkdirs(retired.getParent)
       fs.delete(retired, true)
       require(fs.rename(live, retired), s"retire rename failed for $name")
       require(fs.rename(stage, live), s"land rename failed for $name")
+      rescueLateFiles(fs, retired, live, inputNames)
       fs.delete(retired, true)
-      val out = fs.create(new org.apache.hadoop.fs.Path(live, OptimizedMarker), true)
-      out.write(s"dims=${dims.mkString(",")} files=$filesPerPartition bits=$bits"
-        .getBytes("UTF-8"))
-      out.close()
+      // marker = the REWRITTEN layout's file names only: a rescued late
+      // file makes the current set differ, so the next run sees the
+      // partition stale and clusters it in
+      writeLines(fs, new org.apache.hadoop.fs.Path(live, OptimizedMarker), stageNames)
       name
     }
   }
@@ -154,9 +176,21 @@ object ZOrder {
       val name = r.getPath.getName
       val live = new org.apache.hadoop.fs.Path(root, name)
       val stage = new org.apache.hadoop.fs.Path(stageRoot, name)
-      if (fs.exists(live)) fs.delete(r.getPath, true)
-      else if (fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))) {
+      if (fs.exists(live)) {
+        // swap completed but the crash hit before the retired copy was
+        // cleaned — rescue any mid-rewrite appends first (the landed
+        // inputs manifest says which retired files the rewrite covered;
+        // WITHOUT a manifest nothing is rescued — an empty input set
+        // would "rescue" every rewritten-away file and duplicate rows)
+        val manifest = new org.apache.hadoop.fs.Path(live, InputsManifest)
+        if (fs.exists(manifest))
+          rescueLateFiles(fs, r.getPath, live, readLines(fs, manifest))
+        fs.delete(r.getPath, true)
+      } else if (fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))) {
         require(fs.rename(stage, live), s"recovery land rename failed for $name")
+        val manifest = new org.apache.hadoop.fs.Path(live, InputsManifest)
+        if (fs.exists(manifest))
+          rescueLateFiles(fs, r.getPath, live, readLines(fs, manifest))
         fs.delete(r.getPath, true)
       } else {
         require(fs.rename(r.getPath, live), s"recovery rollback rename failed for $name")
@@ -172,12 +206,54 @@ object ZOrder {
   }
 
   private val OptimizedMarker = "_GRAFT_OPTIMIZED"
+  private val InputsManifest = "_GRAFT_INPUTS"
   private def stageDir(tablePath: String) =
     new org.apache.hadoop.fs.Path(tablePath, ".__graft_optimize_stage")
   private def retiredDir(tablePath: String) =
     new org.apache.hadoop.fs.Path(tablePath, ".__graft_optimize_retired")
   private def isDataFile(name: String): Boolean =
     !name.startsWith("_") && !name.startsWith(".")
+
+  /** The optimized-layout file-name set recorded in a partition's
+    * marker; empty when absent/unreadable (→ treated stale).
+    */
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      partDir: org.apache.hadoop.fs.Path): Set[String] =
+    readLines(fs, new org.apache.hadoop.fs.Path(partDir, OptimizedMarker))
+
+  private def readLines(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Set[String] =
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        .split("\n").map(_.trim).filter(_.nonEmpty).toSet
+      catch { case scala.util.control.NonFatal(_) => Set.empty }
+      finally in.close()
+    }
+
+  private def writeLines(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, names: Set[String]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(names.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Move data files a concurrent writer appended to the partition
+    * DURING the rewrite (present in the retired copy but not among the
+    * rewrite's inputs) back into the live directory — committed rows
+    * must survive the swap, not vanish with the retired copy.
+    */
+  private def rescueLateFiles(fs: org.apache.hadoop.fs.FileSystem,
+      retired: org.apache.hadoop.fs.Path, live: org.apache.hadoop.fs.Path,
+      inputNames: Set[String]): Unit =
+    if (fs.exists(retired))
+      fs.listStatus(retired).map(_.getPath)
+        .filter(p => isDataFile(p.getName) && !inputNames.contains(p.getName))
+        .foreach { p =>
+          require(fs.rename(p, new org.apache.hadoop.fs.Path(live, p.getName)),
+            s"late-file rescue rename failed for ${p.getName}")
+        }
 
   /** Equi-depth cutpoints for one dimension — the ONE-PASS normalization
     * constants the zValue docstring demands: 2^bits−1 approx quantiles
@@ -187,7 +263,7 @@ object ZOrder {
   def quantileCuts(df: DataFrame, dim: String, bits: Int,
       relErr: Double = 0.001): Array[Double] = {
     require(bits >= 1 && bits <= 10,
-      s"quantile normalization supports bits <= 10 (the rank scan is O(2^bits)/row); got $bits")
+      s"quantile normalization supports bits <= 10 (2^bits-1 cutpoints: the sketch pass and the rank CASE tree's codegen size are both O(2^bits)); got $bits")
     val lanes = 1 << bits
     val probs = (1 until lanes).map(_.toDouble / lanes).toArray
     df.stat.approxQuantile(dim, probs, relErr)

@@ -50,8 +50,13 @@ object ProbeScale {
       .limit(500).persist()
     batch.count()
 
-    def timeIncrement(startEpoch: Long): Double =
+    // stripBands: delete the band family BEFORE EVERY PASS (each
+    // increment re-appends its own epoch's bands, which would make
+    // passes 2..N partially probe-routed and bias the "legacy" min low)
+    def timeIncrement(startEpoch: Long, stripBands: Boolean): Double =
       (0 until passes).map { p =>
+        if (stripBands)
+          graft.ops.Layout.deleteRecursively(java.nio.file.Paths.get(dir, "bands"))
         val t0 = System.nanoTime()
         graft.llm.Dedup.nearDedupIncrement(batch, "doc_id", "text", dir, 0.5,
             epoch = startEpoch + p)
@@ -60,11 +65,10 @@ object ProbeScale {
         (System.nanoTime() - t0) / 1e9
       }.min
 
-    val prunedSec = timeIncrement(1000)
+    val prunedSec = timeIncrement(1000, stripBands = false)
     // strip the band family -> the derive-from-state fallback IS the old
     // full-scan layout (same candidates, same decisions; LlmSpec pins it)
-    graft.ops.Layout.deleteRecursively(java.nio.file.Paths.get(dir, "bands"))
-    val legacySec = timeIncrement(2000)
+    val legacySec = timeIncrement(2000, stripBands = true)
 
     val stateBytes = {
       val p = java.nio.file.Paths.get(dir, "state")

@@ -242,6 +242,35 @@ class LlmSpec extends SparkSpec {
     assert(again.forall(!_._2), "re-ingesting an indexed batch must drop every doc")
   }
 
+  test("compaction rebuilds bands from state: pre-band epochs keep their candidates through the deep path") {
+    // UPGRADE-PATH regression: an index whose early epochs predate the
+    // band family (bands dir deleted after ingest) is compacted — a
+    // fold-in-place would give the bands sentinel the state sentinel's
+    // NAME without its pre-band CONTENT, and the name-keyed fallback
+    // would then silently lose those epochs' candidates once the deep
+    // probe path engages. The rebuild derives the sentinel from state,
+    // so a near-dup of a pre-band-epoch doc must still drop.
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bands_rebuild_").toString
+    def slice(m: Int) = corpus.filter(pmod(col("doc_id"), lit(12)) === m)
+    for (e <- 0 until 2)
+      Dedup.nearDedupIncrement(slice(e), "doc_id", "text", dir, 0.5, epoch = e).collect()
+    // simulate pre-band-layout history for epochs 0-1
+    graft.ops.Layout.deleteRecursively(java.nio.file.Paths.get(dir, "bands"))
+    for (e <- 2 until 6)
+      Dedup.nearDedupIncrement(slice(e), "doc_id", "text", dir, 0.5, epoch = e).collect()
+    Dedup.nearDedupIndexCompact(spark, dir)
+    // grow past ProbeMinEpochs so the next increment takes the DEEP path
+    for (e <- 6 until 10)
+      Dedup.nearDedupIncrement(slice(e), "doc_id", "text", dir, 0.5, epoch = e).collect()
+    val reingest = Dedup.nearDedupIncrement(slice(0), "doc_id", "text", dir, 0.5,
+        epoch = 99)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(reingest.nonEmpty && reingest.forall(!_._2),
+      s"pre-band-epoch duplicates survived the compacted deep probe: " +
+        reingest.filter(_._2).take(5).mkString(","))
+  }
+
   test("index lease: a second writer fails loudly instead of racing") {
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft_inc_lock_").toString

@@ -169,8 +169,10 @@ class SinkSpec extends SparkSpec {
     // INCREMENTAL: a second run sees fresh markers and rewrites nothing
     assert(ZOrder.optimizePartitioned(spark, dir, "l_returnflag",
       Seq("l_partkey", "l_suppkey"), filesPerPartition = 8) === Seq.empty)
-    // new data in ONE partition → exactly that partition rewrites
-    Thread.sleep(1100) // marker/file mtime granularity on local fs
+    // new data in ONE partition → exactly that partition rewrites.
+    // No mtime sleep needed: staleness is SET-based (marker records the
+    // optimized layout's file names), so an append in the same
+    // filesystem timestamp tick is still seen.
     li.filter(col("l_returnflag") === "A").drop("l_returnflag").limit(100)
       .coalesce(1).write.mode("append").parquet(dir + "/l_returnflag=A")
     val inc = ZOrder.optimizePartitioned(spark, dir, "l_returnflag",
@@ -193,6 +195,24 @@ class SinkSpec extends SparkSpec {
     ZOrder.recoverOptimize(spark, dir)
     assert(fs.exists(liveA) && !fs.exists(retiredA), "leftover sweep failed")
     assert(snapshot() === afterAppend)
+    // LATE-FILE RESCUE: a file appended DURING a rewrite sits in the
+    // retired copy but not in the landed inputs manifest — recovery (and
+    // the swap itself) must move it back into the partition, never
+    // delete committed rows with the retired copy
+    val nBefore = spark.read.parquet(dir).count()
+    val lateSrc = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("l_returnflag=N")).head.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    fs.mkdirs(retiredA)
+    require(fs.rename(
+      new org.apache.hadoop.fs.Path(lateSrc.getPath),
+      new org.apache.hadoop.fs.Path(retiredA, "part-late-append.parquet")))
+    val nMoved = nBefore - spark.read.parquet(dir).count()
+    assert(nMoved > 0)
+    ZOrder.recoverOptimize(spark, dir)
+    assert(!fs.exists(retiredA))
+    assert(spark.read.parquet(dir).count() === nBefore,
+      "late-appended file vanished with the retired copy")
     graft.ops.Layout.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
