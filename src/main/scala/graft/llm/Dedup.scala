@@ -663,11 +663,26 @@ object Dedup {
     * scan instead of the probe (the probe's two extra driver actions
     * cost more than a few-epoch scan saves; measured crossover between
     * 4 and 10 epochs on this box — at 10+ the probe's per-trigger cost
-    * is flat in history while the plain scan grows). The band family is
-    * ALWAYS written, so the probe engages seamlessly once history
-    * deepens.
+    * is flat in history while the plain scan grows). Band builds are
+    * DEFERRED while the index stays shallow (no reader probes there);
+    * the probe engages seamlessly once history deepens, with the
+    * derive-from-state fallback covering the deferred epochs until a
+    * compaction backfills them.
     */
   private[llm] val ProbeMinEpochs = 4
+
+  /** Whether an index whose HISTORY is `histEpochs` (the epoch-partition
+    * directory names) is read through the pruned band probe. Two
+    * triggers: depth (more epochs than [[ProbeMinEpochs]]), or a FOLDED
+    * sentinel epoch (< 0, left by compaction) — a folded index can hold
+    * the whole corpus in 1-2 directories, so epoch COUNT stops proxying
+    * volume there and the probe must always engage (the plain scan would
+    * re-read O(history) exactly when the folded epoch is largest).
+    * Also the band-WRITE gate: an increment writes its band epoch iff
+    * the index including it probes, i.e. `probeGate(hist + thisEpoch)`.
+    */
+  private[graft] def probeGate(histEpochs: Set[Long]): Boolean =
+    histEpochs.size > ProbeMinEpochs || histEpochs.exists(_ < 0)
 
   /** Deterministic routing bucket of one band row — pure partition
     * routing, NOT part of candidate semantics (two rows can only be
@@ -748,10 +763,13 @@ object Dedup {
     // writes; state compacted before bands) fall back to deriving band
     // rows from state on the fly — correctness never depends on the
     // routing family being present.
-    val (cand, histHs) = if (!hasIndex) (candNew.distinct(), None) else {
-      val fsStateEpochs = epochDirs(spark, statePath).filter(_ < epoch)
+    // one listing, shared by the read-path gate and the band-write
+    // deferral below (epochDirs returns empty when the dir is absent)
+    val fsStateEpochs = epochDirs(spark, statePath).filter(_ < epoch)
+    val (cand, histHs, probeCache) =
+      if (!hasIndex) (candNew.distinct(), None, None) else {
       val fsBandEpochs = epochDirs(spark, bandsPath).filter(_ < epoch)
-      if (fsStateEpochs.size <= ProbeMinEpochs) {
+      if (!probeGate(fsStateEpochs)) {
         // SHALLOW history: the probe's extra driver round trips (bucket
         // set, candidate-epoch set — each a job with a ~0.1-0.2 s floor)
         // cost more than they save when there are only a few epochs to
@@ -766,7 +784,7 @@ object Dedup {
           .join(broadcast(bands.select((keys.map(col) :+ col("id").as("id2")): _*)), keys)
           .select(col("id1"), col("id2"))
         (candNew.unionByName(crossCand).distinct(),
-          Some(i.select(col("id"), col("hs"))))
+          Some(i.select(col("id"), col("hs"))), None)
       } else {
       val routedEpochs = (fsStateEpochs intersect fsBandEpochs).toSeq
       val legacyEpochs = (fsStateEpochs diff fsBandEpochs).toSeq
@@ -794,7 +812,12 @@ object Dedup {
         .join(broadcast(bands.select((keys.map(col) :+ col("id").as("id2")): _*)), keys)
         .select(col("id1"), col("id2"), col("epoch"))
         .persist()
-      graft.ops.CacheRegistry.register(crossCand)
+      // intra-call persist, RELEASED after the scratch materialization
+      // below (the rebuildBandsFromState pattern) — NOT CacheRegistry-
+      // registered: a registered cache over state/bands index files can
+      // outlive the next compaction's rewrite of those files, and
+      // CacheManager substitutes the stale relation into a later
+      // matching plan (FILE_NOT_EXIST on the deleted partitions)
       // hs fetch pruned to the epochs that actually produced candidates
       // (bounded metadata pass over the cached candidate frame) — the
       // verify side stops re-reading every settled epoch's hash sets too
@@ -803,7 +826,8 @@ object Dedup {
       val hist = if (hitEpochs.isEmpty) None else Some(
         spark.read.parquet(statePath).filter(col("epoch").isin(hitEpochs: _*))
           .select(col("id"), col("hs")))
-      (candNew.unionByName(crossCand.drop("epoch")).distinct(), hist)
+      (candNew.unionByName(crossCand.drop("epoch")).distinct(), hist,
+        Some(crossCand))
       }
     }
 
@@ -822,7 +846,11 @@ object Dedup {
     val droppedLazy = verifyPairs(cand, earlier, state.select(col("id"), col("hs")), threshold,
         hintBroadcast = true)
       .select(col("id2").as("id")).distinct()
-    val dropped = materializeScratch(indexDir, "near_dropped", epoch, droppedLazy)
+    // the probe's candidate cache is fully consumed by this
+    // materialization — release it here, not at session teardown
+    val dropped =
+      try materializeScratch(indexDir, "near_dropped", epoch, droppedLazy)
+      finally probeCache.foreach(_.unpersist(blocking = false))
 
     // append THIS batch's state under its epoch partition (eager, before
     // the caller acts on the lazy result — safe under epoch isolation).
@@ -831,28 +859,39 @@ object Dedup {
     // about to populate anyway)
     val stateRows = state.count()
     val outFiles = graft.ops.Layout.sizedFileCount(stateRows)
-    // band routing family FIRST, then state: a state epoch on disk
-    // thereby implies its band files are complete (the probe's legacy
-    // fallback covers the reverse crash window — band rows whose state
-    // epoch never landed are dropped by the hs inner join). Files are
-    // range-clustered and sorted on bucket so the probe's pushed IN
-    // filter skips row groups on footer stats; the 8 MiB row-group size
-    // keeps the skip granularity fine on large epochs (band rows are
-    // ~40 bytes — a default 128 MiB group would put millions of rows
-    // behind one min/max).
-    val bandRows = bands.withColumn("bucket", bandBucket)
-      .withColumn("epoch", lit(epoch))
-    val nBandFiles = graft.ops.Layout.sizedFileCount(4L * stateRows)
-    // single-file epochs skip the range shuffle entirely (its sampling
-    // pass alone was a measurable per-increment tax at trigger-batch
-    // sizes): one task sorts the narrow band rows in place, and the
-    // sorted single file prunes by row group exactly the same
-    val clustered =
-      if (nBandFiles <= 1) bandRows.coalesce(1)
-      else bandRows.repartitionByRange(nBandFiles, col("bucket"))
-    clustered.sortWithinPartitions(col("bucket"), col("band"))
-      .write.mode("append").option("parquet.block.size", 8 * 1024 * 1024)
-      .partitionBy("epoch").parquet(bandsPath)
+    // DEFER band builds while the index stays shallow: the read gate
+    // above never probes at ≤ ProbeMinEpochs dirs, so a band epoch
+    // written there is maintenance paid for a reader that cannot exist —
+    // one whole extra write job per increment (measured ~+0.2-0.7 s
+    // across the q135/q136/q189 bench family). Epochs skipped here are
+    // covered forever by the probe's legacy fallback (state epochs
+    // absent from bands derive band rows on the fly) until the next
+    // compaction's rebuildBandsFromState backfills every epoch — at most
+    // ProbeMinEpochs early, batch-sized epochs ride the fallback.
+    if (probeGate(fsStateEpochs + epoch)) {
+      // band routing family FIRST, then state: a state epoch on disk
+      // thereby implies its band files are complete (the probe's legacy
+      // fallback covers the reverse crash window — band rows whose state
+      // epoch never landed are dropped by the hs inner join). Files are
+      // range-clustered and sorted on bucket so the probe's pushed IN
+      // filter skips row groups on footer stats; the 8 MiB row-group size
+      // keeps the skip granularity fine on large epochs (band rows are
+      // ~40 bytes — a default 128 MiB group would put millions of rows
+      // behind one min/max).
+      val bandRows = bands.withColumn("bucket", bandBucket)
+        .withColumn("epoch", lit(epoch))
+      val nBandFiles = graft.ops.Layout.sizedFileCount(4L * stateRows)
+      // single-file epochs skip the range shuffle entirely (its sampling
+      // pass alone was a measurable per-increment tax at trigger-batch
+      // sizes): one task sorts the narrow band rows in place, and the
+      // sorted single file prunes by row group exactly the same
+      val clustered =
+        if (nBandFiles <= 1) bandRows.coalesce(1)
+        else bandRows.repartitionByRange(nBandFiles, col("bucket"))
+      clustered.sortWithinPartitions(col("bucket"), col("band"))
+        .write.mode("append").option("parquet.block.size", 8 * 1024 * 1024)
+        .partitionBy("epoch").parquet(bandsPath)
+    }
     state.withColumn("epoch", lit(epoch)).coalesce(outFiles)
       .write.mode("append").partitionBy("epoch").parquet(statePath)
 
@@ -1061,9 +1100,7 @@ object Dedup {
     * for every state family (see [[nearDedupIndexCompact]]).
     */
   private[llm] def compactEpochPartitions(spark: org.apache.spark.sql.SparkSession,
-      statePath: String,
-      layout: (DataFrame, Int) => DataFrame = (df, n) => df.coalesce(n),
-      options: Map[String, String] = Map.empty)(
+      statePath: String)(
       foldSettled: DataFrame => DataFrame): Unit = {
     val sp = new org.apache.hadoop.fs.Path(statePath)
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1082,10 +1119,10 @@ object Dedup {
     graft.ops.CacheRegistry.register(settled)
     val outFiles = graft.ops.Layout.sizedFileCount(settled.count())
     val stage = statePath + ".__graft_compact_stage"
-    // `layout` sizes/clusters the settled generation (default coalesce;
-    // the band family re-range-sorts on bucket to keep its row-group
-    // pruning stats tight)
-    layout(settled, outFiles).write.mode("overwrite").options(options)
+    // the bands family is NOT folded through here — it is rebuilt
+    // wholesale from the compacted state (rebuildBandsFromState), which
+    // re-range-sorts on bucket itself
+    settled.coalesce(outFiles).write.mode("overwrite")
       .partitionBy("epoch").parquet(stage)
     // land the new generation first, then retire the old partitions.
     // Hadoop rename signals most failures by returning FALSE, not

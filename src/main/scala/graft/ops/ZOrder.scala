@@ -87,13 +87,27 @@ object ZOrder {
     * one partition; schedule per-partition OPTIMIZE like any file-level
     * maintenance op.
     *
+    * CONCURRENCY: `maxConcurrent` > 1 runs that many per-partition
+    * rewrite jobs at once from a bounded driver pool (the Delta OPTIMIZE
+    * shape for many-small-partition tables, where one partition's job
+    * cannot saturate the cluster). The scratch bound becomes
+    * maxConcurrent × largest-partition — still O(k · partition), never
+    * O(table); concurrent jobs touch disjoint stage/retired/live
+    * directories (keyed by partition name), so the swap choreography is
+    * unchanged. Spark schedules concurrent actions from multiple driver
+    * threads natively. A failure in any job propagates after the pool
+    * drains its running jobs; interrupted swaps heal via
+    * [[recoverOptimize]] exactly as in the serial form.
+    *
     * Returns the partition directory names actually rewritten.
     */
   def optimizePartitioned(spark: org.apache.spark.sql.SparkSession,
       tablePath: String, partCol: String, dims: Seq[String],
       filesPerPartition: Int, bits: Int = 8,
-      maxPartitionsPerRun: Int = Int.MaxValue): Seq[String] = {
+      maxPartitionsPerRun: Int = Int.MaxValue,
+      maxConcurrent: Int = 1): Seq[String] = {
     require(filesPerPartition >= 1, s"filesPerPartition: $filesPerPartition")
+    require(maxConcurrent >= 1, s"maxConcurrent: $maxConcurrent")
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverOptimize(spark, tablePath)
@@ -109,7 +123,7 @@ object ZOrder {
       val files = fs.listStatus(p).map(_.getPath.getName).filter(isDataFile).toSet
       files.nonEmpty && files != readMarker(fs, p)
     }.sortBy(_.getName).take(maxPartitionsPerRun)
-    stale.map { live =>
+    val rewriteOne = (live: org.apache.hadoop.fs.Path) => {
       val name = live.getName
       val stage = new org.apache.hadoop.fs.Path(stageDir(tablePath), name)
       val retired = new org.apache.hadoop.fs.Path(retiredDir(tablePath), name)
@@ -157,6 +171,20 @@ object ZOrder {
       writeLines(fs, new org.apache.hadoop.fs.Path(live, OptimizedMarker), stageNames)
       name
     }
+    if (maxConcurrent == 1 || stale.size <= 1) stale.map(rewriteOne)
+    else {
+      // bounded pool, not .par: pool size IS the scratch/concurrency
+      // bound the docstring promises, independent of driver core count
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(maxConcurrent, stale.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          stale.map(p => scala.concurrent.Future(rewriteOne(p)))),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    }
   }
 
   /** Heal any swap interrupted by a crash (see [[optimizePartitioned]]):
@@ -177,14 +205,28 @@ object ZOrder {
       val live = new org.apache.hadoop.fs.Path(root, name)
       val stage = new org.apache.hadoop.fs.Path(stageRoot, name)
       if (fs.exists(live)) {
-        // swap completed but the crash hit before the retired copy was
-        // cleaned — rescue any mid-rewrite appends first (the landed
-        // inputs manifest says which retired files the rewrite covered;
-        // WITHOUT a manifest nothing is rescued — an empty input set
-        // would "rescue" every rewritten-away file and duplicate rows)
         val manifest = new org.apache.hadoop.fs.Path(live, InputsManifest)
-        if (fs.exists(manifest))
+        if (fs.exists(manifest)) {
+          // swap completed but the crash hit before the retired copy was
+          // cleaned — rescue any mid-rewrite appends (the landed inputs
+          // manifest says which retired files the rewrite covered)
           rescueLateFiles(fs, r.getPath, live, readLines(fs, manifest))
+        } else {
+          // live exists WITHOUT a landed manifest: the land rename never
+          // completed — a concurrent append recreated the live directory
+          // between the two renames, so live holds only stray files and
+          // the retired copy holds the partition's only original rows.
+          // Deleting retired here would silently lose committed rows
+          // (while the stage sweep below also discards the rewrite).
+          // Rescue every retired data file not already present in live:
+          // file names are UUID-unique, so nothing collides, and the
+          // rewrite's output still sits in stage (not live), so nothing
+          // duplicates. The merged partition has no marker → stale →
+          // re-clustered on the next run.
+          val liveNames = fs.listStatus(live).map(_.getPath.getName)
+            .filter(isDataFile).toSet
+          rescueLateFiles(fs, r.getPath, live, liveNames)
+        }
         fs.delete(r.getPath, true)
       } else if (fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))) {
         require(fs.rename(stage, live), s"recovery land rename failed for $name")

@@ -133,6 +133,15 @@ object SessionBridge {
   }
 }
 
+/** Listener-bus bridge: flush queued scheduler events so a measurement
+  * listener's counters are complete before being read
+  * (`listenerBus.waitUntilEmpty` is `private[spark]`).
+  */
+object MetricsBridge {
+  def waitListenerBusEmpty(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+}
+
 /** Logical-plan bridge: wrap a LogicalPlan as a DataFrame (and back) so
   * optimizer rules can express rewrites with the Column API instead of
   * hand-building Catalyst trees. `Dataset.ofRows` is `private[sql]`.

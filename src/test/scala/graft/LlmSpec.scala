@@ -156,9 +156,12 @@ class LlmSpec extends SparkSpec {
     import org.apache.spark.sql.types._
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft_probe_plan_").toString
-    for (e <- 0 until 3)
+    // 6 epochs: band builds are DEFERRED while the index stays within
+    // ProbeMinEpochs (no reader probes a shallow index), so only epochs
+    // 4-5 carry at-rest band files — exactly the epochs a deep read probes
+    for (e <- 0 until 6)
       Dedup.nearDedupIncrement(
-        corpus.filter(pmod(col("doc_id"), lit(3)) === e), "doc_id", "text", dir, 0.5,
+        corpus.filter(pmod(col("doc_id"), lit(6)) === e), "doc_id", "text", dir, 0.5,
         epoch = e).collect()
     val bandsPath = dir + "/bands"
     val schema = StructType(Seq(
@@ -166,7 +169,7 @@ class LlmSpec extends SparkSpec {
       StructField("v0", LongType), StructField("v1", LongType),
       StructField("v2", LongType), StructField("v3", LongType),
       StructField("bucket", IntegerType), StructField("epoch", LongType)))
-    val probe = Dedup.probeBands(spark, bandsPath, schema, Seq(0L, 1L), Seq(3, 7, 11))
+    val probe = Dedup.probeBands(spark, bandsPath, schema, Seq(4L, 5L), Seq(3, 7, 11))
     val scan = probe.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
@@ -180,7 +183,7 @@ class LlmSpec extends SparkSpec {
       "epoch must prune at the partition level")
     // pruned read ≡ read-then-filter (no row lost to pruning)
     val viaFilter = spark.read.parquet(bandsPath)
-      .filter(col("epoch").cast("long").isin(0L, 1L) && col("bucket").isin(3, 7, 11))
+      .filter(col("epoch").cast("long").isin(4L, 5L) && col("bucket").isin(3, 7, 11))
       .select(col("id"), col("band"), col("v0"), col("bucket"))
       .collect().map(_.toSeq).sortBy(_.toString)
     val viaProbe = probe.select(col("id"), col("band"), col("v0"), col("bucket"))
@@ -196,6 +199,73 @@ class LlmSpec extends SparkSpec {
       val bkts = spark.read.parquet(f).select(col("bucket")).collect().map(_.getInt(0))
       assert(bkts.sameElements(bkts.sorted), s"$f not bucket-sorted")
     }
+  }
+
+  test("probe gate: depth OR a folded sentinel epoch engages the probe; band writes defer while shallow") {
+    // folded-volume fix: after compaction the whole settled corpus sits
+    // in 1-2 directories, so epoch COUNT stops proxying volume — a
+    // folded epoch must always probe (the plain scan would re-read
+    // O(history) exactly when the folded epoch is largest)
+    assert(!Dedup.probeGate(Set.empty))
+    assert(!Dedup.probeGate(Set(0L, 1L, 2L, 3L)))           // shallow
+    assert(Dedup.probeGate(Set(0L, 1L, 2L, 3L, 4L)))        // depth
+    assert(Dedup.probeGate(Set(-1L)))                       // folded alone
+    assert(Dedup.probeGate(Set(-1L, 5L)))                   // post-compaction shape
+    assert(Dedup.probeGate(Set(-2L, 6L, 7L)))               // folded + fresh epochs
+  }
+
+  test("probe IO: per-trigger hs-fetch bytes track the batch's HIT epochs, not history size") {
+    // the fat column of the index is hs (the per-doc shingle hash set);
+    // the probe reads it only for epochs that produced band candidates.
+    // Three same-sized batches against the SAME 8-epoch history:
+    //   A: all-distinct docs  -> no hit epochs  -> zero hs bytes
+    //   B: dups of ONE epoch  -> few hit epochs -> a fraction of C
+    //   C: dups from EVERY epoch -> all epochs' hs
+    // The (B-A) increment must be a bounded fraction of (C-A): per-
+    // trigger IO is a function of the batch's candidates, not history
+    // depth. The fixture is fully deterministic (md5-derived words), so
+    // the hit-epoch sets are pinned: B hits {3,4,5} — epoch 5's real
+    // dups plus two stray 4-minhash band collisions in epochs 3-4
+    // (measured, reproducible) — and C hits every epoch it duplicates.
+    def synthDocs(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.toDF("doc_id").select(col("doc_id"),
+        array_join(transform(sequence(lit(0), lit(24)),
+          i => substring(md5(concat(col("doc_id").cast("string"), lit("_"),
+            i.cast("string"))), 1, 8)), " ").as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_probe_io_").toString
+    val perEpoch = 800
+    for (e <- 0 until 8) {
+      Dedup.nearDedupIncrement(
+        synthDocs((0 until perEpoch).map(i => (e * perEpoch + i).toLong)),
+        "doc_id", "text", dir, 0.5, epoch = e).write.format("noop")
+        .mode("overwrite").save()
+      graft.ops.CacheRegistry.releaseAll()
+    }
+    // batches: 20 docs each, fresh ids; text decides the hit epochs
+    def run(epoch: Long, srcIds: Seq[Long]): Long = {
+      val batch = synthDocs(srcIds)
+        .withColumn("doc_id", col("doc_id") + 1000000L + epoch * 1000L)
+      val (_, bytes) = graft.ops.InputBytesMeter.measureWithAccurateParquetIO(spark) {
+        Dedup.nearDedupIncrement(batch, "doc_id", "text", dir, 0.5, epoch = epoch)
+          .write.format("noop").mode("overwrite").save()
+      }
+      graft.ops.CacheRegistry.releaseAll()
+      bytes
+    }
+    val bytesA = run(100, (50000L until 50020L))                       // distinct
+    val bytesB = run(200, (0 until 20).map(i => (5 * perEpoch + i).toLong)) // epoch 5
+    val bytesC = run(300, (0 until 8).flatMap(e =>                     // every epoch
+      (0 until 3).map(i => (e * perEpoch + 10 + i).toLong)).take(20).map(_.toLong))
+    assert(bytesB > bytesA, s"one-hit batch must fetch some hs: A=$bytesA B=$bytesB")
+    assert(bytesC > bytesB, s"all-hit batch must fetch more hs: B=$bytesB C=$bytesC")
+    val fewEpochs = bytesB - bytesA
+    val allEpochs = bytesC - bytesA
+    // B hits 3 of the ~8.5 epochs C hits (deterministic fixture; 0.42
+    // measured) — 0.6 leaves margin without admitting an unpruned fetch
+    // (an unpruned hs fetch puts B-A == C-A, ratio 1.0)
+    assert(fewEpochs.toDouble < allEpochs.toDouble * 0.6,
+      s"hs fetch not pruned to hit epochs: few-hit +$fewEpochs vs all-hit +$allEpochs")
+    graft.ops.Layout.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
   test("incremental near-dedup legacy fallback: an index without the band family still dedups") {

@@ -216,6 +216,75 @@ class SinkSpec extends SparkSpec {
     graft.ops.Layout.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("recoverOptimize conflict window: live recreated mid-swap without a manifest rescues the retired originals") {
+    import graft.ops.ZOrder
+    import spark.implicits._
+    // the window: retire rename done, land rename NOT done, and a
+    // concurrent append recreated the live directory in between — live
+    // holds ONLY the stray append, the retired copy holds the
+    // partition's only original rows, the completed rewrite sits in
+    // stage. Recovery must merge the originals back (not delete them
+    // with the retired copy), keep the append, and discard the stage
+    // (the partition re-optimizes later since no marker landed).
+    val dir = java.nio.file.Files.createTempDirectory("graft_opt_conflict_").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orig = (1L to 50L).map(i => (i, i * 2)).toDF("k", "v")
+    orig.coalesce(2).write.parquet(dir + "/p=A")
+    val live = new org.apache.hadoop.fs.Path(dir, "p=A")
+    val retired = new org.apache.hadoop.fs.Path(dir + "/.__graft_optimize_retired/p=A")
+    val stage = new org.apache.hadoop.fs.Path(dir + "/.__graft_optimize_stage/p=A")
+    val inputNames = fs.listStatus(live).map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet
+    // stage: a complete rewrite of the originals, manifest included
+    orig.coalesce(1).write.parquet(stage.toString)
+    val manifest = new org.apache.hadoop.fs.Path(stage, "_GRAFT_INPUTS")
+    val out = fs.create(manifest, true)
+    out.write(inputNames.toSeq.sorted.mkString("\n").getBytes("UTF-8")); out.close()
+    // retire, then the concurrent append recreates live before the land
+    fs.mkdirs(retired.getParent)
+    require(fs.rename(live, retired))
+    val stray = Seq((1000L, 0L)).toDF("k", "v")
+    stray.coalesce(1).write.parquet(live.toString)
+    ZOrder.recoverOptimize(spark, dir)
+    assert(!fs.exists(retired), "retired copy not cleaned")
+    assert(!fs.exists(stage), "stage not swept")
+    val got = spark.read.parquet(live.toString).select(col("k"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = ((1L to 50L).map(i => (i, i * 2)) :+ (1000L, 0L)).sorted
+    assert(got === want,
+      "conflict recovery must keep originals + the stray append, exactly once each")
+    // no marker landed → the partition is stale and re-optimizes next run
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(live, "_GRAFT_OPTIMIZED")))
+    graft.ops.Layout.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("optimizePartitioned maxConcurrent: parallel partition rewrites match the serial result") {
+    import graft.ops.ZOrder
+    val dir = java.nio.file.Files.createTempDirectory("graft_opt_conc_").toString
+    val dirSerial = java.nio.file.Files.createTempDirectory("graft_opt_ser_").toString
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+    for (d <- Seq(dir, dirSerial))
+      li.repartition(4).write.partitionBy("l_returnflag").mode("overwrite").parquet(d)
+    def snapshot(d: String) = spark.read.parquet(d)
+      .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_returnflag")
+      .collect().map(_.toSeq).toSeq
+    val done = ZOrder.optimizePartitioned(spark, dir, "l_returnflag",
+      Seq("l_partkey", "l_suppkey"), filesPerPartition = 4, maxConcurrent = 3)
+    val doneSerial = ZOrder.optimizePartitioned(spark, dirSerial, "l_returnflag",
+      Seq("l_partkey", "l_suppkey"), filesPerPartition = 4)
+    assert(done.toSet === doneSerial.toSet)
+    assert(snapshot(dir) === snapshot(dirSerial),
+      "concurrent OPTIMIZE must preserve exactly the serial row set")
+    // markers landed for every partition; a second concurrent run is a no-op
+    assert(ZOrder.optimizePartitioned(spark, dir, "l_returnflag",
+      Seq("l_partkey", "l_suppkey"), filesPerPartition = 4, maxConcurrent = 3) === Seq.empty)
+    for (d <- Seq(dir, dirSerial))
+      graft.ops.Layout.deleteRecursively(java.nio.file.Paths.get(d))
+  }
+
   test("mergeUpsert rewrites only touched partitions and merges exactly") {
     import graft.sources.Sinks
     val dir = java.nio.file.Files.createTempDirectory("graft_merge_").toString
