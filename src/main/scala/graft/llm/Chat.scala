@@ -107,6 +107,53 @@ object Chat {
       .drop("__last_role")
   }
 
+  /** Template-marker SANITIZER — the apply step behind
+    * [[validateConversations]]' `has_template_collision` flag (q210
+    * flags; this transforms): rewrite turn content so no marker can
+    * forge a turn boundary in `rendered`, with auditable per-turn
+    * counts. Compose AHEAD of render/validation.
+    *
+    * Policies:
+    *  - `escape` (default, recommended): each marker occurrence keeps
+    *    its characters with a `\` inserted before its last one
+    *    (`<|` → `<\|`, `|>` → `|\>`) — content stays human-readable and
+    *    the insertion can never assemble a NEW marker (no marker
+    *    contains `\`), so one sequential pass is closed-form safe.
+    *  - `drop`: marker occurrences are removed. One pass; a pathological
+    *    nesting (`<<||>`) can reassemble a marker from the residue — a
+    *    downstream [[validateConversations]] still flags such rows,
+    *    which is why `escape` is the production default.
+    *
+    * Output: conv_id, idx, role, content (sanitized; NULL stays NULL),
+    * n_markers (non-overlapping occurrences found in the ORIGINAL
+    * content, summed over markers — the audit trail). Deterministic
+    * string work, replayed exactly by the DuckDB oracle (q215).
+    * Narrow per-row transform: no shuffle, whole-stage codegen.
+    */
+  def sanitizeTemplateMarkers(turns: DataFrame, convCol: String, idxCol: String,
+      roleCol: String, contentCol: String,
+      policy: String = "escape",
+      markers: Seq[String] = DefaultCollisionMarkers): DataFrame = {
+    require(policy == "escape" || policy == "drop", s"unknown policy: $policy")
+    require(markers.forall(_.nonEmpty), "markers must be non-empty strings")
+    val c = col(contentCol)
+    // non-overlapping occurrence count per marker, on the ORIGINAL text:
+    // (len - len(without)) / len(marker) — the same arithmetic both
+    // engines evaluate identically
+    val nMarkers = markers.map { m =>
+      (length(c) - length(replace(c, lit(m)))) / m.length
+    }.reduce(_ + _)
+    val sanitized = markers.foldLeft(c) { (acc, m) =>
+      val to = if (policy == "escape") m.init + "\\" + m.last else ""
+      replace(acc, lit(m), lit(to))
+    }
+    turns.select(
+      col(convCol).as("conv_id"), col(idxCol).as("idx"),
+      col(roleCol).as("role"),
+      sanitized.as("content"),
+      coalesce(nMarkers.cast("long"), lit(0L)).as("n_markers"))
+  }
+
   /** Preference-pair (RLHF/DPO) validation over a turn-level table with a
     * `side` column ('chosen'/'rejected'). A DPO pair is two conversations
     * sharing every turn EXCEPT the final assistant completion; training on

@@ -748,6 +748,35 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
+  /** [[dhashImageTable]]'s LOSSY twin: the identical pixel planes
+    * container-encoded as REAL JPEGs (quality 0.9) instead of PNG — the
+    * composition fixture proving the perceptual-dedup lane consumes the
+    * dominant crawl format unchanged. dHash is exactly the hash that
+    * should survive the re-encode: quantization noise perturbs block
+    * means by a few gray levels while the fixture's gradient SIGNS
+    * (±7/px in x against the DC-dominated plane) stay put, so planted
+    * variants still pair at small hamming and distinct bases stay far.
+    * The exact bounds are pinned in LlmSpec; the q214 gate rides them.
+    */
+  def dhashJpegTable(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val base = r.getLong(0)
+        val variantIds =
+          (if (base % 4 == 0) Seq(base + 1000000L) else Seq.empty) ++
+            (if (base % 4 == 1) Seq(base + 2000000L) else Seq.empty)
+        (base +: variantIds).iterator.map { id =>
+          val w = (20 + base % 6).toInt
+          val h = (16 + base % 5).toInt
+          val px = Array.tabulate(w * h)(i => dhashSynthPixel(id, i % w, i / w))
+          val jpg = encodeGrayJpeg(w, h, px)
+          Row(id, jpg, Row("image/jpeg", w, h, jpg.length.toLong))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
   /** Frame/patch sampling stub: emits `n` deterministic byte-slices per
     * payload (what frame-sampling does to video), as its own rows —
     * explode keeps it fully distributed.

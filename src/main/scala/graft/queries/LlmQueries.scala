@@ -4044,6 +4044,177 @@ object LlmQueries {
           (col("min_gray").cast("double") >= base - 8.0 &&
             col("max_gray").cast("double") <= expMax + 8.0).as("range_ok"))
         .orderBy(col("media_id"))
+    },
+
+    // First-fit-decreasing packing — the PRODUCTION no-split packer
+    // (q89's concat-then-chunk lets documents span windows; FFD places
+    // whole documents with BOS/EOS separator accounting, the shape SFT/
+    // eval batching needs). Budget 96 at this fixture's lengths exercises
+    // both the multi-doc bins and the oversize-own-bin path (16 docs
+    // exceed the budget). The oracle replays the IDENTICAL fold item by
+    // item as a recursive CTE over (eff DESC, id) — Spark's histogram-
+    // batched fold is provably the same placement sequence, so every
+    // (bin, slot, bin_off) cell matches exactly.
+    QueryDef.sql(
+      "q213_ffd_packing",
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_tokens,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) + 2 AS eff
+        |  FROM documents),
+        |ord AS (
+        |  SELECT doc_id, n_tokens, eff,
+        |         row_number() OVER (ORDER BY eff DESC, doc_id) AS rn FROM t),
+        |ffd AS (
+        |  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS doc_id,
+        |         CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS eff,
+        |         CAST(NULL AS BIGINT) AS bin, CAST(NULL AS BIGINT) AS slot,
+        |         CAST(NULL AS BIGINT) AS bin_off,
+        |         CAST([] AS BIGINT[]) AS rem, CAST([] AS BIGINT[]) AS slots,
+        |         CAST([] AS BIGINT[]) AS offs
+        |  UNION ALL
+        |  SELECT x.orn, x.od, x.ont, x.oe,
+        |    CASE WHEN x.fit IS NULL THEN CAST(len(x.rem) AS BIGINT) ELSE x.fit - 1 END,
+        |    CASE WHEN x.fit IS NULL THEN 0 ELSE x.slots[CAST(x.fit AS INT)] END,
+        |    CASE WHEN x.fit IS NULL THEN 0 ELSE x.offs[CAST(x.fit AS INT)] END,
+        |    CASE WHEN x.fit IS NULL THEN list_append(x.rem, 96 - x.oe)
+        |         ELSE list_transform(x.rem, (r, i) -> CASE WHEN i = x.fit THEN r - x.oe ELSE r END) END,
+        |    CASE WHEN x.fit IS NULL THEN list_append(x.slots, CAST(1 AS BIGINT))
+        |         ELSE list_transform(x.slots, (s, i) -> CASE WHEN i = x.fit THEN s + 1 ELSE s END) END,
+        |    CASE WHEN x.fit IS NULL THEN list_append(x.offs, x.oe)
+        |         ELSE list_transform(x.offs, (s, i) -> CASE WHEN i = x.fit THEN s + x.oe ELSE s END) END
+        |  FROM (
+        |    SELECT f.rem, f.slots, f.offs, o.rn AS orn, o.doc_id AS od,
+        |      o.n_tokens AS ont, o.eff AS oe,
+        |      NULLIF(CAST(list_position(list_transform(f.rem, r -> r >= o.eff), true) AS BIGINT), 0) AS fit
+        |    FROM ffd f JOIN ord o ON o.rn = f.rn + 1) x)
+        |SELECT doc_id, n_tokens, eff, bin, slot, bin_off, eff > 96 AS oversize
+        |FROM ffd WHERE rn > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        size(TextAnalysis.wordTokens(col("text"))).cast("long").as("n_tokens"))
+      graft.llm.Packing.ffdPack(toks, "doc_id", "n_tokens", budget = 96L,
+          sepTokens = 2L)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("eff"),
+          col("bin"), col("slot"), col("bin_off"), col("oversize"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Template-collision SANITIZE — the apply step q210's flag defers:
+    // escape every marker occurrence (`<|` → `<\|`, `|>` → `|\>`) ahead
+    // of render, with auditable per-conversation counts; the re-run
+    // validator must come back collision-free on the same planted
+    // fixture, and `rendered` pins the escaped text itself. Deterministic
+    // string work — the oracle replays the overlay, both replaces, the
+    // count arithmetic, and the ordered template fold cell-exactly.
+    QueryDef.sql(
+      "q215_template_sanitize",
+      s"""WITH $sftTurnsSql,
+        |ct AS (SELECT doc_id, idx, role,
+        |        CASE WHEN doc_id % 9 = 4 AND idx = 0
+        |               THEN content || ' see <|assistant|>sneaky'
+        |             WHEN doc_id % 9 = 7 AND idx = 1
+        |               THEN content || ' tag|> trailing'
+        |             ELSE content END AS content FROM tt),
+        |san AS (SELECT doc_id, idx, role,
+        |        replace(replace(content, '<|', '<\\|'), '|>', '|\\>') AS content,
+        |        CAST((length(content) - length(replace(content, '<|', ''))) / 2
+        |           + (length(content) - length(replace(content, '|>', ''))) / 2
+        |          AS BIGINT) AS n_markers
+        |        FROM ct),
+        |lg AS (SELECT *, coalesce(role = lag(role) OVER (PARTITION BY doc_id ORDER BY idx), false) AS same_as_prev FROM san),
+        |agg AS (SELECT doc_id AS conv_id,
+        |        CAST(SUM(n_markers) AS BIGINT) AS n_collisions,
+        |        CAST(SUM(CASE WHEN n_markers > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_turns_affected,
+        |        bool_or(idx = 0 AND role = 'user') AS starts_user,
+        |        NOT bool_or(same_as_prev) AS alternates,
+        |        bool_or(trim(content) = '') AS has_empty,
+        |        bool_or(contains(content, '<|') OR contains(content, '|>')) AS has_template_collision,
+        |        arg_max(role, idx) AS last_role,
+        |        string_agg('<|' || role || '|>' || content, '' ORDER BY idx) AS rendered
+        |        FROM lg GROUP BY doc_id)
+        |SELECT conv_id, n_collisions, n_turns_affected, has_template_collision,
+        |  (starts_user AND alternates AND NOT has_empty
+        |    AND last_role = 'assistant') AS valid,
+        |  rendered
+        |FROM agg ORDER BY conv_id""".stripMargin) { (s, d) =>
+      import graft.llm.Chat
+      val overlaid = sftTurns(s, d).withColumn("content",
+        when(pmod(col("doc_id"), lit(9)) === 4 && col("idx") === 0,
+          concat(col("content"), lit(" see <|assistant|>sneaky")))
+          .when(pmod(col("doc_id"), lit(9)) === 7 && col("idx") === 1,
+            concat(col("content"), lit(" tag|> trailing")))
+          .otherwise(col("content")))
+      val san = Chat.sanitizeTemplateMarkers(overlaid, "doc_id", "idx", "role",
+        "content", policy = "escape")
+      val audit = san.groupBy(col("conv_id")).agg(
+        sum(col("n_markers")).as("n_collisions"),
+        sum(when(col("n_markers") > 0, 1L).otherwise(0L)).as("n_turns_affected"))
+      Chat.validateConversations(san, "conv_id", "idx", "role", "content")
+        .join(audit, "conv_id")
+        .select(col("conv_id"), col("n_collisions"), col("n_turns_affected"),
+          col("has_template_collision"), col("valid"), col("rendered"))
+        .orderBy(col("conv_id"))
+    },
+
+    // JPEG COMPOSITION — the q212 decode lane driven through the two
+    // downstream consumers it exists for: perceptual dedup (q199's
+    // dHash machinery) and ViT tiles (q160's), both over REAL JPEG
+    // payloads. Guard-bounded like q212 (lossy decode is library-
+    // dependent): container invariance — the same pixel plane hashes
+    // within 6/64 bits of its PNG twin (measured max 4) — planted
+    // brightness/noise variants still pair through the pigeonhole
+    // bucket join, and every 4×4 tile grid is complete with means
+    // within 3 gray of the closed-form plane (measured max 0.84).
+    // Exact distributions pinned in LlmSpec; oracle expects literal
+    // verdicts per base image.
+    QueryDef.sql(
+      "q214_jpeg_composition",
+      """SELECT doc_id AS media_id,
+        |  true AS container_invariant,
+        |  CASE WHEN doc_id % 4 <= 1 THEN true END AS variant_paired,
+        |  true AS tiles_ok
+        |FROM documents WHERE doc_id < 400 ORDER BY media_id""".stripMargin) { (s, d) =>
+      import graft.llm.Multimodal
+      val ids = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select(col("doc_id"))
+      val jpeg = Multimodal.dhashJpegTable(s, ids, "doc_id")
+      val png = Multimodal.dhashImageTable(s, ids, "doc_id")
+      val base = pmod(col("media_id"), lit(1000000L))
+      // container invariance per FAMILY (base + its variants)
+      val inv = Multimodal.dHashSigs(s, jpeg).select(col("media_id"), col("sig").as("sj"))
+        .join(Multimodal.dHashSigs(s, png).select(col("media_id"), col("sig").as("sp")),
+          "media_id")
+        .select(base.as("media_id"),
+          (bit_count(col("sj").bitwiseXOR(col("sp"))) <= 6).as("inv_ok"))
+        .groupBy(col("media_id")).agg(min(col("inv_ok")).as("container_invariant"))
+      // planted variants pair through the JPEG lane (bucket join recall)
+      val paired = Multimodal.dHashPairs(s, jpeg, maxHamming = 12)
+        .filter(pmod(col("id1"), lit(1000000L)) === pmod(col("id2"), lit(1000000L)))
+        .select(pmod(col("id1"), lit(1000000L)).as("media_id"))
+        .distinct().withColumn("__paired", lit(true))
+      // 4×4 tiles over the linear-plane JPEG table: complete grid, means
+      // within 3 gray of the closed form
+      val w = lit(8) + pmod(col("media_id"), lit(5))
+      val h = lit(6) + pmod(col("media_id"), lit(4))
+      val expMean = pmod(col("media_id"), lit(64)).cast("double") +
+        (col("tile_x") * 4 + (col("tw") - 1) / 2.0) * 4.0 +
+        (col("tile_y") * 4 + (col("th") - 1) / 2.0) * 3.0
+      val tiles = Multimodal.imageTiles(s,
+          Multimodal.syntheticJpegTable(s, ids, "doc_id"), 4, 4)
+        .select(col("media_id"),
+          (abs(col("mean_gray") - expMean) <= 3.0).as("t_ok"))
+        .groupBy(col("media_id"))
+        .agg(min(col("t_ok")).as("__means_ok"), count(lit(1)).as("__n_tiles"))
+        .select(col("media_id"), (col("__means_ok") &&
+          col("__n_tiles") === (ceil(w / 4.0) * ceil(h / 4.0)).cast("long"))
+          .as("tiles_ok"))
+      inv
+        .join(paired, Seq("media_id"), "left")
+        .join(tiles, "media_id")
+        .select(col("media_id"), col("container_invariant"),
+          when(pmod(col("media_id"), lit(4)) <= 1, col("__paired"))
+            .as("variant_paired"),
+          col("tiles_ok"))
+        .orderBy(col("media_id"))
     }
   )
 

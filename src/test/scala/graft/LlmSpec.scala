@@ -201,6 +201,139 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("JPEG lane: dHash survives the lossy re-encode — container-invariant, variants pair, tiles exact-bounded") {
+    // the q214 guard bounds, pinned as raw distributions (measured on
+    // this fixture: container max 4/64 bits, bright max 1, noise max 7,
+    // tile mean err max 0.84)
+    import spark.implicits._
+    val ids = (0L until 200L).toDF("doc_id")
+    val jpeg = Multimodal.dhashJpegTable(spark, ids, "doc_id")
+    val png = Multimodal.dhashImageTable(spark, ids, "doc_id")
+    val sj = Multimodal.dHashSigs(spark, jpeg)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val sp = Multimodal.dHashSigs(spark, png)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // container invariance: same plane, PNG vs JPEG container
+    val inv = sj.keys.map(id => ham(sj(id), sp(id)))
+    assert(inv.max <= 6, s"container moved the hash ${inv.max} bits")
+    // planted variants stay NEAR through the lossy lane: brightness
+    // shift is gradient-sign-invariant (±1 bit of JPEG jitter); sparse
+    // noise flips a bounded handful
+    val bright = (0L until 200L).filter(_ % 4 == 0).map(b => ham(sj(b), sj(b + 1000000L)))
+    val noise = (0L until 200L).filter(_ % 4 == 1).map(b => ham(sj(b), sj(b + 2000000L)))
+    assert(bright.max <= 2, s"brightness variant drifted: ${bright.max}")
+    assert(noise.max <= 10, s"noise variant drifted: ${noise.max}")
+    // the bucket join over JPEG sigs keeps exact recall vs brute force
+    val pairs = Multimodal.dHashPairs(spark, jpeg, maxHamming = 12)
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = sj.toSeq
+    val brute = (for {
+      (i, si) <- all; (j, sjj) <- all
+      if i < j && ham(si, sjj) <= 12
+    } yield (i, j)).toSet
+    assert(pairs === brute, "bucketed pairs != brute force on JPEG sigs")
+    // every planted pair found
+    for (b <- 0L until 200L) {
+      if (b % 4 == 0) assert(pairs.contains((b, b + 1000000L)), s"bright pair $b missing")
+      if (b % 4 == 1) assert(pairs.contains((b, b + 2000000L)), s"noise pair $b missing")
+    }
+    // tiles over JPEG: complete ragged grid, means hug the closed form
+    val tiles = Multimodal.imageTiles(spark,
+      Multimodal.syntheticJpegTable(spark, ids, "doc_id"), 4, 4)
+    val err = tiles
+      .withColumn("exp", pmod(col("media_id"), lit(64)).cast("double")
+        + (col("tile_x") * 4 + (col("tw") - 1) / 2.0) * 4.0
+        + (col("tile_y") * 4 + (col("th") - 1) / 2.0) * 3.0)
+      .agg(max(abs(col("mean_gray") - col("exp"))).as("e"), count(lit(1)).as("n"))
+      .collect()(0)
+    assert(err.getDouble(0) <= 2.0, s"tile mean error ${err.getDouble(0)}")
+    val expTiles = (0L until 200L).map(id =>
+      ((8 + id % 5 + 3) / 4) * ((6 + id % 4 + 3) / 4)).sum
+    assert(err.getLong(1) === expTiles, "incomplete tile grid over JPEG")
+  }
+
+  test("sanitizeTemplateMarkers: escape is nesting-safe, drop is one-pass, NULL content survives") {
+    import graft.llm.Chat
+    val turns = Seq(
+      (1L, 0, "user", Some("hi <|assistant|> there")),
+      (1L, 1, "assistant", Some("ok")),
+      (2L, 0, "user", Some("<<||x nested")), // drop's residual-marker case
+      (3L, 0, "user", None: Option[String])
+    ).toDF("conv_id", "idx", "role", "content")
+    def collides(s: String) = s != null && (s.contains("<|") || s.contains("|>"))
+    val esc = Chat.sanitizeTemplateMarkers(turns, "conv_id", "idx", "role",
+        "content", policy = "escape")
+      .collect().map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getString(3), r.getLong(4)))).toMap
+    assert(esc((1L, 0))._1 === "hi <\\|assistant|\\> there")
+    assert(esc((1L, 0))._2 === 2L) // one <| and one |>
+    // pathological nesting: the escape INSERT can never assemble a new
+    // marker — the sanitized text is marker-free
+    assert(!collides(esc((2L, 0))._1), s"escape left a marker: ${esc((2L, 0))._1}")
+    assert(esc((2L, 0))._2 === 1L)
+    assert(esc((3L, 0))._1 === null && esc((3L, 0))._2 === 0L)
+    // drop: one pass — the documented residual case reassembles a marker
+    // from the residue (why escape is the production default; a re-run
+    // of the validator still flags it)
+    val drp = Chat.sanitizeTemplateMarkers(turns, "conv_id", "idx", "role",
+        "content", policy = "drop")
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getString(3))).toMap
+    assert(drp((1L, 0)) === "hi assistant there")
+    assert(collides(drp((2L, 0))), "expected the documented one-pass residue")
+    // escape composes clean through the validator
+    val validated = Chat.validateConversations(
+      Chat.sanitizeTemplateMarkers(turns, "conv_id", "idx", "role", "content"),
+      "conv_id", "idx", "role", "content")
+    assert(validated.filter(col("has_template_collision")).count() === 0)
+  }
+
+  test("FFD packing: placements exact, never over budget, at least the greedy baseline's utilization") {
+    val budget = 96L
+    val toks = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        size(TextAnalysis.wordTokens(col("text"))).cast("long").as("n_tokens"))
+    val packed = graft.llm.Packing.ffdPack(toks, "doc_id", "n_tokens", budget, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))) // id, eff, bin, slot, off, oversize
+    assert(packed.length === toks.count())
+    // per-bin invariants: slots contiguous from 0 in placement order,
+    // bin_off = prefix sum of effs, capacity respected (oversize docs
+    // alone in their bin)
+    for ((_, docs) <- packed.groupBy(_._3)) {
+      val bySlot = docs.sortBy(_._4)
+      assert(bySlot.map(_._4).toSeq === bySlot.indices.map(_.toLong).toSeq)
+      var off = 0L
+      for ((_, eff, _, _, binOff, _) <- bySlot) {
+        assert(binOff === off, s"bin_off mismatch: $binOff vs $off")
+        off += eff
+      }
+      if (docs.exists(_._6)) assert(docs.length === 1, "oversize doc must sit alone")
+      else assert(off <= budget, s"bin over budget: $off > $budget")
+    }
+    // FFD must use no more bins (≥ utilization) than the in-order greedy
+    // next-fit baseline — the packer q89-style pipelines would hand-roll
+    val effsByInput = packed.sortBy(_._1).map(_._2)
+    var nfBins = 0; var cur = 0L
+    for (eff <- effsByInput) {
+      if (eff > budget) { nfBins += 1; cur = 0L } // own (overflowed) bin
+      else if (nfBins == 0 || eff > cur) { nfBins += 1; cur = budget - eff }
+      else cur -= eff
+    }
+    val ffdBins = packed.map(_._3).distinct.length
+    assert(ffdBins <= nfBins,
+      s"FFD used $ffdBins bins vs greedy next-fit's $nfBins")
+    // fresh-bin chunk arithmetic: a uniform-length corpus fills
+    // floor(budget/eff) docs per bin, ids in order
+    import spark.implicits._
+    val uni = (0L until 10L).toDF("id").select(col("id"), lit(30L).as("t"))
+    val u = graft.llm.Packing.ffdPack(uni, "id", "t", budget, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).sortBy(_._1)
+    // eff 32 -> 3 per 96-bin: ids 0,1,2 in bin 0 at slots 0,1,2 ...
+    assert(u.toSeq === (0L until 10L).map(i => (i, i / 3, i % 3)))
+  }
+
   test("probe gate: depth OR a folded sentinel epoch engages the probe; band writes defer while shallow") {
     // folded-volume fix: after compaction the whole settled corpus sits
     // in 1-2 directories, so epoch COUNT stops proxying volume — a
