@@ -605,6 +605,9 @@ object Dedup {
   def exactDedupIncrement(batch: DataFrame, idCol: String, fpCol: Column,
       indexDir: String, epoch: Long): DataFrame =
     withIndexLock(batch.sparkSession, indexDir, s"exact-increment epoch=$epoch") {
+      // the raised In threshold must cover the ACTIONS below (pushdown
+      // conversion happens at physical planning, not plan construction)
+      withPushedInThreshold(batch.sparkSession) {
       val spark = batch.sparkSession
       val statePath = indexDir.stripSuffix("/") + "/exact_state"
       val fps = batch.select(col(idCol).cast("long").as("id"), fpCol.cast("string").as("fp"))
@@ -615,13 +618,22 @@ object Dedup {
         graft.ops.Layout.hasParquetData(
           p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
       }
-      // history fingerprints hit by this batch: history scanned, the
-      // batch's (bounded) distinct fingerprint set broadcast
+      // history fingerprints hit by this batch: the batch's (bounded)
+      // distinct fingerprint set broadcast into the scan — and, for
+      // trigger-sized batches, ALSO pushed as `fp IN` so the fp-sorted
+      // files (especially the compacted sentinel) group-skip instead of
+      // scanning O(history) fingerprints
       val batchFps = fps.select(col("fp")).filter(col("fp").isNotNull).distinct()
-      val seen = if (!hasIndex) batchFps.limit(0) else
-        spark.read.parquet(statePath).filter(col("epoch") < epoch)
+      val seen = if (!hasIndex) batchFps.limit(0) else {
+        val base = spark.read.parquet(statePath).filter(col("epoch") < epoch)
+        val prefiltered = pushableKeys(batchFps) match {
+          case Some(vals) => base.filter(col("fp").isin(vals: _*))
+          case None => base
+        }
+        prefiltered
           .join(broadcast(batchFps), Seq("fp"), "left_semi")
           .select(col("fp")).distinct()
+      }
       val batchMin = fps.filter(col("fp").isNotNull)
         .groupBy(col("fp")).agg(min(col("id")).as("keep_id"))
       val droppedLazy = fps.join(batchMin, "fp")
@@ -637,27 +649,131 @@ object Dedup {
       graft.ops.CacheRegistry.register(newFps)
       val outFiles = graft.ops.Layout.sizedFileCount(newFps.count())
       newFps.withColumn("epoch", lit(epoch)).coalesce(outFiles)
-        .write.mode("append").partitionBy("epoch").parquet(statePath)
+        // fp-sorted small groups: the pushed fp IN above must group-skip
+        // (epoch leads or partitionBy's writer re-sorts — writeBandEpoch)
+        .sortWithinPartitions(col("epoch"), col("fp"))
+        .write.mode("append")
+        .option("parquet.block.size", StateBlockBytes)
+        .partitionBy("epoch").parquet(statePath)
       batch.select(col(idCol).cast("long").as("id"))
         .join(broadcast(dropped.withColumn("__dropped", lit(true))), Seq("id"), "left")
         .select(col("id"), col("__dropped").isNull.as("kept"))
+      }
     }
 
-  /** Band-bucket count for the probe-pruned at-rest layout. FIXED by
-    * contract (an at-rest constant, like the 4×4 banding itself): the
-    * probe computes bucket values with the same function the writer
-    * used, so changing it would silently miss candidates in files
-    * written under the old value. Buckets are a DATA column the epoch's
-    * files are range-clustered and sorted on — pruning rides parquet
-    * row-group min/max stats via the pushed In filter, NOT directory
-    * partitioning (a bucket=... directory level was measured 2.3×
-    * SLOWER than the full scan at small scale: ~64 files per epoch of
-    * listing/footer tax, the classic small-files bill — and a large
-    * batch saturates every bucket directory anyway, while row-group
-    * skipping degrades gracefully from full-skip to full-scan as the
-    * batch's bucket set grows).
+  /** At-rest LAYOUT VERSION of a bands directory, stamped in a
+    * `_GRAFT_BANDS_LAYOUT` marker before the first band file lands.
+    * Current layout `bk-v1`: one row per (doc, band) carrying the full
+    * band signature plus `bk` = xxhash64(band, v0..v3) — files sorted
+    * by bk, SMALL row groups (128 KiB) and a parquet-native BLOOM
+    * FILTER on bk. The probe pushes `bk IN (batch's ≤4B key hashes)`;
+    * blooms skip row groups containing none of them — the only stats
+    * that CAN skip here, measured: scattered hash keys give every
+    * min/max unit a full-range span, so range/page/dictionary stats
+    * never prune (a bucket-range layout was built, measured at parity
+    * or worse than the plain sig scan, and retired — see PLANS.md).
+    * Per-increment band IO ≈ hitGroups × 128 KiB + per-group
+    * footer/bloom overhead — flat in history volume, linear only in
+    * batch size, and the granularity SURVIVES compaction's fold (the
+    * sentinel epoch is just more groups).
+    *
+    * Directories holding band data WITHOUT the marker are the retired
+    * bucket layout: readers IGNORE them (the sig-derive fallback reads
+    * fewer bytes than that layout ever saved) and writers stop
+    * appending; the next compaction rebuilds them as bk-v1.
     */
-  private[llm] val NumBandBuckets = 64
+  private val BandsLayoutMarker = "_GRAFT_BANDS_LAYOUT"
+  private val BandsLayoutV1 = "bk-v1"
+
+  /** Band-family row-group size — the probe's skip granularity (and its
+    * per-hit read cost): a hit band key costs ~one 128 KiB group, so a
+    * B-doc trigger's band IO caps at ~4B × 128 KiB regardless of
+    * history volume; the per-group footer+bloom overhead (~10 KiB) is
+    * the layout's fixed tax (~8% of the family).
+    */
+  private val BandBlockBytes = 128 * 1024
+
+  /** Parquet bloom-filter FPP for the bk column. Must be ≪ 1/K for a
+    * K-key probe (every false positive costs a group read): at K ≈ 1000
+    * (the pushdown cap) and fpp 1e-4, ~90% of non-hit groups still
+    * skip.
+    */
+  private val BandBloomFpp = "0.0001"
+
+  /** State-family row-group size — the hs fetch's REAL skip granularity
+    * (Spark's readers prune row groups, not pages — measured): a hit
+    * candidate costs ~one 4 MiB group of the id-sorted files, while the
+    * default 128 MiB would hand every probe a whole file. Page size
+    * stays small so the layout is ready if page skipping ever engages.
+    */
+  private val StateBlockBytes = 4 * 1024 * 1024
+  private val StatePageBytes = 32 * 1024
+
+  /** Cap on the value-set size the probe pushes as a parquet In filter.
+    * Spark expands a pushed In into a chained OR of EQs (the form that
+    * parquet evaluates against stats AND bloom filters) — thousands of
+    * values build an equally-deep parquet filter tree whose recursive
+    * visitor overflows the task stack (measured at 4096). Past the cap
+    * the probe skips the pushed filter (for band keys that also means
+    * skipping the band family entirely — a batch that large amortizes
+    * the plain sig scan).
+    */
+  private val MaxPushedInValues = 1000
+
+  /** Run `body` with the parquet In-pushdown threshold raised to
+    * [[MaxPushedInValues]] (Spark's default 10 converts bigger Ins to a
+    * useless min/max RANGE at the parquet layer), restoring the
+    * caller's setting after. Every index read of an increment happens
+    * inside its body, so the raise never leaks into user queries.
+    */
+  private[llm] def withPushedInThreshold[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, MaxPushedInValues.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** The batch's key set as pushable literal values: Some(values) when
+    * within [[MaxPushedInValues]] (one bounded collect), None when the
+    * batch saturates the cap and the caller should scan instead.
+    */
+  private[llm] def pushableKeys(keys: DataFrame): Option[Seq[Any]] = {
+    val vals = keys.limit(MaxPushedInValues + 1).collect().map(_.get(0)).toSeq
+    if (vals.size > MaxPushedInValues) None else Some(vals)
+  }
+
+  /** The layout tag of a bands directory: Some(tag) when stamped, None
+    * for marker-less directories (retired layout or empty).
+    */
+  private def bandsLayout(fs: org.apache.hadoop.fs.FileSystem,
+      bandsPath: String): Option[String] = {
+    val marker = new org.apache.hadoop.fs.Path(bandsPath, BandsLayoutMarker)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  /** Stamp the layout marker (idempotent; BEFORE the first band file, so
+    * no reader ever sees v1 data without its tag).
+    */
+  private def writeBandsLayoutMarker(fs: org.apache.hadoop.fs.FileSystem,
+      bandsPath: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(bandsPath, BandsLayoutMarker)
+    if (!fs.exists(marker)) {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(bandsPath))
+      val out = fs.create(marker, true)
+      try out.write(BandsLayoutV1.getBytes("UTF-8")) finally out.close()
+    }
+  }
 
   /** Histories at or below this many epochs take the plain column-pruned
     * scan instead of the probe (the probe's two extra driver actions
@@ -684,28 +800,27 @@ object Dedup {
   private[graft] def probeGate(histEpochs: Set[Long]): Boolean =
     histEpochs.size > ProbeMinEpochs || histEpochs.exists(_ < 0)
 
-  /** Deterministic routing bucket of one band row — pure partition
-    * routing, NOT part of candidate semantics (two rows can only be
-    * band-equal if they are bucket-equal), so the oracles are untouched.
-    * All inputs < 2³¹ (mod-p minhashes), so the weighted sum stays far
-    * inside a long.
+  /** Deterministic 64-bit key of one band row's full signature — pure
+    * ROUTING (the probe's bloom/pushdown key), NOT part of candidate
+    * semantics (the candidate join still matches the signature columns
+    * themselves), so the oracles are untouched.
     */
-  private def bandBucket: Column =
-    pmod(col("band").cast("long") * 2654435761L + col("v0") * 40503L +
-      col("v1") * 65599L + col("v2") * 31L + col("v3"), lit(NumBandBuckets.toLong))
-      .cast("int")
+  private def bandKey: Column =
+    xxhash64(col("band"), col("v0"), col("v1"), col("v2"), col("v3"))
 
   /** The pruned at-rest band probe (test-visible for plan assertions):
-    * epoch partition pruning plus the pushed `bucket IN (...)` filter
-    * that rides parquet row-group min/max stats on the bucket-sorted
-    * files — the scan skips row groups outside the batch's band set
-    * without any directory-level bucket layout.
+    * epoch partition pruning plus the pushed `bk IN (batch's band-key
+    * hashes)` filter the bk-v1 layout exists for — parquet evaluates
+    * each pushed EQ against the per-row-group BLOOM FILTER on bk, so
+    * groups holding none of the batch's keys are skipped without any
+    * reliance on min/max ordering (scattered hash keys give every
+    * min/max unit a full-range span — measured unprunable).
     */
   private[graft] def probeBands(spark: org.apache.spark.sql.SparkSession,
       bandsPath: String, schema: org.apache.spark.sql.types.StructType,
-      epochs: Seq[Long], bkts: Seq[Int]): DataFrame =
+      epochs: Seq[Long], bandKeys: Seq[Long]): DataFrame =
     spark.read.schema(schema).parquet(bandsPath)
-      .filter(col("epoch").isin(epochs: _*) && col("bucket").isin(bkts: _*))
+      .filter(col("epoch").isin(epochs: _*) && col("bk").isin(bandKeys: _*))
 
   /** Epoch-partition directory names under `path` (one listing — the
     * epoch set is the directory layout, never a distinct job).
@@ -722,6 +837,7 @@ object Dedup {
   private def nearDedupIncrementLocked(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, threshold: Double, epoch: Long): DataFrame = {
     val spark = batch.sparkSession
+    withPushedInThreshold(spark) {
     val state = portableState(batch, idCol, textCol).persist()
     graft.ops.CacheRegistry.register(state)
     val bands = stateBands(state)
@@ -741,11 +857,10 @@ object Dedup {
     // "has an index" must mean "has DATA": an increment whose docs all
     // had empty shingle sets appends zero rows, leaving a directory with
     // only _SUCCESS — reading that as parquet throws at plan time
-    val hasIndex = {
-      val p = new org.apache.hadoop.fs.Path(statePath)
-      graft.ops.Layout.hasParquetData(
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-    }
+    val idxFs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasIndex = graft.ops.Layout.hasParquetData(idxFs,
+      new org.apache.hadoop.fs.Path(statePath))
 
     val candNew = bandSelfCands(bands)
     // PROBE-PRUNED history side: per-increment IO tracks the BATCH, not
@@ -786,22 +901,31 @@ object Dedup {
         (candNew.unionByName(crossCand).distinct(),
           Some(i.select(col("id"), col("hs"))), None)
       } else {
-      val routedEpochs = (fsStateEpochs intersect fsBandEpochs).toSeq
-      val legacyEpochs = (fsStateEpochs diff fsBandEpochs).toSeq
-      // the batch's bucket set: a bounded driver pass (≤ NumBandBuckets values)
-      val bkts = bands.select(bandBucket.as("bucket")).distinct()
-        .collect().map(_.getInt(0)).toSeq
+      // the batch's band-key hash set: a bounded driver pass (≤ 4 keys
+      // per batch doc). Band epochs are ROUTED (probed via the bk bloom
+      // layout) only when the directory is bk-v1 AND the key set is
+      // within the pushdown cap — a retired-layout directory or an
+      // over-cap batch rides the sig-derive fallback for every epoch,
+      // which measures CHEAPER than scanning any band layout unpruned.
+      val bandKeys = bands.select(bandKey.as("bk")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val bandsUsable =
+        bandsLayout(idxFs, bandsPath).contains(BandsLayoutV1) &&
+          bandKeys.size <= MaxPushedInValues
+      val routedEpochs =
+        if (bandsUsable) (fsStateEpochs intersect fsBandEpochs).toSeq else Seq.empty
+      val legacyEpochs = (fsStateEpochs diff routedEpochs.toSet).toSeq
       // schema pinned from the batch's own band frame (the writer's
       // schema by construction): no footer-inference listing/read cost,
       // and partition values land typed
       val bandsReadSchema = org.apache.spark.sql.types.StructType(
         bands.schema.fields ++ Seq(
-          org.apache.spark.sql.types.StructField("bucket",
-            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("bk",
+            org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("epoch",
             org.apache.spark.sql.types.LongType)))
       val routed = if (routedEpochs.isEmpty) None else Some(
-        probeBands(spark, bandsPath, bandsReadSchema, routedEpochs, bkts)
+        probeBands(spark, bandsPath, bandsReadSchema, routedEpochs, bandKeys)
           .select((col("id") +: col("epoch") +: keys.map(col)): _*))
       val legacy = if (legacyEpochs.isEmpty) None else Some(
         stateBandsKeepEpoch(spark.read.parquet(statePath)
@@ -818,13 +942,26 @@ object Dedup {
       // outlive the next compaction's rewrite of those files, and
       // CacheManager substitutes the stale relation into a later
       // matching plan (FILE_NOT_EXIST on the deleted partitions)
-      // hs fetch pruned to the epochs that actually produced candidates
-      // (bounded metadata pass over the cached candidate frame) — the
-      // verify side stops re-reading every settled epoch's hash sets too
-      val hitEpochs = crossCand.select(col("epoch")).distinct()
-        .collect().map(_.getLong(0)).toSeq
+      // hs fetch pruned on BOTH axes from one bounded collect over the
+      // cached candidate frame: epoch partition pruning (only epochs
+      // that produced candidates) AND a pushed `id IN (candidate ids)`
+      // — state files are written id-sorted with small pages, so the
+      // column-index skips every page holding no candidate. This is
+      // what keeps the verify side O(candidates) against a FOLDED
+      // sentinel epoch, where partition pruning alone would re-read the
+      // whole settled corpus's hash sets. The id set is bounded by the
+      // same increment ≪ index contract that lets candidates broadcast;
+      // past the pushdown cap the filter still applies post-scan.
+      val hits = crossCand.select(col("id1"), col("epoch")).distinct()
+        .collect()
+      val hitEpochs = hits.map(_.getLong(1)).distinct.toSeq
+      val hitIds = hits.map(_.getLong(0)).distinct.toSeq
+      val idFilter =
+        if (hitIds.size <= MaxPushedInValues) col("id").isin(hitIds: _*)
+        else lit(true) // saturated set: epoch pruning only (see cap doc)
       val hist = if (hitEpochs.isEmpty) None else Some(
-        spark.read.parquet(statePath).filter(col("epoch").isin(hitEpochs: _*))
+        spark.read.parquet(statePath).filter(
+            col("epoch").isin(hitEpochs: _*) && idFilter)
           .select(col("id"), col("hs")))
       (candNew.unionByName(crossCand.drop("epoch")).distinct(), hist,
         Some(crossCand))
@@ -868,36 +1005,40 @@ object Dedup {
     // absent from bands derive band rows on the fly) until the next
     // compaction's rebuildBandsFromState backfills every epoch — at most
     // ProbeMinEpochs early, batch-sized epochs ride the fallback.
-    if (probeGate(fsStateEpochs + epoch)) {
+    // ... and never into a retired-layout directory: its epochs ride the
+    // sig-derive fallback until compaction rebuilds the family as bk-v1
+    val bandsWritable = bandsLayout(idxFs, bandsPath).contains(BandsLayoutV1) ||
+      !graft.ops.Layout.hasParquetData(idxFs,
+        new org.apache.hadoop.fs.Path(bandsPath))
+    if (probeGate(fsStateEpochs + epoch) && bandsWritable) {
       // band routing family FIRST, then state: a state epoch on disk
       // thereby implies its band files are complete (the probe's legacy
       // fallback covers the reverse crash window — band rows whose state
-      // epoch never landed are dropped by the hs inner join). Files are
-      // range-clustered and sorted on bucket so the probe's pushed IN
-      // filter skips row groups on footer stats; the 8 MiB row-group size
-      // keeps the skip granularity fine on large epochs (band rows are
-      // ~40 bytes — a default 128 MiB group would put millions of rows
-      // behind one min/max).
-      val bandRows = bands.withColumn("bucket", bandBucket)
-        .withColumn("epoch", lit(epoch))
-      val nBandFiles = graft.ops.Layout.sizedFileCount(4L * stateRows)
-      // single-file epochs skip the range shuffle entirely (its sampling
-      // pass alone was a measurable per-increment tax at trigger-batch
-      // sizes): one task sorts the narrow band rows in place, and the
-      // sorted single file prunes by row group exactly the same
-      val clustered =
-        if (nBandFiles <= 1) bandRows.coalesce(1)
-        else bandRows.repartitionByRange(nBandFiles, col("bucket"))
-      clustered.sortWithinPartitions(col("bucket"), col("band"))
-        .write.mode("append").option("parquet.block.size", 8 * 1024 * 1024)
-        .partitionBy("epoch").parquet(bandsPath)
+      // epoch never landed are dropped by the hs inner join).
+      // bk-v1 layout: bk-sorted files, 128 KiB row groups, parquet bloom
+      // on bk — the skip machinery probeBands documents. Layout marker
+      // BEFORE the first band file: a probe must never see band data it
+      // cannot interpret.
+      writeBandsLayoutMarker(idxFs, bandsPath)
+      writeBandEpoch(bands.withColumn("bk", bandKey).withColumn("epoch", lit(epoch)),
+        graft.ops.Layout.sizedFileCount(4L * stateRows), "append", bandsPath)
     }
+    // id-SORTED with small pages: the hs fetch pushes `id IN` and rides
+    // the parquet column index — unsorted files would give every page a
+    // full-range id min/max and nothing would skip
     state.withColumn("epoch", lit(epoch)).coalesce(outFiles)
-      .write.mode("append").partitionBy("epoch").parquet(statePath)
+      // epoch leads the sort or partitionBy's writer re-sorts (see
+      // writeBandEpoch) — epoch is constant here, so this IS an id sort
+      .sortWithinPartitions(col("epoch"), col("id"))
+      .write.mode("append")
+      .option("parquet.block.size", StateBlockBytes)
+      .option("parquet.page.size", StatePageBytes)
+      .partitionBy("epoch").parquet(statePath)
 
     batch.select(col(idCol).as("id"))
       .join(broadcast(dropped.withColumn("__dropped", lit(true))), Seq("id"), "left")
       .select(col("id"), col("__dropped").isNull.as("kept"))
+    }
   }
 
   /** STREAMING near-dup dedup: a document file-stream drained through
@@ -1047,14 +1188,49 @@ object Dedup {
 
   private def compactState(spark: org.apache.spark.sql.SparkSession,
       statePath: String, dedupCols: Seq[String]): Unit =
-    compactEpochPartitions(spark, statePath)(_.dropDuplicates(dedupCols))
+    // sentinel laid out sorted on the dedup key with small pages: the
+    // increment's pushed `id IN` (near) / fp probes (exact) must be able
+    // to page-skip the FOLDED epoch — it holds the whole settled corpus,
+    // exactly where an unsorted layout would force a full hs read
+    compactEpochPartitions(spark, statePath, sortCols = dedupCols,
+      options = Map(
+        "parquet.block.size" -> StateBlockBytes.toString,
+        "parquet.page.size" -> StatePageBytes.toString))(
+      _.dropDuplicates(dedupCols))
+
+  /** bk-v1 band write: bk-range-clustered, bk-sorted files with small
+    * row groups and the bk bloom (single-file epochs skip the range
+    * shuffle — its sampling pass alone was a measurable per-increment
+    * tax at trigger-batch sizes; one task sorts in place and groups
+    * skip exactly the same).
+    */
+  private def writeBandEpoch(bandRows: DataFrame, nFiles: Int, mode: String,
+      path: String): Unit = {
+    val clustered =
+      if (nFiles <= 1) bandRows.coalesce(1)
+      else bandRows.repartitionByRange(nFiles, col("bk"))
+    // the sort LEADS with the partition column: partitionBy's writer
+    // requires ordering by it and would otherwise insert its own
+    // (unstable) sort, silently destroying the bk order (measured: an
+    // "id-sorted" sentinel came back with full-range stats per group)
+    clustered.sortWithinPartitions(col("epoch"), col("bk"))
+      .write.mode(mode)
+      .option("parquet.block.size", BandBlockBytes)
+      .option("parquet.bloom.filter.enabled#bk", "true")
+      // expected distinct keys per row GROUP (~3.2k band rows at 128 KiB)
+      .option("parquet.bloom.filter.expected.ndv#bk", "4000")
+      .option("parquet.bloom.filter.fpp#bk", BandBloomFpp)
+      .partitionBy("epoch").parquet(path)
+  }
 
   /** Rebuild the band routing family wholesale from the (just-compacted)
-    * state family: derive band rows + bucket for EVERY state epoch,
-    * stage them bucket-clustered, and swap the whole bands directory.
-    * Crash windows all degrade to correct-but-slower: bands missing →
-    * the increment derives bands from state on the fly; a leftover
-    * stage/old dir is swept on the next rebuild.
+    * state family: derive band rows + bk for EVERY state epoch, stage
+    * them in the bk-v1 layout, and swap the whole bands directory —
+    * this is ALSO the migration path for retired-layout (bucket) and
+    * deferred-epoch directories. Crash windows all degrade to
+    * correct-but-slower: bands missing → the increment derives bands
+    * from state on the fly; a leftover stage/old dir is swept on the
+    * next rebuild.
     */
   private[llm] def rebuildBandsFromState(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit = {
@@ -1073,15 +1249,13 @@ object Dedup {
     // the NEXT compaction's rewrite of those files, and CacheManager
     // substitutes the stale relation into any later matching plan
     // (FILE_NOT_EXIST on the deleted sentinel)
-    val bandRows = stateBandsKeepEpoch(st).withColumn("bucket", bandBucket)
-      .persist()
-    try {
-      val n = graft.ops.Layout.sizedFileCount(bandRows.count())
-      bandRows.repartitionByRange(math.max(1, n), col("epoch"), col("bucket"))
-        .sortWithinPartitions(col("bucket"), col("band"))
-        .write.mode("overwrite").option("parquet.block.size", 8 * 1024 * 1024)
-        .partitionBy("epoch").parquet(stage.toString)
-    } finally bandRows.unpersist(blocking = false)
+    val bandRows = stateBandsKeepEpoch(st).withColumn("bk", bandKey).persist()
+    try writeBandEpoch(bandRows,
+      graft.ops.Layout.sizedFileCount(bandRows.count()), "overwrite",
+      stage.toString)
+    finally bandRows.unpersist(blocking = false)
+    // the rebuilt family's layout tag travels with it through the swap
+    writeBandsLayoutMarker(fs, stage.toString)
     // land-then-retire: a crash leaves either the old bands (still
     // content-correct for its own epochs… superseded names are swept
     // above) or NO bands (the derive-on-the-fly fallback)
@@ -1100,7 +1274,9 @@ object Dedup {
     * for every state family (see [[nearDedupIndexCompact]]).
     */
   private[llm] def compactEpochPartitions(spark: org.apache.spark.sql.SparkSession,
-      statePath: String)(
+      statePath: String,
+      sortCols: Seq[String] = Nil,
+      options: Map[String, String] = Map.empty)(
       foldSettled: DataFrame => DataFrame): Unit = {
     val sp = new org.apache.hadoop.fs.Path(statePath)
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1121,8 +1297,17 @@ object Dedup {
     val stage = statePath + ".__graft_compact_stage"
     // the bands family is NOT folded through here — it is rebuilt
     // wholesale from the compacted state (rebuildBandsFromState), which
-    // re-range-sorts on bucket itself
-    settled.coalesce(outFiles).write.mode("overwrite")
+    // re-range-sorts on bucket itself. `sortCols` range-clusters the
+    // sentinel (state families sort on their key so pushed key filters
+    // can page-skip the fold)
+    val laidOut =
+      if (sortCols.isEmpty) settled.coalesce(outFiles)
+      else settled.repartitionByRange(math.max(1, outFiles), sortCols.map(col): _*)
+        // epoch leads the sort or partitionBy's writer re-sorts (see
+        // writeBandEpoch) — the sentinel epoch is constant, so this IS
+        // a key sort
+        .sortWithinPartitions((col("epoch") +: sortCols.map(col)): _*)
+    laidOut.write.mode("overwrite").options(options)
       .partitionBy("epoch").parquet(stage)
     // land the new generation first, then retire the old partitions.
     // Hadoop rename signals most failures by returning FALSE, not

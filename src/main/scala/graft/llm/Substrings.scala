@@ -133,6 +133,7 @@ object Substrings {
       textCol: String, indexDir: String, epoch: Long, k: Int = 8): DataFrame =
     Dedup.withIndexLock(batch.sparkSession, indexDir,
         s"gram-span-increment epoch=$epoch") {
+      Dedup.withPushedInThreshold(batch.sparkSession) {
       require(k >= 1, s"gram width must be positive: $k")
       val spark = batch.sparkSession
       val statePath = indexDir.stripSuffix("/") + "/gram_state"
@@ -144,11 +145,19 @@ object Substrings {
           p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
       }
       val batchFps = grams.select(col("fp")).distinct()
-      // history grams hit by this batch: history scanned, batch fps broadcast
-      val seen = if (!hasIndex) batchFps.limit(0) else
-        spark.read.parquet(statePath).filter(col("epoch") < epoch)
+      // history grams hit by this batch: batch fps broadcast into the
+      // scan — and pushed as `fp IN` when the batch's gram set is small
+      // enough (trigger-sized batches), so fp-sorted files group-skip
+      val seen = if (!hasIndex) batchFps.limit(0) else {
+        val base = spark.read.parquet(statePath).filter(col("epoch") < epoch)
+        val prefiltered = Dedup.pushableKeys(batchFps) match {
+          case Some(vals) => base.filter(col("fp").isin(vals: _*))
+          case None => base
+        }
+        prefiltered
           .join(broadcast(batchFps), Seq("fp"), "left_semi")
           .select(col("fp")).distinct()
+      }
       val owners = grams.groupBy(col("fp"))
         .agg(min(col("id")).as("owner"), max(col("id")).as("__mx"))
         .select(col("fp"), col("owner"),
@@ -167,6 +176,8 @@ object Substrings {
       graft.ops.CacheRegistry.register(newFps)
       val outFiles = graft.ops.Layout.sizedFileCount(newFps.count())
       newFps.withColumn("epoch", lit(epoch)).coalesce(outFiles)
+        // fp-sorted (epoch leads or partitionBy's writer re-sorts)
+        .sortWithinPartitions(col("epoch"), col("fp"))
         .write.mode("append").partitionBy("epoch").parquet(statePath)
       val toks = batch.select(col(idCol).as("id"),
         posexplode(TextAnalysis.wordTokens(col(textCol))).as(Seq("t", "tok")))
@@ -182,6 +193,7 @@ object Substrings {
         .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      }
     }
 
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,

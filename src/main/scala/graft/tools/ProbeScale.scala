@@ -1,37 +1,48 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale measurement for the probe-pruned incremental near-dedup index:
-  * ingest N history epochs, then run a small fixed-size increment two
-  * ways on the SAME index — (a) `pruned`: the at-rest band family
-  * present (bucket row-group-pruned probe), (b) `legacy`: the band
-  * family removed, forcing the derive-from-state fallback, which reads
-  * the FULL signature index per increment exactly like the pre-round-14
-  * layout did.
+  * ingest N history epochs, then run a trigger-sized increment two ways
+  * on the SAME index — (a) `pruned`: the at-rest band family present
+  * (bucket-pruned probe), (b) `legacy`: the band family removed,
+  * forcing the derive-from-state fallback, which reads the FULL
+  * signature index per increment exactly like the pre-round-14 layout.
   *
   * Measures BOTH wall time and task input bytesRead per increment
   * (InputBytesMeter). bytesRead is the honest scale signal: on warm
-  * local NVMe the wall clocks sit at parity, but the pruned scan's
-  * per-trigger IO must track the BATCH's band set while the fallback's
-  * grows with history — the (b)/(a) bytes ratio and the pruned-bytes-
-  * vs-epochs curve across runs are the structural claim as a number.
+  * local NVMe the wall clocks sit near parity, but per-trigger IO must
+  * track the BATCH (its bucket set + its candidates' hit epochs) while
+  * the fallback's grows with history — the flat-vs-linear curve across
+  * history sizes is the structural claim as a number.
   *
-  * FAIRNESS: the index directory is snapshotted once after ingest and
-  * restored before every timed pass, so each pass (and both
-  * configurations) measures the IDENTICAL index content — without the
-  * restore, earlier passes' appended epochs inflate later passes'
-  * history (the exact bias a pruned-first ordering had).
+  * CONTROLLED corpus: documents are synthesized with per-(id, position)
+  * md5 words, so history epochs are mutually distinct and the timed
+  * batch is exactly 80% novel + 20% duplicates of ONE mid-history epoch
+  * — a GenScale-replicated corpus is useless here (every batch doc
+  * near-dups EVERY epoch, so both paths read all hash sets by
+  * construction; measured and discarded).
   *
-  * Usage: runMain graft.tools.ProbeScale <sfDir> <epochs> <passes>
+  * FAIRNESS: the index is snapshotted once after ingest and restored
+  * before every timed pass, so each pass (and both configurations)
+  * measures IDENTICAL index content.
+  *
+  * Usage: runMain graft.tools.ProbeScale <epochs> <docsPerEpoch>
+  *          [passes] [batchRows] [compact]
+  * `compact=true` runs nearDedupIndexCompact after ingest (the
+  * maintained-index shape: history folded to one sentinel, bands
+  * rebuilt bk-v1 for every epoch, state id-sorted) — the layout a
+  * long-lived production index actually probes against.
   * Prints one JSON line.
   */
 object ProbeScale {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val epochs = args(1).toInt
+    val epochs = args(0).toInt
+    val docsPerEpoch = args(1).toInt
     val passes = if (args.length > 2) args(2).toInt else 3
+    val batchRows = if (args.length > 3) args(3).toInt else 48
+    val compact = args.length > 4 && args(4).toBoolean
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,22 +55,30 @@ object ProbeScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = spark.read.parquet(sfDir + "/documents.parquet")
-      .select(col("doc_id"), col("text"))
-    // history = epochs slices by doc_id mod (epochs + 1); the timed
-    // increment is the LAST slice, truncated to a small fixed batch so
-    // per-trigger cost is dominated by index IO, not batch work
-    val mod = epochs + 1
+    // 40 distinct 8-hex words per doc (the test-fixture word-count shape)
+    def synthDocs(from: Long, n: Long): DataFrame =
+      spark.range(from, from + n).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(39)),
+          i => translate(substring(md5(concat(col("id").cast("string"), lit("_"),
+            i.cast("string"))), 1, 8), "0123456789", "ghijklmnop")), " ")
+          .as("text"))
+
     val dir = java.nio.file.Files.createTempDirectory("graft_probe_scale_").toString
     for (e <- 0 until epochs) {
       graft.llm.Dedup.nearDedupIncrement(
-        docs.filter(pmod(col("doc_id"), lit(mod)) === e),
+        synthDocs(e.toLong * docsPerEpoch, docsPerEpoch),
         "doc_id", "text", dir, 0.5, epoch = e).write.format("noop")
         .mode("overwrite").save()
       graft.ops.CacheRegistry.releaseAll()
     }
-    val batch = docs.filter(pmod(col("doc_id"), lit(mod)) === epochs)
-      .limit(500).persist()
+    if (compact) graft.llm.Dedup.nearDedupIndexCompact(spark, dir)
+    // 80% novel + 20% dups of the middle epoch (fresh ids, copied text)
+    val nDup = math.max(1, batchRows / 5)
+    val dupSrc = (epochs / 2).toLong * docsPerEpoch
+    val batch = synthDocs(1000L * 1000 * 1000, batchRows - nDup)
+      .unionByName(synthDocs(dupSrc, nDup)
+        .withColumn("doc_id", col("doc_id") + 2000L * 1000 * 1000))
+      .persist()
     batch.count()
 
     // snapshot the ingested index once; every timed pass restores it
@@ -110,9 +129,9 @@ object ProbeScale {
     copyDir(snap, dir)
     val stateBytes = treeBytes("state")
     val bandsBytes = treeBytes("bands")
-    println(s"""{"tool":"probe-scale","sf_dir":"$sfDir","epochs":$epochs,""" +
-      s""""batch_rows":${batch.count()},"state_bytes":$stateBytes,""" +
-      s""""bands_bytes":$bandsBytes,""" +
+    println(s"""{"tool":"probe-scale","epochs":$epochs,"compacted":$compact,""" +
+      s""""docs_per_epoch":$docsPerEpoch,"batch_rows":${batch.count()},""" +
+      s""""state_bytes":$stateBytes,"bands_bytes":$bandsBytes,""" +
       s""""pruned_sec":$prunedSec,"legacy_sec":$legacySec,""" +
       s""""pruned_read_bytes":$prunedBytes,"legacy_read_bytes":$legacyBytes,""" +
       s""""sec_ratio":${legacySec / prunedSec},""" +

@@ -152,7 +152,7 @@ class LlmSpec extends SparkSpec {
       "second compaction left duplicate ids")
   }
 
-  test("incremental near-dedup probe: bucket IN pushed to parquet, epoch partition-pruned, files bucket-sorted") {
+  test("incremental near-dedup probe: bk IN pushed to parquet, bloom-skipped, epoch partition-pruned") {
     import org.apache.spark.sql.types._
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft_probe_plan_").toString
@@ -164,40 +164,61 @@ class LlmSpec extends SparkSpec {
         corpus.filter(pmod(col("doc_id"), lit(6)) === e), "doc_id", "text", dir, 0.5,
         epoch = e).collect()
     val bandsPath = dir + "/bands"
+    // the layout tag landed before the data (readers must never see
+    // band files they cannot interpret)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(bandsPath, "_GRAFT_BANDS_LAYOUT")))
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("band", IntegerType),
       StructField("v0", LongType), StructField("v1", LongType),
       StructField("v2", LongType), StructField("v3", LongType),
-      StructField("bucket", IntegerType), StructField("epoch", LongType)))
-    val probe = Dedup.probeBands(spark, bandsPath, schema, Seq(4L, 5L), Seq(3, 7, 11))
+      StructField("bk", LongType), StructField("epoch", LongType)))
+    val someKeys = spark.read.parquet(bandsPath).select(col("bk"))
+      .limit(3).collect().map(_.getLong(0)).toSeq
+    val probe = Dedup.probeBands(spark, bandsPath, schema, Seq(4L, 5L), someKeys)
     val scan = probe.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
     assert(scan.nonEmpty, "probe must be a parquet file scan")
-    // the bucket restriction reaches the parquet reader (row-group
-    // min/max skipping), and the epoch restriction prunes partitions
+    // the band-key restriction reaches the parquet reader (bloom/stats
+    // row-group skipping), and the epoch restriction prunes partitions
     // before any IO — the two layers the at-rest layout exists for
-    assert(scan.head.metadata("PushedFilters").contains("In(bucket"),
-      s"bucket IN not pushed: ${scan.head.metadata("PushedFilters")}")
+    assert(scan.head.metadata("PushedFilters").contains("In(bk"),
+      s"bk IN not pushed: ${scan.head.metadata("PushedFilters")}")
     assert(scan.head.partitionFilters.exists(_.references.exists(_.name == "epoch")),
       "epoch must prune at the partition level")
     // pruned read ≡ read-then-filter (no row lost to pruning)
     val viaFilter = spark.read.parquet(bandsPath)
-      .filter(col("epoch").cast("long").isin(4L, 5L) && col("bucket").isin(3, 7, 11))
-      .select(col("id"), col("band"), col("v0"), col("bucket"))
+      .filter(col("epoch").cast("long").isin(4L, 5L) && col("bk").isin(someKeys: _*))
+      .select(col("id"), col("band"), col("v0"), col("bk"))
       .collect().map(_.toSeq).sortBy(_.toString)
-    val viaProbe = probe.select(col("id"), col("band"), col("v0"), col("bucket"))
+    val viaProbe = probe.select(col("id"), col("band"), col("v0"), col("bk"))
       .collect().map(_.toSeq).sortBy(_.toString)
-    assert(viaProbe === viaFilter)
-    // the stats the skip rides on: every band file is bucket-ascending
+    assert(viaProbe === viaFilter && viaFilter.nonEmpty)
+    // the BLOOM actually gates IO: probing keys present in no band row
+    // must read (near) nothing, not scan every group. Absent keys reach
+    // the bloom (min/max can never exclude a scattered hash), so bytes
+    // collapse to footer-level while a real-key probe reads data pages.
+    val absent = Seq(1L, 2L, 3L) // xxhash64 band keys are never tiny
+    def readBytes(keys: Seq[Long]): Long =
+      graft.ops.InputBytesMeter.measureWithAccurateParquetIO(spark) {
+        spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
+        Dedup.probeBands(spark, bandsPath, schema, Seq(4L, 5L), keys)
+          .write.format("noop").mode("overwrite").save()
+      }._2
+    val hitBytes = readBytes(someKeys)
+    val missBytes = readBytes(absent)
+    assert(missBytes < hitBytes,
+      s"bloom did not skip: absent-key probe read $missBytes vs hit probe $hitBytes")
+    // every band file is bk-ascending (group min/max stay tight too)
     import scala.jdk.CollectionConverters._
     val files = java.nio.file.Files.walk(java.nio.file.Paths.get(bandsPath))
       .iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).map(_.toString).toSeq
     assert(files.nonEmpty)
     for (f <- files) {
-      val bkts = spark.read.parquet(f).select(col("bucket")).collect().map(_.getInt(0))
-      assert(bkts.sameElements(bkts.sorted), s"$f not bucket-sorted")
+      val ks = spark.read.parquet(f).select(col("bk")).collect().map(_.getLong(0))
+      assert(ks.sameElements(ks.sorted), s"$f not bk-sorted")
     }
   }
 
@@ -356,15 +377,19 @@ class LlmSpec extends SparkSpec {
     //   C: dups from EVERY epoch -> all epochs' hs
     // The (B-A) increment must be a bounded fraction of (C-A): per-
     // trigger IO is a function of the batch's candidates, not history
-    // depth. The fixture is fully deterministic (md5-derived words), so
-    // the hit-epoch sets are pinned: B hits {3,4,5} — epoch 5's real
-    // dups plus two stray 4-minhash band collisions in epochs 3-4
-    // (measured, reproducible) — and C hits every epoch it duplicates.
+    // depth. The fixture is fully deterministic (md5-derived LETTER
+    // words — raw hex fragments at digits under the [a-z]+ tokenizer
+    // and manufactures corpus-wide shingle collisions), so the hit
+    // sets are pinned and reproducible.
     def synthDocs(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
       ids.toDF("doc_id").select(col("doc_id"),
         array_join(transform(sequence(lit(0), lit(24)),
-          i => substring(md5(concat(col("doc_id").cast("string"), lit("_"),
-            i.cast("string"))), 1, 8)), " ").as("text"))
+          // hex digits map to letters: the shingle tokenizer is [a-z]+,
+          // so raw hex words would fragment at digits into a tiny {a-f}
+          // alphabet and manufacture corpus-wide shingle collisions
+          i => translate(substring(md5(concat(col("doc_id").cast("string"),
+            lit("_"), i.cast("string"))), 1, 8), "0123456789", "ghijklmnop")),
+          " ").as("text"))
     val dir = java.nio.file.Files.createTempDirectory("graft_probe_io_").toString
     val perEpoch = 800
     for (e <- 0 until 8) {
