@@ -3,10 +3,22 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Skew mitigation for hot join keys (SURVEY.md scale notes; AQE's
-  * skew-join split handles sort-merge cases at runtime, salting is the
-  * explicit-plan variant that also works for hash joins and pre-Spark-AQE
-  * pipelines).
+/** Skew mitigation for hot join keys.
+  *
+  * WHEN TO PREFER WHICH (measured, tools/SkewCompare at sf10 — 60M fact
+  * rows, synthetic hot key): for a sort-merge equi-join, AQE's runtime
+  * skew split beats explicit salting OUTRIGHT — at a 60%-hot key, AQE
+  * skew-join 4.4 s vs salted 13.9 s vs naive 18.0 s; at 30%-hot, AQE
+  * 9.8 s vs salted 12.6 s vs naive 10.3 s. Salting pays an
+  * unconditional bill (factor× dim replication + a fatter shuffle key)
+  * whether or not skew materializes, while AQE splits only the
+  * partitions that actually ran hot. So: leave
+  * `spark.sql.adaptive.skewJoin` on and use the PLAIN join as the
+  * default. Reach for [[saltedJoin]] only where AQE cannot act — a
+  * shuffled-hash-join path, AQE disabled/unavailable, or when the plan
+  * must be deterministic ahead of time — and for
+  * [[saltedDistinctCount]]-style aggregations whose functions have no
+  * partial pushdown (AQE does not split aggregation keys).
   *
   * `saltedJoin`: the skewed (large) side gets a DETERMINISTIC salt in
   * [0, factor) derived from a hash of its whole row, splitting each hot

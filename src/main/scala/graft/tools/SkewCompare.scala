@@ -51,7 +51,7 @@ object SkewCompare {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("revenue"))
 
-    def run(name: String, skewJoinOn: Boolean, salted: Boolean): (Double, Seq[String]) = {
+    def run(name: String, skewJoinOn: Boolean, salted: Boolean): (Double, Seq[(String, Long, Double)]) = {
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoinOn)
       // keep the join a sort-merge so the skew remedy (either kind) is
       // actually exercised — a broadcast of orders sidesteps skew
@@ -62,15 +62,22 @@ object SkewCompare {
                 else li.join(ord, "o_orderkey")
         val rows = agg(j).orderBy(col("o_orderpriority")).collect()
         val sec = (System.nanoTime() - t0) / 1e9
-        (sec, rows.map(_.toSeq.mkString("|")).toSeq)
+        (sec, rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq)
       }
       (secs.map(_._1).min, secs.head._2)
     }
+    // counts exact; revenue within float-sum reassociation tolerance
+    // (different plans sum doubles in different orders)
+    def agree(a: Seq[(String, Long, Double)], b: Seq[(String, Long, Double)]): Boolean =
+      a.size == b.size && a.zip(b).forall { case ((k1, n1, r1), (k2, n2, r2)) =>
+        k1 == k2 && n1 == n2 && math.abs(r1 - r2) <= 1e-9 * math.max(1.0, math.abs(r1))
+      }
 
     val (tNo, rNo) = run("aqe_noskew", skewJoinOn = false, salted = false)
     val (tAqe, rAqe) = run("aqe_skew", skewJoinOn = true, salted = false)
     val (tSalt, rSalt) = run("salted", skewJoinOn = false, salted = true)
-    require(rNo == rAqe && rAqe == rSalt, "variants disagree on the aggregate")
+    require(agree(rNo, rAqe) && agree(rAqe, rSalt),
+      "variants disagree on the aggregate")
     println(s"""{"tool":"skew-compare","sf_dir":"$sfDir","hot_frac":${hotTenths / 10.0},""" +
       s""""aqe_noskew_sec":$tNo,"aqe_skew_sec":$tAqe,"salted_sec":$tSalt}""")
     spark.stop()
