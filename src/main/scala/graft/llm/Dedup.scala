@@ -1022,6 +1022,18 @@ object Dedup {
       writeBandsLayoutMarker(idxFs, bandsPath)
       writeBandEpoch(bands.withColumn("bk", bandKey).withColumn("epoch", lit(epoch)),
         graft.ops.Layout.sizedFileCount(4L * stateRows), "append", bandsPath)
+      // BACKFILL the deferral debt at the gate transition: state epochs
+      // the shallow phase skipped (≤ ProbeMinEpochs of them) get their
+      // band epochs derived from state NOW, once — without this, every
+      // deep increment re-reads those epochs' sig columns via the
+      // fallback until a compaction happens to run. Per-epoch
+      // stage-then-rename: a band directory must only become visible
+      // COMPLETE (a partially-appended epoch would be routed and
+      // silently miss its unwritten candidates; the normal write avoids
+      // that window by writing bands before the state epoch exists).
+      backfillBandEpochs(spark, statePath, bandsPath,
+        (fsStateEpochs.filter(_ >= 0)
+          -- epochDirs(spark, bandsPath)).toSeq.sorted.take(ProbeMinEpochs * 2))
     }
     // id-SORTED with small pages: the hs fetch pushes `id IN` and rides
     // the parquet column index — unsorted files would give every page a
@@ -1223,6 +1235,40 @@ object Dedup {
       .partitionBy("epoch").parquet(path)
   }
 
+  /** Derive and land band epochs for EXISTING state epochs (the
+    * deferral backfill): rows derive from state exactly like the
+    * rebuild, staged per epoch and RENAMED in — an epoch directory only
+    * becomes visible once complete, so a crash leaves fully-landed
+    * epochs routed, unlanded ones on the fallback, never a
+    * partially-visible epoch. Single writer under the index lease;
+    * rename targets cannot exist (the epochs were selected as missing).
+    */
+  private def backfillBandEpochs(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, bandsPath: String, epochs: Seq[Long]): Unit = {
+    if (epochs.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(bandsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(bandsPath + ".__graft_backfill_stage")
+    fs.delete(stage, true) // sweep a prior crash's leftovers
+    // sig columns only — persisting full-width state would cache the
+    // fat hs arrays a band derivation never reads
+    val st = spark.read.parquet(statePath).filter(col("epoch").isin(epochs: _*))
+      .select((col("id") +: col("epoch") +: (0 until 16).map(j => col(s"s$j"))): _*)
+      .persist()
+    try {
+      val n = graft.ops.Layout.sizedFileCount(st.count() * 4L)
+      writeBandEpoch(stateBandsKeepEpoch(st).withColumn("bk", bandKey), n,
+        "overwrite", stage.toString)
+    } finally st.unpersist(blocking = false)
+    for (e <- epochs) {
+      val src = new org.apache.hadoop.fs.Path(stage, s"epoch=$e")
+      if (fs.exists(src))
+        require(fs.rename(src, new org.apache.hadoop.fs.Path(bandsPath, s"epoch=$e")),
+          s"band backfill rename failed for epoch=$e")
+    }
+    fs.delete(stage, true)
+  }
+
   /** Rebuild the band routing family wholesale from the (just-compacted)
     * state family: derive band rows + bk for EVERY state epoch, stage
     * them in the bk-v1 layout, and swap the whole bands directory —
@@ -1243,7 +1289,9 @@ object Dedup {
     fs.delete(stage, true); fs.delete(old, true) // sweep prior crashes
     val sp = new org.apache.hadoop.fs.Path(statePath)
     if (!graft.ops.Layout.hasParquetData(fs, sp)) { fs.delete(bp, true); return }
+    // sig columns only (the hs arrays are dead weight for band rows)
     val st = spark.read.parquet(statePath)
+      .select((col("id") +: col("epoch") +: (0 until 16).map(j => col(s"s$j"))): _*)
     // persist is strictly intra-call (count + write) and must be RELEASED
     // here, not registered: a registered cache over state files outlives
     // the NEXT compaction's rewrite of those files, and CacheManager

@@ -92,14 +92,19 @@ object ProbeScale {
     }
     copyDir(dir, snap)
 
-    // stripBands: delete the band family -> the derive-from-state
-    // fallback IS the old full-scan layout (same candidates, same
-    // decisions; LlmSpec pins the equivalence)
+    // stripBands: remove the bands LAYOUT MARKER -> the directory reads
+    // as the retired layout, which the probe ignores and writers leave
+    // alone (no self-healing backfill inside the timed pass) — the
+    // derive-from-state fallback IS the old full-scan layout (same
+    // candidates, same decisions; LlmSpec pins the equivalence).
+    // Deleting the whole family instead would measure the increment's
+    // one-time backfill repair, not the steady-state fallback.
     def timeIncrement(startEpoch: Long, stripBands: Boolean): (Double, Long) =
       (0 until passes).map { p =>
         copyDir(snap, dir)
         if (stripBands)
-          graft.ops.Layout.deleteRecursively(java.nio.file.Paths.get(dir, "bands"))
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(dir, "bands", "_GRAFT_BANDS_LAYOUT"))
         val t0 = System.nanoTime()
         // accurate variant: parquet vectored IO bypasses FS statistics
         // (footer-only counts) — see InputBytesMeter's scaladoc

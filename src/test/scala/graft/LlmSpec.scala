@@ -157,8 +157,9 @@ class LlmSpec extends SparkSpec {
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft_probe_plan_").toString
     // 6 epochs: band builds are DEFERRED while the index stays within
-    // ProbeMinEpochs (no reader probes a shallow index), so only epochs
-    // 4-5 carry at-rest band files — exactly the epochs a deep read probes
+    // ProbeMinEpochs, then the first deep WRITE backfills the deferred
+    // epochs' bands (staged + renamed per epoch) — so by now EVERY
+    // state epoch is routed
     for (e <- 0 until 6)
       Dedup.nearDedupIncrement(
         corpus.filter(pmod(col("doc_id"), lit(6)) === e), "doc_id", "text", dir, 0.5,
@@ -168,12 +169,22 @@ class LlmSpec extends SparkSpec {
     // band files they cannot interpret)
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(bandsPath, "_GRAFT_BANDS_LAYOUT")))
+    // the backfill landed every deferred epoch (no sig-derive debt left)
+    import scala.jdk.CollectionConverters._
+    val bandEpochs = java.nio.file.Files.list(java.nio.file.Paths.get(bandsPath))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("epoch=")).toSet
+    assert(bandEpochs === (0 until 6).map(e => s"epoch=$e").toSet,
+      s"backfill incomplete: $bandEpochs")
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("band", IntegerType),
       StructField("v0", LongType), StructField("v1", LongType),
       StructField("v2", LongType), StructField("v3", LongType),
       StructField("bk", LongType), StructField("epoch", LongType)))
-    val someKeys = spark.read.parquet(bandsPath).select(col("bk"))
+    // keys drawn from the PROBED epochs (the gate-transition backfill
+    // lands band epochs 0-3 too, but this probe targets 4-5)
+    val someKeys = spark.read.parquet(bandsPath)
+      .filter(col("epoch").cast("long").isin(4L, 5L)).select(col("bk"))
       .limit(3).collect().map(_.getLong(0)).toSeq
     val probe = Dedup.probeBands(spark, bandsPath, schema, Seq(4L, 5L), someKeys)
     val scan = probe.queryExecution.sparkPlan.collect {
