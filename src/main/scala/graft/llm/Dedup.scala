@@ -624,7 +624,10 @@ object Dedup {
       // files (especially the compacted sentinel) group-skip instead of
       // scanning O(history) fingerprints
       val batchFps = fps.select(col("fp")).filter(col("fp").isNotNull).distinct()
-      val seen = if (!hasIndex) batchFps.limit(0) else {
+      // persisted across its two consumers (the dropped materialization
+      // and the new-fp anti-join) — recomputing would re-run the probed
+      // scan, doubling the per-increment index IO; released below
+      val seen = (if (!hasIndex) batchFps.limit(0) else {
         val base = spark.read.parquet(statePath).filter(col("epoch") < epoch)
         val prefiltered = pushableKeys(batchFps) match {
           case Some(vals) => base.filter(col("fp").isin(vals: _*))
@@ -633,7 +636,7 @@ object Dedup {
         prefiltered
           .join(broadcast(batchFps), Seq("fp"), "left_semi")
           .select(col("fp")).distinct()
-      }
+      }).persist()
       val batchMin = fps.filter(col("fp").isNotNull)
         .groupBy(col("fp")).agg(min(col("id")).as("keep_id"))
       val droppedLazy = fps.join(batchMin, "fp")
@@ -649,12 +652,16 @@ object Dedup {
       graft.ops.CacheRegistry.register(newFps)
       val outFiles = graft.ops.Layout.sizedFileCount(newFps.count())
       newFps.withColumn("epoch", lit(epoch)).coalesce(outFiles)
-        // fp-sorted small groups: the pushed fp IN above must group-skip
-        // (epoch leads or partitionBy's writer re-sorts — writeBandEpoch)
+        // fp-sorted small groups + fp bloom: the pushed fp IN above must
+        // skip groups — novel keys via the bloom, present keys via the
+        // sort (epoch leads or partitionBy's writer re-sorts)
         .sortWithinPartitions(col("epoch"), col("fp"))
         .write.mode("append")
         .option("parquet.block.size", StateBlockBytes)
+        .options(fpBloomOptions("fp"))
         .partitionBy("epoch").parquet(statePath)
+      // seen is fully consumed (dropped scratch + newFps cache)
+      seen.unpersist(blocking = false)
       batch.select(col(idCol).cast("long").as("id"))
         .join(broadcast(dropped.withColumn("__dropped", lit(true))), Seq("id"), "left")
         .select(col("id"), col("__dropped").isNull.as("kept"))
@@ -699,6 +706,25 @@ object Dedup {
     * skip.
     */
   private val BandBloomFpp = "0.0001"
+
+  /** Parquet bloom options for a fingerprint-membership state family
+    * (exact/gram): the batch's pushed `fp IN` mostly probes ABSENT keys
+    * (novel documents are the common trigger), which min/max stats over
+    * scattered hashes can never exclude but a bloom always can — a
+    * fully-novel trigger then reads no data groups at all. fpp 1e-4
+    * keeps the spurious-group rate ≈ K×1e-4 under the 1000-value
+    * pushdown cap; ndv sized to rows-per-group.
+    */
+  private[llm] def fpBloomOptions(colName: String): Map[String, String] = Map(
+    s"parquet.bloom.filter.enabled#$colName" -> "true",
+    s"parquet.bloom.filter.expected.ndv#$colName" -> "200000",
+    s"parquet.bloom.filter.fpp#$colName" -> BandBloomFpp,
+    // dictionary encoding OFF for the key column: unique hashes gain
+    // nothing from a dictionary, and parquet's dictionary FILTER runs
+    // before the bloom and reads each group's whole dict page — for a
+    // unique-valued column that is the column itself (measured: the
+    // "pruned" novel probe read ~1 MB/group of dictionary pages)
+    s"parquet.enable.dictionary#$colName" -> "false")
 
   /** State-family row-group size — the hs fetch's REAL skip granularity
     * (Spark's readers prune row groups, not pages — measured): a hit
@@ -1195,19 +1221,21 @@ object Dedup {
     // loses cross-epoch candidates. Deriving from state makes content
     // parity true by construction, for every epoch.
     rebuildBandsFromState(spark, indexDir)
-    compactState(spark, indexDir.stripSuffix("/") + "/exact_state", Seq("fp"))
+    compactState(spark, indexDir.stripSuffix("/") + "/exact_state", Seq("fp"),
+      extraOptions = fpBloomOptions("fp"))
   }
 
   private def compactState(spark: org.apache.spark.sql.SparkSession,
-      statePath: String, dedupCols: Seq[String]): Unit =
-    // sentinel laid out sorted on the dedup key with small pages: the
-    // increment's pushed `id IN` (near) / fp probes (exact) must be able
-    // to page-skip the FOLDED epoch — it holds the whole settled corpus,
-    // exactly where an unsorted layout would force a full hs read
+      statePath: String, dedupCols: Seq[String],
+      extraOptions: Map[String, String] = Map.empty): Unit =
+    // sentinel laid out sorted on the dedup key with small groups: the
+    // increment's pushed `id IN` (near) / `fp IN` (exact/gram) must be
+    // able to group-skip the FOLDED epoch — it holds the whole settled
+    // corpus, exactly where an unsorted layout would force a full read
     compactEpochPartitions(spark, statePath, sortCols = dedupCols,
       options = Map(
         "parquet.block.size" -> StateBlockBytes.toString,
-        "parquet.page.size" -> StatePageBytes.toString))(
+        "parquet.page.size" -> StatePageBytes.toString) ++ extraOptions)(
       _.dropDuplicates(dedupCols))
 
   /** bk-v1 band write: bk-range-clustered, bk-sorted files with small
@@ -1232,6 +1260,9 @@ object Dedup {
       // expected distinct keys per row GROUP (~3.2k band rows at 128 KiB)
       .option("parquet.bloom.filter.expected.ndv#bk", "4000")
       .option("parquet.bloom.filter.fpp#bk", BandBloomFpp)
+      // no dictionary on bk: the dictionary filter would read each
+      // group's dict page ahead of the bloom (see fpBloomOptions)
+      .option("parquet.enable.dictionary#bk", "false")
       .partitionBy("epoch").parquet(path)
   }
 

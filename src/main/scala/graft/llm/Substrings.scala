@@ -148,7 +148,10 @@ object Substrings {
       // history grams hit by this batch: batch fps broadcast into the
       // scan — and pushed as `fp IN` when the batch's gram set is small
       // enough (trigger-sized batches), so fp-sorted files group-skip
-      val seen = if (!hasIndex) batchFps.limit(0) else {
+      // persisted across its two consumers (losing + the new-fp
+      // anti-join) — recomputing would re-run the probed scan; released
+      // after the state write
+      val seen = (if (!hasIndex) batchFps.limit(0) else {
         val base = spark.read.parquet(statePath).filter(col("epoch") < epoch)
         val prefiltered = Dedup.pushableKeys(batchFps) match {
           case Some(vals) => base.filter(col("fp").isin(vals: _*))
@@ -157,7 +160,7 @@ object Substrings {
         prefiltered
           .join(broadcast(batchFps), Seq("fp"), "left_semi")
           .select(col("fp")).distinct()
-      }
+      }).persist()
       val owners = grams.groupBy(col("fp"))
         .agg(min(col("id")).as("owner"), max(col("id")).as("__mx"))
         .select(col("fp"), col("owner"),
@@ -176,9 +179,14 @@ object Substrings {
       graft.ops.CacheRegistry.register(newFps)
       val outFiles = graft.ops.Layout.sizedFileCount(newFps.count())
       newFps.withColumn("epoch", lit(epoch)).coalesce(outFiles)
-        // fp-sorted (epoch leads or partitionBy's writer re-sorts)
+        // fp-sorted + fp bloom (epoch leads or partitionBy's writer
+        // re-sorts) — novel-gram triggers skip groups via the bloom
         .sortWithinPartitions(col("epoch"), col("fp"))
-        .write.mode("append").partitionBy("epoch").parquet(statePath)
+        .write.mode("append")
+        .options(Dedup.fpBloomOptions("fp"))
+        .partitionBy("epoch").parquet(statePath)
+      // seen is fully consumed (covered scratch + newFps cache)
+      seen.unpersist(blocking = false)
       val toks = batch.select(col(idCol).as("id"),
         posexplode(TextAnalysis.wordTokens(col(textCol))).as(Seq("t", "tok")))
       val kept = toks.join(covered, Seq("id", "t"), "left_anti")

@@ -437,6 +437,53 @@ class LlmSpec extends SparkSpec {
     graft.ops.Layout.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("exact-dedup probe IO: a novel trigger's fp probe bloom-skips the folded history") {
+    // the exact index's per-increment read must track the BATCH's
+    // fingerprint set. min/max stats can never exclude scattered absent
+    // hashes, so the state families carry a parquet BLOOM on fp: an
+    // all-novel trigger (the common production batch) reads no data
+    // groups at all, while a dup trigger reads only its hit groups.
+    import spark.implicits._
+    def fpDocs(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.toDF("doc_id").select(col("doc_id"),
+        md5(concat(lit("content-"), col("doc_id").cast("string"))).as("fp"))
+    val perEpoch = 200000
+    val dir = java.nio.file.Files.createTempDirectory("graft_exact_io_").toString
+    for (e <- 0 until 6) {
+      Dedup.exactDedupIncrement(
+        fpDocs((0 until perEpoch).map(i => (e.toLong * perEpoch + i))),
+        "doc_id", col("fp"), dir, epoch = e).write.format("noop")
+        .mode("overwrite").save()
+      graft.ops.CacheRegistry.releaseAll()
+    }
+    // fold settled history into the fp-sorted, bloomed sentinel (where
+    // an unpruned scan would hurt most)
+    Dedup.nearDedupIndexCompact(spark, dir)
+    def run(epoch: Long, srcIds: Seq[Long]): Long = {
+      val batch = fpDocs(srcIds).withColumn("doc_id", col("doc_id") + 10000000L + epoch)
+      val (_, bytes) = graft.ops.InputBytesMeter.measureWithAccurateParquetIO(spark) {
+        Dedup.exactDedupIncrement(batch, "doc_id", col("fp"), dir, epoch = epoch)
+          .write.format("noop").mode("overwrite").save()
+      }
+      graft.ops.CacheRegistry.releaseAll()
+      bytes
+    }
+    // 30-doc triggers: all-novel vs duplicates of epoch 1's docs
+    val novelBytes = run(100, (9000000L until 9000030L)) // never seen
+    val dupBytes = run(200, (200000L until 200030L))     // dups of epoch 1
+    val (_, fullScan) = graft.ops.InputBytesMeter.measureWithAccurateParquetIO(spark) {
+      spark.read.parquet(dir + "/exact_state").select(col("fp"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    info(s"novel=$novelBytes dup=$dupBytes fullFpScan=$fullScan")
+    assert(novelBytes < fullScan / 3,
+      s"novel trigger not bloom-pruned: $novelBytes vs full fp scan $fullScan")
+    assert(novelBytes < dupBytes,
+      s"novel should read less than dup-hit: $novelBytes vs $dupBytes")
+    assert(dupBytes < fullScan * 2,
+      s"dup trigger read way past the family: $dupBytes vs $fullScan")
+  }
+
   test("incremental near-dedup legacy fallback: an index without the band family still dedups") {
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
     val b0 = corpus.filter(col("doc_id") % 2 === 0)
