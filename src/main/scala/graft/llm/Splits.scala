@@ -114,13 +114,17 @@ object Splits {
         (lit(n.toLong) - col("__cumBefore")).as("__quota"))
     val tagged = df.withColumn("__k", key).withColumn("__b", bkt)
       .join(dec, col(groupCol) <=> col("__dg") && col("__b") === col("__db"))
-    val keepAll = tagged.filter(col("__all"))
+    // ONE pass over `tagged`: the former keepAll/boundary split referenced
+    // it twice (two full evaluations of `df` and the broadcast join — at
+    // scale, two scans of the corpus), then unioned. Ranking every
+    // surviving bucket and filtering (__all OR rank ≤ quota) keeps the
+    // identical row set — full buckets pass on __all without consulting
+    // the rank — for one window exchange over the capped groups' rows.
     val wrank = Window.partitionBy(col("__dg"), col("__db"))
       .orderBy(col("__k"), col(idCol))
-    val boundary = tagged.filter(!col("__all"))
-      .withColumn("__rn", row_number().over(wrank))
-      .filter(col("__rn") <= col("__quota")).drop("__rn")
-    keepAll.unionByName(boundary).select(df.columns.map(col).toIndexedSeq: _*)
+    tagged.withColumn("__rn", row_number().over(wrank))
+      .filter(col("__all") || col("__rn") <= col("__quota"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Reproducible global corpus shuffle — the training-order verb: every

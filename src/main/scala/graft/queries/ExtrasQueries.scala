@@ -504,8 +504,15 @@ object ExtrasQueries {
           col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
         .repartition(4)
         .write.partitionBy("l_returnflag").mode("overwrite").parquet(dir)
+      // overlap the three per-partition rewrite jobs (guide §2.6): at this
+      // partition count one job's quantile/sample/write stages cannot keep
+      // local[32] busy — the bounded pool backfills the idle tail. Content
+      // is identical to the serial form (tools/OptConcurrency xor-hash
+      // cross-check; the oracle re-proves it every run); scratch bound
+      // becomes 3 × partition, still O(k · partition).
       ZOrder.optimizePartitioned(s, dir, "l_returnflag",
-        Seq("l_partkey", "l_suppkey"), filesPerPartition = 8)
+        Seq("l_partkey", "l_suppkey"), filesPerPartition = 8,
+        maxConcurrent = 3)
       s.read.parquet(dir)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),

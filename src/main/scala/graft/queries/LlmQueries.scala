@@ -2625,12 +2625,22 @@ object LlmQueries {
       }) { (s, d) =>
       import graft.llm.Urls
       val url = urlColumn(col("doc_id"))
+      // ONE text scan: the stats aggregate and the cap composition below
+      // both consume this narrow (doc_id, domain, n_tok) proxy frame —
+      // unpersisted, the URL-normalization regex chain and the tokenizer
+      // re-ran per consumer (the before plan held FIVE documents scans:
+      // stats + capPerGroup's three input references after the anti-join).
+      // The persist is O(rows × ~30 B), spills to disk, and is released by
+      // the CacheRegistry — the decide-on-small-rows shape of guide §8.
       val withDom = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), url.as("url"))
         .withColumn("domain", Urls.registrableDomain(Urls.hostOf(col("url"))))
+        .select(col("doc_id"), col("domain"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tok"))
+        .persist()
+      graft.ops.CacheRegistry.register(withDom)
       val stats = withDom.groupBy(col("domain"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(TextAnalysis.tokenCountWs(col("text"))).as("n_tokens"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       val blocklist = {
         import s.implicits._
         Seq("example.net", "shop.example.com").toDF("domain")
@@ -3730,9 +3740,16 @@ object LlmQueries {
           concat(col("text"),
             when(pmod(col("doc_id"), lit(3)) === 0, lit(""))
               .otherwise(lit(" " + moji))).as("orig"))
-        .select(col("doc_id"), Encoding.fixMojibake(col("orig")).as("fixed"),
-          (length(col("orig")) - length(Encoding.fixMojibake(col("orig"))))
-            .cast("long").as("n_saved"))
+        // name the repaired text ONCE and derive n_saved from the named
+        // column: the previous projection spelled the ~120-deep replace
+        // chain twice (fixed + inside n_saved), and codegen subexpression
+        // elimination does not fold two copies of a chain that deep —
+        // CollapseProject keeps a multi-referenced non-trivial alias
+        // materialized, so this form runs the chain once per row
+        .select(col("doc_id"), length(col("orig")).as("__len_orig"),
+          Encoding.fixMojibake(col("orig")).as("fixed"))
+        .select(col("doc_id"), col("fixed"),
+          (col("__len_orig") - length(col("fixed"))).cast("long").as("n_saved"))
         .select(col("doc_id"), col("fixed"), col("n_saved"),
           (col("n_saved") > 0).as("repaired"))
         .orderBy(col("doc_id"))

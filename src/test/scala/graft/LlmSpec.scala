@@ -2818,6 +2818,16 @@ class LlmSpec extends SparkSpec {
     val keptIds = Splits.capPerGroup(withNullId, "grp", "id", 2)
       .collect().map(r => Option(r.get(0))).toSet
     assert(keptIds === Set[Option[Any]](Some(1L), Some(2L)))
+    // ONE-PASS shape (round-15 optimization): the keepAll/boundary split
+    // used to evaluate the input twice and union — the FINAL plan must now
+    // hold exactly one rank window (plus the bounded cumulative-quota
+    // window over bucket counts) and no Union, so the input subtree (a
+    // full corpus scan in q168's composition) is evaluated once
+    val plan = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head // AQE echoes the pre-AQE plan below
+    assert(!plan.contains("Union"), "two-branch union shape is back")
+    assert("Window \\[row_number".r.findAllIn(plan).size === 1,
+      s"expected exactly one rank Window in the final plan:\n$plan")
   }
 
   test("shuffleDeterministic: bijective, partitioning-invariant, seed-sensitive") {
