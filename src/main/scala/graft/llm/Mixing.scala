@@ -107,7 +107,8 @@ object Mixing {
     * oracle-replay path, where the SQL unrolls a fixed number).
     *
     * Scale shape: one corpus aggregate to a |sources|-row frame, then
-    * `iters` scalar-aggregate + broadcast-cross rounds over that frame —
+    * `iters` scalar-aggregate rounds over that frame, each round's two
+    * pool scalars materialized as literals (a bounded metadata pass) —
     * the corpus is scanned once and never shuffled, exactly like
     * [[temperatureRates]]. Output one row per source:
     * (source, n_tok, weight, alloc_tok, epochs, capped).
@@ -128,8 +129,21 @@ object Mixing {
     // sources cap sequentially than there are rounds. tot is |sources|
     // rows and persisted, so the sizing count is a bounded metadata pass.
     val rounds = if (iters >= 1) iters else math.max(1, tot.count().toInt)
-    val wsumAll = tot.agg(sum(pow(col("n_tok"), lit(alpha))).as("wsum_all"))
-    var cur = tot.crossJoin(broadcast(wsumAll))
+    // The round scalars (wsum_all once; wsum/rem per round) are 1-row
+    // aggregates of the |sources|-row frame: materialize them as LITERALS
+    // (the tot.count() bounded-metadata-pass convention) instead of
+    // nesting a broadcast-agg subtree per round. The all-frame form
+    // referenced `cur` twice per round (pool + main), DOUBLING the plan
+    // each round — ~2^rounds broadcast exchanges executed by the final
+    // action (optimization guide §7.3: very large plans are their own
+    // bottleneck; measured on q182's 4-round gate: 65 jobs -> 13,
+    // formatted plan 1713 -> 160 lines, min-of-5 2.09 -> 0.99 s).
+    // Arithmetic is unchanged: the identical doubles ride in as literals.
+    def dlit(r: org.apache.spark.sql.Row, i: Int): Column =
+      if (r.isNullAt(i)) lit(null).cast("double") else lit(r.getDouble(i))
+    val wsumAll = dlit(tot.agg(sum(pow(col("n_tok"), lit(alpha)))).head(), 0)
+    var cur = tot
+      .withColumn("wsum_all", wsumAll)
       .withColumn("w", pow(col("n_tok"), lit(alpha)))
       .withColumn("cap", col("n_tok").cast("double") * maxEpochs)
       .withColumn("capped", lit(false))
@@ -139,10 +153,12 @@ object Mixing {
         sum(when(!col("capped"), col("w"))).as("wsum"),
         (lit(budgetTokens.toDouble)
           - coalesce(sum(when(col("capped"), col("alloc"))), lit(0.0))).as("rem"))
-      cur = cur.crossJoin(broadcast(pool))
+        .head()
+      val (wsum, rem) = (dlit(pool, 0), dlit(pool, 1))
+      cur = cur
         .withColumn("raw", when(col("capped"), col("alloc")).otherwise(
-          when(col("wsum") > 0 && col("rem") > 0,
-            col("w") / col("wsum") * col("rem")).otherwise(lit(0.0))))
+          when(wsum > 0 && rem > 0,
+            col("w") / wsum * rem).otherwise(lit(0.0))))
         .select(col("source"), col("n_tok"), col("w"), col("cap"), col("wsum_all"),
           (col("capped") || col("raw") >= col("cap")).as("capped"),
           least(col("raw"), col("cap")).as("alloc"))
