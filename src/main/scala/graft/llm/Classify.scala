@@ -54,9 +54,15 @@ object Classify {
     require(buckets > 0, s"bucket count must be positive: $buckets")
     val toks = df.select(col(labelCol).as("label"),
       explode(tokens(col(textCol))).as("term"))
+    // persisted: nbModelFromCounts consumes the counts twice (per-label
+    // totals + the dense-grid join), and without the cache each
+    // evaluation re-runs the tokenization pass over the corpus. The frame
+    // is ≤ |labels| × buckets rows — trivially cacheable.
     val counts = toks
       .select(col("label"), featureBucket(col("term"), buckets).as("bucket"))
       .groupBy(col("label"), col("bucket")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.ops.CacheRegistry.register(counts)
     val docs = df.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("nd"))
     nbModelFromCounts(counts, docs, buckets, alpha)
   }

@@ -71,6 +71,19 @@ object Graphs {
     var prevCached: DataFrame = null
     try {
     for (_ <- 1 to iters) {
+      // NOTE (round-15 optimization attempts, both REVERTED with
+      // measurements — this loop is shaped by the planner's broadcast
+      // choice, and "obvious" restructures defeat it):
+      //  1. persisting a shared pr⋈outdeg frame + materializing the
+      //     dangling scalar as a literal added a cache barrier and a
+      //     driver action per iteration: q196 2.62 -> 4.14 s at sf0.1;
+      //  2. computing the per-SOURCE contribution on the |nodes|-row
+      //     join output and attaching it to edges with ONE join replaced
+      //     e⋈(cached pr, accurate stats ⇒ auto-broadcast) with
+      //     e⋈(filtered join output, inflated size estimate ⇒ sort-merge
+      //     that shuffles the edges every iteration): 2.62 -> 3.53 s.
+      // The original two-join form keeps both rank-side joins broadcast
+      // at dimension scale and planner-chosen (SMJ) beyond it.
       val withDeg = pr.join(outdeg, pr("id") === outdeg("src"), "left")
       val dangling = withDeg.filter(col("d").isNull)
         .agg(coalesce(sum(col("pr_u")), lit(0L)).as("dm")) // 1 row

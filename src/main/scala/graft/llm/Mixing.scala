@@ -209,15 +209,23 @@ object Mixing {
       .groupBy(col("id"), col("is_target"), col("bucket")).agg(count(lit(1)).as("c"))
       .persist() // both distributions and the scoring pass reuse the counts
     graft.ops.CacheRegistry.register(bc)
-    val tgt = bc.filter(col("is_target")).groupBy(col("bucket")).agg(sum(col("c")).as("tc"))
-    val cor = bc.groupBy(col("bucket")).agg(sum(col("c")).as("cc"))
-    val tTot = bc.filter(col("is_target")).agg(sum(col("c")).cast("double").as("tt"))
-    val cTot = bc.agg(sum(col("c")).cast("double").as("ct"))
+    // ONE bucket-keyed aggregate carries both distributions (the old
+    // tgt/cor/tTot/cTot quartet ran four separate passes over the cached
+    // counts); the two grand totals re-aggregate the |buckets|-row frame,
+    // not the counts. Conditional long sums are the same sums in the same
+    // order per bucket — values identical.
+    val byBucket = bc.groupBy(col("bucket")).agg(
+        sum(col("c")).as("cc"),
+        sum(when(col("is_target"), col("c"))).as("tc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.ops.CacheRegistry.register(byBucket)
+    val tots = byBucket.agg(sum(col("cc")).cast("double").as("ct"),
+      sum(col("tc")).cast("double").as("tt"))
     val aB = alpha * buckets
     val pT = (coalesce(col("tc"), lit(0L)) + alpha) / (col("tt") + aB)
     val pC = (col("cc") + alpha) / (col("ct") + aB)
-    val scored = bc.join(broadcast(cor), "bucket").join(broadcast(tgt), Seq("bucket"), "left")
-      .crossJoin(tTot).crossJoin(cTot)
+    val scored = bc.join(broadcast(byBucket), "bucket")
+      .crossJoin(broadcast(tots))
       .groupBy(col("id"))
       .agg(sum(col("c")).as("n_tok"),
         (sum(col("c") * log(pT / pC)) / sum(col("c"))).as("w"))

@@ -90,6 +90,14 @@ object Substrings {
       .distinct()
     val toks = df.select(col(idCol).as("id"),
         posexplode(TextAnalysis.wordTokens(col(textCol))).as(Seq("t", "tok")))
+    // NOTE (round-15 measurement): folding `totals` into this aggregate
+    // via a covered-flag left join (saving the second tokenization) was
+    // tried and REVERTED for this batch form — q159 measured +9% twice at
+    // sf0.1; the anti-join drops covered tokens before the aggregate and
+    // the saved tokenize pass did not pay for the fatter aggregate here.
+    // The INCREMENT keeps the fold (q189 −9%: there it also shares the
+    // owners aggregate, and a third tokenize pass per ingest batch is the
+    // bigger bill).
     val kept = toks.join(covered, Seq("id", "t"), "left_anti")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_kept"),
@@ -144,7 +152,16 @@ object Substrings {
         graft.ops.Layout.hasParquetData(
           p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
       }
-      val batchFps = grams.select(col("fp")).distinct()
+      // ONE fp-keyed aggregate over the cached grams feeds BOTH the owner
+      // table and the batch's distinct-fp set (pushdown probe, broadcast
+      // semi, new-fp anti) — the separate .distinct() ran a second full
+      // fp shuffle of the gram cache per increment. |distinct fps| rows,
+      // persisted, released with the other intra-call caches.
+      val owners = grams.groupBy(col("fp"))
+        .agg(min(col("id")).as("owner"), max(col("id")).as("__mx"))
+        .persist()
+      graft.ops.CacheRegistry.register(owners)
+      val batchFps = owners.select(col("fp"))
       // history grams hit by this batch: batch fps broadcast into the
       // scan — and pushed as `fp IN` when the batch's gram set is small
       // enough (trigger-sized batches), so fp-sorted files group-skip
@@ -161,13 +178,11 @@ object Substrings {
           .join(broadcast(batchFps), Seq("fp"), "left_semi")
           .select(col("fp")).distinct()
       }).persist()
-      val owners = grams.groupBy(col("fp"))
-        .agg(min(col("id")).as("owner"), max(col("id")).as("__mx"))
-        .select(col("fp"), col("owner"),
-          (col("owner") =!= col("__mx")).as("__batch_dup"))
       // an occurrence loses its text when its gram is history-owned, or
       // batch-duplicated with a smaller-id owner
-      val losing = grams.join(owners, "fp")
+      val losing = grams.join(
+          owners.select(col("fp"), col("owner"),
+            (col("owner") =!= col("__mx")).as("__batch_dup")), "fp")
         .join(seen.withColumn("__hist", lit(true)), Seq("fp"), "left")
         .filter(col("__hist").isNotNull ||
           (col("__batch_dup") && col("id") =!= col("owner")))
@@ -189,18 +204,20 @@ object Substrings {
       seen.unpersist(blocking = false)
       val toks = batch.select(col(idCol).as("id"),
         posexplode(TextAnalysis.wordTokens(col(textCol))).as(Seq("t", "tok")))
-      val kept = toks.join(covered, Seq("id", "t"), "left_anti")
+      // one exploded-token pass for totals AND kept rows (the batch
+      // operator's fold, same argument): the old anti-join + totals
+      // projection paid a third full tokenization of the batch
+      val keptAll = toks.join(covered.withColumn("__cov", lit(true)), Seq("id", "t"), "left")
         .groupBy(col("id"))
-        .agg(count(lit(1)).as("n_kept"),
-          array_join(transform(array_sort(collect_list(struct(col("t"), col("tok")))),
+        .agg(count(lit(1)).as("__n"),
+          count(col("__cov")).as("__ncov"),
+          array_join(transform(array_sort(collect_list(
+            when(col("__cov").isNull, struct(col("t"), col("tok"))))),
             s => s.getField("tok")), " ").as("clean_text"))
-      val totals = batch.select(col(idCol).as("id"),
-        size(coalesce(TextAnalysis.wordTokens(col(textCol)),
-          array().cast("array<string>"))).cast("long").as("__n"))
-      totals.join(kept, Seq("id"), "left")
+      batch.select(col(idCol).as("id")).join(keptAll, Seq("id"), "left")
         .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+          (coalesce(col("__n"), lit(0L)) - coalesce(col("__ncov"), lit(0L))).as("n_kept"),
+          coalesce(col("__ncov"), lit(0L)).as("n_removed"))
       }
     }
 

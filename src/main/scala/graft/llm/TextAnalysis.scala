@@ -386,6 +386,13 @@ object TextAnalysis {
     */
   def unigramLogProbFromCounts(tf: org.apache.spark.sql.DataFrame,
       ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // NOTE (round-15 measurement): persisting `model` and deriving the
+    // grand total from it was tried and REVERTED — the cache barrier cost
+    // +0.3 s flat on small-vocabulary calls (q150 0.12 -> 0.43 s,
+    // q163 +52%) for a recompute that is one cheap pass over the caller's
+    // already-cached tf. The callers that loop (q170's trigger) persist
+    // their own cum frame, so the model aggregate is a cache scan there
+    // too.
     val model = tf.groupBy(col("term")).agg(sum(col("c")).as("ct"))
     val total = tf.agg(sum(col("c")).cast("double").as("t"))
     val scored = tf.join(model, "term").crossJoin(total)

@@ -131,13 +131,34 @@ object Urls {
     * rule without dot-segment normalization — a policy layer, not this
     * op).
     */
-  def resolveUrl(pageUrl: Column, href: Column): Column = {
+  def resolveUrl(pageUrl: Column, href: Column): Column =
+    resolveUrlPrepared(resolveUrlPrep(pageUrl), href)
+
+  /** The page-URL half of [[resolveUrl]] as a struct — compute it ONCE
+    * per page (before exploding that page's hrefs) and feed the struct to
+    * [[resolveUrlPrepared]]: the parse is ~7 regexps, and the one-arg
+    * [[resolveUrl]] re-evaluates all of them per HREF row. Exactly the
+    * expressions resolveUrl always used, factored, so results are
+    * identical by construction.
+    */
+  def resolveUrlPrep(pageUrl: Column): Column = {
     val nf = noFragment(pageUrl)
     val scheme = schemeOf(nf)
     val host = hostPort(afterScheme(nf)) // host[:port] verbatim — resolution keeps ports
     val path = regexp_extract(regexp_replace(afterScheme(nf), "^[^/?]*", ""),
       "^([^?]*)", 1)
     val dir = regexp_replace(when(path === "", lit("/")).otherwise(path), "[^/]*$", "")
+    struct(nf.as("nf"), scheme.as("scheme"), host.as("host"),
+      path.as("path"), dir.as("dir"))
+  }
+
+  /** The per-href half of [[resolveUrl]] over a [[resolveUrlPrep]] struct. */
+  def resolveUrlPrepared(parts: Column, href: Column): Column = {
+    val nf = parts.getField("nf")
+    val scheme = parts.getField("scheme")
+    val host = parts.getField("host")
+    val path = parts.getField("path")
+    val dir = parts.getField("dir")
     // a scheme-less page URL resolves without the "://" glue (the same
     // malformed-key guard as normalizeUrl); a scheme-relative href on a
     // scheme-less base stays scheme-relative

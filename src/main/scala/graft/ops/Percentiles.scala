@@ -47,7 +47,13 @@ object Percentiles {
       .agg(count(lit(1)).as("__c"))
     // global prefix sum under (key, value): NULLs range-sort FIRST within
     // their key, so a non-NULL row's prefix already includes the key's
-    // NULL counts and the per-key base below subtracts them correctly
+    // NULL counts and the per-key base below subtracts them correctly.
+    // NOTE (round-15 measurement): persisting this frame (and keyStats)
+    // was tried and REVERTED — the formatted plan shows the prefix-sum
+    // RDD scanned 3×, but RowIndex already caches the ranged input, so
+    // each re-scan is a cache read + the prefix map; adding a second
+    // cache layer here only moved the conversion into a cache write and
+    // cost a barrier (q69 ~+6%, q195 ~+8%, q170/q186 flat at sf0.1).
     val cumG = RowIndex.withRunningTotal(
       counts0, "__cumG", col("__c"), Seq(col(keyCol), col("__v")))
     // per-key base (global prefix before the key's first non-NULL value)

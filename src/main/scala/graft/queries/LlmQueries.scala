@@ -3110,15 +3110,28 @@ object LlmQueries {
         lit(".png\">c</a><a href=\"//cdn.example.net/lib.js\">d</a>" +
           "<a href=\"mailto:ops@contact.example.org\">e</a>" +
           "<a href=\"#top\">f</a><a href=\"?page=2\">g</a>"))
+      // page-side work ONCE PER PAGE, before the href explode: the source
+      // domain and the resolveUrl page parse (~7 regexps + the PSL case
+      // tree) don't depend on the href, and the former post-explode
+      // projection re-ran them per link row (7 links/page here; dozens on
+      // real pages). Same expressions, factored — results identical.
+      // the parse must sit in its OWN projection below the explode-select:
+      // expressions listed beside a generator analyze into a Project ABOVE
+      // the Generate (per-href evaluation — the exact duplication being
+      // removed), while a separate child projection stays below it
       Tables.documents(s, d)
         .select(col("doc_id"), url.as("url"), html.as("html"))
-        .select(col("url"),
-          explode(regexp_extract_all(col("html"),
-            lit("<a href=\"([^\"]*)\""), lit(1))).as("href"))
         .select(
           Urls.registrableDomain(Urls.hostOf(col("url"))).as("src_domain"),
+          Urls.resolveUrlPrep(col("url")).as("__parts"),
+          col("html"))
+        .select(col("src_domain"), col("__parts"),
+          explode(regexp_extract_all(col("html"),
+            lit("<a href=\"([^\"]*)\""), lit(1))).as("href"))
+        .select(col("src_domain"),
           Urls.registrableDomain(
-            Urls.hostOf(Urls.resolveUrl(col("url"), col("href")))).as("dst_domain"))
+            Urls.hostOf(Urls.resolveUrlPrepared(col("__parts"), col("href"))))
+            .as("dst_domain"))
         .groupBy(col("src_domain"), col("dst_domain"))
         .agg(count(lit(1)).as("n_links"))
         .orderBy(col("src_domain"), col("dst_domain"))
