@@ -170,7 +170,15 @@ object Mixing {
         col("capped"))
   }
 
-  private def sampleAtRates(df: DataFrame, idCol: String, rates: DataFrame,
+  /** Kept rows under an explicit per-source `(source, rate)` frame — the
+    * shared keep rule of [[sampleToMixture]] / [[sampleToTemperature]].
+    * Public so a caller that already computed the rates (to emit them)
+    * can reuse that frame instead of re-deriving it — the rates derive
+    * from a corpus aggregate, so recomputing them re-scans (and for
+    * kernel-priced token counts, re-tokenizes) the whole corpus
+    * (round 16: q161 ran the full-byte BPE count 5× for one answer).
+    */
+  def sampleAtRates(df: DataFrame, idCol: String, rates: DataFrame,
       sourceCol: String): DataFrame =
     df.join(broadcast(rates), Seq(sourceCol))
       .filter(Splits.splitBucket(col(idCol), 65536) < (col("rate") * 65536).cast("long"))

@@ -294,6 +294,11 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val n = df.count()
     val terms = df.select(col(idCol).as("id"), explode(wordTokens(col(textCol))).as("term"))
+    // NOTE (round-16 attempt, REVERTED): persisting these counts so
+    // docLen/docFreq re-aggregate them (one tokenize pass total) measured
+    // 1.01 -> 1.82 s (7-pass gc-isolated A/B, sf0.1/local[32]): the
+    // (doc,term) cache write costs more than the redundant tokenize
+    // passes, which run as parallel stages of one job locally.
     val tf = terms.groupBy(col("id"), col("term")).agg(count(lit(1)).as("c"))
     val docLen = terms.groupBy(col("id")).agg(count(lit(1)).as("len"))
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -325,6 +330,10 @@ object TextAnalysis {
       minCos: Double, maxDocFreq: Double = 0.5): org.apache.spark.sql.DataFrame = {
     val n = df.count()
     val terms = df.select(col(idCol).as("id"), explode(wordTokens(col(textCol))).as("term"))
+    // (round-16: persisting these counts, so the weight fill tokenizes
+    // once instead of three times, measured 0.99 -> 1.43 s at sf0.1 —
+    // same cache-write-vs-parallel-rescan tradeoff as tfIdfTopTerms;
+    // kept unpersisted.)
     val tf = terms.groupBy(col("id"), col("term")).agg(count(lit(1)).as("c"))
     val docLen = tf.groupBy(col("id")).agg(sum(col("c")).as("len"))
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -447,7 +456,19 @@ object TextAnalysis {
     graft.ops.CacheRegistry.register(bf)
     val bgModel = bf.groupBy(col("prev"), col("cur")).agg(sum(col("c")).as("cb"))
     val ctxTot = bf.groupBy(col("prev")).agg(sum(col("c")).as("cp"))
-    val uf = df.select(col(idCol).as("id"), explode(wordTokens(col(textCol))).as("term"))
+    // NOTE (round-16 optimization attempt, REVERTED with measurements):
+    // a single-pass shape — every position as (prev-or-NULL, cur) pairs
+    // from one NULL-prepended zip, with the unigram marginal derived by
+    // re-aggregating the persisted pair counts over `cur` — removes this
+    // leg's second tokenization/scan entirely, but measured 2.04 -> 2.60 s
+    // (+27%, 9-pass gc-isolated A/B at sf0.1/local[32], calibration
+    // steady): the two legs here run as INDEPENDENT parallel stages of
+    // one job, while the single-pass form serializes every consumer
+    // behind the pair-count persist barrier. The two-pass form is kept
+    // as the measured-faster local shape; at cluster scale the
+    // stage-overlap advantage shrinks while the saved text pass grows,
+    // so revisit with real cluster numbers before re-attempting.
+    val uf = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cu"))
     val total = uf.agg(sum(col("cu")).cast("double").as("t"))
     val scored = bf.join(bgModel, Seq("prev", "cur")).join(ctxTot, Seq("prev"))

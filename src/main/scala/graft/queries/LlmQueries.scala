@@ -1602,8 +1602,11 @@ object LlmQueries {
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
         |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
         |FROM kept GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      // persist the doc-bounded count frame: sampleToMixture's rate
+      // aggregate + keep pass otherwise re-tokenize the corpus 3×
       val toks = Tables.documents(s, d).select(col("doc_id"), col("source"),
-        size(TextAnalysis.wordTokens(col("text"))).cast("long").as("n_tokens"))
+        size(TextAnalysis.wordTokens(col("text"))).cast("long").as("n_tokens")).persist()
+      graft.ops.CacheRegistry.register(toks)
       graft.llm.Mixing.sampleToMixture(toks, "doc_id", "n_tokens", "source",
           Map("src0" -> 0.3, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.2), 3000L)
         .groupBy(col("source"))
@@ -1641,10 +1644,14 @@ object LlmQueries {
         |FROM r LEFT JOIN kept ON kept.source = r.source
         |GROUP BY r.source, r.source_tokens, r.weight, r.rate
         |ORDER BY r.source""".stripMargin) { (s, d) =>
+      // one tokenize pass (same factoring as q161): persist the doc-bounded
+      // count frame, derive rates once, reuse them for the keep rule
       val toks = Tables.documents(s, d).select(col("doc_id"), col("source"),
-        size(TextAnalysis.wordTokens(col("text"))).cast("long").as("n_tokens"))
+        size(TextAnalysis.wordTokens(col("text"))).cast("long").as("n_tokens")).persist()
+      graft.ops.CacheRegistry.register(toks)
       val rates = graft.llm.Mixing.temperatureRates(toks, "n_tokens", "source", 0.5, 6000L)
-      val kept = graft.llm.Mixing.sampleToTemperature(toks, "doc_id", "n_tokens", "source", 0.5, 6000L)
+      val kept = graft.llm.Mixing.sampleAtRates(toks, "doc_id",
+          rates.select(col("source"), col("rate")), "source")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
       rates.join(kept, Seq("source"), "left")
@@ -2252,10 +2259,16 @@ object LlmQueries {
          |FROM r LEFT JOIN kept ON kept.source = r.source
          |GROUP BY r.source, r.source_tokens, r.weight, r.rate
          |ORDER BY r.source""".stripMargin) { (s, d) =>
+      // one BPE pass: the (doc, source, n_tokens) frame is doc-bounded and
+      // narrow — persist it and derive rates ONCE (the unfactored
+      // temperatureRates + sampleToTemperature pair re-priced the corpus
+      // through the BPE kernel 5× — measured in the formatted plan, r16)
       val toks = Tables.documents(s, d).select(col("doc_id"), col("source"),
-        graft.llm.Bpe.countTokens(col("text")).as("n_tokens"))
+        graft.llm.Bpe.countTokens(col("text")).as("n_tokens")).persist()
+      graft.ops.CacheRegistry.register(toks)
       val rates = graft.llm.Mixing.temperatureRates(toks, "n_tokens", "source", 0.5, 15000L)
-      val kept = graft.llm.Mixing.sampleToTemperature(toks, "doc_id", "n_tokens", "source", 0.5, 15000L)
+      val kept = graft.llm.Mixing.sampleAtRates(toks, "doc_id",
+          rates.select(col("source"), col("rate")), "source")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
       rates.join(kept, Seq("source"), "left")
