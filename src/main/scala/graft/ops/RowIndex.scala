@@ -143,10 +143,41 @@ object RowIndex {
       order: Seq[Column],
       numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    val (ranged, offsetSeq) = rangedWithOffsets(
-      df.withColumn(valCol, coalesce(value.cast("long"), lit(0L))),
-      order, numPartitions,
-      coalesce(sum(col(valCol)), lit(0L)))
+    require(order.nonEmpty, "positional ops need explicit order keys (distributed tables have no inherent order)")
+    // Persist the input FIRST: repartitionByRange SAMPLES its child to
+    // pick range boundaries, so the unpersisted form evaluated the whole
+    // upstream lineage twice per call (measured round 16: q163's cutoff
+    // input is the full corpus-scoring pipeline — its sampling pass alone
+    // cost ~0.7 s at sf0.1). The count doubles as the cache fill and
+    // gives the TRUE row count for the routing decision below — a
+    // plan-stats estimate was tried first and measured unsafe (q69's
+    // 594k-row counts frame estimated 4.1 MB and took the single-task
+    // path, +19%; estimates above aggregates can't size their output).
+    val in = df.withColumn(valCol, coalesce(value.cast("long"), lit(0L)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    CacheRegistry.register(in)
+    val rows = in.count()
+    // Dimension-sized fast path (count unpinned only): on one sorted
+    // partition the local running sum IS the global prefix sum — no
+    // range exchange, no boundary sampling, no offsets job. The cap is
+    // deliberately a row COUNT, not bytes: it bounds the single task's
+    // sort exactly. Cluster deployments can raise/lower it via conf.
+    val fastCap = spark.conf.getOption("spark.graft.runningTotal.fastPathMaxRows")
+      .map(_.toLong).getOrElse(65536L)
+    val (ranged, offsetSeq) =
+      if (numPartitions == 0 && rows <= fastCap) {
+        // narrow lineage over the cached input — no second persist needed
+        (in.coalesce(1).sortWithinPartitions(order: _*)
+          .withColumn(pidCol, spark_partition_id()),
+          Seq.empty[(Int, Long)])
+      } else {
+        val out = rangedWithOffsets(in, order, numPartitions,
+          coalesce(sum(col(valCol)), lit(0L)))
+        // the offsets job just materialized the ranged cache; every later
+        // consumer reads it, so the input cache has served its purpose
+        in.unpersist(blocking = false)
+        out
+      }
     val bc = spark.sparkContext.broadcast(offsetSeq.toMap)
 
     val schema = org.apache.spark.sql.types.StructType(

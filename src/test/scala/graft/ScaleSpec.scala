@@ -127,6 +127,31 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("withRunningTotal dimension-sized fast path (count unpinned) matches the distributed shape") {
+    import graft.ops.RowIndex
+    val rnd = new scala.util.Random(29)
+    val rows = Seq.tabulate(400)(i =>
+      (i.toLong, if (i % 13 == 0) None else Some(rnd.nextInt(150).toLong - 25)))
+    val df = rows.toDF("k", "v")
+    // numPartitions = 0 + a TRUE row count under the fast-path cap takes
+    // the single-partition path: no range exchange, no boundary sampling,
+    // no offsets job (the decision is made on the materialized count, not
+    // a plan-stats estimate — estimates above aggregates mis-size badly)
+    val fast = RowIndex.withRunningTotal(df, "rt", col("v"), Seq(col("k")))
+    // the result is an RDD-backed frame, so the range exchange (if any)
+    // lives in the RDD lineage, not the SQL plan: a fast-path lineage has
+    // no shuffle dependency at all (coalesce(1) is narrow)
+    val lineage = fast.rdd.toDebugString
+    assert(!lineage.contains("ShuffledRowRDD"),
+      s"fast path still shuffles a dimension-sized input:\n$lineage")
+    val got = fast.select(col("k"), col("rt")).as[(Long, Long)].collect().toMap
+    var acc = 0L
+    for ((k, v) <- rows) {
+      acc += v.getOrElse(0L)
+      assert(got(k) === acc, s"fast-path running total at k=$k")
+    }
+  }
+
   test("packSequences: contiguous bins, budget arithmetic, zero-token docs") {
     import graft.llm.Packing
     val df = Seq((0L, 300L), (1L, 300L), (2L, 0L), (3L, 500L), (4L, 1200L))
