@@ -628,7 +628,8 @@ object Dedup {
       // and the new-fp anti-join) — recomputing would re-run the probed
       // scan, doubling the per-increment index IO; released below
       val seen = (if (!hasIndex) batchFps.limit(0) else {
-        val base = spark.read.parquet(statePath).filter(col("epoch") < epoch)
+        val base = readEpochState(spark, statePath, batchFps.schema)
+          .filter(col("epoch") < epoch)
         val prefiltered = pushableKeys(batchFps) match {
           case Some(vals) => base.filter(col("fp").isin(vals: _*))
           case None => base
@@ -763,6 +764,23 @@ object Dedup {
       case None => spark.conf.unset(key)
     }
   }
+
+  /** Epoch-partitioned state family read with the WRITER's schema
+    * supplied explicitly (`dataSchema` = the appended frame's columns;
+    * `epoch` rides as the typed partition column). A bare
+    * `spark.read.parquet` re-infers the schema on the DRIVER — an extra
+    * directory listing plus a footer read, measured 65-80 ms warm per
+    * call (round 16) — on EVERY increment, for a schema the family's
+    * writer fixed once. Partition discovery still happens; only the
+    * inference is skipped.
+    */
+  private[llm] def readEpochState(spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      dataSchema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(org.apache.spark.sql.types.StructType(
+        dataSchema.fields :+ org.apache.spark.sql.types.StructField(
+          "epoch", org.apache.spark.sql.types.LongType)))
+      .parquet(path)
 
   /** The batch's key set as pushable literal values: Some(values) when
     * within [[MaxPushedInValues]] (one bounded collect), None when the
@@ -918,7 +936,8 @@ object Dedup {
         // and its per-trigger cost stays flat while this path grows
         // with history). Take the plain column-pruned scan: sig columns
         // for the band join, (id, hs) for the verify.
-        val i = spark.read.parquet(statePath).filter(col("epoch") < epoch)
+        val i = readEpochState(spark, statePath, state.schema)
+          .filter(col("epoch") < epoch)
           .select(state.columns.map(col): _*)
         val crossCand = stateBands(i)
           .select((keys.map(col) :+ col("id").as("id1")): _*)
@@ -954,7 +973,7 @@ object Dedup {
         probeBands(spark, bandsPath, bandsReadSchema, routedEpochs, bandKeys)
           .select((col("id") +: col("epoch") +: keys.map(col)): _*))
       val legacy = if (legacyEpochs.isEmpty) None else Some(
-        stateBandsKeepEpoch(spark.read.parquet(statePath)
+        stateBandsKeepEpoch(readEpochState(spark, statePath, state.schema)
           .filter(col("epoch").isin(legacyEpochs: _*))))
       val histBands = (routed.toSeq ++ legacy.toSeq).reduce(_ unionByName _)
       val crossCand = histBands
@@ -986,7 +1005,7 @@ object Dedup {
         if (hitIds.size <= MaxPushedInValues) col("id").isin(hitIds: _*)
         else lit(true) // saturated set: epoch pruning only (see cap doc)
       val hist = if (hitEpochs.isEmpty) None else Some(
-        spark.read.parquet(statePath).filter(
+        readEpochState(spark, statePath, state.schema).filter(
             col("epoch").isin(hitEpochs: _*) && idFilter)
           .select(col("id"), col("hs")))
       (candNew.unionByName(crossCand.drop("epoch")).distinct(), hist,

@@ -63,7 +63,13 @@ private[llm] object EpochStream {
     val hasState = graft.ops.Layout.hasParquetData(
       sp.getFileSystem(bt.sparkSession.sparkContext.hadoopConfiguration), sp)
     if (!hasState) bt.select(cols: _*).limit(0)
-    else bt.sparkSession.read.parquet(stateDir)
+    // the writer below appended bt's exact columns + the epoch partition
+    // column — pass that schema instead of re-inferring it from footers
+    // on the driver every trigger (~65-80 ms warm, measured round 16)
+    else bt.sparkSession.read.schema(org.apache.spark.sql.types.StructType(
+        bt.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "epoch", org.apache.spark.sql.types.LongType)))
+      .parquet(stateDir)
       .filter(col("epoch") < batchId)
       .select(cols: _*)
   }

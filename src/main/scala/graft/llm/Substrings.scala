@@ -169,7 +169,8 @@ object Substrings {
       // anti-join) — recomputing would re-run the probed scan; released
       // after the state write
       val seen = (if (!hasIndex) batchFps.limit(0) else {
-        val base = spark.read.parquet(statePath).filter(col("epoch") < epoch)
+        val base = Dedup.readEpochState(spark, statePath, batchFps.schema)
+          .filter(col("epoch") < epoch)
         val prefiltered = Dedup.pushableKeys(batchFps) match {
           case Some(vals) => base.filter(col("fp").isin(vals: _*))
           case None => base
